@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generator (UDTF surface, SURVEY.md §2.9 U3): explodes a whitespace-
+  * tokenized text column into its word n-grams, one output row per n-gram,
+  * with the 0-based n-gram position.
+  *
+  * Output schema: `(pos int, ngram string)`. Rows with null text generate
+  * nothing (like `explode` on null). Used by near-dup shingling (q35) and
+  * the n-gram stats query (q33).
+  */
+case class NGramExplode(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val toks = v.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Nil
+    (0 to toks.length - n).map { i =>
+      InternalRow(i, UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramExplode =
+    copy(child = newChild)
+}
+
+object NGramExplode {
+  /** Use with `df.select($"doc_id", ngrams_of($"text", 3))` — Spark plans a
+    * GenerateExec for the Generator expression. */
+  def apply(c: Column, n: Int): Column =
+    ExpressionUtils.column(NGramExplode(ExpressionUtils.expression(c), n))
+}

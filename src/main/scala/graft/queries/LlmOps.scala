@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{CosineSimilarityExpr, NGramExplode}
+import QueryDef._
+
+/** LLM-data-pipeline operators (BASELINE.json north_star: dedup,
+  * similarity search, multimodal columns, text analysis).
+  *
+  * Scale design: every pairwise op is blocked — dedup keys on a hash,
+  * near-dup joins on shared shingles with a candidate gate, similarity
+  * broadcasts the probe set, LSH variants band signatures so candidate
+  * generation is an equi-join. Nothing enumerates O(n²) pairs.
+  */
+object LlmOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** q23 — exact dedup with deterministic survivor (smallest doc_id per
+    * text). `row_number()==1` over a hash-partitioned window, not
+    * `dropDuplicates` (whose survivor is partition-order-dependent). */
+  def q23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q23Sql =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** q33 — UDTF surface: custom `Generator` explodes word trigrams;
+    * frequent-ngram counts. */
+  def q33(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .orderBy(col("n").desc, col("ngram"))
+
+  private val q33Sql =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |      FROM t WHERE len(toks) >= 3)
+      |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+      |HAVING count(*) >= 3 ORDER BY n DESC, ngram""".stripMargin
+
+  /** q34 — similarity search: brute-force cosine top-5 for 10 probe
+    * vectors. The probe set is broadcast, so the candidate side streams
+    * through map tasks with no shuffle — at 100 TB this is the exact-
+    * search pattern (LSH variant: [[q34c]]). Ordering ties are broken on
+    * the 4dp-rounded score + id, so top-k is engine-stable. */
+  def q34(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    cands.join(broadcast(probes), col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("pid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private val q34Sql =
+    """WITH p AS (SELECT vec_id AS pid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      |      FROM embeddings),
+      |s AS (SELECT pid, cid, round(list_cosine_similarity(pe, ce), 4) AS sim
+      |      FROM p CROSS JOIN c WHERE pid <> cid),
+      |r AS (SELECT pid, cid, sim, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
+      |      FROM s)
+      |SELECT pid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY pid, rn""".stripMargin
+
+  /** q34b — embedding near-duplicate pairs, label-blocked: pairs within
+    * the same label bucket with cosine ≥ 0.9. Blocking turns O(n²) into
+    * Σ bucket². */
+  def q34b(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label").as("lbl"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("label").as("lbl"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq("lbl"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  private val q34bSql =
+    """WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |           FROM embeddings)
+      |SELECT a.vec_id AS va, b.vec_id AS vb,
+      |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
+      |ORDER BY va, vb""".stripMargin
+
+  /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 trigram
+    * shingles, with exact set-Jaccard. The shingle equi-join IS the
+    * blocking step — pair cardinality is Σ_shingle freq², never n². */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("nsh", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("nsh", "nb"), "db")
+      .select(col("da"), col("db"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val q35Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |       FROM t WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT da, db, round(inter * 1.0 / (na.nsh + nb.nsh - inter), 4) AS jaccard
+      |FROM inter JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
+      |ORDER BY da, db""".stripMargin
+
+  /** q35b — MinHash signatures (k=16) per document: the scale path for
+    * near-dup (LSH banding joins on signature bands instead of raw
+    * shingles). xxhash64-based → engine-specific, no SQL oracle; banding
+    * recall is asserted in unit tests. */
+  def q35b(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram")).distinct()
+    // Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
+    // under ANSI arithmetic (a multiplicative family would long-overflow).
+    val minhashes = (0 until 16).map { j =>
+      min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val bands = (0 until 4).map { b =>
+      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
+  }
+
+  /** q35c — SimHash (64-bit) per document: bit-majority over token
+    * hashes. Hamming-close simhashes ⇒ near-dup candidates. xxhash64-
+    * based → no SQL oracle. */
+  def q35c(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** q36 — text stats per language: doc counts, char/token averages
+    * (exact integer sums → deterministic division), source cardinality. */
+  def q36(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  private val q36Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q37 — document fingerprint: polynomial rolling hash over characters,
+    * mod 1e9+7 (stays in 64-bit range in both engines). */
+  def q37(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val q37Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q38 — quality scoring: token counts (whitespace + regex "BPE-ish"),
+    * length ratios, stopword ratio, composite score. */
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = size(filter(toks, t => t.isin("the", "a", "data", "row")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_words_re"),
+        regexp_count(col("text"), lit("[a-z]{5,}")).as("n_long_words"),
+        stop.as("n_stop"),
+        (stop.cast("double") / size(toks)).as("stop_ratio"),
+        (col("n_chars").cast("double") / size(toks)).as("chars_per_token"),
+        round(least(lit(1.0), size(toks) / lit(100.0)) *
+          (lit(1.0) - stop.cast("double") / size(toks)), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q38Sql =
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text FROM documents),
+      |x AS (SELECT doc_id, n_chars, toks,
+      |        CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words_re,
+      |        CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT) AS n_long_words,
+      |        CAST(len(list_filter(toks, x -> x IN ('the','a','data','row'))) AS INT) AS n_stop
+      |      FROM t)
+      |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, n_words_re, n_long_words, n_stop,
+      |  CAST(n_stop AS DOUBLE) / len(toks) AS stop_ratio,
+      |  CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+      |  round(least(1.0, len(toks) / 100.0) * (1.0 - CAST(n_stop AS DOUBLE) / len(toks)), 4) AS quality
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** q39 — language-ID heuristic: marker-token votes per language (the
+    * n-gram-heuristic shape; corpus text is synthetic, so markers mostly
+    * vote 'en'). Deterministic rule on both sides. */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def cnt(word: String): Column = size(filter(toks, t => t === word))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        cnt("the").as("c_en"), cnt("le").as("c_fr"), cnt("der").as("c_de"),
+        cnt("el").as("c_es"), cnt("data").as("c_x"))
+      .withColumn("predicted",
+        when(col("c_en") >= greatest(col("c_fr"), col("c_de"), col("c_es")) && col("c_en") > 0, "en")
+          .when(col("c_fr") >= greatest(col("c_de"), col("c_es")) && col("c_fr") > 0, "fr")
+          .when(col("c_de") >= col("c_es") && col("c_de") > 0, "de")
+          .when(col("c_es") > 0, "es")
+          .otherwise("unk"))
+      .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q39Sql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(toks, x -> x = 'the')) AS INT) AS c_en,
+      |  CAST(len(list_filter(toks, x -> x = 'le')) AS INT) AS c_fr,
+      |  CAST(len(list_filter(toks, x -> x = 'der')) AS INT) AS c_de,
+      |  CAST(len(list_filter(toks, x -> x = 'el')) AS INT) AS c_es,
+      |  CAST(len(list_filter(toks, x -> x = 'data')) AS INT) AS c_x
+      |FROM t)
+      |SELECT doc_id, lang, c_en, c_fr, c_de, c_es, c_x,
+      |  CASE WHEN c_en >= greatest(c_fr, c_de, c_es) AND c_en > 0 THEN 'en'
+      |       WHEN c_fr >= greatest(c_de, c_es) AND c_fr > 0 THEN 'fr'
+      |       WHEN c_de >= c_es AND c_de > 0 THEN 'de'
+      |       WHEN c_es > 0 THEN 'es'
+      |       ELSE 'unk' END AS predicted,
+      |  CAST(CASE WHEN (CASE WHEN c_en >= greatest(c_fr, c_de, c_es) AND c_en > 0 THEN 'en'
+      |       WHEN c_fr >= greatest(c_de, c_es) AND c_fr > 0 THEN 'fr'
+      |       WHEN c_de >= c_es AND c_de > 0 THEN 'de'
+      |       WHEN c_es > 0 THEN 'es'
+      |       ELSE 'unk' END) = lang THEN 1 ELSE 0 END AS INT) AS is_match
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q40 — multimodal column plumbing: text → opaque binary payload +
+    * typed metadata; byte-level features computed on the binary column.
+    * (Real decode is environment-dependent — see graft.multimodal for the
+    * stubbed decode pipeline; this query oracles the deterministic part.) */
+  def q40(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"),
+        round(length(col("payload")) / lit(1000.0), 4).as("feat0"))
+      .orderBy(col("doc_id"))
+
+  private val q40Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+      |  round(octet_length(encode(text)) / 1000.0, 4) AS feat0
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
+    QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
+    QueryDef("q34_similarity_topk", q34, Some(q34Sql)),
+    QueryDef("q34b_embedding_neardup", q34b, Some(q34bSql)),
+    QueryDef("q35_near_dup", q35, Some(q35Sql)),
+    QueryDef("q35b_minhash_sig", q35b, None),
+    QueryDef("q35c_simhash", q35c, None),
+    QueryDef("q36_text_stats", q36, Some(q36Sql)),
+    QueryDef("q37_fingerprint", q37, Some(q37Sql)),
+    QueryDef("q38_quality_score", q38, Some(q38Sql)),
+    QueryDef("q39_langid", q39, Some(q39Sql)),
+    QueryDef("q40_multimodal", q40, Some(q40Sql)))
+}

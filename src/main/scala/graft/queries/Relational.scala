@@ -1,0 +1,508 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.Tables
+import graft.functions.GeoMean
+import QueryDef._
+
+/** Relational core (SURVEY.md §2.2-2.6): projection/filter, all join
+  * flavors, aggregation (incl. grouping sets/rollup/cube, UDAF, array agg),
+  * window functions, sort/limit, set ops. All oracled against DuckDB.
+  *
+  * Scale notes are per-query in the Scaladoc — the guiding rules:
+  * dims are broadcast; fact⋈fact shuffles on join keys; per-group windows
+  * shuffle once on the partition key; no driver-side collection anywhere.
+  */
+object Relational {
+
+  private val shipCut = lit("1998-09-02 00:00:00").cast(TimestampNTZType)
+
+  /** q01 — TPC-H-Q1-style pricing summary: scan → filter → partial/final
+    * hash agg → sort. The flagship `entry()` query. At 100 TB: 3-group
+    * output, map-side partial agg does nearly all the work; one tiny
+    * shuffle. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= shipCut)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${exactSumSql("l_quantity")} AS sum_qty,
+       | ${exactSumSql("l_extendedprice")} AS sum_base_price,
+       | ${exactSumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+       | ${exactSumSql("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+       | ${exactAvgSql("l_quantity")} AS avg_qty,
+       | ${exactAvgSql("l_extendedprice")} AS avg_price,
+       | ${exactAvgSql("l_discount")} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — projection + predicate stack (comparison, BETWEEN, IN, LIKE).
+    * All predicates push down to the parquet scan; projection prunes to 6
+    * columns. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01 00:00:00").cast(TimestampNTZType),
+        lit("1996-12-31 00:00:00").cast(TimestampNTZType)))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .filter(col("l_returnflag").isin("N", "A"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |  AND l_returnflag IN ('N','A')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03 — star join: fact (orders) ⋈ broadcast dims (customer→nation→
+    * region). Dims are explicitly `broadcast()` — at 100 TB the fact side
+    * never shuffles for this join. */
+  def q03(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("r_name"))
+
+  private val q03Sql =
+    s"""SELECT r_name, count(*) AS n_orders, ${exactSumSql("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey=c_custkey
+       | JOIN nation ON c_nationkey=n_nationkey
+       | JOIN region ON n_regionkey=r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** q04 — fact ⋈ fact shuffle join (sort-merge hinted): lineitem ⋈ orders
+    * on orderkey. At 100 TB both sides hash-shuffle on the key; AQE can
+    * split skewed partitions. */
+  def q04(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        exactSum(col("l_quantity")).as("total_qty"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q04Sql =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       | ${exactSumSql("l_quantity")} AS total_qty,
+       | ${exactSumSql("l_extendedprice*(1-l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+       |WHERE o_orderstatus='F'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q05 — left outer join + agg: every customer, order count and spend
+    * (0 for order-less customers). */
+  def q05(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(exactSum(col("o_totalprice")), lit(0.0)).as("spent"))
+      .orderBy(col("c_custkey"))
+
+  private val q05Sql =
+    s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+       | coalesce(${exactSumSql("o_totalprice")}, 0.0) AS spent
+       |FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** q05b — full outer join on acctbal buckets (buckets existing on only
+    * one side produce genuine outer rows). */
+  def q05b(s: SparkSession, d: String): DataFrame = {
+    val cb = Tables.customer(s, d)
+      .groupBy(floor(col("c_acctbal") / 100).as("bucket"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sb = Tables.supplier(s, d)
+      .groupBy(floor(col("s_acctbal") / 100).as("bucket"))
+      .agg(count(lit(1)).as("n_supp"))
+    cb.join(sb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q05bSql =
+    """WITH cb AS (SELECT CAST(floor(c_acctbal/100) AS BIGINT) AS bucket, count(*) AS n_cust FROM customer GROUP BY 1),
+      |     sb AS (SELECT CAST(floor(s_acctbal/100) AS BIGINT) AS bucket, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT coalesce(cb.bucket, sb.bucket) AS bucket,
+      |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM cb FULL OUTER JOIN sb ON cb.bucket=sb.bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** q06 — left semi join (EXISTS): customers with ≥1 order above 400k. */
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07 — left anti join (NOT EXISTS): customers with no order above 400k. */
+  def q07(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q08 — theta (non-equi) join → broadcast nested loop. Only sane when
+    * one side is tiny (here: both dims); never at fact×fact scale. */
+  def q08(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") =!= col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"), col("r_name"))
+
+  private val q08Sql =
+    """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey <> r_regionkey
+      |ORDER BY n_name, r_name""".stripMargin
+
+  /** q09 — range (interval) join: pairs of events of the same user within
+    * (0, 5min]. Implemented 100 TB-style: both sides bucketed to the 5-min
+    * grid and equi-joined on (user, bucket) — the left side claims buckets
+    * {b, b+1} so every in-range pair lands in exactly one equi-bucket; the
+    * range predicate then filters within buckets. Candidate blowup is
+    * bounded by bucket occupancy, not O(n²) per user. */
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val bucket = floor(unix_micros(col("ts")) / lit(300000000L))
+    val right = e.withColumn("b", bucket)
+    val left = e.withColumn("b0", bucket)
+      .withColumn("b", explode(array(col("b0"), col("b0") + 1)))
+      .drop("b0")
+    left.alias("x").join(right.alias("y"),
+        col("x.user_id") === col("y.user_id") && col("x.b") === col("y.b") &&
+        col("y.ts") > col("x.ts") &&
+        col("y.ts") <= col("x.ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("x.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q09Sql =
+    """SELECT e1.user_id AS user_id, count(*) AS n_pairs
+      |FROM events e1 JOIN events e2
+      |  ON e1.user_id=e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      |GROUP BY e1.user_id ORDER BY user_id""".stripMargin
+
+  /** q10 — as-of join: for each purchase, the latest click of the same user
+    * at-or-before it. Spark has no native as-of; the scalable pattern is
+    * union both streams, one shuffle on the key, and a running
+    * `last(_, ignoreNulls)` window — linear state, no pairwise blowup
+    * (vs. the naive join+max which explodes on hot keys). */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+        lit(0).as("kind"), lit(-1L).as("eid"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("click_ts"),
+        lit(1).as("kind"), col("event_id").as("eid"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(probes)
+      .withColumn("asof_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("eid").as("pid"), col("user_id"),
+        coalesce(unix_millis(col("asof_ts")), lit(-1L)).as("asof_ms"))
+      .orderBy(col("pid"))
+  }
+
+  private val q10Sql =
+    """SELECT p.event_id AS pid, p.user_id AS user_id,
+      |       coalesce(epoch_ms(max(c.ts)), -1) AS asof_ms
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON c.user_id=p.user_id AND c.ts <= p.ts
+      |GROUP BY p.event_id, p.user_id ORDER BY pid""".stripMargin
+
+  /** q11 — exact count-distinct in two key representations (the
+    * reference's dual HashSet semantics, CsvLoader.java:105-106) plus a
+    * distinct aggregate alongside plain aggregates. */
+  def q11(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("user_id").cast("string")).as("n_user_strs"),
+        exactSum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  private val q11Sql =
+    s"""SELECT event_type, count(*) AS n,
+       | count(DISTINCT user_id) AS n_users,
+       | count(DISTINCT CAST(user_id AS VARCHAR)) AS n_user_strs,
+       | ${exactSumSql("value")} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q12 — approx count-distinct (HLL): the 100 TB-scale replacement for
+    * the reference's unbounded exact HashSets. Engine-specific sketch →
+    * no DuckDB oracle (±5% vs exact asserted in unit tests). */
+  def q12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** q13 — GROUPING SETS ((status,priority),(status),()) with grouping_id. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("os"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("op"),
+        col("gid"), col("n_orders"), col("total"))
+      .orderBy(col("gid"), col("os"), col("op"))
+  }
+
+  private val q13Sql =
+    s"""SELECT coalesce(o_orderstatus,'ALL') AS os, coalesce(o_orderpriority,'ALL') AS op,
+       | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       | count(*) AS n_orders, ${exactSumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY gid, os, op""".stripMargin
+
+  /** q14 — ROLLUP(status, priority). */
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("os"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("op"),
+        col("gid"), col("n_orders"), col("total"))
+      .orderBy(col("gid"), col("os"), col("op"))
+
+  private val q14Sql =
+    s"""SELECT coalesce(o_orderstatus,'ALL') AS os, coalesce(o_orderpriority,'ALL') AS op,
+       | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       | count(*) AS n_orders, ${exactSumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, os, op""".stripMargin
+
+  /** q15 — CUBE(returnflag, linestatus) on lineitem. */
+  def q15(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("total_qty"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n"), col("total_qty"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  private val q15Sql =
+    s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+       | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       | count(*) AS n, ${exactSumSql("l_quantity")} AS total_qty
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, rf, ls""".stripMargin
+
+  /** q16 — custom UDAF (typed Aggregator): geometric mean of extendedprice
+    * per returnflag. Log-space partials → map-side combine works. */
+  def q16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(GeoMean.agg(col("l_extendedprice")), 4).as("geomean_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q16Sql =
+    """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q17 — array agg: per-customer sorted order-key list. Sorted for
+    * determinism (collect_list order is partition-dependent). */
+  def q17(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  private val q17Sql =
+    """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** q18 — ranking window functions + top-k per group. Spark ≥4 pushes the
+    * rn<=3 filter into WindowGroupLimit, so only 3 rows per customer
+    * survive the shuffle. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rk"), col("drk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q18Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** q19 — analytic window functions: lag/lead/first/last per user over
+    * event time. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lead(col("value"), 1).over(w).as("next_v"),
+        first(col("value")).over(wFull).as("first_v"),
+        last(col("value")).over(wFull).as("last_v"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q19Sql =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS prev_v, lead(value, 1) OVER w AS next_v,
+      |  first_value(value) OVER wf AS first_v, last_value(value) OVER wf AS last_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
+  /** q20 — aggregate-over-window with explicit frames: running sum +
+    * 3-row moving sum (cents-exact integers → engine-order-independent). */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cents = round(col("value") * 10000, 0).cast("long")
+    Tables.events(s, d)
+      .withColumn("cents", cents)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 10000.0).as("running_sum"),
+        (sum(col("cents")).over(w.rowsBetween(-2, Window.currentRow)) / 10000.0).as("mov_sum"),
+        count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)).as("mov_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q20Sql =
+    """SELECT event_id, user_id, value,
+      |  sum(CAST(round(value*10000) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/10000.0 AS running_sum,
+      |  sum(CAST(round(value*10000) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)/10000.0 AS mov_sum,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q21 — global top-k: order+limit plans as TakeOrderedAndProject (per-
+    * partition top-k, then k-merge on the driver — no global sort). */
+  def q21(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val q21Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q22 — set operations: union/intersect/except over acctbal buckets,
+    * each branch tagged. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val ck = Tables.customer(s, d).select(floor(col("c_acctbal") / 100).as("k")).distinct()
+    val sk = Tables.supplier(s, d).select(floor(col("s_acctbal") / 100).as("k")).distinct()
+    val inter = ck.intersect(sk).select(lit("intersect").as("op"), col("k"))
+    val exCs = ck.except(sk).select(lit("except_cs").as("op"), col("k"))
+    val exSc = sk.except(ck).select(lit("except_sc").as("op"), col("k"))
+    val uni = ck.union(sk).distinct().select(lit("union").as("op"), col("k"))
+    inter.unionByName(exCs).unionByName(exSc).unionByName(uni)
+      .orderBy(col("op"), col("k"))
+  }
+
+  private val q22Sql =
+    """WITH ck AS (SELECT DISTINCT CAST(floor(c_acctbal/100) AS BIGINT) AS k FROM customer),
+      |     sk AS (SELECT DISTINCT CAST(floor(s_acctbal/100) AS BIGINT) AS k FROM supplier)
+      |SELECT 'intersect' AS op, k FROM (SELECT k FROM ck INTERSECT SELECT k FROM sk)
+      |UNION ALL SELECT 'except_cs' AS op, k FROM (SELECT k FROM ck EXCEPT SELECT k FROM sk)
+      |UNION ALL SELECT 'except_sc' AS op, k FROM (SELECT k FROM sk EXCEPT SELECT k FROM ck)
+      |UNION ALL SELECT 'union' AS op, k FROM (SELECT k FROM ck UNION SELECT k FROM sk)
+      |ORDER BY op, k""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q02_filter_project", q02, Some(q02Sql)),
+    QueryDef("q03_join_broadcast", q03, Some(q03Sql)),
+    QueryDef("q04_join_sortmerge", q04, Some(q04Sql)),
+    QueryDef("q05_outer_join", q05, Some(q05Sql)),
+    QueryDef("q05b_full_outer", q05b, Some(q05bSql)),
+    QueryDef("q06_semi_join", q06, Some(q06Sql)),
+    QueryDef("q07_anti_join", q07, Some(q07Sql)),
+    QueryDef("q08_theta_join", q08, Some(q08Sql)),
+    QueryDef("q09_range_join", q09, Some(q09Sql)),
+    QueryDef("q10_asof_join", q10, Some(q10Sql)),
+    QueryDef("q11_count_distinct", q11, Some(q11Sql)),
+    QueryDef("q12_approx_distinct", q12, None),
+    QueryDef("q13_grouping_sets", q13, Some(q13Sql)),
+    QueryDef("q14_rollup", q14, Some(q14Sql)),
+    QueryDef("q15_cube", q15, Some(q15Sql)),
+    QueryDef("q16_udaf_geomean", q16, Some(q16Sql)),
+    QueryDef("q17_array_agg", q17, Some(q17Sql)),
+    QueryDef("q18_window_rank", q18, Some(q18Sql)),
+    QueryDef("q19_window_analytic", q19, Some(q19Sql)),
+    QueryDef("q20_window_frame", q20, Some(q20Sql)),
+    QueryDef("q21_topk", q21, Some(q21Sql)),
+    QueryDef("q22_setops", q22, Some(q22Sql)))
+}

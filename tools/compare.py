@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev-only self-check of the DuckDB oracle loop (mimics the driver's
+CORRECTNESS gate). Not part of the Scala deliverable.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import glob
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel_sql):
+    """Rows with columns sorted by name, rows sorted, as a list of tuples."""
+    cur = con.sql(rel_sql)
+    cols = sorted(cur.columns)
+    sel = ", ".join(f'"{c}"' for c in cols)
+    rows = con.sql(f"SELECT {sel} FROM ({rel_sql}) ORDER BY ALL").fetchall()
+    return cols, rows
+
+
+def cell_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not res_files:
+            print(f"MISS  {name}: no spark result parquet")
+            fail += 1
+            continue
+        try:
+            scols, srows = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            ocols, orows = canon(con, sql)
+        except Exception as e:
+            print(f"ERR   {name}: {e}")
+            fail += 1
+            continue
+        if scols != ocols:
+            print(f"SCHEMA {name}: spark={scols} oracle={ocols}")
+            fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"ROWS  {name}: spark={len(srows)} oracle={len(orows)}")
+            fail += 1
+            continue
+        bad = None
+        for i, (sr, orr) in enumerate(zip(srows, orows)):
+            if not all(cell_eq(a, b) for a, b in zip(sr, orr)):
+                bad = (i, sr, orr)
+                break
+        if bad:
+            print(f"VALUE {name}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            fail += 1
+        else:
+            print(f"OK    {name} ({len(srows)} rows)")
+            ok += 1
+    # queries without oracle: rows-only check
+    for name in sorted(set(
+            p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if "." not in p.split("/")[-1])
+            - set(oracle)):
+        n = len(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        print(f"NOORACLE {name}: parquet files={n}")
+    print(f"\n{ok} ok / {fail} fail / {len(oracle)} oracled")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
