@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *        reference used the JVM default TZ, which is not reproducible),
   *     c. ISO-8601 (`2015-02-14T18:51:42Z` and friends).
   *  3. Re-add the snipped fraction as `(long)(parseDouble("0" + frac) * 1000)`
-  *     milliseconds — including the reference's IEEE-754 truncation quirk
-  *     (e.g. ".29" → 289 ms, because 0.29*1000 == 289.999…).
+  *     milliseconds — bit-identical Java double arithmetic, including any
+  *     IEEE-754 truncation on fractions whose product lands below the
+  *     integer (e.g. ".9999999999999999" → 999 ms).
   *
   * Returns epoch millis (LongType), or null when unparseable (the permissive
   * drop-malformed contract, CsvLoader.java:140-143).

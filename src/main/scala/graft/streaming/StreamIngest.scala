@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.ingest.CsvVehicleReader
+
+/** Structured Streaming ingest (SURVEY.md §2.8): the reference's whole
+  * pipeline — CSV stream → project/cast/filter → micro-batch → HTTP sink
+  * (CsvLoader.java:72-194) — re-expressed as `readStream` → the same
+  * declarative transform used in batch → `foreachBatch(HttpSink)`.
+  * Micro-batching is the engine's trigger, not a hand-rolled buffer; the
+  * 10k-row chunking inside the sink preserves the reference's envelope
+  * sizing (CsvLoader.java:160).
+  */
+object StreamIngest {
+
+  /** Streaming variant of [[CsvVehicleReader.read]]: text file stream
+    * (plain/.gz) through the identical record pipeline. `maxFilesPerTrigger`
+    * bounds micro-batch size at the source. */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    CsvVehicleReader.fromLines(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(dir)
+        .select(col("value")))
+
+  /** Wire pings into the HTTP sink; caller starts/stops the query. */
+  def toHttpSink(pings: DataFrame, sink: HttpSink): DataStreamWriter[Row] =
+    pings.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.write(VehicleMessages.fromPings(batch))
+      }
+
+  /** ST6/ST7 — watermarked streaming dedup on event id: late duplicates
+    * beyond the watermark are dropped with bounded state. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** ST3 — streaming tumbling-window count per event type (same expression
+    * as the oracled batch analog q30). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** ST8 — stateful running exact-distinct per key: the streaming version
+    * of the reference's HashSet distinct (CsvLoader.java:105-106, 147-148),
+    * with state partitioned per key across executors instead of one
+    * unbounded driver-side set. Emits (key, runningDistinct) per batch.
+    * At 100 TB the exact set becomes an HLL sketch — same shape, bounded
+    * state (SURVEY.md §4.3). */
+  def runningDistinct(
+      spark: SparkSession,
+      pings: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import spark.implicits._
+    pings.groupByKey(_._1)
+      .mapGroupsWithState[Set[Long], (String, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, values, state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long]) ++ values.map(_._2)
+          state.update(seen)
+          (key, seen.size.toLong)
+      }
+  }
+
+  /** Convenience: run an AvailableNow foreachBatch query to completion. */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ingest
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{GZIPOutputStream, ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CSV ingest fidelity vs the reference's accepted inputs (FIXTURES.md §B;
+  * behavior of opentraffic/csv-loader CsvLoader.java:84-148). Fixtures are
+  * generated deterministically at test time. */
+class IngestSpec extends SparkSpec {
+
+  private val narrowCsv =
+    """2015-02-14 23:51:40+05,42,23.7689,90.3886
+      |2015-02-14 23:51:41,42,23.7690,90.3890
+      |2015-02-14T18:51:42.123Z,7,23.7701,90.3901
+      |2015-02-14 23:51:43.500+05,99,23.7712,90.3912""".stripMargin
+
+  private val wideCsv =
+    """2015-02-14 23:51:40+05,42,x,x,x,x,x,x,x,23.7689,90.3886,extra
+      |2015-02-14 23:51:41+05,43,x,x,x,x,x,x,x,23.7690,90.3890""".stripMargin
+
+  private val malformedCsv =
+    """2015-02-14 23:51:40+05,42,23.7689,90.3886
+      |short,row
+      |2015-02-14 23:51:41,42,not_a_number,90.3890
+      |garbage-timestamp,42,23.7689,90.3886
+      |2015-02-14 23:51:42,00042,23.7689,90.3886
+      |2015-02-14 23:51:43,18446744073709551617,23.7689,90.3886""".stripMargin
+
+  private def tmpDir: Path = Files.createTempDirectory("graft-ingest")
+
+  private def writeFile(dir: Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("narrow 4-col CSV: all timestamp shapes parse; code column order (ts,vid,lat,lon)") {
+    val path = writeFile(tmpDir, "narrow.csv", narrowCsv)
+    val rows = CsvVehicleReader.read(spark, path)
+      .orderBy(col("ts_ms")).collect()
+    assert(rows.length == 4)
+    // zoned +05 == 18:51:40 UTC; column order from code NOT README
+    assert(rows(0).getAs[Long]("vehicle_id") == 42L)
+    assert(rows(0).getAs[Long]("ts_ms") == 1423939900000L)
+    assert(math.abs(rows(0).getAs[Double]("lat") - 23.7689) < 1e-12)
+    assert(math.abs(rows(0).getAs[Double]("lon") - 90.3886) < 1e-12)
+    // bare timestamp row parses as UTC 23:51:41
+    assert(rows.exists(_.getAs[Long]("ts_ms") == 1423957901000L))
+    // ISO row with .123 fraction
+    assert(rows.exists(r => r.getAs[Long]("vehicle_id") == 7L &&
+      r.getAs[Long]("ts_ms") == 1423939902123L))
+    // zoned fraction .500
+    assert(rows.exists(r => r.getAs[Long]("vehicle_id") == 99L &&
+      r.getAs[Long]("ts_ms") == 1423939903500L))
+  }
+
+  test("wide >9-col taxi CSV: lat/lon from cols 9,10") {
+    val path = writeFile(tmpDir, "wide.csv", wideCsv)
+    val rows = CsvVehicleReader.read(spark, path).orderBy(col("vehicle_id")).collect()
+    assert(rows.length == 2)
+    assert(math.abs(rows(0).getAs[Double]("lat") - 23.7689) < 1e-12)
+    assert(math.abs(rows(1).getAs[Double]("lon") - 90.3890) < 1e-12)
+  }
+
+  test("10-col row (wide dispatch, missing lon) drops permissively") {
+    val path = writeFile(tmpDir, "tencol.csv",
+      "2015-02-14 23:51:40+05,42,x,x,x,x,x,x,x,23.7689")
+    assert(CsvVehicleReader.read(spark, path).count() == 0)
+  }
+
+  test("gz CSV reads transparently") {
+    val dir = tmpDir
+    val gz = dir.resolve("narrow.csv.gz")
+    val out = new GZIPOutputStream(new FileOutputStream(gz.toFile))
+    out.write(narrowCsv.getBytes(StandardCharsets.UTF_8)); out.close()
+    assert(CsvVehicleReader.read(spark, gz.toString).count() == 4)
+  }
+
+  test("zip CSV reads FIRST entry only (second entry is poison)") {
+    val dir = tmpDir
+    val zip = dir.resolve("narrow.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip.toFile))
+    zos.putNextEntry(new ZipEntry("first.csv"))
+    zos.write(narrowCsv.getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("poison.csv"))
+    zos.write("2015-02-14 23:51:40+05,666,1.0,1.0\n".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.close()
+    val rows = CsvVehicleReader.read(spark, zip.toString).collect()
+    assert(rows.length == 4)
+    assert(!rows.exists(_.getAs[Long]("vehicle_id") == 666L))
+  }
+
+  test("malformed rows drop; good rows keep dual id semantics") {
+    val path = writeFile(tmpDir, "malformed.csv", malformedCsv)
+    val df = CsvVehicleReader.read(spark, path)
+    val rows = df.collect()
+    assert(rows.length == 3) // rows 2-4 dropped (arity, double-cast, ts)
+    // dual distinct semantics (CsvLoader.java:105-106): 3 distinct strings,
+    // 2 distinct longs ("00042"→42; 2^64+1 wraps to 1)
+    val distinct = df.agg(
+      countDistinct(col("vehicle_id_str")).as("s"),
+      countDistinct(col("vehicle_id")).as("l")).collect()(0)
+    assert(distinct.getLong(0) == 3L)
+    assert(distinct.getLong(1) == 2L)
+  }
+
+  test("quoted RFC-4180 fields with embedded commas survive") {
+    val path = writeFile(tmpDir, "quoted.csv",
+      "\"2015-02-14 23:51:40+05\",\"42\",\"23.7689\",\"90.3886\"")
+    val rows = CsvVehicleReader.read(spark, path).collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("vehicle_id") == 42L)
+  }
+
+  test("ingest plan: no shuffle — scan→project→filter is one codegen stage") {
+    val path = writeFile(tmpDir, "narrow2.csv", narrowCsv)
+    val plan = CsvVehicleReader.read(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in ingest plan:\n$plan")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2.8 ST1-ST8): micro-batch
+  * ingest → HTTP sink e2e, watermarked dedup, tumbling windows with
+  * late-data drop, stateful running distinct. Deterministic via
+  * MemoryStream + processAllAvailable. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("ST1/ST2 e2e: csv file stream → transform → foreachBatch http sink") {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.write(dir.resolve("part1.csv"),
+      "2015-02-14 23:51:40+05,42,23.7689,90.3886\n2015-02-14 23:51:41+05,43,23.7690,90.3890\n"
+        .getBytes(StandardCharsets.UTF_8))
+
+    val received = ArrayBuffer.empty[Array[Byte]]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/u", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.synchronized { received += ex.getRequestBody.readAllBytes() }
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/u"
+      val q = StreamIngest.toHttpSink(
+        StreamIngest.readStream(spark, dir.toString),
+        new HttpSink(url, sourceId = 7L)).start()
+      q.awaitTermination()
+      val all = received.flatMap(b => ProtoEnvelope.decodeEnvelope(b)._2)
+      assert(all.map(_.vehicleId).sorted == ArrayBuffer(42L, 43L))
+      assert(all.forall(_.locations.head.timestamp > 0))
+    } finally server.stop(0)
+  }
+
+  test("ST7: streaming dedup drops in-watermark duplicate event ids") {
+    val input = MemoryStream[Ev]
+    val q = StreamIngest.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // duplicate id=1 dropped
+  }
+
+  test("ST3/ST6: tumbling window finalizes after watermark passes; late data dropped") {
+    val input = MemoryStream[Ev]
+    val q = StreamIngest.tumblingCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Append()).start()
+    // window [10:00, 11:00): 2 clicks
+    input.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance event time past 11:00 + 10min watermark → hour window closes
+    input.addData(Ev(3, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // this event is 80+ min late — beyond watermark, must be dropped
+    input.addData(Ev(4, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(5, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("tumble_out")
+      .select(col("ws").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(out.contains(("2024-01-01 10:00:00", "click", 2L))) // late id=4 not counted
+  }
+
+  test("ST8: stateful running distinct per key (streaming HashSet analog)") {
+    val input = MemoryStream[(String, Long)]
+    val q = StreamIngest.runningDistinct(spark, input.toDS())
+      .toDF("key", "n_distinct")
+      .writeStream.format("memory").queryName("rd_out")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(("a", 1L), ("a", 2L), ("b", 1L))
+    q.processAllAvailable()
+    input.addData(("a", 2L), ("a", 3L))
+    q.processAllAvailable()
+    val last = spark.table("rd_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(last == Map("a" -> 3L, "b" -> 1L))
+  }
+}
