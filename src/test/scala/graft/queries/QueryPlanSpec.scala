@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions (SURVEY.md §4 / the 100 TB posture):
+  * filters reach the parquet scan, scans prune columns, dimension joins
+  * broadcast, top-k plans as TakeOrdered / WindowGroupLimit, ingest is
+  * shuffle-free. These guard the *plan*, not the output — a correctness-
+  * preserving change that regresses the plan fails here. */
+class QueryPlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    val executed = df.queryExecution.executedPlan
+    val finalPlan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan             => p
+    }
+    // formatted mode prints PushedFilters/ReadSchema untruncated
+    finalPlan.toString + "\n" + df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter pushes down to parquet scan; columns pruned") {
+    val p = planString(Relational.q01(spark, sf0001))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"missing pushdown:\n$p")
+    // scan must not read the unused l_partkey/l_suppkey columns
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("l_partkey"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("q02: all four predicates push to the scan") {
+    val p = planString(Relational.q02(spark, sf0001))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity", "In(l_returnflag"))
+      assert(p.contains(f), s"predicate $f not pushed:\n$p")
+  }
+
+  test("q03: all three dimension joins are broadcast — fact side never shuffles") {
+    val p = planString(Relational.q03(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"expected 3 BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in star join:\n$p")
+  }
+
+  test("q04: fact-to-fact join is sort-merge on the shuffle key") {
+    val p = planString(Relational.q04(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+  }
+
+  test("q18: rn<=3 plans as WindowGroupLimit (per-group top-k pushdown)") {
+    val p = planString(Relational.q18(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("q21: order+limit plans as TakeOrderedAndProject, not global sort") {
+    val p = planString(Relational.q21(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("q34: probe side is broadcast (nested-loop over broadcast probes)") {
+    val p = planString(LlmOps.q34(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+  }
+
+  test("whole-stage codegen covers the custom expressions (no fallback)") {
+    // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
+    // stages containing them must be inside WholeStageCodegen (the `*(n)`
+    // markers / codegen ids in formatted explain)
+    def codegenStages(df: DataFrame): Int = {
+      df.collect() // materialize AQE query stages first — an unexecuted
+      // AdaptiveSparkPlanExec hides the stages behind the first Exchange
+      val s = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+    }
+    assert(codegenStages(Scalars.q24(spark, sf0001)) >= 1, "q24 lost codegen")
+    assert(codegenStages(LlmOps.q34(spark, sf0001)) >= 1, "q34 lost codegen")
+  }
+}
