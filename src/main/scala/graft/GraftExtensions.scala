@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{BigIntLow64Expr, CosineSimilarityExpr, NGramExplode, ParseFlexTimestamp}
+import graft.ingest.CsvFieldsExpr
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same surface as the Column API. Activate with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // programmatic
+  * // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Registered: `flex_timestamp_ms(s)`, `cosine_similarity(a, b)`,
+  * `bigint_low64(s)`, `ngram_explode(text, n)`, `csv_fields(line)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "java_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("flex_timestamp_ms"),
+      info("flex_timestamp_ms",
+        "flex_timestamp_ms(str) - multi-format timestamp parse to epoch millis (null on garbage)"),
+      (args: Seq[Expression]) => ParseFlexTimestamp(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(vec1, vec2) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bigint_low64"),
+      info("bigint_low64",
+        "bigint_low64(str) - decimal string to long with BigInteger low-64-bit wrap"),
+      (args: Seq[Expression]) => BigIntLow64Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_explode"),
+      info("ngram_explode",
+        "ngram_explode(text, n) - generator: (pos, ngram) rows of word n-grams"),
+      (args: Seq[Expression]) => NGramExplode(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("csv_fields"),
+      info("csv_fields",
+        "csv_fields(line) - split one RFC-4180 CSV line into a string array"),
+      (args: Seq[Expression]) => CsvFieldsExpr(args.head)))
+  }
+}

@@ -111,6 +111,69 @@ object LlmOps {
       |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
       |ORDER BY va, vb""".stripMargin
 
+  /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: component i
+    * of plane j from an LCG over (j*64+i). ±1 components make the dot
+    * product a sequential ± fold — bit-identical between Spark and DuckDB,
+    * so the bucketing (and thus the oracle) is engine-stable. */
+  private val lshPlanes: Seq[Seq[Double]] = (0 until 8).map { j =>
+    (0 until 64).map { i =>
+      val x = (1103515245L * (j * 64 + i + 1) + 12345L) % 2147483648L
+      if (((x >> 16) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** q34c — ANN via sign-LSH bucketing: the 100 TB path for similarity
+    * search. Each vector gets an 8-bit signature (signs of 8 hyperplane
+    * dot products); probes equi-join candidates on the signature — the
+    * candidate set is the bucket (n/256 on average), not the corpus, and
+    * the join is a plain broadcast equi-join. Exact cosine then ranks
+    * within the bucket (recall < 1 by design; brute-force q34 is the
+    * exact baseline; an IVF variant would swap the signature for a
+    * nearest-centroid id, same plan shape). */
+  def q34c(s: SparkSession, d: String): DataFrame = {
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val sig = lshPlanes.zipWithIndex.map { case (plane, j) =>
+      val planeLit = array(plane.map(lit): _*)
+      val dot = aggregate(zip_with(col("dbl"), planeLit, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(s, d)
+      .withColumn("dbl", dbl)
+      .withColumn("sig", sig)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("dbl").as("pe"), col("sig"))
+    val cands = e.select(col("vec_id").as("cid"), col("dbl").as("ce"), col("sig"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    cands.join(broadcast(probes), Seq("sig"))
+      .filter(col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private val q34cSql = {
+    // same ±1 planes expanded as `±dbl[i]` chains (identical IEEE fold)
+    val sigExpr = lshPlanes.zipWithIndex.map { case (plane, j) =>
+      val dot = plane.zipWithIndex.map { case (sgn, i) =>
+        (if (sgn > 0) "+" else "-") + s"dbl[${i + 1}]"
+      }.mkString("0.0", "", "")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl
+       |           FROM embeddings),
+       |sg AS (SELECT vec_id, dbl, $sigExpr AS sig FROM e),
+       |p AS (SELECT vec_id AS pid, dbl AS pe, sig FROM sg WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cid, dbl AS ce, sig FROM sg),
+       |s AS (SELECT pid, cid, round(list_cosine_similarity(pe, ce), 4) AS sim
+       |      FROM p JOIN c USING (sig) WHERE pid <> cid),
+       |r AS (SELECT pid, cid, sim, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
+       |      FROM s)
+       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
+  }
+
   /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 trigram
     * shingles, with exact set-Jaccard. The shingle equi-join IS the
     * blocking step — pair cardinality is Σ_shingle freq², never n². */
@@ -321,6 +384,7 @@ object LlmOps {
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
     QueryDef("q34_similarity_topk", q34, Some(q34Sql)),
     QueryDef("q34b_embedding_neardup", q34b, Some(q34bSql)),
+    QueryDef("q34c_lsh_ann", q34c, Some(q34cSql)),
     QueryDef("q35_near_dup", q35, Some(q35Sql)),
     QueryDef("q35b_minhash_sig", q35b, None),
     QueryDef("q35c_simhash", q35c, None),
