@@ -49,6 +49,16 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** ST5 — streaming session window (30-min inactivity gap) per user; the
+    * oracled batch analog is q32. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n_events"))
+
   /** ST8 — stateful running exact-distinct per key: the streaming version
     * of the reference's HashSet distinct (CsvLoader.java:105-106, 147-148),
     * with state partitioned per key across executors instead of one

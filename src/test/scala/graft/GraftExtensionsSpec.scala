@@ -5,22 +5,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-surface registration via SparkSessionExtensions + LSH ANN recall
-  * against the brute-force baseline. */
+  * against the brute-force baseline. The shared test session is built with
+  * `withExtensions(new GraftExtensions)` (TestSpark), so registration-at-
+  * session-build is what's under test here. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  // separate session: extensions must be installed at build time
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private lazy val spark: SparkSession = TestSpark.spark
 
   test("flex_timestamp_ms / bigint_low64 / cosine_similarity / csv_fields in SQL") {
     val r = spark.sql(

@@ -91,6 +91,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 10:00:00", "click", 2L))) // late id=4 not counted
   }
 
+  test("ST5: streaming session window groups by inactivity gap") {
+    val input = MemoryStream[Ev]
+    val q = StreamIngest.sessionCounts(input.toDF(), gap = "5 minutes",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    // two sessions for user 1: events at 10:00/10:02 (gap<5m), then 10:30
+    input.addData(Ev(1, ts(0), 1, "a", 0), Ev(2, ts(2), 1, "a", 0),
+      Ev(3, ts(30), 1, "a", 0))
+    q.processAllAvailable()
+    input.addData(Ev(4, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "a", 0))
+    q.processAllAvailable() // advance watermark → close sessions
+    val out = spark.table("sess_out")
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(out.contains((1L, 2L)) && out.contains((1L, 1L)))
+  }
+
+  test("S9: progress listener accumulates per-batch input rows") {
+    val listener = new ProgressLog
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[Ev]
+      val q = input.toDF().writeStream.format("memory")
+        .queryName("prog_out").outputMode(OutputMode.Append()).start()
+      input.addData(Ev(1, ts(0), 1, "a", 0), Ev(2, ts(1), 1, "a", 0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(2), 1, "a", 0))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      // listener events are async; poll briefly
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (listener.totalRows < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.totalRows == 3)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinct(spark, input.toDS())
