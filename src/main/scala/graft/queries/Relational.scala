@@ -481,6 +481,49 @@ object Relational {
       |UNION ALL SELECT 'union' AS op, k FROM (SELECT k FROM ck UNION SELECT k FROM sk)
       |ORDER BY op, k""".stripMargin
 
+  /** q41 — pivot (cross-tab): order counts+revenue per priority, statuses
+    * as columns. Plans as a single hash agg over conditional aggregates —
+    * one shuffle, same as a plain groupBy at any scale. */
+  def q41(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(exactSum(col("o_totalprice")))
+      .na.fill(0.0)
+      .orderBy(col("o_orderpriority"))
+
+  private val q41Sql =
+    s"""SELECT o_orderpriority,
+       | coalesce(${exactSumSql("CASE WHEN o_orderstatus='O' THEN o_totalprice END")}, 0.0) AS "O",
+       | coalesce(${exactSumSql("CASE WHEN o_orderstatus='F' THEN o_totalprice END")}, 0.0) AS "F",
+       | coalesce(${exactSumSql("CASE WHEN o_orderstatus='P' THEN o_totalprice END")}, 0.0) AS "P"
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q42 — statistical aggregates: stddev/variance/correlation/covariance
+    * + exact interpolated median. 4dp rounding absorbs engine last-bit
+    * differences in the unstable moments math. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qd"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100000)), 4).as("median_price_approx"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"))
+      .drop("median_price_approx") // engine-specific sketch — not oracled
+      .orderBy(col("l_returnflag"))
+
+  private val q42Sql =
+    """SELECT l_returnflag,
+      | round(stddev_samp(l_quantity), 4) AS sd_qty,
+      | round(var_samp(l_quantity), 4) AS var_qty,
+      | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      | round(covar_samp(l_quantity, l_discount), 4) AS covar_qd,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -504,5 +547,7 @@ object Relational {
     QueryDef("q19_window_analytic", q19, Some(q19Sql)),
     QueryDef("q20_window_frame", q20, Some(q20Sql)),
     QueryDef("q21_topk", q21, Some(q21Sql)),
-    QueryDef("q22_setops", q22, Some(q22Sql)))
+    QueryDef("q22_setops", q22, Some(q22Sql)),
+    QueryDef("q41_pivot", q41, Some(q41Sql)),
+    QueryDef("q42_stat_aggs", q42, Some(q42Sql)))
 }
