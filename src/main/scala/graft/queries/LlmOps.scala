@@ -230,6 +230,45 @@ object LlmOps {
     sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
   }
 
+  /** q35d — the full MinHash-LSH near-dup pipeline (the 100 TB path that
+    * q35's exact shingle join approximates at small scale): 16 minhashes →
+    * 4 bands × 4 rows → docs sharing ANY band bucket become candidate
+    * pairs (equi-join on (band, hash) — Σ bucket² work) → exact shingle
+    * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
+    * the exact q35 pairs is asserted in tests. */
+  def q35d(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram")).distinct()
+    val minhashes = (0 until 16).map { j =>
+      min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val pairs = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    // exact Jaccard verify on the candidate pairs only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("da"), col("ngram")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("ngram")), Seq("db", "ngram"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** q35c — SimHash (64-bit) per document: bit-majority over token
     * hashes. Hamming-close simhashes ⇒ near-dup candidates. xxhash64-
     * based → no SQL oracle. */
@@ -388,6 +427,7 @@ object LlmOps {
     QueryDef("q35_near_dup", q35, Some(q35Sql)),
     QueryDef("q35b_minhash_sig", q35b, None),
     QueryDef("q35c_simhash", q35c, None),
+    QueryDef("q35d_lsh_neardup", q35d, None),
     QueryDef("q36_text_stats", q36, Some(q36Sql)),
     QueryDef("q37_fingerprint", q37, Some(q37Sql)),
     QueryDef("q38_quality_score", q38, Some(q38Sql)),

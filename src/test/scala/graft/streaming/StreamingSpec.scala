@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -129,6 +131,48 @@ class StreamingSpec extends SparkSpec {
         Thread.sleep(50)
       assert(listener.totalRows == 3)
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("stream-stream interval join: purchases join clicks within 10 min") {
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "1 minute")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val b = buys.toDF().withWatermark("ts", "1 minute")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+    val q = b.join(c,
+        col("b_user") === col("c_user") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("b_ts"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(Ev(1, ts(0), 1, "click", 0), Ev(2, ts(30), 1, "click", 0),
+      Ev(3, ts(5), 2, "click", 0))
+    buys.addData(Ev(10, ts(8), 1, "purchase", 0)) // joins click@10:00 only
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out")
+      .select(col("b_id"), col("c_ts").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set((10L, "2024-01-01 10:00:00")))
+  }
+
+  test("JSONL source: schema-applied json lines match the parquet events table") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val pq = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(50).cache()
+    // micro-precision timestampFormat: to_json's default truncates to ms
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    pq.select(to_json(struct(col("*")),
+        Map("timestampFormat" -> tsFmt).asJava).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir.toString + "/out")
+    val back = spark.read.schema(pq.schema)
+      .option("timestampFormat", tsFmt).json(dir.toString + "/out")
+    assert(back.count() == 50)
+    val a = pq.orderBy("event_id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
   }
 
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
