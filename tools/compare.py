@@ -24,10 +24,9 @@ def canon(con, rel_sql):
 
 
 def cell_eq(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    # STRICT bit equality — the driver's gate hash-compares values, so a
+    # tolerance here would hide real failures. (All 44 oracled queries are
+    # bit-equal thanks to the exactSum quantization pattern.)
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
     return a == b
