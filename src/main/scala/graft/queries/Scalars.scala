@@ -185,11 +185,108 @@ object Scalars {
       |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q43 — VARIANT (Spark 4 semi-structured type): parse events.props into
+    * a variant, extract typed paths. The 100 TB shape for ragged JSON —
+    * binary-encoded variant beats per-query string re-parsing. Oracle uses
+    * DuckDB's JSON path extraction on the same strings. */
+  def q43(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        try_variant_get(col("v"), "$.k", "int").as("k"),
+        try_variant_get(col("v"), "$.missing", "string").isNull.as("missing_is_null"),
+        try_variant_get(col("v"), "$.k", "string").as("k_str"))
+      .withColumn("missing_is_null",
+        coalesce(col("missing_is_null"), lit(true)))
+      .orderBy(col("event_id"))
+
+  private val q43Sql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  json_extract(props, '$.missing') IS NULL AS missing_is_null,
+      |  json_extract_string(props, '$.k') AS k_str
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q44 — histogram via width_bucket: order-value distribution in 20
+    * equal bins (map-side combinable; the OLAP histogram shape). */
+  def q44(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(20)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  private val q44Sql =
+    """SELECT CASE WHEN o_totalprice < 0 THEN 0
+      |            WHEN o_totalprice >= 600000.0 THEN 21
+      |            ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1 END AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q45 — extended string surface: levenshtein, split_part, initcap,
+    * lpad/rpad, repeat, reverse, translate, position. */
+  def q45(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        levenshtein(col("lang"), lit("en")).as("lev_en"),
+        split_part(col("text"), lit(" "), lit(2)).as("second_tok"),
+        initcap(substring(col("text"), 1, 10)).as("cap10"),
+        lpad(col("lang"), 5, "_").as("lpad5"),
+        rpad(col("lang"), 5, "_").as("rpad5"),
+        reverse(col("lang")).as("rev"),
+        translate(col("lang"), "en", "EN").as("tr"),
+        instr(col("text"), "data").cast("long").as("pos_data"))
+      .orderBy(col("doc_id"))
+
+  private val q45Sql =
+    """SELECT doc_id,
+      |  CAST(levenshtein(lang, 'en') AS INT) AS lev_en,
+      |  split_part(text, ' ', 2) AS second_tok,
+      |  CASE WHEN length(text) >= 1 THEN
+      |    list_aggregate(list_transform(string_split(substr(text,1,10), ' '),
+      |      w -> upper(substr(w,1,1)) || substr(w,2)), 'string_agg', ' ')
+      |  ELSE '' END AS cap10,
+      |  lpad(lang, 5, '_') AS lpad5,
+      |  rpad(lang, 5, '_') AS rpad5,
+      |  reverse(lang) AS rev,
+      |  translate(lang, 'en', 'EN') AS tr,
+      |  CAST(position('data' IN text) AS BIGINT) AS pos_data
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q46 — map functions over a constructed map column: map_from_arrays,
+    * map_keys/values, element_at, map_filter, transform_values. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("qty"), lit("disc"), lit("tax")),
+      array(col("l_quantity"), col("l_discount"), col("l_tax")))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .withColumn("m", m)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        map_keys(col("m")).as("ks"),
+        element_at(col("m"), "qty").as("qty"),
+        size(map_filter(col("m"), (_, v) => v > 0.03)).as("n_big"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), "disc").as("disc2"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q46Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  ['qty','disc','tax'] AS ks,
+      |  l_quantity AS qty,
+      |  CAST(len(list_filter([l_quantity, l_discount, l_tax], v -> v > 0.03)) AS INT) AS n_big,
+      |  l_discount * 2 AS disc2
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_flex_timestamp", q24, Some(q24Sql)),
     QueryDef("q25_string_funcs", q25, Some(q25Sql)),
     QueryDef("q26_date_funcs", q26, Some(q26Sql)),
     QueryDef("q27_math_funcs", q27, Some(q27Sql)),
     QueryDef("q28_array_funcs", q28, Some(q28Sql)),
-    QueryDef("q29_json_funcs", q29, Some(q29Sql)))
+    QueryDef("q29_json_funcs", q29, Some(q29Sql)),
+    QueryDef("q43_variant", q43, Some(q43Sql)),
+    QueryDef("q44_histogram", q44, Some(q44Sql)),
+    QueryDef("q45_string_ext", q45, Some(q45Sql)),
+    QueryDef("q46_map_funcs", q46, Some(q46Sql)))
 }
