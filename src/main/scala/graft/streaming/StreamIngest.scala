@@ -83,4 +83,42 @@ object StreamIngest {
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
   }
+
+  /** ST8 on the Spark 4 `transformWithState` API: running distinct per key
+    * with `MapState` (per-element state-store keys — unlike the
+    * mapGroupsWithState `Set` blob, adding one element doesn't rewrite the
+    * whole set, and TTLConfig can bound state lifetime at 100 TB). */
+  class RunningDistinctProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var seen: MapState[Long, Boolean] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[Long, Boolean](
+        "seen", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      rows.foreach { case (_, v) => seen.updateValue(v, true) }
+      var n = 0L
+      val it = seen.keys()
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((key, n))
+    }
+  }
+
+  /** Streaming running-distinct via [[RunningDistinctProcessor]]. */
+  def runningDistinctTws(
+      spark: SparkSession,
+      pings: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pings.groupByKey(_._1)
+      .transformWithState(new RunningDistinctProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -175,6 +175,29 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ST8 via transformWithState: MapState-backed running distinct") {
+    // transformWithState needs the RocksDB provider (multiple column
+    // families) — also the right state store at 100 TB (spillable,
+    // changelog-checkpointed), vs the default in-memory HDFS-backed one
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long)]
+    val q = StreamIngest.runningDistinctTws(spark, input.toDS())
+      .toDF("key", "n_distinct")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(("a", 1L), ("a", 2L), ("b", 5L))
+    q.processAllAvailable()
+    input.addData(("a", 2L), ("a", 9L), ("b", 5L))
+    q.processAllAvailable()
+    val last = spark.table("tws_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(last == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("checkpoint recovery: restart resumes without reprocessing (exactly-once file sink)") {
     val in = Files.createTempDirectory("graft-ckpt-in")
     val out = Files.createTempDirectory("graft-ckpt-out")
