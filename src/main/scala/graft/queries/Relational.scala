@@ -524,6 +524,36 @@ object Relational {
       | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q48 — the SQL frontend end to end: tables registered as temp views,
+    * a correlated-subquery TPC-H-style query through `spark.sql` (Catalyst
+    * decorrelates it into the same join plan the DataFrame API would
+    * build). Proves the `spark.sql(...)` path over our catalog surface. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM v_orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  AND EXISTS (
+         |    SELECT 1 FROM v_lineitem
+         |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q48Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -549,5 +579,6 @@ object Relational {
     QueryDef("q21_topk", q21, Some(q21Sql)),
     QueryDef("q22_setops", q22, Some(q22Sql)),
     QueryDef("q41_pivot", q41, Some(q41Sql)),
-    QueryDef("q42_stat_aggs", q42, Some(q42Sql)))
+    QueryDef("q42_stat_aggs", q42, Some(q42Sql)),
+    QueryDef("q48_sql_frontend", q48, Some(q48Sql)))
 }

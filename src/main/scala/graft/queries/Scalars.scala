@@ -278,6 +278,31 @@ object Scalars {
       |FROM lineitem WHERE l_orderkey < 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q47 — ANSI-mode permissive arithmetic: the `try_*` family degrades
+    * to null instead of failing the job (the relational analog of the
+    * reference's per-record drop contract, at expression granularity).
+    * One poisoned row in 100 TB must not kill the query. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+        try_divide(col("l_quantity"), col("l_quantity") - col("l_quantity")).as("div0_is_null"),
+        try_to_timestamp(concat(lit("2024-01-"),
+          lpad((col("l_linenumber") % 40).cast("string"), 2, "0"))).as("maybe_ts"),
+        try_add(col("l_orderkey") + 1, lit(Long.MaxValue)).as("overflow_is_null"))
+      .withColumn("maybe_ts", unix_millis(col("maybe_ts")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q47Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_discount = 0 THEN NULL ELSE l_extendedprice / l_discount END AS price_per_disc,
+      |  CAST(NULL AS DOUBLE) AS div0_is_null,
+      |  epoch_ms(try_strptime('2024-01-' || lpad(CAST(l_linenumber % 40 AS VARCHAR), 2, '0'), '%Y-%m-%d')) AS maybe_ts,
+      |  CAST(NULL AS BIGINT) AS overflow_is_null
+      |FROM lineitem WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_flex_timestamp", q24, Some(q24Sql)),
     QueryDef("q25_string_funcs", q25, Some(q25Sql)),
@@ -288,5 +313,6 @@ object Scalars {
     QueryDef("q43_variant", q43, Some(q43Sql)),
     QueryDef("q44_histogram", q44, Some(q44Sql)),
     QueryDef("q45_string_ext", q45, Some(q45Sql)),
-    QueryDef("q46_map_funcs", q46, Some(q46Sql)))
+    QueryDef("q46_map_funcs", q46, Some(q46Sql)),
+    QueryDef("q47_try_funcs", q47, Some(q47Sql)))
 }
