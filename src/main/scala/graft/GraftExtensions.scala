@@ -46,8 +46,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_explode"),
       info("ngram_explode",
         "ngram_explode(text, n) - generator: (pos, ngram) rows of word n-grams"),
-      (args: Seq[Expression]) => NGramExplode(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => {
+        val n = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long    => l.intValue()
+            case s: java.lang.Short   => s.intValue()
+            case b: java.lang.Byte    => b.intValue()
+            case other => throw new IllegalArgumentException(
+              s"ngram_explode: n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "ngram_explode: n must be a foldable integer literal")
+        }
+        NGramExplode(args(0), n)
+      }))
     ext.injectFunction((
       FunctionIdentifier("csv_fields"),
       info("csv_fields",

@@ -12,7 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `new BigInteger(s).longValue()` as used by the reference for vehicle ids
   * (CsvLoader.java:145-146). A plain `cast(LongType)` nulls out-of-range
   * values instead of wrapping, so this needs a custom expression.
-  * Returns null for non-integer strings (permissive-drop contract).
+  * Returns null for non-integer strings — NOTE this is our permissive
+  * choice, not the reference's: its BigInteger parse sits outside the
+  * per-record try/catch, so a bad id aborts the reference's whole load.
   */
 object BigIntLow64 {
   def low64(s: UTF8String): java.lang.Long = {

@@ -19,7 +19,11 @@ import graft.functions.{BigIntLow64Expr, ParseFlexTimestamp}
   *    0,1,2,3; wide (>9 cols, taxi files) keeps ts/vid at 0,1 but reads
   *    lat,lon from cols 9,10;
   *  - permissive drops: bad arity, unparseable lat/lon double, unparseable
-  *    timestamp, non-integer vehicle id (CsvLoader.java:131-143);
+  *    timestamp (CsvLoader.java:131-143). DELIBERATE DIVERGENCE: a
+  *    non-integer vehicle id also drops just the row here, whereas the
+  *    reference's id parse sits OUTSIDE its per-record try/catch
+  *    (CsvLoader.java:145-146) so one bad id aborts the whole load and
+  *    discards the unsent buffer — a crash bug at scale we do not copy;
   *  - vehicle id parsed with BigInteger-low-64-bits wrap semantics
   *    (CsvLoader.java:145-146) — kept alongside the raw id string so the
   *    reference's dual distinct counts (CsvLoader.java:105-106) are
@@ -69,24 +73,42 @@ object CsvVehicleReader {
 
   /** Lines of the FIRST zip entry only (CsvLoader.java:86-88: the reference
     * opens the first `ZipEntry` and ignores the rest). Zip has no Hadoop
-    * codec, so each archive is one `binaryFile` row decompressed in an
-    * executor task — archives parallelize across files, not within one (the
-    * zip format itself is not splittable; at scale prefer .gz or plain).
+    * codec and is not splittable, so archives parallelize across files,
+    * not within one (at scale prefer .gz or plain). Each task STREAMS its
+    * archive through ZipInputStream over the Hadoop filesystem — no
+    * whole-archive buffering, so >2 GB archives work (the binaryFile
+    * source would refuse them and buffer smaller ones on-heap).
     */
   private def zipFirstEntryLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions { files =>
-        files.flatMap { bytes =>
-          val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val files = fs.globStatus(new HPath(path)).toSeq
+      .filter(_.isFile).map(_.getPath.toString)
+    spark.createDataset(files)
+      .repartition(math.max(1, files.size)) // one archive per task
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val taskFs = FileSystem.get(new java.net.URI(p),
+            new org.apache.hadoop.conf.Configuration())
+          val zis = new ZipInputStream(taskFs.open(new org.apache.hadoop.fs.Path(p)))
           val entry = zis.getNextEntry
-          if (entry == null) Iterator.empty
+          if (entry == null) { zis.close(); Iterator.empty }
           else {
             val br = new BufferedReader(
               new InputStreamReader(zis, StandardCharsets.UTF_8))
-            Iterator.continually(br.readLine()).takeWhile(_ != null)
+            // read only the first entry; close the stream when exhausted
+            new Iterator[String] {
+              private var nextLine = br.readLine()
+              override def hasNext: Boolean = {
+                if (nextLine == null) br.close()
+                nextLine != null
+              }
+              override def next(): String = {
+                val l = nextLine; nextLine = br.readLine(); l
+              }
+            }
           }
         }
       }

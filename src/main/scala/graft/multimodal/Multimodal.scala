@@ -92,6 +92,7 @@ object StubCodec {
   /** Byte-histogram moment features: mean, variance, and bucketed byte
     * frequencies — pure function of payload bytes. */
   def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+    require(dim >= 3, s"feature dim must be >= 3 (mean, stddev, >=1 bucket); got $dim")
     val out = new Array[Float](dim)
     if (payload.isEmpty) return out
     var sum = 0.0

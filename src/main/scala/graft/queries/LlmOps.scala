@@ -237,13 +237,20 @@ object LlmOps {
     * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
     * the exact q35 pairs is asserted in tests. */
   def q35d(s: SparkSession, d: String): DataFrame = {
+    // persisted: sh feeds the signature agg, the size agg, and both sides
+    // of the intersection join — without a persist the costliest subtree
+    // (tokenize → explode n-grams → distinct over the corpus) would run
+    // once per reference (~4×); Spark does not dedupe common subplans
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minhashes = (0 until 16).map { j =>
       min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
     }
-    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    // shingle-set size rides in the same agg as the signatures (one pass)
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail :+ count(lit(1)).as("nsh"): _*)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
@@ -255,8 +262,9 @@ object LlmOps {
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    // exact Jaccard verify on the candidate pairs only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // exact Jaccard verify on the candidate pairs only; sizes come from
+    // the signature agg (no extra scan of sh)
+    val sizes = sig.select(col("doc_id"), col("nsh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("da"), col("ngram")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("ngram")), Seq("db", "ngram"))

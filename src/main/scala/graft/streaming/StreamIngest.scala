@@ -36,10 +36,14 @@ object StreamIngest {
         sink.write(VehicleMessages.fromPings(batch))
       }
 
-  /** ST6/ST7 — watermarked streaming dedup on event id: late duplicates
-    * beyond the watermark are dropped with bounded state. */
+  /** ST6/ST7 — watermarked streaming dedup on event id with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` lets the watermark evict per-id state
+    * (plain `dropDuplicates("event_id")` would keep every id forever —
+    * the event-time column isn't in the key set, so no eviction predicate
+    * is generated, recreating the reference's unbounded-HashSet failure). */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** ST3 — streaming tumbling-window count per event type (same expression
     * as the oracled batch analog q30). */

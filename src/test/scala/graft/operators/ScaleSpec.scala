@@ -24,11 +24,15 @@ class ScaleSpec extends SparkSpec {
       .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(plain == salted)
-    // the salt really fans out: one hot key occupies >1 distinct salt
-    val salts = li.filter(col("l_orderkey") === li.first().getLong(0))
+    // the salt really fans out: the hottest key's rows land on >1 salt
+    // (if the salt degenerated to a constant per key, skew mitigation
+    // would silently stop working)
+    val hotKey = li.groupBy(col("l_orderkey")).count()
+      .orderBy(col("count").desc, col("l_orderkey")).first().getLong(0)
+    val salts = li.filter(col("l_orderkey") === hotKey)
       .withColumn("s", pmod(hash(li.columns.toSeq.map(col): _*), lit(8)))
       .select(countDistinct(col("s"))).collect()(0).getLong(0)
-    assert(salts >= 1)
+    assert(salts > 1, s"hot key $hotKey rows all hashed to one salt")
   }
 
   test("bucketed tables join without any Exchange (co-located join)") {
