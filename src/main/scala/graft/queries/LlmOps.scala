@@ -426,6 +426,99 @@ object LlmOps {
       |  round(octet_length(encode(text)) / 1000.0, 4) AS feat0
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q49 — document chunking: fixed-size token windows with overlap (the
+    * standard pre-training segmentation). Pure array arithmetic — chunk
+    * starts via sequence(), tokens sliced per chunk — explodes to one row
+    * per chunk with position, no UDF, fully codegen'd. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val chunkTokens = 32
+    val stride = 24 // 8-token overlap
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("start",
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .filter(col("start") === 0 || col("start") + chunkTokens <= size(col("toks")) + stride)
+      .select(col("doc_id"), (col("start") / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk"),
+        least(size(col("toks")) - col("start"), lit(chunkTokens)).as("chunk_len"))
+      .filter(col("chunk_len") > 0)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val q49Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+      |      FROM t)
+      |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+      |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+      |  CAST(least(len(toks) - start, 32) AS INT) AS chunk_len
+      |FROM c
+      |WHERE (start = 0 OR start + 32 <= len(toks) + 24) AND least(len(toks) - start, 32) > 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q50 — PII-style scrubbing: regex redaction of email/phone/id-like
+    * patterns plus the redaction count (training-data hygiene pass). */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val numRe = "[0-9]{6,}"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          numRe, "<NUM>").as("scrubbed"),
+        (regexp_count(col("text"), lit(emailRe)) +
+          regexp_count(col("text"), lit(numRe))).as("n_redactions"))
+      .filter(col("n_redactions") >= 0)
+      .select(col("doc_id"), substring(col("scrubbed"), 1, 50).as("scrubbed50"),
+        col("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q50Sql =
+    """SELECT doc_id,
+      |  substr(regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |         '[0-9]{6,}', '<NUM>', 'g'), 1, 50) AS scrubbed50,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+      |     + len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_redactions
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q51 — int8 embedding quantization: per-vector symmetric scale
+    * (127/max|x|), the storage/ANN-speed shape for vector corpora (4×
+    * smaller than float32). Pure higher-order-function arithmetic. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(col("dbl"), x => abs(x)))
+    Tables.embeddings(s, d)
+      .withColumn("dbl", dbl)
+      .withColumn("max_abs", maxAbs)
+      .select(col("vec_id"),
+        round(col("max_abs"), 4).as("scale_src"),
+        transform(col("dbl"), x =>
+          when(col("max_abs") === 0, lit(0))
+            .otherwise(round(x * 127.0 / col("max_abs"), 0).cast("int")))
+          .as("q8"))
+      .select(col("vec_id"), col("scale_src"),
+        element_at(col("q8"), 1).as("q8_first"),
+        aggregate(col("q8"), lit(0L), (acc, x) => acc + abs(x)).as("q8_l1"),
+        array_max(col("q8")).as("q8_max"),
+        array_min(col("q8")).as("q8_min"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q51Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, dbl, list_max(list_transform(dbl, x -> abs(x))) AS max_abs FROM e),
+      |q AS (SELECT vec_id, round(max_abs, 4) AS scale_src,
+      |        list_transform(dbl, x -> CASE WHEN max_abs = 0 THEN 0
+      |          ELSE CAST(round(x * 127.0 / max_abs) AS INT) END) AS q8
+      |      FROM m)
+      |SELECT vec_id, scale_src, q8[1] AS q8_first,
+      |  list_aggregate(list_transform(q8, x -> CAST(abs(x) AS BIGINT)), 'sum') AS q8_l1,
+      |  list_max(q8) AS q8_max, list_min(q8) AS q8_min
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -440,5 +533,8 @@ object LlmOps {
     QueryDef("q37_fingerprint", q37, Some(q37Sql)),
     QueryDef("q38_quality_score", q38, Some(q38Sql)),
     QueryDef("q39_langid", q39, Some(q39Sql)),
-    QueryDef("q40_multimodal", q40, Some(q40Sql)))
+    QueryDef("q40_multimodal", q40, Some(q40Sql)),
+    QueryDef("q49_chunking", q49, Some(q49Sql)),
+    QueryDef("q50_pii_scrub", q50, Some(q50Sql)),
+    QueryDef("q51_quantize_int8", q51, Some(q51Sql)))
 }
