@@ -61,13 +61,53 @@ class SinkSpec extends SparkSpec {
     }
   }
 
-  test("IOException: retries with backoff, then succeeds at-least-once") {
-    // unbound port → connection refused; start server after 2 failures is
-    // racy, so instead verify bounded-retry gives up with the right error
+  test("IOException: bounded retry exhausts with the right error") {
     val sink = new HttpSink("http://127.0.0.1:1/locationUpdate",
       sourceId = 1L, maxRetries = 2, backoffMs = 10)
     val e = intercept[IOException](sink.post(msgs))
     assert(e.getMessage.contains("giving up after 3 attempts"))
+  }
+
+  test("IOException: retries until the endpoint recovers (at-least-once delivery)") {
+    // rogue socket: accepts and slams connections shut (client IOException)
+    val rogue = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    val port = rogue.getLocalPort
+    val slammed = new AtomicInteger(0)
+    val slammer = new Thread(() => {
+      try {
+        while (slammed.get() < 2) { rogue.accept().close(); slammed.incrementAndGet() }
+      } catch { case _: Exception => } finally rogue.close()
+    })
+    slammer.start()
+    val received = ArrayBuffer.empty[Array[Byte]]
+    val sinkThread = new Thread(() => {
+      val sink = new HttpSink(s"http://127.0.0.1:$port/locationUpdate",
+        sourceId = 5L, maxRetries = 100, backoffMs = 50)
+      sink.post(msgs)
+    })
+    // once the rogue socket has slammed 2 connections, bind the real server
+    // on the same port; the sink's next retry succeeds
+    val recoverer = new Thread(() => {
+      slammer.join()
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      server.createContext("/locationUpdate", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          received.synchronized { received += ex.getRequestBody.readAllBytes() }
+          ex.sendResponseHeaders(200, -1); ex.close()
+        }
+      })
+      server.start()
+      sinkThread.join()
+      server.stop(0)
+    })
+    recoverer.start()
+    sinkThread.start()
+    sinkThread.join(30000)
+    recoverer.join(30000)
+    assert(slammed.get() >= 2, "rogue socket never exercised the failure path")
+    assert(received.size == 1, "batch not delivered after recovery")
+    val (sid, decoded) = ProtoEnvelope.decodeEnvelope(received(0))
+    assert(sid == 5L && decoded == msgs)
   }
 
   test("dataset write chunks into batchSize envelopes with final partial flush") {
