@@ -519,6 +519,36 @@ object LlmOps {
       |  list_max(q8) AS q8_max, list_min(q8) AS q8_min
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** q52 — multimodal decode as a registered operator: binary payload →
+    * per-partition batched (stub) codec → fixed-dim features. The decode
+    * itself is engine-specific (JVM float math in the stub) → rows-only
+    * check; determinism is pinned in MultimodalSpec. */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    graft.multimodal.Multimodal.decodeFeatures(media, dim = 8)
+      .select(col("media_id"), round(element_at(col("features"), 1), 4).as("mean_byte"),
+        round(element_at(col("features"), 2), 4).as("std_byte"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q53 — salted skew join registered with the PLAIN join as its oracle:
+    * the driver gate itself proves the salting rewrite is semantics-
+    * preserving (SkewJoin spreads hot keys; results must be identical). */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedEquiJoin(li, o, "l_orderkey", saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q53Sql =
+    s"""SELECT o_orderpriority, count(*) AS n, ${exactSumSql("l_quantity")} AS total_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -536,5 +566,7 @@ object LlmOps {
     QueryDef("q40_multimodal", q40, Some(q40Sql)),
     QueryDef("q49_chunking", q49, Some(q49Sql)),
     QueryDef("q50_pii_scrub", q50, Some(q50Sql)),
-    QueryDef("q51_quantize_int8", q51, Some(q51Sql)))
+    QueryDef("q51_quantize_int8", q51, Some(q51Sql)),
+    QueryDef("q52_multimodal_decode", q52, None),
+    QueryDef("q53_salted_join", q53, Some(q53Sql)))
 }
