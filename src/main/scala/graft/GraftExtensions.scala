@@ -47,19 +47,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ngram_explode",
         "ngram_explode(text, n) - generator: (pos, ngram) rows of word n-grams"),
       (args: Seq[Expression]) => {
-        val n = args(1) match {
+        val n: Long = args(1) match {
           case e if e.foldable => e.eval() match {
-            case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long    => l.intValue()
-            case s: java.lang.Short   => s.intValue()
-            case b: java.lang.Byte    => b.intValue()
+            case i: java.lang.Integer => i.longValue()
+            case l: java.lang.Long    => l.longValue()
+            case s: java.lang.Short   => s.longValue()
+            case b: java.lang.Byte    => b.longValue()
             case other => throw new IllegalArgumentException(
               s"ngram_explode: n must be an integer literal, got $other")
           }
           case _ => throw new IllegalArgumentException(
             "ngram_explode: n must be a foldable integer literal")
         }
-        NGramExplode(args(0), n)
+        if (n < 1 || n > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"ngram_explode: n must be in [1, ${Int.MaxValue}], got $n")
+        NGramExplode(args(0), n.toInt)
       }))
     ext.injectFunction((
       FunctionIdentifier("csv_fields"),

@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class NGramExplode(child: Expression, n: Int)
     extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("pos", IntegerType, nullable = false),

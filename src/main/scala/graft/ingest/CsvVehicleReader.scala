@@ -84,21 +84,38 @@ object CsvVehicleReader {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(path), conf)
-    val files = fs.globStatus(new HPath(path)).toSeq
-      .filter(_.isFile).map(_.getPath.toString)
+    val statuses = Option(fs.globStatus(new HPath(path)))
+      .getOrElse(throw new java.io.FileNotFoundException(s"Path does not exist: $path"))
+    val files = statuses.toSeq.filter(_.isFile).map(_.getPath.toString)
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(s"No files match: $path")
+    // ship the session's Hadoop conf to tasks (a blank Configuration would
+    // drop spark.hadoop.* auth/filesystem settings); Configuration itself
+    // is not serializable, so carry it as key-value pairs
+    val confProps: Seq[(String, String)] = {
+      val it = conf.iterator()
+      val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.result()
+    }
     spark.createDataset(files)
       .repartition(math.max(1, files.size)) // one archive per task
       .mapPartitions { paths =>
+        val taskConf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => taskConf.set(k, v) }
         paths.flatMap { p =>
-          val taskFs = FileSystem.get(new java.net.URI(p),
-            new org.apache.hadoop.conf.Configuration())
+          val taskFs = FileSystem.get(new java.net.URI(p), taskConf)
           val zis = new ZipInputStream(taskFs.open(new org.apache.hadoop.fs.Path(p)))
+          // close on task end even if the consumer stops early (limit/
+          // failure) — otherwise executors leak file handles per archive
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => zis.close()))
           val entry = zis.getNextEntry
           if (entry == null) { zis.close(); Iterator.empty }
           else {
             val br = new BufferedReader(
               new InputStreamReader(zis, StandardCharsets.UTF_8))
-            // read only the first entry; close the stream when exhausted
+            // read only the first entry; close eagerly when exhausted
             new Iterator[String] {
               private var nextLine = br.readLine()
               override def hasNext: Boolean = {

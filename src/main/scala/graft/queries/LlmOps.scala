@@ -237,14 +237,17 @@ object LlmOps {
     * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
     * the exact q35 pairs is asserted in tests. */
   def q35d(s: SparkSession, d: String): DataFrame = {
-    // persisted: sh feeds the signature agg, the size agg, and both sides
-    // of the intersection join — without a persist the costliest subtree
-    // (tokenize → explode n-grams → distinct over the corpus) would run
-    // once per reference (~4×); Spark does not dedupe common subplans
+    // localCheckpoint (eager): sh feeds the signature agg and both sides
+    // of the intersection join — without materialization the costliest
+    // subtree (tokenize → explode n-grams → distinct over the corpus)
+    // would run once per reference (~4×; Spark does not dedupe common
+    // subplans). Unlike persist(), whose CacheManager entry would leak
+    // across repeated invocations until an explicit unpersist, the
+    // checkpoint RDD is released by the ContextCleaner once unreferenced.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val minhashes = (0 until 16).map { j =>
       min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
     }
@@ -439,7 +442,12 @@ object LlmOps {
       .withColumn("start",
         explode(sequence(lit(0),
           greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
-      .filter(col("start") === 0 || col("start") + chunkTokens <= size(col("toks")) + stride)
+      // keep a chunk only if it contributes tokens beyond the previous
+      // chunk's coverage: a tail shorter than (chunk - stride) tokens is
+      // fully contained in its predecessor (e.g. a 32-token doc's
+      // start=24 chunk would be a 100%-duplicate of chunk 0)
+      .filter(col("start") === 0 ||
+        size(col("toks")) - col("start") > (chunkTokens - stride))
       .select(col("doc_id"), (col("start") / stride).cast("int").as("chunk_idx"),
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk"),
         least(size(col("toks")) - col("start"), lit(chunkTokens)).as("chunk_len"))
@@ -455,7 +463,7 @@ object LlmOps {
       |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
       |  CAST(least(len(toks) - start, 32) AS INT) AS chunk_len
       |FROM c
-      |WHERE (start = 0 OR start + 32 <= len(toks) + 24) AND least(len(toks) - start, 32) > 0
+      |WHERE (start = 0 OR len(toks) - start > 8) AND least(len(toks) - start, 32) > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** q50 — PII-style scrubbing: regex redaction of email/phone/id-like
@@ -463,13 +471,15 @@ object LlmOps {
   def q50(s: SparkSession, d: String): DataFrame = {
     val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
     val numRe = "[0-9]{6,}"
+    // number redactions are counted on the email-scrubbed text, matching
+    // the sequential replace (digits inside a redacted email must not be
+    // double-counted)
+    val emailScrubbed = regexp_replace(col("text"), emailRe, "<EMAIL>")
     Tables.documents(s, d)
       .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-          numRe, "<NUM>").as("scrubbed"),
+        regexp_replace(emailScrubbed, numRe, "<NUM>").as("scrubbed"),
         (regexp_count(col("text"), lit(emailRe)) +
-          regexp_count(col("text"), lit(numRe))).as("n_redactions"))
-      .filter(col("n_redactions") >= 0)
+          regexp_count(emailScrubbed, lit(numRe))).as("n_redactions"))
       .select(col("doc_id"), substring(col("scrubbed"), 1, 50).as("scrubbed50"),
         col("n_redactions"))
       .orderBy(col("doc_id"))
@@ -480,7 +490,7 @@ object LlmOps {
       |  substr(regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
       |         '[0-9]{6,}', '<NUM>', 'g'), 1, 50) AS scrubbed50,
       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
-      |     + len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_redactions
+      |     + len(regexp_extract_all(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'), '[0-9]{6,}')) AS INT) AS n_redactions
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q51 — int8 embedding quantization: per-vector symmetric scale

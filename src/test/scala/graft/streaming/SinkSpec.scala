@@ -89,7 +89,15 @@ class SinkSpec extends SparkSpec {
     // on the same port; the sink's next retry succeeds
     val recoverer = new Thread(() => {
       slammer.join()
-      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      // slammed sockets may sit in TIME_WAIT; retry the bind instead of
+      // dying (an uncaught BindException here would masquerade as a
+      // delivery failure)
+      var server: HttpServer = null
+      var tries = 0
+      while (server == null && tries < 100) {
+        try server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+        catch { case _: java.net.BindException => tries += 1; Thread.sleep(100) }
+      }
       server.createContext("/locationUpdate", new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
           received.synchronized { received += ex.getRequestBody.readAllBytes() }
