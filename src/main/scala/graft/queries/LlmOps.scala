@@ -237,23 +237,23 @@ object LlmOps {
     * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
     * the exact q35 pairs is asserted in tests. */
   def q35d(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (eager): sh feeds the signature agg and both sides
-    // of the intersection join — without materialization the costliest
-    // subtree (tokenize → explode n-grams → distinct over the corpus)
-    // would run once per reference (~4×; Spark does not dedupe common
-    // subplans). Unlike persist(), whose CacheManager entry would leak
-    // across repeated invocations until an explicit unpersist, the
-    // checkpoint RDD is released by the ContextCleaner once unreferenced.
+    // single pass over the exploded shingles: the signature agg ALSO
+    // carries each doc's shingle set (collect_set) and its size, so the
+    // tokenize → explode → shuffle subtree runs exactly once and the
+    // Jaccard verify below is per-candidate-pair array intersection on
+    // the few LSH candidates — no second shingle shuffle, no persist /
+    // checkpoint lifecycle to manage
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram")).distinct()
-      .localCheckpoint()
+      .select(col("doc_id"), col("ngram"))
     val minhashes = (0 until 16).map { j =>
       min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
     }
-    // shingle-set size rides in the same agg as the signatures (one pass)
     val sig = sh.groupBy(col("doc_id"))
-      .agg(minhashes.head, minhashes.tail :+ count(lit(1)).as("nsh"): _*)
+      .agg(minhashes.head,
+        minhashes.tail ++ Seq(
+          collect_set(col("ngram")).as("shingles"),
+          size(collect_set(col("ngram"))).as("nsh")): _*)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
@@ -265,16 +265,16 @@ object LlmOps {
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    // exact Jaccard verify on the candidate pairs only; sizes come from
-    // the signature agg (no extra scan of sh)
-    val sizes = sig.select(col("doc_id"), col("nsh"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("da"), col("ngram")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("ngram")), Seq("db", "ngram"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), Seq("db"))
+    // exact Jaccard verify per candidate pair via set intersection of the
+    // carried shingle arrays (pairs are the few LSH candidates, so this
+    // is per-pair O(|A|+|B|) hash intersection, not a corpus-wide join)
+    val sets = sig.select(col("doc_id"), col("shingles"), col("nsh"))
+    pairs
+      .join(sets.select(col("doc_id").as("da"),
+        col("shingles").as("sa"), col("nsh").as("na")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"),
+        col("shingles").as("sb"), col("nsh").as("nb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .orderBy(col("da"), col("db"))
