@@ -35,6 +35,26 @@ class ScaleSpec extends SparkSpec {
     assert(salts > 1, s"hot key $hotKey rows all hashed to one salt")
   }
 
+  test("AQE splits skewed join partitions (skew=true in the final plan)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // shrink thresholds so test-scale skew triggers the optimization
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    // one hot key holding ~90% of the left side
+    val left = s.range(200000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = s.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = left.join(right, "k").select(sum(col("v") + col("w")))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
+  }
+
   test("bucketed tables join without any Exchange (co-located join)") {
     val wh = Files.createTempDirectory("graft-warehouse")
     val s = spark.newSession()
