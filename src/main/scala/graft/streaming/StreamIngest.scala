@@ -36,6 +36,26 @@ object StreamIngest {
         sink.write(VehicleMessages.fromPings(batch))
       }
 
+  /** Effectively-once variant: Structured Streaming replays a micro-batch
+    * after a crash between sink write and checkpoint commit; recording the
+    * committed batchId in a durable ledger and skipping replays upgrades
+    * the sink from at-least-once (the reference's contract) to
+    * effectively-once — PROVIDED ledger-write and delivery are atomic
+    * enough for the receiver (here: ledger after delivery, so a crash
+    * between the two still re-delivers; true exactly-once needs a
+    * transactional receiver). */
+  def toHttpSinkIdempotent(
+      pings: DataFrame, sink: HttpSink, ledger: BatchLedger): DataStreamWriter[Row] =
+    pings.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!ledger.committed(batchId)) {
+          sink.write(VehicleMessages.fromPings(batch))
+          ledger.commit(batchId)
+        }
+      }
+
   /** ST6/ST7 — watermarked streaming dedup on event id with BOUNDED state:
     * `dropDuplicatesWithinWatermark` lets the watermark evict per-id state
     * (plain `dropDuplicates("event_id")` would keep every id forever —
