@@ -559,6 +559,49 @@ object LlmOps {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q54 — vocabulary build + token-id encoding (the precursor to any
+    * BPE-style tokenization): rank tokens by corpus frequency into dense
+    * ids, then encode each document as its id sequence. The vocab is a
+    * broadcast-sized dimension at any corpus scale (vocab ≪ corpus); the
+    * encode is one broadcast join over the exploded tokens and one
+    * per-doc ordered re-assembly. OOV tokens map to id 0. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 50) // vocab cut: keep common tokens
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    toks.join(broadcast(vocab.select(col("tok"), col("tok_id"))), Seq("tok"), "left")
+      .withColumn("tok_id", coalesce(col("tok_id"), lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("tok_id"))))
+          .getField("tok_id").as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id") === 0, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), slice(col("ids"), 1, 20).as("ids20"),
+        col("n_tokens"), col("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q54Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(range(len(tl))) AS pos, unnest(tl) AS tok
+      |  FROM t),
+      |vocab AS (
+      |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS tok_id
+      |  FROM toks GROUP BY tok HAVING count(*) >= 50),
+      |enc AS (
+      |  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 0) AS tok_id
+      |  FROM toks t LEFT JOIN vocab v USING (tok))
+      |SELECT doc_id,
+      |  (list(tok_id ORDER BY pos))[1:20] AS ids20,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -578,5 +621,6 @@ object LlmOps {
     QueryDef("q50_pii_scrub", q50, Some(q50Sql)),
     QueryDef("q51_quantize_int8", q51, Some(q51Sql)),
     QueryDef("q52_multimodal_decode", q52, None),
-    QueryDef("q53_salted_join", q53, Some(q53Sql)))
+    QueryDef("q53_salted_join", q53, Some(q53Sql)),
+    QueryDef("q54_vocab_encode", q54, Some(q54Sql)))
 }
