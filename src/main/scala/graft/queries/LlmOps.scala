@@ -215,9 +215,12 @@ object LlmOps {
     * shingles). xxhash64-based → engine-specific, no SQL oracle; banding
     * recall is asserted in unit tests. */
   def q35b(s: SparkSession, d: String): DataFrame = {
+    // no distinct: min is duplicate-insensitive, so aggregating over raw
+    // (doc, ngram) occurrences equals aggregating the shingle SET — one
+    // shuffle instead of two
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram")).distinct()
+      .select(col("doc_id"), col("ngram"))
     // Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
     // under ANSI arithmetic (a multiplicative family would long-overflow).
     val minhashes = (0 until 16).map { j =>

@@ -119,6 +119,22 @@ class IngestSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getAs[Long]("vehicle_id") == 42L)
   }
 
+  test("RFC-4180 edge cases: escaped quotes, empty fields, trailing comma") {
+    import graft.ingest.CsvFields
+    import org.apache.spark.unsafe.types.UTF8String
+    def split(s: String): Seq[String] = {
+      val a = CsvFields.split(UTF8String.fromString(s))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(split("""a,"b""c",d""") == Seq("a", "b\"c", "d"))
+    assert(split("a,,c") == Seq("a", "", "c"))
+    assert(split("a,b,") == Seq("a", "b", ""))
+    assert(split("") == Seq(""))
+    assert(split("\"\"") == Seq(""))
+    assert(split("\"unterminated") == Seq("unterminated")) // permissive
+    assert(split("\"a,b\",c") == Seq("a,b", "c"))
+  }
+
   test("ingest plan: no shuffle — scan→project→filter is one codegen stage") {
     val path = writeFile(tmpDir, "narrow2.csv", narrowCsv)
     val plan = CsvVehicleReader.read(spark, path)
