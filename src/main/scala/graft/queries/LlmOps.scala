@@ -20,6 +20,21 @@ object LlmOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Raw (doc_id, ngram) shingle occurrences — shared by the MinHash
+    * variants. No distinct: min/collect_set are duplicate-insensitive, so
+    * aggregating occurrences equals aggregating the shingle set with one
+    * shuffle instead of two. */
+  private def shingleRel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram"))
+
+  /** Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
+    * under ANSI arithmetic (a multiplicative family would long-overflow). */
+  private val minhashAggs: Seq[Column] = (0 until 16).map { j =>
+    min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
+  }
+
   /** q23 — exact dedup with deterministic survivor (smallest doc_id per
     * text). `row_number()==1` over a hash-partitioned window, not
     * `dropDuplicates` (whose survivor is partition-order-dependent). */
@@ -215,18 +230,8 @@ object LlmOps {
     * shingles). xxhash64-based → engine-specific, no SQL oracle; banding
     * recall is asserted in unit tests. */
   def q35b(s: SparkSession, d: String): DataFrame = {
-    // no distinct: min is duplicate-insensitive, so aggregating over raw
-    // (doc, ngram) occurrences equals aggregating the shingle SET — one
-    // shuffle instead of two
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram"))
-    // Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
-    // under ANSI arithmetic (a multiplicative family would long-overflow).
-    val minhashes = (0 until 16).map { j =>
-      min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val sig = shingleRel(s, d).groupBy(col("doc_id"))
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
     val bands = (0 until 4).map { b =>
       xxhash64(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as(s"band$b")
     }
@@ -240,22 +245,23 @@ object LlmOps {
     * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
     * the exact q35 pairs is asserted in tests. */
   def q35d(s: SparkSession, d: String): DataFrame = {
-    // single pass over the exploded shingles: the signature agg ALSO
-    // carries each doc's shingle set (collect_set) and its size, so the
-    // tokenize → explode → shuffle subtree runs exactly once and the
-    // Jaccard verify below is per-candidate-pair array intersection on
-    // the few LSH candidates — no second shingle shuffle, no persist /
-    // checkpoint lifecycle to manage
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram"))
-    val minhashes = (0 until 16).map { j =>
-      min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
-    }
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minhashes.head,
-        minhashes.tail ++ Seq(
-          collect_set(col("ngram")).as("shingles"),
+    // the signature agg ALSO carries each doc's shingle set (capped — see
+    // below) and its true size, so the Jaccard verify is a per-candidate-
+    // pair array intersection on the few LSH candidates rather than a
+    // second corpus-wide shingle join. The two consumers of `sig` (band
+    // join, set join) prune different columns, so Catalyst still evaluates
+    // the tokenize→explode subtree twice — half the 4× of the join-based
+    // verify, without any persist/checkpoint lifecycle; materialize `sig`
+    // externally if the corpus scan dominates.
+    // State bound: the carried set is capped at 8192 shingles per doc
+    // (sort_array → deterministic prefix), so one huge document cannot
+    // blow the aggregation buffer; nsh stays exact, making capped
+    // jaccard a lower bound for docs beyond the cap (test corpus docs
+    // are far below it).
+    val sig = shingleRel(s, d).groupBy(col("doc_id"))
+      .agg(minhashAggs.head,
+        minhashAggs.tail ++ Seq(
+          slice(sort_array(collect_set(col("ngram"))), 1, 8192).as("shingles"),
           size(collect_set(col("ngram"))).as("nsh")): _*)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),

@@ -40,10 +40,12 @@ object StreamIngest {
     * after a crash between sink write and checkpoint commit; recording the
     * committed batchId in a durable ledger and skipping replays upgrades
     * the sink from at-least-once (the reference's contract) to
-    * effectively-once — PROVIDED ledger-write and delivery are atomic
-    * enough for the receiver (here: ledger after delivery, so a crash
-    * between the two still re-delivers; true exactly-once needs a
-    * transactional receiver). */
+    * effectively-once — PROVIDED (a) the ledger shares the checkpoint's
+    * lifecycle (see [[BatchLedger]]: a reset checkpoint with a stale
+    * ledger would silently skip new data under recycled batch ids), and
+    * (b) ledger-write and delivery are atomic enough for the receiver
+    * (ledger after delivery ⇒ a crash between the two still re-delivers;
+    * true exactly-once needs a transactional receiver). */
   def toHttpSinkIdempotent(
       pings: DataFrame, sink: HttpSink, ledger: BatchLedger): DataStreamWriter[Row] =
     pings.writeStream

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import scala.jdk.CollectionConverters._
@@ -242,22 +242,39 @@ class StreamingSpec extends SparkSpec {
     server.start()
     try {
       val url = s"http://127.0.0.1:${server.getAddress.getPort}/u"
-      def run(): Unit = {
-        val q = StreamIngest.toHttpSinkIdempotent(
-            StreamIngest.readStream(spark, in.toString),
-            new HttpSink(url, sourceId = 1L), new FileBatchLedger(ledgerDir))
-          .option("checkpointLocation", ckpt).start()
-        q.awaitTermination()
+      // run 1: crash INSIDE foreachBatch after delivery + ledger commit
+      // but before the engine writes the checkpoint commit marker — the
+      // exact window where Structured Streaming will replay the batch
+      val sink = new HttpSink(url, sourceId = 1L)
+      val crashing = StreamIngest.readStream(spark, in.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val ledger = new FileBatchLedger(ledgerDir)
+          if (!ledger.committed(batchId)) {
+            sink.write(graft.streaming.VehicleMessages.fromPings(batch))
+            ledger.commit(batchId)
+            throw new RuntimeException("injected crash before checkpoint commit")
+          }
+        }
+        .start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        crashing.awaitTermination()
       }
-      run()
-      assert(received.size == 1)
-      // simulate a crash AFTER delivery but BEFORE the checkpoint commit:
-      // wipe the checkpoint so the engine replays batch 0 from scratch
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(ckpt)).deleteRecursively()
-      run()
-      // the ledger recognizes the replayed batchId — no duplicate POST
+      assert(received.size == 1, "batch not delivered before the crash")
+      assert(!Files.exists(Paths.get(ckpt, "commits", "0")),
+        "crash was supposed to precede the checkpoint commit marker")
+      // run 2 (restart): engine replays batch 0 with the same id/content;
+      // the ledger recognizes it — no duplicate POST
+      val q2 = StreamIngest.toHttpSinkIdempotent(
+          StreamIngest.readStream(spark, in.toString),
+          sink, new FileBatchLedger(ledgerDir))
+        .option("checkpointLocation", ckpt).start()
+      q2.awaitTermination()
       assert(received.size == 1, s"replayed batch was re-delivered (${received.size} posts)")
+      assert(Files.exists(Paths.get(ckpt, "commits", "0")),
+        "restart should have committed batch 0")
     } finally server.stop(0)
   }
 
