@@ -611,6 +611,52 @@ object LlmOps {
       |  CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q55 — spatial grid bucketing + haversine distances (the reference's
+    * own domain is GPS pings): positions derived deterministically from
+    * events, bucketed to a 1°×1° grid — the spatial blocking that turns
+    * all-pairs proximity into per-cell work (the geo analog of LSH
+    * buckets) — then exact haversine between consecutive events per user.
+    * Trig rounded to 4dp (JVM vs DuckDB libm last bits). */
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val lat = round(pmod(col("value") * 7, lit(180.0)) - 90.0, 6)
+    val lon = round(pmod(col("value") * 13, lit(360.0)) - 180.0, 6)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lat.as("lat"), lon.as("lon"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevLat = lag(col("lat"), 1).over(w)
+    val prevLon = lag(col("lon"), 1).over(w)
+    def rad(c: Column): Column = radians(c)
+    // haversine great-circle distance in km
+    val a = pow(sin((rad(col("lat")) - rad(prevLat)) / 2), 2) +
+      cos(rad(prevLat)) * cos(rad(col("lat"))) *
+        pow(sin((rad(col("lon")) - rad(prevLon)) / 2), 2)
+    val distKm = lit(2 * 6371.0) * asin(sqrt(a))
+    ev.select(col("event_id"), col("user_id"),
+        (floor(col("lat")).cast("long") * 1000 + floor(col("lon")).cast("long")).as("cell"),
+        round(distKm, 4).as("hop_km"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q55Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts,
+      |    round(((value * 7) - floor((value * 7) / 180.0) * 180.0) - 90.0, 6) AS lat,
+      |    round(((value * 13) - floor((value * 13) / 360.0) * 360.0) - 180.0, 6) AS lon
+      |  FROM events),
+      |h AS (
+      |  SELECT event_id, user_id, lat, lon,
+      |    lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+      |    lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+      |  FROM ev)
+      |SELECT event_id, user_id,
+      |  CAST(floor(lat) AS BIGINT) * 1000 + CAST(floor(lon) AS BIGINT) AS cell,
+      |  round(2 * 6371.0 * asin(sqrt(
+      |    pow(sin((radians(lat) - radians(plat)) / 2), 2) +
+      |    cos(radians(plat)) * cos(radians(lat)) *
+      |    pow(sin((radians(lon) - radians(plon)) / 2), 2))), 4) AS hop_km
+      |FROM h ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -631,5 +677,6 @@ object LlmOps {
     QueryDef("q51_quantize_int8", q51, Some(q51Sql)),
     QueryDef("q52_multimodal_decode", q52, None),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),
-    QueryDef("q54_vocab_encode", q54, Some(q54Sql)))
+    QueryDef("q54_vocab_encode", q54, Some(q54Sql)),
+    QueryDef("q55_geo_hops", q55, Some(q55Sql)))
 }
