@@ -28,51 +28,47 @@ object CsvLoaderCli {
     var file: Option[String] = None
     var url = "http://localhost:4567/locationUpdate"
     var i = 0
+    def usageExit(msg: String): Nothing = {
+      System.err.println(msg)
+      System.err.println("usage: CsvLoaderCli -f <csv[.gz|.zip]> [-u <url>]")
+      sys.exit(2)
+    }
     while (i < args.length) {
       args(i) match {
         case "-f" if i + 1 < args.length => file = Some(args(i + 1)); i += 2
         case "-u" if i + 1 < args.length => url = args(i + 1); i += 2
-        case other =>
-          System.err.println(s"unknown argument: $other")
-          System.err.println("usage: CsvLoaderCli -f <csv[.gz|.zip]> [-u <url>]")
-          sys.exit(2)
+        case flag @ ("-f" | "-u") => usageExit(s"missing value for $flag")
+        case other                => usageExit(s"unknown argument: $other")
       }
     }
-    val csv = file.getOrElse {
-      System.err.println("option -f <csv> is required")
-      sys.exit(2)
-      return
-    }
+    val csv = file.getOrElse(usageExit("option -f <csv> is required"))
     if (!new java.io.File(csv).exists()) {
       System.err.println(s"file not found: $csv")
       sys.exit(1)
     }
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkEnv.local("csv-loader")
     try {
       // per-run lineage tag, minted at the process boundary only
       // (CsvLoader.java:63 semantics)
       val sourceId = java.util.UUID.randomUUID().getLeastSignificantBits
 
-      val pings = CsvVehicleReader.read(spark, csv)
-      new HttpSink(url, sourceId).write(VehicleMessages.fromPings(pings))
+      // cached: the sink pass and the summary aggregate share one read
+      // (gz/zip decompress is single-task and would otherwise run twice)
+      val pings = CsvVehicleReader.read(spark, csv).persist()
+      try {
+        new HttpSink(url, sourceId).write(VehicleMessages.fromPings(pings))
 
-      // run summary — the reference's progress line (CsvLoader.java:161-165)
-      import org.apache.spark.sql.functions._
-      val row = pings.agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("vehicle_id_str")).as("uniq_str"),
-        countDistinct(col("vehicle_id")).as("uniq_id")).collect()(0)
-      println(s"Loaded ${row.getLong(0)} records " +
-        s"(${row.getLong(1)} unique vehicles, ${row.getLong(2)} unique ids) " +
-        s"sourceId=$sourceId -> $url")
+        // run summary — reference's progress line (CsvLoader.java:161-165)
+        import org.apache.spark.sql.functions._
+        val row = pings.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("vehicle_id_str")).as("uniq_str"),
+          countDistinct(col("vehicle_id")).as("uniq_id")).collect()(0)
+        println(s"Loaded ${row.getLong(0)} records " +
+          s"(${row.getLong(1)} unique vehicles, ${row.getLong(2)} unique ids) " +
+          s"sourceId=$sourceId -> $url")
+      } finally pings.unpersist()
     } finally spark.stop()
   }
 }

@@ -6,13 +6,7 @@ import org.apache.spark.sql.SparkSession
   * sf0.001 must return >0 rows. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkEnv.local("smoke")
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(10, truncate = false)

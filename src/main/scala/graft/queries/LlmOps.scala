@@ -618,8 +618,11 @@ object LlmOps {
     * buckets) — then exact haversine between consecutive events per user.
     * Trig rounded to 4dp (JVM vs DuckDB libm last bits). */
   def q55(s: SparkSession, d: String): DataFrame = {
-    val lat = round(pmod(col("value") * 7, lit(180.0)) - 90.0, 6)
-    val lon = round(pmod(col("value") * 13, lit(360.0)) - 180.0, 6)
+    // no intermediate rounding: floor/trig consume the exact same doubles
+    // in both engines (a pre-floor round could land on a different side
+    // of an integer boundary per engine's rounding mode)
+    val lat = pmod(col("value") * 7, lit(180.0)) - 90.0
+    val lon = pmod(col("value") * 13, lit(360.0)) - 180.0
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"),
         lat.as("lat"), lon.as("lon"))
@@ -627,10 +630,12 @@ object LlmOps {
     val prevLat = lag(col("lat"), 1).over(w)
     val prevLon = lag(col("lon"), 1).over(w)
     def rad(c: Column): Column = radians(c)
-    // haversine great-circle distance in km
-    val a = pow(sin((rad(col("lat")) - rad(prevLat)) / 2), 2) +
-      cos(rad(prevLat)) * cos(rad(col("lat"))) *
-        pow(sin((rad(col("lon")) - rad(prevLon)) / 2), 2)
+    // haversine great-circle distance in km; `a` clamped to 1.0 — float
+    // error on near-antipodal pairs can push it to 1+ε and asin(sqrt) to NaN
+    val a = least(lit(1.0),
+      pow(sin((rad(col("lat")) - rad(prevLat)) / 2), 2) +
+        cos(rad(prevLat)) * cos(rad(col("lat"))) *
+          pow(sin((rad(col("lon")) - rad(prevLon)) / 2), 2))
     val distKm = lit(2 * 6371.0) * asin(sqrt(a))
     ev.select(col("event_id"), col("user_id"),
         (floor(col("lat")).cast("long") * 1000 + floor(col("lon")).cast("long")).as("cell"),
@@ -641,8 +646,10 @@ object LlmOps {
   private val q55Sql =
     """WITH ev AS (
       |  SELECT event_id, user_id, ts,
-      |    round(((value * 7) - floor((value * 7) / 180.0) * 180.0) - 90.0, 6) AS lat,
-      |    round(((value * 13) - floor((value * 13) / 360.0) * 360.0) - 180.0, 6) AS lon
+      |    CASE WHEN fmod(value * 7, 180.0) < 0 THEN fmod(value * 7, 180.0) + 180.0
+      |         ELSE fmod(value * 7, 180.0) END - 90.0 AS lat,
+      |    CASE WHEN fmod(value * 13, 360.0) < 0 THEN fmod(value * 13, 360.0) + 360.0
+      |         ELSE fmod(value * 13, 360.0) END - 180.0 AS lon
       |  FROM events),
       |h AS (
       |  SELECT event_id, user_id, lat, lon,
@@ -651,10 +658,10 @@ object LlmOps {
       |  FROM ev)
       |SELECT event_id, user_id,
       |  CAST(floor(lat) AS BIGINT) * 1000 + CAST(floor(lon) AS BIGINT) AS cell,
-      |  round(2 * 6371.0 * asin(sqrt(
+      |  round(2 * 6371.0 * asin(sqrt(least(1.0,
       |    pow(sin((radians(lat) - radians(plat)) / 2), 2) +
       |    cos(radians(plat)) * cos(radians(lat)) *
-      |    pow(sin((radians(lon) - radians(plon)) / 2), 2))), 4) AS hop_km
+      |    pow(sin((radians(lon) - radians(plon)) / 2), 2)))), 4) AS hop_km
       |FROM h ORDER BY event_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
