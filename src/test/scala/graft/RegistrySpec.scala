@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.streaming.{ProtoEnvelope, VehicleLocation, VehicleMessage}
+
+/** Cross-cutting invariants of the driver contract and the oracle-parity
+  * mechanism itself. */
+class RegistrySpec extends SparkSpec {
+
+  test("every oracle key has a registered query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+    assert(qs.forall(_.matches("[a-z0-9_]+")), "keys must be snake_case")
+    assert(qs.size >= 60, s"registry shrank to ${qs.size}")
+  }
+
+  test("entry() is a registered query's result shape (flagship contract)") {
+    val e = SparkEntry.entry(spark)
+    assert(e.columns.contains("l_returnflag") && e.count() > 0)
+  }
+
+  test("exactSum is invariant under repartitioning (the oracle-parity core)") {
+    import graft.queries.QueryDef.exactSum
+    val li = Tables.lineitem(spark, sf0001)
+    def total(parts: Int): Double =
+      li.repartition(parts).agg(exactSum(col("l_extendedprice")))
+        .collect()(0).getDouble(0)
+    val t1 = total(1)
+    assert(Seq(3, 7, 32).map(total).forall(_ == t1),
+      "cents-exact sum changed under repartitioning")
+    // plain double sum would NOT give this guarantee — demonstrate the
+    // mechanism matters by checking bit equality, not approximate equality
+    assert(total(13) == t1)
+  }
+
+  test("proto envelope: property — random messages round-trip exactly") {
+    val locGen = for {
+      lat <- Gen.chooseNum(-90.0, 90.0)
+      lon <- Gen.chooseNum(-180.0, 180.0)
+      ts <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield VehicleLocation(lat, lon, ts)
+    val msgGen = for {
+      vid <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      n <- Gen.chooseNum(0, 5)
+      locs <- Gen.listOfN(n, locGen)
+    } yield VehicleMessage(vid, locs)
+    val batchGen = for {
+      sid <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      n <- Gen.chooseNum(0, 30)
+      msgs <- Gen.listOfN(n, msgGen)
+    } yield (sid, msgs)
+    (0 until 50).foreach { i =>
+      batchGen.apply(Gen.Parameters.default, Seed(1000L + i)).foreach {
+        case (sid, msgs) =>
+          val (sid2, msgs2) = ProtoEnvelope.decodeEnvelope(
+            ProtoEnvelope.encodeEnvelope(sid, msgs))
+          assert(sid2 == sid && msgs2 == msgs)
+      }
+    }
+  }
+}
