@@ -554,6 +554,34 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q56 — schema-evolution union: two generations of the same feed with
+    * different column sets combined by NAME with null-fill
+    * (`allowMissingColumns`) — how a lake unions data written before and
+    * after a schema change (positional union would silently misalign). */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val gen1 = o.filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast(TimestampNTZType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val gen2 = o.filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .select(col("o_orderkey"),
+        coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q56Sql =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      |SELECT o_orderkey, coalesce(o_orderpriority, 'LEGACY') AS priority, o_totalprice
+      |FROM u ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -580,5 +608,6 @@ object Relational {
     QueryDef("q22_setops", q22, Some(q22Sql)),
     QueryDef("q41_pivot", q41, Some(q41Sql)),
     QueryDef("q42_stat_aggs", q42, Some(q42Sql)),
-    QueryDef("q48_sql_frontend", q48, Some(q48Sql)))
+    QueryDef("q48_sql_frontend", q48, Some(q48Sql)),
+    QueryDef("q56_schema_evolution", q56, Some(q56Sql)))
 }
