@@ -582,6 +582,33 @@ object Relational {
       |SELECT o_orderkey, coalesce(o_orderpriority, 'LEGACY') AS priority, o_totalprice
       |FROM u ORDER BY o_orderkey""".stripMargin
 
+  /** q57 — distribution window functions: ntile, percent_rank, cume_dist,
+    * nth_value (completes SURVEY §2.5 W1 alongside q18's ranking trio). */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q57Sql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -609,5 +636,6 @@ object Relational {
     QueryDef("q41_pivot", q41, Some(q41Sql)),
     QueryDef("q42_stat_aggs", q42, Some(q42Sql)),
     QueryDef("q48_sql_frontend", q48, Some(q48Sql)),
-    QueryDef("q56_schema_evolution", q56, Some(q56Sql)))
+    QueryDef("q56_schema_evolution", q56, Some(q56Sql)),
+    QueryDef("q57_window_dist", q57, Some(q57Sql)))
 }
