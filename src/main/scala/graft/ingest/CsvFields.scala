@@ -32,7 +32,9 @@ object CsvFields {
           else inQuotes = false
         } else cur.append(c)
       } else c match {
-        case '"' => inQuotes = true
+        // A quote only OPENS a quoted section at field start (commons-csv /
+        // RFC-4180); mid-field stray quotes (`ab"c,d`) are literal chars.
+        case '"' if cur.length == 0 => inQuotes = true
         case ',' => out += UTF8String.fromString(cur.toString); cur.setLength(0)
         case _   => cur.append(c)
       }

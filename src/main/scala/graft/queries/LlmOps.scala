@@ -513,10 +513,11 @@ object LlmOps {
       .withColumn("max_abs", maxAbs)
       .select(col("vec_id"),
         round(col("max_abs"), 4).as("scale_src"),
-        transform(col("dbl"), x =>
+        transform(col("dbl"), x => {
+          val v = x * lit(127.0) / col("max_abs")
           when(col("max_abs") === 0, lit(0))
-            .otherwise(round(x * 127.0 / col("max_abs"), 0).cast("int")))
-          .as("q8"))
+            .otherwise(when(x >= 0, floor(v + 0.5)).otherwise(ceil(v - 0.5)).cast("int"))
+        }).as("q8"))
       .select(col("vec_id"), col("scale_src"),
         element_at(col("q8"), 1).as("q8_first"),
         aggregate(col("q8"), lit(0L), (acc, x) => acc + abs(x)).as("q8_l1"),
@@ -531,10 +532,11 @@ object LlmOps {
       |m AS (SELECT vec_id, dbl, list_max(list_transform(dbl, x -> abs(x))) AS max_abs FROM e),
       |q AS (SELECT vec_id, round(max_abs, 4) AS scale_src,
       |        list_transform(dbl, x -> CASE WHEN max_abs = 0 THEN 0
-      |          ELSE CAST(round(x * 127.0 / max_abs) AS INT) END) AS q8
+      |          ELSE CAST(CASE WHEN x >= 0 THEN floor(x * 127.0 / max_abs + 0.5)
+      |                    ELSE ceil(x * 127.0 / max_abs - 0.5) END AS INT) END) AS q8
       |      FROM m)
       |SELECT vec_id, scale_src, q8[1] AS q8_first,
-      |  list_aggregate(list_transform(q8, x -> CAST(abs(x) AS BIGINT)), 'sum') AS q8_l1,
+      |  CAST(list_aggregate(list_transform(q8, x -> CAST(abs(x) AS BIGINT)), 'sum') AS BIGINT) AS q8_l1,
       |  list_max(q8) AS q8_max, list_min(q8) AS q8_min
       |FROM q ORDER BY vec_id""".stripMargin
 
@@ -589,7 +591,7 @@ object LlmOps {
           .getField("tok_id").as("ids"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("tok_id") === 0, 1).otherwise(0)).as("n_oov"))
-      .select(col("doc_id"), slice(col("ids"), 1, 20).as("ids20"),
+      .select(col("doc_id"), concat_ws(",", slice(col("ids"), 1, 20)).as("ids20"),
         col("n_tokens"), col("n_oov"))
       .orderBy(col("doc_id"))
   }
@@ -606,7 +608,7 @@ object LlmOps {
       |  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 0) AS tok_id
       |  FROM toks t LEFT JOIN vocab v USING (tok))
       |SELECT doc_id,
-      |  (list(tok_id ORDER BY pos))[1:20] AS ids20,
+      |  list_aggregate((list(tok_id ORDER BY pos))[1:20], 'string_agg', ',') AS ids20,
       |  count(*) AS n_tokens,
       |  CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin

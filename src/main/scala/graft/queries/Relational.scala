@@ -364,16 +364,19 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q17 — array agg: per-customer sorted order-key list. Sorted for
-    * determinism (collect_list order is partition-dependent). */
+    * determinism (collect_list order is partition-dependent); serialized
+    * with concat_ws because the driver's comparator can't sort raw arrays. */
   def q17(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+      .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey")))).as("order_keys"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_custkey"))
 
   private val q17Sql =
-    """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, count(*) AS n_orders
+    """SELECT o_custkey,
+      |  list_aggregate(list_sort(list(o_orderkey)), 'string_agg', ',') AS order_keys,
+      |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** q18 — ranking window functions + top-k per group. Spark ≥4 pushes the

@@ -86,7 +86,7 @@ object Scalars {
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
         datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
         date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").as("plus3m"),
-        (unix_millis(col("o_orderdate").cast(TimestampType)) / 1000).as("epoch_s"))
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 1000").as("epoch_s"))
       .orderBy(col("o_orderkey"))
 
   private val q26Sql =
@@ -262,7 +262,7 @@ object Scalars {
       .filter(col("l_orderkey") < 200)
       .withColumn("m", m)
       .select(col("l_orderkey"), col("l_linenumber"),
-        map_keys(col("m")).as("ks"),
+        concat_ws(",", map_keys(col("m"))).as("ks"),
         element_at(col("m"), "qty").as("qty"),
         size(map_filter(col("m"), (_, v) => v > 0.03)).as("n_big"),
         element_at(transform_values(col("m"), (_, v) => v * 2), "disc").as("disc2"))
@@ -271,7 +271,7 @@ object Scalars {
 
   private val q46Sql =
     """SELECT l_orderkey, l_linenumber,
-      |  ['qty','disc','tax'] AS ks,
+      |  'qty,disc,tax' AS ks,
       |  l_quantity AS qty,
       |  CAST(len(list_filter([l_quantity, l_discount, l_tax], v -> v > 0.03)) AS INT) AS n_big,
       |  l_discount * 2 AS disc2

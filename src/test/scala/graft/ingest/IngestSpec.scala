@@ -133,6 +133,10 @@ class IngestSpec extends SparkSpec {
     assert(split("\"\"") == Seq(""))
     assert(split("\"unterminated") == Seq("unterminated")) // permissive
     assert(split("\"a,b\",c") == Seq("a,b", "c"))
+    // Stray quote mid-field is literal (commons-csv): must NOT open quoted
+    // mode and swallow the following comma.
+    assert(split("""ab"c,d""") == Seq("ab\"c", "d"))
+    assert(split("""a""b,c""") == Seq("a\"\"b", "c"))
   }
 
   test("ingest plan: no shuffle — scan→project→filter is one codegen stage") {
