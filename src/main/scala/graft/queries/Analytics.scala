@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef._
+
+/** Event-stream analytics the reference's GPS domain implies but never
+  * implements (opentraffic/csv-loader is load-only): calendar gap-fill,
+  * conversion funnels, cohort retention. All declarative DataFrame logic —
+  * Catalyst plans each as scan → partial agg → one shuffle per key change,
+  * so every query here survives a 1000-executor scale-up unchanged.
+  */
+object Analytics {
+
+  /** q58 — calendar-spine gap-fill with last-observation-carried-forward:
+    * the time-series densification every training pipeline needs before
+    * windowed feature extraction. The spine is `sequence(min,max)` (a few
+    * hundred rows — broadcast), the grid is users × days, and LOCF is the
+    * gaps-and-islands pattern (cumulative non-null count → group max),
+    * which unlike `last(v, ignoreNulls)` is portable to the SQL oracle.
+    * Scale: the grid shuffles once on (user_id), then both window passes
+    * reuse that partitioning.
+    */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), round(exactSum(col("value")), 4).as("v"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val users = ev.select(col("user_id")).distinct()
+    val grid = users.crossJoin(broadcast(spine))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("grp", sum(when(col("v").isNotNull, 1).otherwise(0)).over(wRun))
+      .withColumn("v_filled",
+        coalesce(max(col("v")).over(Window.partitionBy(col("user_id"), col("grp"))), lit(0.0)))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("v_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q58Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+      |daily AS (SELECT user_id, day, count(*) AS n,
+      |            round(sum(CAST(round(value*10000) AS BIGINT))/10000.0, 4) AS v
+      |          FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM bounds),
+      |users AS (SELECT DISTINCT user_id FROM ev),
+      |grid AS (SELECT user_id, day FROM users CROSS JOIN spine),
+      |g AS (SELECT grid.user_id, grid.day, coalesce(daily.n, 0) AS n, daily.v,
+      |        sum(CASE WHEN daily.v IS NOT NULL THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY grid.user_id ORDER BY grid.day) AS grp
+      |      FROM grid LEFT JOIN daily
+      |        ON daily.user_id = grid.user_id AND daily.day = grid.day)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+      |  coalesce(max(v) OVER (PARTITION BY user_id, grp), 0.0) AS v_filled
+      |FROM g ORDER BY user_id, day""".stripMargin
+
+  /** q59 — ordered conversion funnel (view → click → purchase, strictly
+    * increasing timestamps): stage reached per user + exact microseconds
+    * to convert. Each stage is one small groupBy on user_id; the stage
+    * joins are all on the same key, so AQE coalesces them into co-located
+    * shuffles — no stage is ever wider than the user count.
+    */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2).otherwise(1).as("stage"),
+        (unix_micros(col("t3")) - unix_micros(col("t1"))).as("us_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q59Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT v.user_id,
+      |  CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+      |  epoch_us(p.t3) - epoch_us(v.t1) AS us_to_convert
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** q60 — cohort retention: users bucketed by first-activity day, distinct
+    * actives per (cohort, week offset). The classic growth-analytics matrix;
+    * two shuffles (first-touch agg, cohort-offset agg), both on bounded
+    * key spaces.
+    */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_day")) / lit(7)).cast("int"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("week_offset"), col("n_users"), col("n_events"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  private val q60Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(floor(date_diff('day', f.cohort_day, ev.day) / 7.0) AS INT) AS week_offset,
+      |  count(DISTINCT ev.user_id) AS n_users, count(*) AS n_events
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_gapfill", q58, Some(q58Sql)),
+    QueryDef("q59_funnel", q59, Some(q59Sql)),
+    QueryDef("q60_cohort", q60, Some(q60Sql)))
+}

@@ -189,10 +189,10 @@ object LlmOps {
        |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
   }
 
-  /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 trigram
-    * shingles, with exact set-Jaccard. The shingle equi-join IS the
-    * blocking step — pair cardinality is Σ_shingle freq², never n². */
-  def q35(s: SparkSession, d: String): DataFrame = {
+  /** (da, db, jaccard) near-dup candidate pairs: docs sharing ≥2 trigram
+    * shingles, with exact set-Jaccard (4dp). Shared by q35 (pair listing)
+    * and q61 (cluster closure). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram")).distinct()
@@ -208,8 +208,13 @@ object LlmOps {
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("nsh", "nb"), "db")
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
+
+  /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 trigram
+    * shingles, with exact set-Jaccard. The shingle equi-join IS the
+    * blocking step — pair cardinality is Σ_shingle freq², never n². */
+  def q35(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d).orderBy(col("da"), col("db"))
 
   private val q35Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -666,12 +671,178 @@ object LlmOps {
       |    pow(sin((radians(lon) - radians(plon)) / 2), 2)))), 4) AS hop_km
       |FROM h ORDER BY event_id""".stripMargin
 
+  /** q34d — IVF-style ANN: the second 100 TB similarity path (sign-LSH is
+    * [[q34c]]). Deterministic seed centroids (vec_id < 16 — a stand-in for
+    * k-means output, which would be engine-nondeterministic); every vector
+    * is assigned to its max-cosine centroid (32k cosines — a broadcast
+    * cross join against 16 rows, embarrassingly parallel); probes search
+    * only their own cell, so the candidate set is n/K, not n, and the
+    * probe⋈cell join is a plain broadcast equi-join on the cell id. Ranks
+    * on 4dp-rounded cosine with id tiebreaks → engine-stable. */
+  def q34d(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(CosineSimilarityExpr(col("embedding"), col("cemb")), 4).as("csim"))
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    val probes = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
+    val cands = assign
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    cands.join(broadcast(probes), Seq("cell"))
+      .filter(col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private val q34dSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, emb, centroid_id,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY round(list_cosine_similarity(emb, cemb), 4) DESC, centroid_id) AS arn
+      |        FROM e CROSS JOIN cents),
+      |cell AS (SELECT vec_id, emb, centroid_id AS cell FROM asg WHERE arn = 1),
+      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM cell
+      |      WHERE vec_id >= 16 AND vec_id < 26),
+      |s AS (SELECT pid, c.vec_id AS cid,
+      |        round(list_cosine_similarity(pe, c.emb), 4) AS sim
+      |      FROM p JOIN cell c USING (cell) WHERE pid <> c.vec_id),
+      |r AS (SELECT pid, cid, sim,
+      |        row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
+      |      FROM s)
+      |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
+
+  /** q61 — near-dup CLUSTERS: connected components over the q35 pair graph
+    * (Jaccard ≥ 0.8), i.e. the step that turns pairwise near-dup hits into
+    * dedup groups with one canonical survivor (min doc_id). Iterative
+    * min-label propagation — the Pregel pattern: each round is one
+    * equi-join + groupBy on the (tiny) node set, converging in
+    * O(component diameter) rounds ≈ O(log n) for near-dup families; every
+    * round's result is cached so lineage stays flat. At 100 TB the same
+    * loop runs with checkpointed rounds; the driver holds only a
+    * one-row convergence flag, never the graph. Oracle: DuckDB recursive
+    * CTE computes the same closure declaratively. */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    // cache the (expensive) pair generation BEFORE the direction-doubling
+    // union — otherwise both union branches re-run the shingle pipeline
+    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db")).cache()
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
+    // labels only ever decrease (min propagation), so Σlbl strictly
+    // decreases iff any label changed — a one-row agg per round instead
+    // of a join-based diff
+    var lblSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.alias("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("a"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
+        .cache()
+      val nextSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == lblSum
+      lblSum = nextSum
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q61Sql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |       FROM t WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pairs AS (SELECT da, db
+      |          FROM inter JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
+      |          WHERE round(inter * 1.0 / (na.nsh + nb.nsh - inter), 4) >= 0.8),
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b),
+      |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+      |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.doc_id""".stripMargin
+
+  /** q62 — TF-IDF top terms per document: the text-analysis scoring shape
+    * (term importance for filtering/near-dup features). Two aggregations
+    * (term-frequency, document-frequency) + one broadcast of the corpus
+    * size; ranking on the 4dp-rounded score (log's last libm bits differ
+    * between engines) with term tiebreak. DF is a per-term count over the
+    * TF relation — already distinct — so no extra distinct shuffle. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("ndocs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * (log((col("ndocs") + 1.0) / (col("df") + 1.0)) + 1.0), 4)
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val q62Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS ndocs FROM documents),
+      |sc AS (SELECT doc_id, term, tf,
+      |         round(tf * (ln((ndocs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+      |       FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tf, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |      FROM sc)
+      |SELECT doc_id, term, tf, score, rn FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
     QueryDef("q34_similarity_topk", q34, Some(q34Sql)),
     QueryDef("q34b_embedding_neardup", q34b, Some(q34bSql)),
     QueryDef("q34c_lsh_ann", q34c, Some(q34cSql)),
+    QueryDef("q34d_ivf_ann", q34d, Some(q34dSql)),
     QueryDef("q35_near_dup", q35, Some(q35Sql)),
     QueryDef("q35b_minhash_sig", q35b, None),
     QueryDef("q35c_simhash", q35c, None),
@@ -687,5 +858,7 @@ object LlmOps {
     QueryDef("q52_multimodal_decode", q52, None),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),
     QueryDef("q54_vocab_encode", q54, Some(q54Sql)),
-    QueryDef("q55_geo_hops", q55, Some(q55Sql)))
+    QueryDef("q55_geo_hops", q55, Some(q55Sql)),
+    QueryDef("q61_dedup_clusters", q61, Some(q61Sql)),
+    QueryDef("q62_tfidf", q62, Some(q62Sql)))
 }
