@@ -65,6 +65,20 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
   }
 
+  test("q58: the calendar spine and grid stay broadcast — the fact side never shuffles for the join") {
+    val p = planString(Analytics.q58(spark, sf0001))
+    // spine (30 rows) joins the user set via broadcast nested-loop; the
+    // daily aggregate joins the grid via broadcast hash — no SMJ anywhere
+    assert(p.contains("BroadcastNestedLoopJoin"), s"spine not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in gap-fill:\n$p")
+  }
+
+  test("q62: DF and corpus-size sides broadcast; top-3 plans as WindowGroupLimit") {
+    val p = planString(LlmOps.q62(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, s"df join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
