@@ -33,4 +33,39 @@ object SkewJoin {
       explode(array((0 until saltBuckets).map(lit): _*)))
     left.join(right, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Targeted variant: salts ONLY detected hot keys, leaving the rest of
+    * the join untouched — the production form of [[saltedEquiJoin]] at
+    * 100 TB, where blanket ×n replication of the dim side is its own
+    * shuffle-volume problem.
+    *
+    * One partial-aggregated key count over the skewed side finds keys
+    * above `hotKeyThreshold`; that (by definition tiny) hot-key set is
+    * broadcast to both sides. Hot rows get a hashed salt in [0, n); cold
+    * rows keep salt 0. The other side replicates rows ×n for hot keys
+    * only. With no hot keys this degenerates to the plain equi-join plus
+    * one cheap count — the correct "detector says don't salt" outcome.
+    */
+  def targetedSaltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      hotKeyThreshold: Long,
+      saltCols: Seq[Column] = Seq.empty): DataFrame = {
+    val saltBasis = if (saltCols.nonEmpty) saltCols else skewed.columns.toSeq.map(col)
+    val hot = skewed.groupBy(col(key)).count()
+      .filter(col("count") > hotKeyThreshold)
+      .select(col(key), lit(true).as("__hot"))
+    val salts = array((0 until saltBuckets).map(lit): _*)
+    val left = skewed.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(hash(saltBasis: _*), lit(saltBuckets))).otherwise(0))
+      .drop("__hot")
+    val right = other.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"), salts).otherwise(array(lit(0)))))
+      .drop("__hot")
+    left.join(right, Seq(key, "__salt")).drop("__salt")
+  }
 }

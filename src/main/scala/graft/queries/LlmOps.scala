@@ -564,7 +564,11 @@ object LlmOps {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
     val o = Tables.orders(s, d)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.SkewJoin.saltedEquiJoin(li, o, "l_orderkey", saltBuckets = 8)
+    // targeted salting: keys above the threshold spread across 8 salts,
+    // everything else joins plain — result is oracled against the
+    // UNSALTED join, proving salting is invisible to semantics
+    graft.operators.SkewJoin
+      .targetedSaltedJoin(li, o, "l_orderkey", saltBuckets = 8, hotKeyThreshold = 50)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("total_qty"))
       .orderBy(col("o_orderpriority"))

@@ -35,6 +35,30 @@ class ScaleSpec extends SparkSpec {
     assert(salts > 1, s"hot key $hotKey rows all hashed to one salt")
   }
 
+  test("targeted salting salts only hot keys and matches the plain join") {
+    // one hot key (7) with ~90% of left rows, the rest unique
+    val left = spark.range(2000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = spark.range(200).select(col("id").as("k"), (col("id") * 3).as("w"))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("v") + col("w"))).collect()(0)
+    val plain = summarize(left.join(right, "k"))
+    // hot path: key 7 crosses the threshold and gets spread over 8 salts
+    val salted = summarize(SkewJoin.targetedSaltedJoin(
+      left, right, "k", saltBuckets = 8, hotKeyThreshold = 100))
+    assert(plain == salted)
+    // degenerate path: nothing hot → still the plain join's exact result
+    val unsalted = summarize(SkewJoin.targetedSaltedJoin(
+      left, right, "k", saltBuckets = 8, hotKeyThreshold = Long.MaxValue))
+    assert(plain == unsalted)
+    // the hot key really fans out: its left rows hash to >1 salt bucket
+    val saltsUsed = left.filter(col("k") === 7)
+      .withColumn("s", pmod(hash(col("k"), col("v")), lit(8)))
+      .select(countDistinct(col("s"))).collect()(0).getLong(0)
+    assert(saltsUsed > 1, "hot-key rows all landed on one salt")
+  }
+
   test("AQE splits skewed join partitions (skew=true in the final plan)") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
