@@ -193,9 +193,11 @@ object LlmOps {
     * shingles, with exact set-Jaccard (4dp). Shared by q35 (pair listing)
     * and q61 (cluster closure). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // cached: consumed 4× below (both self-join sides + both size lookups)
+    // and Catalyst does not reuse the distinct's exchange across them
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram")).distinct()
+      .select(col("doc_id"), col("ngram")).distinct().cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -840,6 +842,67 @@ object LlmOps {
       |SELECT doc_id, term, tf, score, rn FROM r WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** Portable deterministic hash used by the split/interleave ops: an LCG
+    * step mod 2^31 that both engines evaluate identically in exact integer
+    * arithmetic. Production at 100 TB swaps in `xxhash64` (engine-specific,
+    * so not oracle-able); the pipeline shape is unchanged. Inputs here are
+    * doc ids (< 2^31), so the multiply stays far below 2^63 — no ANSI
+    * overflow. */
+  private def lcgKey(mix: Column): Column =
+    (mix * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+
+  /** q63 — deterministic train/val/test split (90/5/5): the standard
+    * large-corpus alternative to TABLESAMPLE. Sampling by a hash of the
+    * stable key (not `rand()`) is reproducible across runs, cluster sizes
+    * and partitionings, and lets late-arriving data land in the same split.
+    * Embarrassingly parallel: no shuffle except the presentation sort. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (lcgKey(col("doc_id")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q63Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q64 — weighted corpus interleave: mix sources at different sampling
+    * ratios (src0-src4 ×2 epochs, rest ×1) and lay the result out in a
+    * deterministic pseudo-random order by a hash shuffle key — how training
+    * shards are materialized without a driver-side shuffle. The upsample is
+    * a generator (`explode` of a per-row rep array), the order a
+    * range-partitioned total sort on the hash — both scale linearly. */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rep", explode(
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          array(lit(0L), lit(1L))).otherwise(array(lit(0L)))))
+      .select(col("doc_id"), col("source"), col("rep"),
+        lcgKey(col("doc_id") + col("rep") * lit(747796405L)).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"), col("rep"))
+  }
+
+  private val q64Sql =
+    """WITH reps AS (
+      |  SELECT doc_id, source,
+      |    CAST(unnest(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |                     THEN [0, 1] ELSE [0] END) AS BIGINT) AS rep
+      |  FROM documents)
+      |SELECT doc_id, source, rep,
+      |  ((doc_id + rep * 747796405) * 1103515245 + 12345) % 2147483648 AS shuffle_key
+      |FROM reps ORDER BY shuffle_key, doc_id, rep""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -864,5 +927,7 @@ object LlmOps {
     QueryDef("q54_vocab_encode", q54, Some(q54Sql)),
     QueryDef("q55_geo_hops", q55, Some(q55Sql)),
     QueryDef("q61_dedup_clusters", q61, Some(q61Sql)),
-    QueryDef("q62_tfidf", q62, Some(q62Sql)))
+    QueryDef("q62_tfidf", q62, Some(q62Sql)),
+    QueryDef("q63_split_assign", q63, Some(q63Sql)),
+    QueryDef("q64_interleave", q64, Some(q64Sql)))
 }

@@ -119,6 +119,28 @@ class ScaleSpec extends SparkSpec {
     read.foreach(n => assert(n == 1, s"read $n of $nDays partitions"))
   }
 
+  test("runtime bloom filter: selective dim filter prunes the fact scan rows") {
+    val s = spark.newSession()
+    // force the shuffle-join path (bloom filters aren't injected for BHJ —
+    // broadcast already gives exact pruning) and drop the size gates that
+    // disable the rewrite at test scale
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables.lineitem(s, sf0001).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(s, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT") // selective creation side
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+      plan.contains("might_contain"),
+      s"no runtime bloom filter injected:\n$plan")
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val dir = Files.createTempDirectory("graft-dpp").toString
     val s = spark.newSession()

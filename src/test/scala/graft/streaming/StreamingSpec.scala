@@ -158,6 +158,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((10L, "2024-01-01 10:00:00")))
   }
 
+  test("stream-static join: stream enriched from a static dimension table") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = input.toDF().join(dim, Seq("user_id"))
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("ssj_static_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(1, ts(0), 1, "click", 0), Ev(2, ts(1), 2, "view", 0),
+      Ev(3, ts(2), 99, "view", 0)) // user 99 not in dim → dropped (inner)
+    q.processAllAvailable()
+    val rows = spark.table("ssj_static_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set((1L, "gold"), (2L, "basic")))
+  }
+
   test("JSONL source: schema-applied json lines match the parquet events table") {
     val dir = Files.createTempDirectory("graft-jsonl")
     val pq = graft.Tables.events(spark, "/root/testdata/sf0.001")
