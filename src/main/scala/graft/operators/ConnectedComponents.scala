@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the Pregel
+  * pattern: each round is one equi-join + groupBy on the node set,
+  * converging in O(component diameter) rounds ≈ O(log n) for near-dup
+  * families. Labels only ever decrease, so Σlbl strictly decreases iff any
+  * label changed — convergence is a one-row aggregate per round, never a
+  * join-based diff; the driver holds a single Long, never the graph.
+  *
+  * Lifecycle (the round-2 lesson): each round's labels are cached and the
+  * previous round unpersisted, so lineage stays flat and at most ONE round
+  * is ever resident; the converged result is materialized to scratch
+  * parquet and the last cache dropped, leaving zero persisted state for
+  * whoever consumes the returned relation.
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected edges (da, db). MUST be cheap to rescan —
+    *   the loop reads it twice per round; run it through
+    *   [[Scratch.materialize]] first if it is derived.
+    * @param onRound test hook invoked with each round's label relation
+    *   before its action (plan assertions).
+    * @return (doc_id, lbl) with lbl = min node id of the component,
+    *   scratch-materialized — no cache survives this call. */
+  def minLabelPropagation(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      onRound: DataFrame => Unit = _ => ()): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+    val nodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
+    var lblSum = sumOfLabels(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.alias("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("a"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
+        .cache()
+      onRound(next)
+      val nextSum = sumOfLabels(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == lblSum
+      lblSum = nextSum
+      iter += 1
+    }
+    val out = Scratch.materialize(labels, "cc-labels")
+    labels.unpersist()
+    out
+  }
+
+  private def sumOfLabels(labels: DataFrame): Long =
+    labels.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
+}

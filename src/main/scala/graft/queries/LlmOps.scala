@@ -189,15 +189,33 @@ object LlmOps {
        |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
   }
 
-  /** (da, db, jaccard) near-dup candidate pairs: docs sharing ≥2 trigram
-    * shingles, with exact set-Jaccard (4dp). Shared by q35 (pair listing)
-    * and q61 (cluster closure). */
+  /** Doc-frequency cap for the exact shingle path: a shingle present in
+    * more than this many documents is dropped from BOTH intersection and
+    * union before the self-join (standard near-dup practice — a corpus-
+    * common "stopword" trigram carries no dedup signal, but its equi-join
+    * bucket is freq² work, i.e. quadratic at 100 TB). The cap bounds the
+    * worst bucket at MaxShingleDocFreq² regardless of corpus size.
+    * Mirrored in the q35/q61 oracle SQL. */
+  private[queries] val MaxShingleDocFreq = 256
+
+  /** (da, db, jaccard) near-dup candidate pairs: docs sharing ≥2 rare
+    * (df ≤ [[MaxShingleDocFreq]]) trigram shingles, with exact set-Jaccard
+    * (4dp) over the rare-shingle universe. Shared by q35 (pair listing)
+    * and q61 (cluster closure).
+    *
+    * Uncached on purpose: the consumers below re-derive the subtree, which
+    * round-2 measurement showed is CHEAPER than caching it (the cache
+    * squatted on executor memory for the rest of the JVM and regressed
+    * every later query 1.6-3.3×). The df window is one shuffle on ngram
+    * and leaves the relation hash-partitioned by ngram — the key the
+    * self-join needs. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // cached: consumed 4× below (both self-join sides + both size lookups)
-    // and Catalyst does not reuse the distinct's exchange across them
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram")).distinct().cache()
+      .select(col("doc_id"), col("ngram")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
+      .filter(col("df") <= MaxShingleDocFreq)
+      .select(col("doc_id"), col("ngram"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -212,18 +230,23 @@ object LlmOps {
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
-  /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 trigram
-    * shingles, with exact set-Jaccard. The shingle equi-join IS the
-    * blocking step — pair cardinality is Σ_shingle freq², never n². */
+  /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 rare
+    * trigram shingles, with exact set-Jaccard. The shingle equi-join IS
+    * the blocking step — pair cardinality is Σ_shingle freq², never n² —
+    * and the [[MaxShingleDocFreq]] cap bounds the worst freq² bucket, the
+    * guard that keeps this path alive at 100× corpus scale. */
   def q35(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, d).orderBy(col("da"), col("db"))
 
   private val q35Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
+      |sh0 AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
       |       FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, ngram FROM (
+      |         SELECT doc_id, ngram, count(*) OVER (PARTITION BY ngram) AS df
+      |         FROM sh0) WHERE df <= 256),
       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
@@ -735,43 +758,24 @@ object LlmOps {
   /** q61 — near-dup CLUSTERS: connected components over the q35 pair graph
     * (Jaccard ≥ 0.8), i.e. the step that turns pairwise near-dup hits into
     * dedup groups with one canonical survivor (min doc_id). Iterative
-    * min-label propagation — the Pregel pattern: each round is one
-    * equi-join + groupBy on the (tiny) node set, converging in
-    * O(component diameter) rounds ≈ O(log n) for near-dup families; every
-    * round's result is cached so lineage stays flat. At 100 TB the same
-    * loop runs with checkpointed rounds; the driver holds only a
-    * one-row convergence flag, never the graph. Oracle: DuckDB recursive
-    * CTE computes the same closure declaratively. */
+    * min-label propagation ([[graft.operators.ConnectedComponents]]): each
+    * round is one equi-join + groupBy on the (tiny) node set, converging
+    * in O(component diameter) rounds ≈ O(log n) for near-dup families.
+    * Pair generation and the converged labels are scratch-parquet
+    * materializations (the 100 TB reliable-checkpoint step), and rounds
+    * cache/unpersist pairwise — NO persisted state survives the query
+    * (round-2's leaked caches regressed every later query). The driver
+    * holds only a one-row convergence flag, never the graph. Oracle:
+    * DuckDB recursive CTE computes the same closure declaratively. */
   def q61(s: SparkSession, d: String): DataFrame = {
-    // cache the (expensive) pair generation BEFORE the direction-doubling
-    // union — otherwise both union branches re-run the shingle pipeline
-    val pairs = jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
-      .select(col("da"), col("db")).cache()
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
-    val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
-    // labels only ever decrease (min propagation), so Σlbl strictly
-    // decreases iff any label changed — a one-row agg per round instead
-    // of a join-based diff
-    var lblSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.alias("l")
-        .join(nbrMin, col("l.doc_id") === nbrMin("a"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
-        .cache()
-      val nextSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == lblSum
-      lblSum = nextSum
-      iter += 1
-    }
+    // the (expensive) pair generation is materialized to scratch parquet
+    // ONCE — the CC loop reads it twice per round, and a storage
+    // materialization (vs cache) leaves zero persisted state behind
+    val pairs = graft.operators.Scratch.materialize(
+      jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
+        .select(col("da"), col("db")),
+      "q61-pairs")
+    val labels = graft.operators.ConnectedComponents.minLabelPropagation(pairs)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -781,10 +785,13 @@ object LlmOps {
   private val q61Sql =
     """WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
+      |sh0 AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
       |       FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, ngram FROM (
+      |         SELECT doc_id, ngram, count(*) OVER (PARTITION BY ngram) AS df
+      |         FROM sh0) WHERE df <= 256),
       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id

@@ -37,6 +37,20 @@ class RegistrySpec extends SparkSpec {
     assert(total(13) == t1)
   }
 
+  test("no query leaves persisted state behind (round-2 cache-leak guard)") {
+    // a leaked .cache() squats on executor memory for the rest of the JVM
+    // and regresses every later query — run the full registry and demand
+    // zero persisted RDDs after each query's action
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      fn(spark, sf0001).write.format("noop").mode("overwrite").save()
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name left ${leaked.size} persisted RDD(s) behind")
+    }
+  }
+
   test("proto envelope: property — random messages round-trip exactly") {
     val locGen = for {
       lat <- Gen.chooseNum(-90.0, 90.0)

@@ -79,6 +79,30 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("q61 CC rounds read cached labels + scratch pairs, never the shingle pipeline") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import graft.operators.{ConnectedComponents, Scratch}
+    import spark.implicits._
+    // two components: {1,2,3} (diameter 2) and {10,11}
+    val pairs = Scratch.materialize(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db"), "plantest")
+    var rounds = 0
+    val labels = ConnectedComponents.minLabelPropagation(pairs, onRound = { next =>
+      rounds += 1
+      val lp = next.queryExecution.optimizedPlan
+      assert(lp.collect { case g: Generate => g }.isEmpty,
+        s"round $rounds re-derives a generator pipeline:\n$lp")
+      assert(lp.collect { case r: InMemoryRelation => r }.nonEmpty,
+        s"round $rounds does not read the cached previous round:\n$lp")
+    })
+    assert(rounds >= 2, "expected at least two propagation rounds")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "CC left persisted state behind")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
