@@ -39,12 +39,18 @@ object SkewJoin {
     * 100 TB, where blanket ×n replication of the dim side is its own
     * shuffle-volume problem.
     *
-    * One partial-aggregated key count over the skewed side finds keys
-    * above `hotKeyThreshold`; that (by definition tiny) hot-key set is
-    * broadcast to both sides. Hot rows get a hashed salt in [0, n); cold
-    * rows keep salt 0. The other side replicates rows ×n for hot keys
-    * only. With no hot keys this degenerates to the plain equi-join plus
-    * one cheap count — the correct "detector says don't salt" outcome.
+    * Detection runs on a seeded `detectSampleFraction` sample of the key
+    * column with a proportionally scaled threshold — at 100 TB an exact
+    * key count is its own full-table shuffle, while a 1% sample finds any
+    * key hot enough to matter (a >threshold key appears in the sample
+    * with overwhelming probability). Detection errors are safe by
+    * construction: a missed hot key degrades to the plain join (correct,
+    * just unsalted), a false positive wastes ×n replication on one cold
+    * key — so the cheap detector is the right trade. The (by definition
+    * tiny) hot-key set is broadcast to both sides. Hot rows get a hashed
+    * salt in [0, n); cold rows keep salt 0. The other side replicates
+    * rows ×n for hot keys only. With no hot keys this degenerates to the
+    * plain equi-join plus one cheap sampled count.
     */
   def targetedSaltedJoin(
       skewed: DataFrame,
@@ -52,10 +58,14 @@ object SkewJoin {
       key: String,
       saltBuckets: Int,
       hotKeyThreshold: Long,
-      saltCols: Seq[Column] = Seq.empty): DataFrame = {
+      saltCols: Seq[Column] = Seq.empty,
+      detectSampleFraction: Double = 0.01): DataFrame = {
     val saltBasis = if (saltCols.nonEmpty) saltCols else skewed.columns.toSeq.map(col)
-    val hot = skewed.groupBy(col(key)).count()
-      .filter(col("count") > hotKeyThreshold)
+    val scaledThreshold = math.max(1.0, hotKeyThreshold * detectSampleFraction)
+    val hot = skewed.select(col(key))
+      .sample(withReplacement = false, detectSampleFraction, seed = 42L)
+      .groupBy(col(key)).count()
+      .filter(col("count") > scaledThreshold)
       .select(col(key), lit(true).as("__hot"))
     val salts = array((0 until saltBuckets).map(lit): _*)
     val left = skewed.join(broadcast(hot), Seq(key), "left")

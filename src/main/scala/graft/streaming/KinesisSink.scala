@@ -1,20 +1,131 @@
 package graft.streaming
 
+import org.apache.spark.internal.Logging
+
 /** Record-batch sink abstraction: the reference *declares* a Kinesis path
   * (README.md:2 "via HTTP or Kinesis"; unused aws-java-sdk dep,
-  * pom.xml:100-104) but never implements it. We keep the seam real — the
-  * streaming pipeline writes through this trait — and ship an in-memory
-  * stub in place of a cloud client (zero-egress environment; a real
-  * implementation would PutRecords per ≤500-record chunk with partition
-  * key = vehicleId for per-vehicle ordering).
+  * pom.xml:100-104) but never implements it. We implement the producer
+  * contract for real — batching, partial-failure retry, partition-key
+  * routing — behind a transport seam, because the environment is
+  * zero-egress: a deployment drops in an AWS-SDK transport; tests use
+  * [[InMemoryKinesis]], which mirrors the service's documented behavior.
   */
 trait EnvelopeSink extends Serializable {
   /** Deliver one encoded envelope; at-least-once contract. */
   def send(envelope: Array[Byte]): Unit
 }
 
-/** Stub standing in for a Kinesis producer: collects envelopes in a
-  * process-local buffer keyed by stream name (test-observable). */
+/** One Kinesis record: routing key + opaque payload. */
+final case class KinesisRecord(partitionKey: String, data: Array[Byte])
+
+/** Transport seam = one PutRecords API call (≤500 records). Returns
+  * per-record success flags — Kinesis reports failure per RECORD, not per
+  * call (`FailedRecordCount` + per-entry `ErrorCode`), which is what
+  * forces the resubmit-only-failures loop in [[KinesisSink]]. */
+trait KinesisTransport extends Serializable {
+  def putRecords(stream: String, records: Seq[KinesisRecord]): Seq[Boolean]
+}
+
+/** Kinesis producer with the service's real client contract:
+  *
+  *  - ≤500 records per PutRecords call (API limit) — larger inputs chunk;
+  *  - partial failure resubmits ONLY the failed records, with bounded
+  *    exponential backoff between rounds ⇒ at-least-once (duplicates
+  *    possible if a record was stored but reported failed);
+  *  - partition key routes each record to a shard; per-message sends key
+  *    by vehicleId so one vehicle's pings stay on one shard (Kinesis
+  *    orders per shard only — keying by vehicle is what makes the
+  *    downstream per-vehicle timeline reconstructable);
+  *  - gives up after `maxRetries` resubmit rounds (throws — the Spark
+  *    task retry then re-runs the partition, preserving at-least-once).
+  */
+class KinesisSink(
+    streamName: String,
+    transport: KinesisTransport,
+    maxBatch: Int = 500,
+    maxRetries: Int = 10,
+    backoffMs: Long = 100) extends EnvelopeSink with Logging {
+
+  require(maxBatch > 0 && maxBatch <= 500, "Kinesis PutRecords limit is 500")
+
+  /** Envelope-level send (the [[EnvelopeSink]] contract): the envelope's
+    * source id is the partition key — all of one source's envelopes stay
+    * ordered on one shard, mirroring the HTTP sink's one-stream-per-source
+    * shape. */
+  override def send(envelope: Array[Byte]): Unit = {
+    val (sourceId, _) = ProtoEnvelope.decodeEnvelope(envelope)
+    putAll(Seq(KinesisRecord(sourceId.toString, envelope)))
+  }
+
+  /** Message-level send: one record per vehicle message, keyed by
+    * vehicleId (per-vehicle shard affinity + ordering). Each record is a
+    * self-contained single-message envelope so any shard consumer can
+    * decode records independently. */
+  def sendMessages(sourceId: Long, msgs: Seq[VehicleMessage]): Unit =
+    putAll(msgs.map(m => KinesisRecord(m.vehicleId.toString,
+      ProtoEnvelope.encodeEnvelope(sourceId, Seq(m)))))
+
+  def putAll(records: Seq[KinesisRecord]): Unit =
+    records.grouped(maxBatch).foreach(putWithRetry)
+
+  private def putWithRetry(batch: Seq[KinesisRecord]): Unit = {
+    var pending = batch
+    var round = 0
+    while (pending.nonEmpty) {
+      val ok = transport.putRecords(streamName, pending)
+      require(ok.length == pending.length, "transport must answer per record")
+      pending = pending.zip(ok).collect { case (r, false) => r }
+      if (pending.nonEmpty) {
+        round += 1
+        if (round > maxRetries)
+          throw new java.io.IOException(
+            s"Kinesis $streamName: ${pending.size} records still failing " +
+              s"after $maxRetries resubmit rounds")
+        logWarning(s"Kinesis $streamName partial failure: resubmitting " +
+          s"${pending.size} records (round $round)")
+        Thread.sleep(math.min(backoffMs << math.min(round - 1, 6), 5000L))
+      }
+    }
+  }
+}
+
+/** In-process transport that mirrors the service's documented routing:
+  * shard = MD5(partitionKey) folded onto an even split of the 128-bit
+  * hash-key space (how Kinesis assigns records to shards). Supports
+  * test-injected per-record failures and records per-call sizes so the
+  * batching contract is observable. */
+class InMemoryKinesis(numShards: Int) extends KinesisTransport {
+  import scala.collection.mutable
+
+  private val stored = mutable.ArrayBuffer.empty[(Int, KinesisRecord)]
+  private val callSizesBuf = mutable.ArrayBuffer.empty[Int]
+  /** Test hook: records for which this returns true fail (once per call). */
+  @volatile var failNext: KinesisRecord => Boolean = _ => false
+
+  def shardOf(partitionKey: String): Int = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(partitionKey.getBytes("UTF-8"))
+    new java.math.BigInteger(1, md5)
+      .mod(java.math.BigInteger.valueOf(numShards.toLong)).intValue()
+  }
+
+  override def putRecords(
+      stream: String, records: Seq[KinesisRecord]): Seq[Boolean] =
+    this.synchronized {
+      callSizesBuf += records.size
+      records.map { r =>
+        if (failNext(r)) false
+        else { stored += ((shardOf(r.partitionKey), r)); true }
+      }
+    }
+
+  def records: Seq[(Int, KinesisRecord)] = this.synchronized(stored.toSeq)
+  def callSizes: Seq[Int] = this.synchronized(callSizesBuf.toSeq)
+}
+
+/** Minimal stub standing in for a whole producer (kept for the envelope
+  * smoke path): collects envelopes in a process-local buffer keyed by
+  * stream name (test-observable). */
 class StubKinesisSink(streamName: String) extends EnvelopeSink {
   override def send(envelope: Array[Byte]): Unit =
     StubKinesisSink.record(streamName, envelope)

@@ -24,6 +24,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(withJ.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("q35d recall gate at sf0.01: LSH finds the dedup-grade (j>=0.8) pairs") {
+    // the scale-path guarantee that matters: if MinHash-LSH replaced the
+    // exact shingle join at 100 TB, which near-dup pairs would it keep?
+    // Gate at the q61 clustering threshold (jaccard >= 0.8) on the
+    // driver-gate scale factor, with a fixed floor.
+    val RecallFloor = 0.9
+    val exact = LlmOps.q35(spark, sf001)
+      .filter(col("jaccard") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sf0.01 corpus has no dedup-grade pairs — gate is vacuous")
+    val lsh = LlmOps.q35d(spark, sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    info(f"q35d recall vs exact j>=0.8 pairs at sf0.01: $recall%.3f " +
+      f"(${exact.intersect(lsh).size}/${exact.size}, floor $RecallFloor)")
+    assert(recall >= RecallFloor,
+      f"LSH recall $recall%.3f below $RecallFloor: exact=${exact.size} lsh=${lsh.size}")
+  }
+
   test("exact dedup (q23) is idempotent") {
     val once = LlmOps.q23(spark, sf0001)
     // dedup of an already-deduped relation is itself: doc_id sets equal

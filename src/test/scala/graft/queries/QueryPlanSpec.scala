@@ -85,6 +85,7 @@ class QueryPlanSpec extends SparkSpec {
     import graft.operators.{ConnectedComponents, Scratch}
     import spark.implicits._
     // two components: {1,2,3} (diameter 2) and {10,11}
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Scratch.materialize(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db"), "plantest")
     var rounds = 0
@@ -99,8 +100,10 @@ class QueryPlanSpec extends SparkSpec {
     assert(rounds >= 2, "expected at least two propagation rounds")
     val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "CC left persisted state behind")
+    // delta vs suite start: other suites may hold test-scoped caches in
+    // the shared session — CC itself must add none
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"CC left persisted state behind: $leaked")
   }
 
   test("whole-stage codegen covers the custom expressions (no fallback)") {

@@ -141,4 +141,52 @@ class SinkSpec extends SparkSpec {
     assert(drained.size == 1)
     assert(ProtoEnvelope.decodeEnvelope(drained.head)._1 == 5L)
   }
+
+  test("kinesis sink: per-vehicle shard affinity and PutRecords batching") {
+    val kin = new InMemoryKinesis(numShards = 4)
+    val sink = new KinesisSink("vehicles", kin, maxBatch = 500)
+    val many = (1 to 1200).map(i =>
+      VehicleMessage(i.toLong % 37, Seq(VehicleLocation(1, 2, i.toLong))))
+    sink.sendMessages(sourceId = 9L, many)
+    // API limit honored: 1200 records → calls of 500/500/200
+    assert(kin.callSizes == Seq(500, 500, 200))
+    assert(kin.records.size == 1200)
+    // one vehicle never straddles shards (ordering guarantee), and the
+    // key space actually spreads over >1 shard (routing isn't degenerate)
+    val shardsPerKey = kin.records.groupBy(_._2.partitionKey)
+      .view.mapValues(_.map(_._1).distinct.size)
+    assert(shardsPerKey.values.forall(_ == 1), "a vehicle straddled shards")
+    assert(kin.records.map(_._1).distinct.size > 1, "all records on one shard")
+    // each record decodes independently with the envelope source id
+    val (sid, decoded) = ProtoEnvelope.decodeEnvelope(kin.records.head._2.data)
+    assert(sid == 9L && decoded.size == 1)
+  }
+
+  test("kinesis sink: partial failure resubmits only the failed records") {
+    val kin = new InMemoryKinesis(numShards = 2)
+    val failedOnce = scala.collection.mutable.Set.empty[String]
+    // vehicle 7's records fail on first sight, succeed on resubmit
+    kin.failNext = r =>
+      r.partitionKey == "7" && failedOnce.synchronized(failedOnce.add(r.data.toSeq.toString))
+    val sink = new KinesisSink("vehicles", kin, maxBatch = 500, backoffMs = 1)
+    val batch = (1 to 50).map(i =>
+      VehicleMessage(i.toLong % 10, Seq(VehicleLocation(0, 0, i.toLong))))
+    sink.sendMessages(sourceId = 3L, batch)
+    // all 50 records delivered exactly once despite the injected failures…
+    assert(kin.records.size == 50)
+    // …via one full call + one resubmit round carrying ONLY the 5 failures
+    assert(kin.callSizes == Seq(50, 5))
+  }
+
+  test("kinesis sink: gives up after maxRetries resubmit rounds") {
+    val kin = new InMemoryKinesis(numShards = 2)
+    kin.failNext = _.partitionKey == "1"
+    val sink = new KinesisSink("vehicles", kin, maxRetries = 2, backoffMs = 1)
+    val ex = intercept[IOException] {
+      sink.sendMessages(sourceId = 1L,
+        Seq(VehicleMessage(1L, Seq(VehicleLocation(0, 0, 1L)))))
+    }
+    assert(ex.getMessage.contains("still failing"))
+    assert(kin.callSizes.size == 3) // initial + 2 resubmit rounds
+  }
 }
