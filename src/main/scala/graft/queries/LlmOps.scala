@@ -210,22 +210,26 @@ object LlmOps {
     * and leaves the relation hash-partitioned by ngram — the key the
     * self-join needs. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // each doc's (capped) shingle-set size rides along as a second window
+    // over the df-filtered relation — the Jaccard denominator then comes
+    // out of the self-join's own grouping keys, eliminating the two
+    // sizes-lookup joins an aggregate would need. The two self-join sides
+    // are byte-identical subtrees, so ReuseExchange computes the pipeline
+    // once and replays the exchange for the other side.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram")).distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
       .filter(col("df") <= MaxShingleDocFreq)
-      .select(col("doc_id"), col("ngram"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = sh.alias("a")
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("ngram"), col("nsh"))
+    sh.alias("a")
       .join(sh.alias("b"),
         col("a.ngram") === col("b.ngram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 2)
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("nsh", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("nsh", "nb"), "db")
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
@@ -244,16 +248,16 @@ object LlmOps {
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
       |       FROM t WHERE len(toks) >= 3),
-      |sh AS (SELECT doc_id, ngram FROM (
-      |         SELECT doc_id, ngram, count(*) OVER (PARTITION BY ngram) AS df
-      |         FROM sh0) WHERE df <= 256),
-      |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
+      |       FROM (SELECT doc_id, ngram,
+      |               count(*) OVER (PARTITION BY ngram) AS df
+      |             FROM sh0) WHERE df <= 256),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2 HAVING count(*) >= 2)
-      |SELECT da, db, round(inter * 1.0 / (na.nsh + nb.nsh - inter), 4) AS jaccard
-      |FROM inter JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
-      |ORDER BY da, db""".stripMargin
+      |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      |SELECT da, db, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+      |FROM inter ORDER BY da, db""".stripMargin
 
   /** q35b — MinHash signatures (k=16) per document: the scale path for
     * near-dup (LSH banding joins on signature bands instead of raw
@@ -789,16 +793,16 @@ object LlmOps {
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
       |       FROM t WHERE len(toks) >= 3),
-      |sh AS (SELECT doc_id, ngram FROM (
-      |         SELECT doc_id, ngram, count(*) OVER (PARTITION BY ngram) AS df
-      |         FROM sh0) WHERE df <= 256),
-      |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
+      |       FROM (SELECT doc_id, ngram,
+      |               count(*) OVER (PARTITION BY ngram) AS df
+      |             FROM sh0) WHERE df <= 256),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2 HAVING count(*) >= 2),
-      |pairs AS (SELECT da, db
-      |          FROM inter JOIN sizes na ON na.doc_id = da JOIN sizes nb ON nb.doc_id = db
-      |          WHERE round(inter * 1.0 / (na.nsh + nb.nsh - inter), 4) >= 0.8),
+      |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8),
       |edges AS (SELECT da AS a, db AS b FROM pairs
       |          UNION ALL SELECT db AS a, da AS b FROM pairs),
       |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),

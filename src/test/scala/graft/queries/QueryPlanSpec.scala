@@ -79,6 +79,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("q35: self-join sides share one exchange (ReusedExchange, no double pipeline)") {
+    // the shingle pipeline (scan → explode → distinct → df/nsh windows) is
+    // the expensive subtree; both self-join sides must replay ONE shuffle
+    // of it, not compute it twice — at 100 TB this halves the dominant cost
+    val df = LlmOps.q35(spark, sf0001)
+    df.collect() // finalize AQE stages
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"self-join does not reuse the shingle exchange:\n$p")
+  }
+
   test("q61 CC rounds read cached labels + scratch pairs, never the shingle pipeline") {
     import org.apache.spark.sql.catalyst.plans.logical.Generate
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
