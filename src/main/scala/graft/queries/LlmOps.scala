@@ -914,6 +914,141 @@ object LlmOps {
       |  ((doc_id + rep * 747796405) * 1103515245 + 12345) % 2147483648 AS shuffle_key
       |FROM reps ORDER BY shuffle_key, doc_id, rep""".stripMargin
 
+  /** q65 — benchmark decontamination: flag corpus documents that share any
+    * word 8-gram with a held-out benchmark/eval set (the GPT-3/PaLM-style
+    * train-test overlap check every serious training pipeline runs). The
+    * eval set here is the deterministic doc_id%97 bucket; in production it
+    * is the actual benchmark suite — small by construction, so its distinct
+    * 8-gram set BROADCASTS and contamination becomes a map-side semi-join
+    * over the streamed corpus n-grams: no shuffle of the 100 TB side
+    * before the per-doc count. */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % 97 === 0
+    val benchGrams = docs.filter(isBench)
+      .select(NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
+      .select(col("ngram")).distinct()
+    val corpusGrams = docs.filter(!isBench)
+      .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram")).distinct()
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.filter(!isBench).select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q65Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |             toks[i+6] || ' ' || toks[i+7])) AS ngram
+      |      FROM t WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 97 <> 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hits FROM corpus
+      |         WHERE ngram IN (SELECT ngram FROM bench) GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, coalesce(h.n_hits, 0) AS n_hits,
+      |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
+
+  /** q66 — within-document repetition score (Gopher-style quality rule):
+    * repeated-trigram fraction and the hottest trigram's repeat count.
+    * Entirely per-document — two hash aggregations keyed by doc_id, no
+    * cross-document data movement at any scale. */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("cnt"))
+    per.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_repeat"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_grams"), 4))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("max_repeat"), col("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q66Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |      FROM t WHERE len(toks) >= 3),
+      |per AS (SELECT doc_id, ngram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |          count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_repeat
+      |        FROM per GROUP BY 1)
+      |SELECT doc_id, n_grams, n_distinct, max_repeat,
+      |       round(1.0 - n_distinct * 1.0 / n_grams, 4) AS rep_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q67 — stratified corpus sampling with per-language rates: head
+    * language down-sampled, tail languages boosted — the data-mixture
+    * rebalancing step of a training pipeline. Gate on a portable hash of
+    * the stable key ([[lcgKey]]), NOT `rand()`: the sample is reproducible
+    * across runs, partitionings and cluster sizes, and late-arriving rows
+    * land in the same decision. Embarrassingly parallel — a map-side
+    * filter, no shuffle but the presentation sort. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val permille = when(col("lang") === "en", 100)
+      .when(col("lang").isin("zh", "es"), 300)
+      .otherwise(800)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("bucket", lcgKey(col("doc_id")) % 1000)
+      .filter(col("bucket") < permille)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source,
+      |    ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, source, bucket FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 100
+      |                    WHEN lang IN ('zh', 'es') THEN 300 ELSE 800 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** q68 — unigram-LM fluency score: each document's mean log-probability
+    * under the corpus unigram distribution (low = rare/garbled tokens — a
+    * cheap perplexity proxy used for quality filtering). The vocabulary
+    * stays DISTRIBUTED (token equi-join, arbitrary vocab size); only the
+    * one-row total broadcasts. Per-token log-probs are quantized to 1e-4
+    * and integer-summed ([[QueryDef.exactSum]] pattern) so the mean is
+    * bit-identical under any partitioning/summation order. */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "tok").crossJoin(broadcast(total))
+      .select(col("doc_id"), log(col("cnt") / col("total")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(exactSum(col("logp")) / count(lit(1)), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q68Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+      |sc AS (SELECT doc_id, ln(cnt * 1.0 / total) AS logp
+      |       FROM tok JOIN v USING (tok) CROSS JOIN tt)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round((sum(CAST(round(logp * 10000) AS BIGINT)) / 10000.0) / count(*), 4)
+      |    AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -940,5 +1075,9 @@ object LlmOps {
     QueryDef("q61_dedup_clusters", q61, Some(q61Sql)),
     QueryDef("q62_tfidf", q62, Some(q62Sql)),
     QueryDef("q63_split_assign", q63, Some(q63Sql)),
-    QueryDef("q64_interleave", q64, Some(q64Sql)))
+    QueryDef("q64_interleave", q64, Some(q64Sql)),
+    QueryDef("q65_decontaminate", q65, Some(q65Sql)),
+    QueryDef("q66_repetition", q66, Some(q66Sql)),
+    QueryDef("q67_stratified_sample", q67, Some(q67Sql)),
+    QueryDef("q68_unigram_fluency", q68, Some(q68Sql)))
 }
