@@ -1049,6 +1049,103 @@ object LlmOps {
       |    AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q69 — training-sequence packing: lay documents out in a deterministic
+    * pseudo-random order and greedily concatenate into fixed token-budget
+    * sequences (budget 2048) — how training shards are materialized from a
+    * filtered corpus. Packing is PER SHARD (hash of doc id → 8 shards), so
+    * the running-total window parallelizes across shards instead of being
+    * one global sequential scan; each shard's cumulative token count maps
+    * a doc to its starting sequence and offset. At scale, shards = O(total
+    * tokens / executor-target) and each is an independent linear pass. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", lcgKey(col("doc_id")) % 8)
+      .withColumn("pos", (col("doc_id") * lit(48271L)) % lit(2147483647L))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).as("seq_id"),
+        ((col("cum") - col("n_tokens")) % budget).as("offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql =
+    """WITH d AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             ((doc_id * 1103515245 + 12345) % 2147483648) % 8 AS shard,
+      |             (doc_id * 48271) % 2147483647 AS pos
+      |           FROM documents),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+      |  (cum - n_tokens) % 2048 AS offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q70 — BM25 lexical retrieval (Okapi k1=1.2, b=0.75) for a fixed query
+    * term set: the sparse/lexical complement to the dense ANN paths
+    * (q34c/q34d) in a retrieval stack. Corpus stats (df per query term,
+    * one-row avgdl) are tiny and BROADCAST; per-doc term frequencies come
+    * from one filtered aggregation of the posting stream — the corpus is
+    * scanned once and never reshuffled except by doc for the final score
+    * sum. Scores round at 4dp before ranking (libm ln tail bits differ
+    * between engines), doc_id tiebreak. */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("vector", "filter", "spill")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("ndocs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("part"))
+      .groupBy(col("doc_id"))
+      .agg(round(exactSum(col("part")), 4).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("score"))
+  }
+
+  private val q70Sql =
+    """WITH dl AS (SELECT doc_id,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |            FROM documents),
+      |st AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl
+      |       FROM dl),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |       WHERE term IN ('vector', 'filter', 'spill') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |         ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1)) /
+      |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS part
+      |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+      |agg AS (SELECT doc_id,
+      |          round(sum(CAST(round(part * 10000) AS BIGINT)) / 10000.0, 4) AS score
+      |        FROM sc GROUP BY doc_id)
+      |SELECT doc_id, score FROM agg
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -1079,5 +1176,7 @@ object LlmOps {
     QueryDef("q65_decontaminate", q65, Some(q65Sql)),
     QueryDef("q66_repetition", q66, Some(q66Sql)),
     QueryDef("q67_stratified_sample", q67, Some(q67Sql)),
-    QueryDef("q68_unigram_fluency", q68, Some(q68Sql)))
+    QueryDef("q68_unigram_fluency", q68, Some(q68Sql)),
+    QueryDef("q69_seq_pack", q69, Some(q69Sql)),
+    QueryDef("q70_bm25", q70, Some(q70Sql)))
 }

@@ -93,14 +93,12 @@ class KinesisSink(
   * shard = MD5(partitionKey) folded onto an even split of the 128-bit
   * hash-key space (how Kinesis assigns records to shards). Supports
   * test-injected per-record failures and records per-call sizes so the
-  * batching contract is observable. */
-class InMemoryKinesis(numShards: Int) extends KinesisTransport {
-  import scala.collection.mutable
-
-  private val stored = mutable.ArrayBuffer.empty[(Int, KinesisRecord)]
-  private val callSizesBuf = mutable.ArrayBuffer.empty[Int]
-  /** Test hook: records for which this returns true fail (once per call). */
-  @volatile var failNext: KinesisRecord => Boolean = _ => false
+  * batching contract is observable. State lives in a JVM-static registry
+  * keyed by `name`, so the transport survives Spark's closure
+  * serialization into (local-mode) executor tasks and stays observable
+  * from the test. */
+class InMemoryKinesis(numShards: Int, name: String = "default")
+    extends KinesisTransport {
 
   def shardOf(partitionKey: String): Int = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
@@ -111,16 +109,46 @@ class InMemoryKinesis(numShards: Int) extends KinesisTransport {
 
   override def putRecords(
       stream: String, records: Seq[KinesisRecord]): Seq[Boolean] =
-    this.synchronized {
-      callSizesBuf += records.size
-      records.map { r =>
-        if (failNext(r)) false
-        else { stored += ((shardOf(r.partitionKey), r)); true }
+    InMemoryKinesis.put(name, records.map(r => (shardOf(r.partitionKey), r)))
+
+  /** Test hook: records for which this returns true fail (per call). */
+  def setFailNext(f: KinesisRecord => Boolean): Unit =
+    InMemoryKinesis.failers.synchronized { InMemoryKinesis.failers(name) = f }
+
+  def records: Seq[(Int, KinesisRecord)] = InMemoryKinesis.records(name)
+  def callSizes: Seq[Int] = InMemoryKinesis.callSizes(name)
+}
+
+object InMemoryKinesis {
+  import scala.collection.mutable
+
+  private val stored =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Int, KinesisRecord)]]
+  private val calls = mutable.Map.empty[String, mutable.ArrayBuffer[Int]]
+  private val failers =
+    mutable.Map.empty[String, KinesisRecord => Boolean]
+
+  private def put(
+      name: String, routed: Seq[(Int, KinesisRecord)]): Seq[Boolean] =
+    stored.synchronized {
+      calls.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += routed.size
+      val fail = failers.synchronized(
+        failers.getOrElse(name, (_: KinesisRecord) => false))
+      val buf = stored.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
+      routed.map { case (shard, r) =>
+        if (fail(r)) false else { buf += ((shard, r)); true }
       }
     }
 
-  def records: Seq[(Int, KinesisRecord)] = this.synchronized(stored.toSeq)
-  def callSizes: Seq[Int] = this.synchronized(callSizesBuf.toSeq)
+  def records(name: String): Seq[(Int, KinesisRecord)] =
+    stored.synchronized(stored.get(name).map(_.toSeq).getOrElse(Seq.empty))
+  def callSizes(name: String): Seq[Int] =
+    stored.synchronized(calls.get(name).map(_.toSeq).getOrElse(Seq.empty))
+  /** Drop a named transport's state (test isolation). */
+  def reset(name: String): Unit = stored.synchronized {
+    stored.remove(name); calls.remove(name)
+    failers.synchronized(failers.remove(name))
+  }
 }
 
 /** Minimal stub standing in for a whole producer (kept for the envelope

@@ -58,6 +58,24 @@ object StreamIngest {
         }
       }
 
+  /** Wire pings into a Kinesis-shaped record sink: per micro-batch, each
+    * partition groups its pings into per-vehicle messages and sends them
+    * as vehicleId-keyed records (per-shard ordering). The producer runs
+    * INSIDE the executors via foreachPartition — the driver never sees
+    * message data, and each partition's batch chunks at the PutRecords
+    * limit in [[KinesisSink.putAll]]. */
+  def toKinesisSink(
+      pings: DataFrame, sink: KinesisSink, sourceId: Long): DataStreamWriter[Row] =
+    pings.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val msgs = VehicleMessages.fromPings(batch)
+        msgs.foreachPartition { (it: Iterator[VehicleMessage]) =>
+          it.grouped(500).foreach(chunk => sink.sendMessages(sourceId, chunk))
+        }
+      }
+
   /** ST6/ST7 — watermarked streaming dedup on event id with BOUNDED state:
     * `dropDuplicatesWithinWatermark` lets the watermark evict per-id state
     * (plain `dropDuplicates("event_id")` would keep every id forever —

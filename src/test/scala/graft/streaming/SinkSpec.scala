@@ -143,7 +143,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("kinesis sink: per-vehicle shard affinity and PutRecords batching") {
-    val kin = new InMemoryKinesis(numShards = 4)
+    val kin = new InMemoryKinesis(numShards = 4, name = "t-affinity")
     val sink = new KinesisSink("vehicles", kin, maxBatch = 500)
     val many = (1 to 1200).map(i =>
       VehicleMessage(i.toLong % 37, Seq(VehicleLocation(1, 2, i.toLong))))
@@ -163,11 +163,11 @@ class SinkSpec extends SparkSpec {
   }
 
   test("kinesis sink: partial failure resubmits only the failed records") {
-    val kin = new InMemoryKinesis(numShards = 2)
+    val kin = new InMemoryKinesis(numShards = 2, name = "t-partial")
     val failedOnce = scala.collection.mutable.Set.empty[String]
     // vehicle 7's records fail on first sight, succeed on resubmit
-    kin.failNext = r =>
-      r.partitionKey == "7" && failedOnce.synchronized(failedOnce.add(r.data.toSeq.toString))
+    kin.setFailNext(r =>
+      r.partitionKey == "7" && failedOnce.synchronized(failedOnce.add(r.data.toSeq.toString)))
     val sink = new KinesisSink("vehicles", kin, maxBatch = 500, backoffMs = 1)
     val batch = (1 to 50).map(i =>
       VehicleMessage(i.toLong % 10, Seq(VehicleLocation(0, 0, i.toLong))))
@@ -179,8 +179,8 @@ class SinkSpec extends SparkSpec {
   }
 
   test("kinesis sink: gives up after maxRetries resubmit rounds") {
-    val kin = new InMemoryKinesis(numShards = 2)
-    kin.failNext = _.partitionKey == "1"
+    val kin = new InMemoryKinesis(numShards = 2, name = "t-giveup")
+    kin.setFailNext(_.partitionKey == "1")
     val sink = new KinesisSink("vehicles", kin, maxRetries = 2, backoffMs = 1)
     val ex = intercept[IOException] {
       sink.sendMessages(sourceId = 1L,

@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S7 e2e: csv file stream → per-vehicle records → kinesis sink") {
+    val dir = Files.createTempDirectory("graft-stream-kin")
+    Files.write(dir.resolve("part1.csv"),
+      ("2015-02-14 23:51:40+05,42,23.7689,90.3886\n" +
+        "2015-02-14 23:51:41+05,43,23.7690,90.3890\n" +
+        "2015-02-14 23:51:42+05,42,23.7691,90.3891\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val kin = new InMemoryKinesis(numShards = 4, name = "t-stream-e2e")
+    val q = StreamIngest.toKinesisSink(
+      StreamIngest.readStream(spark, dir.toString),
+      new KinesisSink("vehicles", kin), sourceId = 7L).start()
+    q.awaitTermination()
+    // every record keyed by its vehicle id (several records per vehicle
+    // are fine — same key ⇒ same shard ⇒ ordered, the Kinesis contract)
+    val recs = kin.records
+    assert(recs.map(_._2.partitionKey).toSet == Set("42", "43"))
+    val decoded = recs.map(r => ProtoEnvelope.decodeEnvelope(r._2.data))
+    assert(decoded.forall(_._1 == 7L))
+    val byVehicle = decoded.flatMap(_._2).groupBy(_.vehicleId)
+      .view.mapValues(_.map(_.locations.size).sum).toMap
+    assert(byVehicle == Map(42L -> 2, 43L -> 1))
+    // same vehicle id always routes to the same shard
+    assert(recs.groupBy(_._2.partitionKey).values.forall(_.map(_._1).distinct.size == 1))
+  }
+
   test("ST7: streaming dedup drops in-watermark duplicate event ids") {
     val input = MemoryStream[Ev]
     val q = StreamIngest.dedupStream(input.toDF())
