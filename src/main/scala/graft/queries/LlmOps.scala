@@ -326,7 +326,12 @@ object LlmOps {
   /** q35c — SimHash (64-bit) per document: bit-majority over token
     * hashes. Hamming-close simhashes ⇒ near-dup candidates. xxhash64-
     * based → no SQL oracle. */
-  def q35c(s: SparkSession, d: String): DataFrame = {
+  def q35c(s: SparkSession, d: String): DataFrame =
+    simhashRel(s, d).orderBy(col("doc_id"))
+
+  /** (doc_id, simhash) without presentation order — shared by q35c and the
+    * banded pairing in q71. */
+  private def simhashRel(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -337,7 +342,7 @@ object LlmOps {
     val simhash = (0 until 64)
       .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    agg.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
+    agg.select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** q36 — text stats per language: doc counts, char/token averages
@@ -928,11 +933,16 @@ object LlmOps {
     val benchGrams = docs.filter(isBench)
       .select(NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("ngram")).distinct()
+    // semi-join FIRST (map-side, broadcast gate), distinct AFTER: only the
+    // (rare) contaminated grams ever shuffle — the full corpus n-gram
+    // stream never does. A distinct before the gate would be a corpus-wide
+    // shuffle for rows that are about to be discarded.
     val corpusGrams = docs.filter(!isBench)
       .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram")).distinct()
+      .select(col("doc_id"), col("ngram"))
     val hits = corpusGrams
       .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
+      .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     docs.filter(!isBench).select(col("doc_id"), col("lang"))
       .join(hits, Seq("doc_id"), "left")
@@ -1146,6 +1156,38 @@ object LlmOps {
       |SELECT doc_id, score FROM agg
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q71 — SimHash-banded near-dup: the classic web-dedup pipeline
+    * (Charikar simhash + Manku-Jain-Sarma band blocking). The 64-bit
+    * simhash splits into 4×16-bit bands; by pigeonhole, any pair within
+    * Hamming distance 3 shares at least one intact band, so candidates
+    * come from 4 equi-joins on (band, chunk) — Σ bucket² work — and the
+    * exact Hamming check is one codegen'd `bit_count(xor)` per candidate.
+    * Complements q35d (MinHash bands ≈ Jaccard) with the bit-sketch
+    * family (simhash ≈ cosine over feature vectors). xxhash64-based →
+    * engine-specific, no SQL oracle; recall vs exact pairs is asserted in
+    * LlmOpsSpec. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashRel(s, d)
+    val chunks = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        .as(s"b$b")
+    }
+    val buckets = sim
+      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -1178,5 +1220,6 @@ object LlmOps {
     QueryDef("q67_stratified_sample", q67, Some(q67Sql)),
     QueryDef("q68_unigram_fluency", q68, Some(q68Sql)),
     QueryDef("q69_seq_pack", q69, Some(q69Sql)),
-    QueryDef("q70_bm25", q70, Some(q70Sql)))
+    QueryDef("q70_bm25", q70, Some(q70Sql)),
+    QueryDef("q71_simhash_neardup", q71, None))
 }

@@ -43,6 +43,30 @@ class LlmOpsSpec extends SparkSpec {
       f"LSH recall $recall%.3f below $RecallFloor: exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("simhash-banded near-dup (q71): blocking is LOSSLESS at radius 3") {
+    import spark.implicits._
+    // Manku pigeonhole: 4 bands, radius 3 ⇒ every in-radius pair shares an
+    // intact band, so the banded equi-join must find EXACTLY the pairs a
+    // brute-force all-pairs Hamming scan finds — compare against one
+    // (500-doc corpus → trivially brute-forceable in the test)
+    val out = LlmOps.q71(spark, sf0001)
+      .select("da", "db", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sims = LlmOps.q35c(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, ha) <- sims.iterator
+      (idb, hb) <- sims.iterator
+      if ida < idb
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= 3
+    } yield (ida, idb) -> h).toMap
+    assert(brute.nonEmpty, "corpus has no hamming<=3 simhash pairs — vacuous")
+    assert(out == brute,
+      s"banded join diverges from brute force: missing=${brute.keySet -- out.keySet} " +
+        s"extra=${out.keySet -- brute.keySet}")
+  }
+
   test("exact dedup (q23) is idempotent") {
     val once = LlmOps.q23(spark, sf0001)
     // dedup of an already-deduped relation is itself: doc_id sets equal

@@ -117,6 +117,15 @@ class QueryPlanSpec extends SparkSpec {
     assert(leaked.isEmpty, s"CC left persisted state behind: $leaked")
   }
 
+  test("connected components: empty edge set converges to empty labels") {
+    import graft.operators.{ConnectedComponents, Scratch}
+    import spark.implicits._
+    val empty = Scratch.materialize(
+      Seq.empty[(Long, Long)].toDF("da", "db"), "cc-empty")
+    val labels = ConnectedComponents.minLabelPropagation(empty)
+    assert(labels.collect().isEmpty)
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
