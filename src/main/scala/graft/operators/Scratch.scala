@@ -18,10 +18,25 @@ import org.apache.spark.sql.DataFrame
   * iterative algorithms.
   */
 object Scratch {
+  // one scratch root per JVM, recursively deleted on exit (deleteOnExit
+  // on a non-empty dir silently no-ops) — the local stand-in for a
+  // cluster's job-scoped scratch prefix with a storage lifecycle policy
+  private lazy val root: java.nio.file.Path = {
+    val r = Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      if (F.exists(r)) {
+        F.walk(r).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      }
+    }))
+    r
+  }
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+
   def materialize(df: DataFrame, name: String): DataFrame = {
-    val dir = Files.createTempDirectory(s"graft-scratch-$name").toFile
-    dir.deleteOnExit()
-    val path = dir.getAbsolutePath
+    val path = root.resolve(s"$name-${counter.incrementAndGet()}").toString
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
