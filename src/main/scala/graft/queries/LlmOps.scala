@@ -1188,6 +1188,93 @@ object LlmOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** q72 — the END-TO-END training-data pipeline, composed from the
+    * operators above as ONE declarative flow Catalyst plans globally:
+    * exact dedup (q23) → benchmark decontamination (q65) → repetition
+    * quality gate (q66, rep_ratio < 0.2; docs without trigrams drop) →
+    * deterministic 90% train split (q63) → per-shard sequence packing
+    * (q69). This is the "a user could switch" proof: the full corpus →
+    * training-shards path in one DataFrame expression, every stage either
+    * map-side, broadcast-gated, or keyed by doc_id. Oracle: one DuckDB
+    * CTE chain mirroring each stage. */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % 97 === 0
+    val wDedup = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val dedup = docs.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && !isBench).drop("rn")
+    val benchGrams = docs.filter(isBench)
+      .select(NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
+      .select(col("ngram")).distinct()
+    val contaminated = dedup
+      .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
+      .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+    val quality = clean
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_distinct"))
+      .filter(lit(1.0) - col("n_distinct") / col("n_grams") < 0.2)
+      .select(col("doc_id"))
+    val train = clean.join(quality, "doc_id")
+      .filter(lcgKey(col("doc_id")) % 100 < 90)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    train
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", lcgKey(col("doc_id")) % 8)
+      .withColumn("pos", (col("doc_id") * lit(48271L)) % lit(2147483647L))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(2048.0)).as("seq_id"),
+        ((col("cum") - col("n_tokens")) % 2048).as("offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q72Sql =
+    """WITH dd AS (SELECT doc_id, text FROM (
+      |             SELECT doc_id, text,
+      |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |             FROM documents)
+      |           WHERE rn = 1 AND doc_id % 97 <> 0),
+      |t8 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |              toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |              toks[i+6] || ' ' || toks[i+7])) AS ngram
+      |       FROM t8 WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT ngram FROM g8 WHERE doc_id % 97 = 0),
+      |contaminated AS (SELECT DISTINCT d.doc_id FROM dd d JOIN g8 USING (doc_id)
+      |                 WHERE g8.ngram IN (SELECT ngram FROM bench)),
+      |clean AS (SELECT doc_id, text FROM dd
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |g3 AS (SELECT c.doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |       FROM clean c JOIN t8 USING (doc_id) WHERE len(toks) >= 3),
+      |per AS (SELECT doc_id, ngram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+      |quality AS (SELECT doc_id FROM (
+      |              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |                count(*) AS n_distinct
+      |              FROM per GROUP BY 1)
+      |            WHERE 1.0 - n_distinct * 1.0 / n_grams < 0.2),
+      |train AS (SELECT c.doc_id, c.text FROM clean c JOIN quality USING (doc_id)
+      |          WHERE ((c.doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90),
+      |d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        ((doc_id * 1103515245 + 12345) % 2147483648) % 8 AS shard,
+      |        (doc_id * 48271) % 2147483647 AS pos
+      |      FROM train),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+      |  (cum - n_tokens) % 2048 AS offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -1221,5 +1308,6 @@ object LlmOps {
     QueryDef("q68_unigram_fluency", q68, Some(q68Sql)),
     QueryDef("q69_seq_pack", q69, Some(q69Sql)),
     QueryDef("q70_bm25", q70, Some(q70Sql)),
-    QueryDef("q71_simhash_neardup", q71, None))
+    QueryDef("q71_simhash_neardup", q71, None),
+    QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)))
 }
