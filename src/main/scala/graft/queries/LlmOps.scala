@@ -1039,11 +1039,17 @@ object LlmOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
+    // the mean is rounded on the 1e-4 grid in INTEGER space: quantized-sum
+    // ÷ count is an exact rational that can land exactly on a .00005
+    // boundary, where Spark's decimal HALF_UP and DuckDB's binary round
+    // disagree; k/n rounded to a whole 1e-4 unit has its .5 boundary
+    // exactly representable, so both engines round it identically
     toks.join(vocab, "tok").crossJoin(broadcast(total))
       .select(col("doc_id"), log(col("cnt") / col("total")).as("logp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(exactSum(col("logp")) / count(lit(1)), 4).as("avg_logp"))
+        (round(sum(round(col("logp") * 10000, 0).cast("long")) / count(lit(1)), 0)
+          / 10000.0).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
@@ -1055,8 +1061,8 @@ object LlmOps {
       |sc AS (SELECT doc_id, ln(cnt * 1.0 / total) AS logp
       |       FROM tok JOIN v USING (tok) CROSS JOIN tt)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  round((sum(CAST(round(logp * 10000) AS BIGINT)) / 10000.0) / count(*), 4)
-      |    AS avg_logp
+      |  round(sum(CAST(round(logp * 10000) AS BIGINT)) * 1.0 / count(*), 0)
+      |    / 10000.0 AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q69 — training-sequence packing: lay documents out in a deterministic
