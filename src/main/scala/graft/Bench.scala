@@ -25,8 +25,11 @@ object Bench {
     catch { case _: Throwable => }
 
     // optional args: benchmark only the named queries (dev A/B loops);
-    // the driver passes none → full registry
+    // the driver passes none → full registry. Unknown names fail loudly —
+    // a typo must not produce an empty "successful" run.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = selected.map { case (name, fn) =>

@@ -52,6 +52,14 @@ object ConnectedComponents {
       lblSum = nextSum
       iter += 1
     }
+    if (!converged) {
+      // a silent partial closure would emit split clusters that LOOK valid
+      // — fail loudly instead (component diameter exceeded maxIters)
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise it for this graph")
+    }
     val out = Scratch.materialize(labels, "cc-labels")
     labels.unpersist()
     out

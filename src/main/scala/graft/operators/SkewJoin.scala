@@ -41,16 +41,18 @@ object SkewJoin {
     *
     * Detection runs on a seeded `detectSampleFraction` sample of the key
     * column with a proportionally scaled threshold — at 100 TB an exact
-    * key count is its own full-table shuffle, while a 1% sample finds any
-    * key hot enough to matter (a >threshold key appears in the sample
-    * with overwhelming probability). Detection errors are safe by
-    * construction: a missed hot key degrades to the plain join (correct,
-    * just unsalted), a false positive wastes ×n replication on one cold
-    * key — so the cheap detector is the right trade. The (by definition
-    * tiny) hot-key set is broadcast to both sides. Hot rows get a hashed
-    * salt in [0, n); cold rows keep salt 0. The other side replicates
-    * rows ×n for hot keys only. With no hot keys this degenerates to the
-    * plain equi-join plus one cheap sampled count.
+    * key count is its own full-table shuffle. The sampled contract,
+    * precisely: keys at ≳2× the threshold are detected with overwhelming
+    * probability, keys NEAR the threshold are coin-flips — and both error
+    * directions are safe (a miss degrades to the plain join, correct but
+    * unsalted; a false positive wastes ×n replication on one cold key).
+    * When `hotKeyThreshold × detectSampleFraction < 2` the sample is too
+    * sparse for even that contract, so detection falls back to the exact
+    * count rather than silently weakening. The (by definition tiny)
+    * hot-key set is broadcast to both sides. Hot rows get a hashed salt
+    * in [0, n); cold rows keep salt 0. The other side replicates rows ×n
+    * for hot keys only. With no hot keys this degenerates to the plain
+    * equi-join plus the detection scan.
     */
   def targetedSaltedJoin(
       skewed: DataFrame,
@@ -61,12 +63,15 @@ object SkewJoin {
       saltCols: Seq[Column] = Seq.empty,
       detectSampleFraction: Double = 0.01): DataFrame = {
     val saltBasis = if (saltCols.nonEmpty) saltCols else skewed.columns.toSeq.map(col)
-    val scaledThreshold = math.max(1.0, hotKeyThreshold * detectSampleFraction)
-    val hot = skewed.select(col(key))
-      .sample(withReplacement = false, detectSampleFraction, seed = 42L)
-      .groupBy(col(key)).count()
-      .filter(col("count") > scaledThreshold)
-      .select(col(key), lit(true).as("__hot"))
+    val scaledThreshold = hotKeyThreshold * detectSampleFraction
+    val keys = skewed.select(col(key))
+    val counted =
+      if (scaledThreshold < 2.0) keys.groupBy(col(key)).count()
+        .filter(col("count") > hotKeyThreshold)
+      else keys.sample(withReplacement = false, detectSampleFraction, seed = 42L)
+        .groupBy(col(key)).count()
+        .filter(col("count") > scaledThreshold)
+    val hot = counted.select(col(key), lit(true).as("__hot"))
     val salts = array((0 until saltBuckets).map(lit): _*)
     val left = skewed.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",

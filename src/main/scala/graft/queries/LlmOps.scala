@@ -20,14 +20,54 @@ object LlmOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Raw (doc_id, ngram) shingle occurrences — shared by the MinHash
-    * variants. No distinct: min/collect_set are duplicate-insensitive, so
+  /** (doc_id, ngram) shingle occurrences over the RARE-shingle universe
+    * (df ≤ [[MaxShingleDocFreq]]) — shared by the MinHash variants, so
+    * q35 (exact), q35b/d (MinHash-LSH) and the q35d-vs-q35 recall gate
+    * all measure similarity over the same universe at every scale.
+    * No distinct: min/collect_set are duplicate-insensitive, so
     * aggregating occurrences equals aggregating the shingle set with one
-    * shuffle instead of two. */
-  private def shingleRel(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * shuffle instead of two. The hot-shingle set is tiny by construction
+    * → broadcast ANTI join; the occurrence stream itself never shuffles
+    * for the cap. */
+  /** The shingles with doc-frequency > [[MaxShingleDocFreq]] — BOUNDED
+    * metadata (stopword-trigram-class, thousands at any corpus size), so
+    * it is computed once as a small side job and collected, the standard
+    * broadcast-variable pattern: the main pipelines then carry a literal
+    * `InSet` filter instead of re-deriving a detection join per consumer.
+    * Candidate-verify keeps the job cheap: occurrence count > cap is
+    * NECESSARY for df > cap (each doc contributes ≥1 occurrence), so a
+    * combiner-friendly count finds candidates and the exact distinct-doc
+    * verify runs only on that tiny set — no corpus-wide distinct. */
+  // memoized per dataset path: the hot set is a property of the corpus
+  // (immutable inputs), so every near-dup query in a session shares one
+  // detection job — the same lifetime a broadcast stopword list would have
+  private val hotShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def hotShingles(s: SparkSession, d: String): Seq[String] =
+    hotShingleCache.computeIfAbsent(d, dir => computeHotShingles(s, dir))
+
+  private def computeHotShingles(s: SparkSession, d: String): Seq[String] = {
+    val occ = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram"))
+    val candidates = occ.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > MaxShingleDocFreq)
+      .select(col("ngram"))
+    occ.join(broadcast(candidates), Seq("ngram"), "left_semi")
+      .distinct().groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDocFreq)
+      .select(col("ngram")).collect().map(_.getString(0)).toSeq
+  }
+
+  private def shingleRel(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram"))
+    val hot = hotShingles(s, d)
+    if (hot.isEmpty) occ
+    else occ.filter(!col("ngram").isInCollection(hot))
+  }
 
   /** Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
     * under ANSI arithmetic (a multiplicative family would long-overflow). */
@@ -210,12 +250,14 @@ object LlmOps {
     * and leaves the relation hash-partitioned by ngram — the key the
     * self-join needs. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // each doc's (capped) shingle-set size rides along as a second window
-    // over the df-filtered relation — the Jaccard denominator then comes
-    // out of the self-join's own grouping keys, eliminating the two
-    // sizes-lookup joins an aggregate would need. The two self-join sides
-    // are byte-identical subtrees, so ReuseExchange computes the pipeline
-    // once and replays the exchange for the other side.
+    // the df cap folds into a window over the distinct relation — it
+    // reuses the shuffle this pipeline needs anyway, so unlike the
+    // MinHash family (which takes the [[hotShingles]] literal filter),
+    // no separate detection job runs here. Each doc's capped shingle-set
+    // size rides along as a second window, so the Jaccard denominator
+    // comes out of the self-join's own grouping keys — no sizes-lookup
+    // joins. The two self-join sides are byte-identical subtrees, so
+    // ReuseExchange computes the pipeline once and replays the exchange.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram")).distinct()
@@ -230,8 +272,15 @@ object LlmOps {
         col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 2)
+      // jaccard is an exact integer rational — round it on the 1e-4 grid
+      // in integer space (inter*10000/union to a whole unit): the .5
+      // boundary is then binary-representable, so Spark's decimal HALF_UP
+      // and DuckDB's binary round agree (the q68 .00005-boundary trap;
+      // q61 thresholds on this value, where a one-pair flip would cascade
+      // into different cluster closures per engine)
       .select(col("da"), col("db"),
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        (round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")), 0)
+          / 10000.0).as("jaccard"))
   }
 
   /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 rare
@@ -256,7 +305,8 @@ object LlmOps {
       |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
-      |SELECT da, db, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+      |SELECT da, db,
+      |  round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0 AS jaccard
       |FROM inter ORDER BY da, db""".stripMargin
 
   /** q35b — MinHash signatures (k=16) per document: the scale path for
@@ -319,7 +369,8 @@ object LlmOps {
         col("shingles").as("sb"), col("nsh").as("nb")), Seq("db"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("da"), col("db"),
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        (round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")), 0)
+          / 10000.0).as("jaccard"))
       .orderBy(col("da"), col("db"))
   }
 
@@ -397,8 +448,11 @@ object LlmOps {
         stop.as("n_stop"),
         (stop.cast("double") / size(toks)).as("stop_ratio"),
         (col("n_chars").cast("double") / size(toks)).as("chars_per_token"),
-        round(least(lit(1.0), size(toks) / lit(100.0)) *
-          (lit(1.0) - stop.cast("double") / size(toks)), 4).as("quality"))
+        // min(1,t/100)*(1-s/t) = min(t,100)*(t-s)/(100t), an integer
+        // rational — round on the 1e-4 grid in integer space (the
+        // .00005-boundary parity trap; see q68)
+        (round(least(size(toks), lit(100)) * (size(toks) - stop) * 10000.0 /
+          (lit(100.0) * size(toks)), 0) / 10000.0).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -412,7 +466,8 @@ object LlmOps {
       |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, n_words_re, n_long_words, n_stop,
       |  CAST(n_stop AS DOUBLE) / len(toks) AS stop_ratio,
       |  CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
-      |  round(least(1.0, len(toks) / 100.0) * (1.0 - CAST(n_stop AS DOUBLE) / len(toks)), 4) AS quality
+      |  round(least(len(toks), 100) * (len(toks) - n_stop) * 10000.0 /
+      |    (100.0 * len(toks)), 0) / 10000.0 AS quality
       |FROM x ORDER BY doc_id""".stripMargin
 
   /** q39 — language-ID heuristic: marker-token votes per language (the
@@ -600,9 +655,12 @@ object LlmOps {
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     // targeted salting: keys above the threshold spread across 8 salts,
     // everything else joins plain — result is oracled against the
-    // UNSALTED join, proving salting is invisible to semantics
+    // UNSALTED join, proving salting is invisible to semantics. 10%
+    // detection sample: threshold 50 × 0.1 = 5 expected sampled rows,
+    // comfortably above the sampled-contract floor
     graft.operators.SkewJoin
-      .targetedSaltedJoin(li, o, "l_orderkey", saltBuckets = 8, hotKeyThreshold = 50)
+      .targetedSaltedJoin(li, o, "l_orderkey", saltBuckets = 8,
+        hotKeyThreshold = 50, detectSampleFraction = 0.1)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("total_qty"))
       .orderBy(col("o_orderpriority"))
@@ -807,7 +865,7 @@ object LlmOps {
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
       |pairs AS (SELECT da, db FROM inter
-      |          WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8),
+      |          WHERE round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0 >= 0.8),
       |edges AS (SELECT da AS a, db AS b FROM pairs
       |          UNION ALL SELECT db AS a, da AS b FROM pairs),
       |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
@@ -979,8 +1037,11 @@ object LlmOps {
       .agg(sum(col("cnt")).as("n_grams"),
         count(lit(1)).as("n_distinct"),
         max(col("cnt")).as("max_repeat"))
+      // integer-rational ratio → round on the 1e-4 grid in integer space
+      // (same .00005-boundary parity trap as q68/jaccard)
       .withColumn("rep_ratio",
-        round(lit(1.0) - col("n_distinct") / col("n_grams"), 4))
+        round((col("n_grams") - col("n_distinct")) * 10000.0 / col("n_grams"), 0)
+          / 10000.0)
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
         col("max_repeat"), col("rep_ratio"))
       .orderBy(col("doc_id"))
@@ -996,7 +1057,7 @@ object LlmOps {
       |          count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_repeat
       |        FROM per GROUP BY 1)
       |SELECT doc_id, n_grams, n_distinct, max_repeat,
-      |       round(1.0 - n_distinct * 1.0 / n_grams, 4) AS rep_ratio
+      |  round((n_grams - n_distinct) * 10000.0 / n_grams, 0) / 10000.0 AS rep_ratio
       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q67 — stratified corpus sampling with per-language rates: head
@@ -1073,11 +1134,18 @@ object LlmOps {
     * one global sequential scan; each shard's cumulative token count maps
     * a doc to its starting sequence and offset. At scale, shards = O(total
     * tokens / executor-target) and each is an independent linear pass. */
-  def q69(s: SparkSession, d: String): DataFrame = {
+  def q69(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d))
+
+  /** Shared packing kernel for q69 and the q72 pipeline tail: docs in
+    * deterministic pseudo-random order, greedy-concatenated into
+    * 2048-token sequences within 8 hash shards. Input needs (doc_id,
+    * text); any change here must be mirrored in BOTH q69Sql and q72Sql. */
+  private def packSequences(docs: DataFrame): DataFrame = {
     val budget = 2048
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("shard", lcgKey(col("doc_id")) % 8)
@@ -1189,8 +1257,11 @@ object LlmOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // radius filter BEFORE the dedup shuffle: hamming is functionally
+      // determined by (da, db), so only in-radius pairs ever exchange —
+      // the (majority) out-of-radius band collisions die map-side
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
@@ -1226,17 +1297,7 @@ object LlmOps {
       .select(col("doc_id"))
     val train = clean.join(quality, "doc_id")
       .filter(lcgKey(col("doc_id")) % 100 < 90)
-    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    train
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("shard", lcgKey(col("doc_id")) % 8)
-      .withColumn("pos", (col("doc_id") * lit(48271L)) % lit(2147483647L))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / lit(2048.0)).as("seq_id"),
-        ((col("cum") - col("n_tokens")) % 2048).as("offset"))
-      .orderBy(col("doc_id"))
+    packSequences(train)
   }
 
   private val q72Sql =

@@ -42,7 +42,7 @@ trait KinesisTransport extends Serializable {
 class KinesisSink(
     streamName: String,
     transport: KinesisTransport,
-    maxBatch: Int = 500,
+    val maxBatch: Int = 500,
     maxRetries: Int = 10,
     backoffMs: Long = 100) extends EnvelopeSink with Logging {
 

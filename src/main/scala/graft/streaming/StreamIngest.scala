@@ -71,8 +71,9 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val msgs = VehicleMessages.fromPings(batch)
+        val chunk = sink.maxBatch // bound per-call memory at the sink's own knob
         msgs.foreachPartition { (it: Iterator[VehicleMessage]) =>
-          it.grouped(500).foreach(chunk => sink.sendMessages(sourceId, chunk))
+          it.grouped(chunk).foreach(c => sink.sendMessages(sourceId, c))
         }
       }
 
