@@ -20,16 +20,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup (untimed): smallest-SF flagship query end to end
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => }
-
     // optional args: benchmark only the named queries (dev A/B loops);
-    // the driver passes none → full registry. Unknown names fail loudly —
-    // a typo must not produce an empty "successful" run.
+    // the driver passes none → full registry. Unknown names fail loudly
+    // BEFORE the warmup — a typo must not run anything.
     val only = args.toSet
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+
+    // warmup (untimed): smallest-SF flagship query end to end
+    try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = selected.map { case (name, fn) =>

@@ -36,7 +36,10 @@ object ConnectedComponents {
     var lblSum = sumOfLabels(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
+    // maxIters budgets PROPAGATION rounds; detecting the fixpoint costs
+    // one extra no-change round, hence the +1 — a graph whose labels
+    // settle exactly on round maxIters must confirm, not throw
+    while (!converged && iter < maxIters + 1) {
       val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.alias("l")

@@ -35,9 +35,14 @@ object Scratch {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def materialize(df: DataFrame, name: String): DataFrame = {
+  def materialize(df: DataFrame, name: String): DataFrame =
+    df.sparkSession.read.parquet(materializePath(df, name))
+
+  /** Like [[materialize]] but returns the path — for callers that memoize
+    * the materialization across query invocations. */
+  def materializePath(df: DataFrame, name: String): String = {
     val path = root.resolve(s"$name-${counter.incrementAndGet()}").toString
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    path
   }
 }

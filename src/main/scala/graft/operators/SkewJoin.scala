@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -19,7 +20,7 @@ import org.apache.spark.sql.functions._
   * Cost: right side inflated ×n — pick the smallest n that flattens the
   * skew (AQE's advisory partition size is the gauge).
   */
-object SkewJoin {
+object SkewJoin extends Logging {
 
   def saltedEquiJoin(
       skewed: DataFrame,
@@ -66,9 +67,16 @@ object SkewJoin {
     val scaledThreshold = hotKeyThreshold * detectSampleFraction
     val keys = skewed.select(col(key))
     val counted =
-      if (scaledThreshold < 2.0) keys.groupBy(col(key)).count()
-        .filter(col("count") > hotKeyThreshold)
-      else keys.sample(withReplacement = false, detectSampleFraction, seed = 42L)
+      if (scaledThreshold < 2.0) {
+        // not silent: this converts O(sample) detection into a full key
+        // count — at scale the caller should raise detectSampleFraction
+        // so threshold × fraction ≥ 2 and keep the cheap path
+        logWarning(s"targetedSaltedJoin: threshold $hotKeyThreshold x " +
+          s"fraction $detectSampleFraction < 2 - falling back to EXACT " +
+          "key counting (full scan of the skewed side)")
+        keys.groupBy(col(key)).count()
+          .filter(col("count") > hotKeyThreshold)
+      } else keys.sample(withReplacement = false, detectSampleFraction, seed = 42L)
         .groupBy(col(key)).count()
         .filter(col("count") > scaledThreshold)
     val hot = counted.select(col(key), lit(true).as("__hot"))

@@ -20,53 +20,51 @@ object LlmOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  // Hot-shingle relation, memoized per dataset path (inputs are immutable
+  // for a run — the memo would go stale if a path were rewritten in-JVM):
+  // the detection job runs ONCE per corpus and scratch-materializes its
+  // (ngram) output, so every near-dup query broadcast-anti-joins a tiny
+  // parquet instead of re-deriving detection per consumer — and the set
+  // never lives on the driver or in a plan literal (it GROWS with corpus
+  // size; at 100 TB it can reach millions of entries, fine to broadcast,
+  // wrong to inline or collect). Candidate-verify keeps the job cheap:
+  // occurrence count > cap is NECESSARY for df > cap (each doc
+  // contributes >=1 occurrence), so a combiner-friendly count finds
+  // candidates and the exact distinct-doc verify runs only on that tiny
+  // set — no corpus-wide distinct.
+  private val hotShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hotShinglesRel(s: SparkSession, d: String): DataFrame = {
+    val path = hotShingleCache.computeIfAbsent(d, dir => {
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+        .select(col("doc_id"), col("ngram"))
+      val candidates = occ.groupBy(col("ngram"))
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > MaxShingleDocFreq)
+        .select(col("ngram"))
+      val hot = occ.join(broadcast(candidates), Seq("ngram"), "left_semi")
+        .distinct().groupBy(col("ngram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDocFreq)
+        .select(col("ngram"))
+      graft.operators.Scratch.materializePath(hot, "hot-shingles")
+    })
+    s.read.parquet(path)
+  }
+
   /** (doc_id, ngram) shingle occurrences over the RARE-shingle universe
-    * (df ≤ [[MaxShingleDocFreq]]) — shared by the MinHash variants, so
+    * (df <= [[MaxShingleDocFreq]]) — shared by the MinHash variants, so
     * q35 (exact), q35b/d (MinHash-LSH) and the q35d-vs-q35 recall gate
     * all measure similarity over the same universe at every scale.
     * No distinct: min/collect_set are duplicate-insensitive, so
     * aggregating occurrences equals aggregating the shingle set with one
-    * shuffle instead of two. The hot-shingle set is tiny by construction
-    * → broadcast ANTI join; the occurrence stream itself never shuffles
-    * for the cap. */
-  /** The shingles with doc-frequency > [[MaxShingleDocFreq]] — BOUNDED
-    * metadata (stopword-trigram-class, thousands at any corpus size), so
-    * it is computed once as a small side job and collected, the standard
-    * broadcast-variable pattern: the main pipelines then carry a literal
-    * `InSet` filter instead of re-deriving a detection join per consumer.
-    * Candidate-verify keeps the job cheap: occurrence count > cap is
-    * NECESSARY for df > cap (each doc contributes ≥1 occurrence), so a
-    * combiner-friendly count finds candidates and the exact distinct-doc
-    * verify runs only on that tiny set — no corpus-wide distinct. */
-  // memoized per dataset path: the hot set is a property of the corpus
-  // (immutable inputs), so every near-dup query in a session shares one
-  // detection job — the same lifetime a broadcast stopword list would have
-  private val hotShingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
-
-  private def hotShingles(s: SparkSession, d: String): Seq[String] =
-    hotShingleCache.computeIfAbsent(d, dir => computeHotShingles(s, dir))
-
-  private def computeHotShingles(s: SparkSession, d: String): Seq[String] = {
-    val occ = Tables.documents(s, d)
-      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram"))
-    val candidates = occ.groupBy(col("ngram"))
-      .agg(count(lit(1)).as("occ")).filter(col("occ") > MaxShingleDocFreq)
-      .select(col("ngram"))
-    occ.join(broadcast(candidates), Seq("ngram"), "left_semi")
-      .distinct().groupBy(col("ngram"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDocFreq)
-      .select(col("ngram")).collect().map(_.getString(0)).toSeq
-  }
-
+    * shuffle instead of two. The cap is a broadcast ANTI join against the
+    * memoized hot relation — the occurrence stream never shuffles for it. */
   private def shingleRel(s: SparkSession, d: String): DataFrame = {
     val occ = Tables.documents(s, d)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram"))
-    val hot = hotShingles(s, d)
-    if (hot.isEmpty) occ
-    else occ.filter(!col("ngram").isInCollection(hot))
+    occ.join(broadcast(hotShinglesRel(s, d)), Seq("ngram"), "left_anti")
   }
 
   /** Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
@@ -450,8 +448,10 @@ object LlmOps {
         (col("n_chars").cast("double") / size(toks)).as("chars_per_token"),
         // min(1,t/100)*(1-s/t) = min(t,100)*(t-s)/(100t), an integer
         // rational — round on the 1e-4 grid in integer space (the
-        // .00005-boundary parity trap; see q68)
-        (round(least(size(toks), lit(100)) * (size(toks) - stop) * 10000.0 /
+        // .00005-boundary parity trap; see q68). Long casts before the
+        // multiply: Int*Int would ANSI-overflow on a ~21M-token document
+        (round(least(size(toks).cast("long"), lit(100L)) *
+          (size(toks).cast("long") - stop) * 10000.0 /
           (lit(100.0) * size(toks)), 0) / 10000.0).as("quality"))
       .orderBy(col("doc_id"))
   }
