@@ -141,8 +141,11 @@ object LlmOps {
       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY pid, rn""".stripMargin
 
   /** q34b — embedding near-duplicate pairs, label-blocked: pairs within
-    * the same label bucket with cosine ≥ 0.9. Blocking turns O(n²) into
-    * Σ bucket². */
+    * the same label bucket with cosine ≥ 0.35. Blocking turns O(n²) into
+    * Σ bucket². The threshold is calibrated to the synthetic corpus
+    * (max intra-label cosine ≈ 0.47 — a 0.9 gate would be vacuously
+    * empty and verify nothing); a production corpus with true duplicates
+    * raises it back toward 0.9. */
   def q34b(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val a = e.select(col("label").as("lbl"), col("vec_id").as("va"), col("embedding").as("ea"))
@@ -151,7 +154,7 @@ object LlmOps {
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
         round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
-      .filter(col("sim") >= 0.9)
+      .filter(col("sim") >= 0.35)
       .orderBy(col("va"), col("vb"))
   }
 
@@ -161,7 +164,7 @@ object LlmOps {
       |SELECT a.vec_id AS va, b.vec_id AS vb,
       |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
+      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
       |ORDER BY va, vb""".stripMargin
 
   /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: component i
@@ -1342,6 +1345,45 @@ object LlmOps {
       |  (cum - n_tokens) % 2048 AS offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q73 — embedding near-dup CLUSTERS: the q61 closure applied to the
+    * q34b embedding-cosine pair graph (sim ≥ 0.35, corpus-calibrated), i.e.
+    * [[graft.operators.ConnectedComponents]] reused as a generic operator
+    * over a different similarity relation — semantic dedup groups with a
+    * canonical survivor per group, the embedding-space complement of the
+    * lexical q61. Same lifecycle: pairs scratch-materialized once, rounds
+    * cache/unpersist pairwise, zero persisted state after the action. */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.operators.Scratch.materialize(
+      q34b(s, d).select(col("va").as("da"), col("vb").as("db")),
+      "q73-pairs")
+    val labels = graft.operators.ConnectedComponents.minLabelPropagation(pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id").as("vec_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q73Sql =
+    """WITH RECURSIVE
+      |e AS (SELECT label, vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |      FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      |          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |          WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35),
+      |edges AS (SELECT va AS a, vb AS b FROM pairs
+      |          UNION ALL SELECT vb AS a, va AS b FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS vec_id FROM edges),
+      |reach(vec_id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM nodes
+      |  UNION
+      |  SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.vec_id = e2.b),
+      |lab AS (SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size
+      |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -1376,5 +1418,6 @@ object LlmOps {
     QueryDef("q69_seq_pack", q69, Some(q69Sql)),
     QueryDef("q70_bm25", q70, Some(q70Sql)),
     QueryDef("q71_simhash_neardup", q71, None),
-    QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)))
+    QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
+    QueryDef("q73_embed_clusters", q73, Some(q73Sql)))
 }
