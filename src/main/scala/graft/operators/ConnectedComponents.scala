@@ -36,17 +36,25 @@ object ConnectedComponents {
     var lblSum = sumOfLabels(labels)
     var converged = false
     var iter = 0
-    // maxIters budgets PROPAGATION rounds; detecting the fixpoint costs
-    // one extra no-change round, hence the +1 — a graph whose labels
-    // settle exactly on round maxIters must confirm, not throw
-    while (!converged && iter < maxIters + 1) {
-      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+
+    // one propagation step: each node takes min(own label, neighbors')
+    def step(l: DataFrame): DataFrame = {
+      val nbrMin = edges.join(l, edges("b") === l("doc_id"))
         .groupBy(edges("a")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.alias("l")
+      l.alias("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("a"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
-        .cache()
+    }
+
+    // each ROUND applies two propagation steps before the convergence
+    // action — halves the per-job overhead that dominates on small node
+    // sets (the convergence sum is a one-row driver flag either way).
+    // maxIters budgets rounds (so up to 2×maxIters step diameter);
+    // detecting the fixpoint costs one extra no-change round, hence +1 —
+    // a graph settling exactly on round maxIters must confirm, not throw
+    while (!converged && iter < maxIters + 1) {
+      val next = step(step(labels)).cache()
       onRound(next)
       val nextSum = sumOfLabels(next)
       labels.unpersist()
