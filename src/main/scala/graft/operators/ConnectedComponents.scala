@@ -4,23 +4,28 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components by iterative min-label propagation — the Pregel
-  * pattern: each round is one equi-join + groupBy on the node set,
-  * converging in O(component diameter) rounds ≈ O(log n) for near-dup
-  * families. Labels only ever decrease, so Σlbl strictly decreases iff any
-  * label changed — convergence is a one-row aggregate per round, never a
-  * join-based diff; the driver holds a single Long, never the graph.
+  * pattern: each propagation step is one equi-join + groupBy on the node
+  * set, and each ROUND batches two steps before its convergence check, so
+  * components converge in O(diameter / 2) rounds ≈ O(log n) for near-dup
+  * families with half the job-submission overhead. Labels only ever
+  * decrease, so Σlbl strictly decreases iff any label changed —
+  * convergence is a one-row aggregate per round, never a join-based diff;
+  * the driver holds a single Long, never the graph.
   *
-  * Lifecycle (the round-2 lesson): each round's labels are cached and the
-  * previous round unpersisted, so lineage stays flat and at most ONE round
-  * is ever resident; the converged result is materialized to scratch
-  * parquet and the last cache dropped, leaving zero persisted state for
-  * whoever consumes the returned relation.
+  * Lifecycle (the round-2 lesson): each round caches its two step outputs
+  * and unpersists the previous round's, so lineage stays flat and at most
+  * one round's state is ever resident; the converged result is
+  * materialized to scratch parquet and the last cache dropped, leaving
+  * zero persisted state for whoever consumes the returned relation.
   */
 object ConnectedComponents {
 
   /** @param pairs undirected edges (da, db). MUST be cheap to rescan —
-    *   the loop reads it twice per round; run it through
-    *   [[Scratch.materialize]] first if it is derived.
+    *   each round rescans it up to four times (two propagation steps,
+    *   both edge directions); run it through [[Scratch.materialize]]
+    *   first if it is derived.
+    * @param maxIters round budget; each round is TWO propagation steps,
+    *   so components up to diameter 2×maxIters converge.
     * @param onRound test hook invoked with each round's label relation
     *   before its action (plan assertions).
     * @return (doc_id, lbl) with lbl = min node id of the component,
@@ -54,6 +59,10 @@ object ConnectedComponents {
     // detecting the fixpoint costs one extra no-change round, hence +1 —
     // a graph settling exactly on round maxIters must confirm, not throw
     while (!converged && iter < maxIters + 1) {
+      // the intermediate step is deliberately NOT cached: the outer step
+      // references it on both join sides, but measurement shows exchange
+      // reuse covers that (caching the mid DOUBLED q61/q73 — columnar
+      // materialization costs more than the worst-case recompute here)
       val next = step(step(labels)).cache()
       onRound(next)
       val nextSum = sumOfLabels(next)
@@ -68,8 +77,10 @@ object ConnectedComponents {
       // — fail loudly instead (component diameter exceeded maxIters)
       labels.unpersist()
       throw new IllegalStateException(
-        s"label propagation did not converge in $maxIters rounds — " +
-          "component diameter exceeds maxIters; raise it for this graph")
+        s"label propagation did not converge after ${iter} rounds of two " +
+          s"steps each (maxIters=$maxIters budgets ${2 * maxIters} " +
+          "propagation steps) — component diameter exceeds the budget; " +
+          "raise maxIters for this graph")
     }
     val out = Scratch.materialize(labels, "cc-labels")
     labels.unpersist()

@@ -253,7 +253,7 @@ object LlmOps {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // the df cap folds into a window over the distinct relation — it
     // reuses the shuffle this pipeline needs anyway, so unlike the
-    // MinHash family (which takes the [[hotShingles]] literal filter),
+    // MinHash family (which anti-joins the memoized [[hotShinglesRel]]),
     // no separate detection job runs here. Each doc's capped shingle-set
     // size rides along as a second window, so the Jaccard denominator
     // comes out of the self-join's own grouping keys — no sizes-lookup
@@ -839,7 +839,7 @@ object LlmOps {
     * DuckDB recursive CTE computes the same closure declaratively. */
   def q61(s: SparkSession, d: String): DataFrame = {
     // the (expensive) pair generation is materialized to scratch parquet
-    // ONCE — the CC loop reads it twice per round, and a storage
+    // ONCE — the CC loop rescans it several times per round, and a storage
     // materialization (vs cache) leaves zero persisted state behind
     val pairs = graft.operators.Scratch.materialize(
       jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
