@@ -37,6 +37,19 @@ class RegistrySpec extends SparkSpec {
     assert(total(13) == t1)
   }
 
+  test("hash-gated ops are invariant under input partitioning") {
+    // the determinism claim behind split/sample/pack: results depend only
+    // on the data, never on partition layout — rerun under a different
+    // shuffle width and demand identical rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "13")
+    for (q <- Seq("q63_split_assign", "q67_stratified_sample", "q69_seq_pack")) {
+      val a = SparkEntry.queries(q)(spark, sf0001).collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries(q)(s2, sf0001).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$q changed under repartitioning")
+    }
+  }
+
   test("no query leaves persisted state behind (round-2 cache-leak guard)") {
     // a leaked .cache() squats on executor memory for the rest of the JVM
     // and regresses every later query — run the full registry and demand
