@@ -12,18 +12,20 @@ import org.apache.spark.sql.functions._
   * convergence is a one-row aggregate per round, never a join-based diff;
   * the driver holds a single Long, never the graph.
   *
-  * Lifecycle (the round-2 lesson): each round caches its two step outputs
-  * and unpersists the previous round's, so lineage stays flat and at most
-  * one round's state is ever resident; the converged result is
+  * Lifecycle (the round-2 lesson): each round caches its final labels
+  * (only — the intermediate step is deliberately uncached, see the loop
+  * comment) and unpersists the previous round's, so lineage stays flat
+  * and at most one cached round is ever resident; the converged result is
   * materialized to scratch parquet and the last cache dropped, leaving
   * zero persisted state for whoever consumes the returned relation.
   */
 object ConnectedComponents {
 
   /** @param pairs undirected edges (da, db). MUST be cheap to rescan —
-    *   each round rescans it up to four times (two propagation steps,
-    *   both edge directions); run it through [[Scratch.materialize]]
-    *   first if it is derived.
+    *   each round references the edge relation three times (two
+    *   propagation steps + the outer join's left side), i.e. up to six
+    *   pairs scans when exchange reuse does not dedup them; run it
+    *   through [[Scratch.materialize]] first if it is derived.
     * @param maxIters round budget; each round is TWO propagation steps,
     *   so components up to diameter 2×maxIters converge.
     * @param onRound test hook invoked with each round's label relation
@@ -77,10 +79,10 @@ object ConnectedComponents {
       // — fail loudly instead (component diameter exceeded maxIters)
       labels.unpersist()
       throw new IllegalStateException(
-        s"label propagation did not converge after ${iter} rounds of two " +
-          s"steps each (maxIters=$maxIters budgets ${2 * maxIters} " +
-          "propagation steps) — component diameter exceeds the budget; " +
-          "raise maxIters for this graph")
+        s"label propagation did not converge after $iter rounds " +
+          s"(${2 * iter} propagation steps; maxIters=$maxIters allows " +
+          s"$iter rounds incl. the confirm round) — component diameter " +
+          "exceeds the budget; raise maxIters for this graph")
     }
     val out = Scratch.materialize(labels, "cc-labels")
     labels.unpersist()
