@@ -219,9 +219,14 @@ class StreamingSpec extends SparkSpec {
   test("ST8 via transformWithState: MapState-backed running distinct") {
     // transformWithState needs the RocksDB provider (multiple column
     // families) — also the right state store at 100 TB (spillable,
-    // changelog-checkpointed), vs the default in-memory HDFS-backed one
+    // changelog-checkpointed), vs the default in-memory HDFS-backed one.
+    // Changelog checkpointing on: commits upload the delta, not a full
+    // snapshot — the setting a large-state production cluster runs with
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinctTws(spark, input.toDS())
       .toDF("key", "n_distinct")
@@ -236,6 +241,8 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     q.stop()
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
 
