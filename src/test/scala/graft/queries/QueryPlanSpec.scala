@@ -90,6 +90,24 @@ class QueryPlanSpec extends SparkSpec {
       s"self-join does not reuse the shingle exchange:\n$p")
   }
 
+  test("q65: benchmark grams broadcast; corpus side never sort-merge joins") {
+    val p = planString(LlmOps.q65(spark, sf0001))
+    // the contamination gate must be a broadcast semi-join — a shuffled
+    // join here would move the whole corpus n-gram stream at 100 TB
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bench-gram gate is not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the gate:\n$p")
+  }
+
+  test("q70: corpus stats broadcast into the scoring join") {
+    val p = planString(LlmOps.q70(spark, sf0001))
+    // df (per query term) and the one-row avgdl must both broadcast; the
+    // posting stream shuffles only by doc for the final score sum
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"BM25 stats not broadcast:\n$p")
+  }
+
   test("q61 CC rounds read cached labels + scratch pairs, never the shingle pipeline") {
     import org.apache.spark.sql.catalyst.plans.logical.Generate
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
