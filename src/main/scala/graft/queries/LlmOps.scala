@@ -1384,6 +1384,36 @@ object LlmOps {
       |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size
       |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.vec_id""".stripMargin
 
+  /** q74 — token counting, whitespace vs BPE-ish: the two token budgets a
+    * training pipeline tracks (whitespace words for heuristics, a GPT-2-
+    * style pre-tokenizer count as the cost proxy for the real tokenizer).
+    * The regex is lookahead-free (contractions / letter runs / digit runs
+    * / punctuation runs) so Java and RE2-class engines agree. Pure
+    * map-side column work — no shuffle but the presentation sort. */
+  def q74(s: SparkSession, d: String): DataFrame = {
+    val bpe = "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      // integer rational → whole-quantum rounding (the q68 parity rule)
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_tokens") * 10000.0 / col("n_ws_tokens"), 0) / 10000.0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q74Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT)
+      |    AS n_bpe_tokens,
+      |  round(CAST(len(regexp_extract_all(text,
+      |    '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT)
+      |    * 10000.0 / len(string_split(text, ' ')), 0) / 10000.0 AS bpe_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -1419,5 +1449,6 @@ object LlmOps {
     QueryDef("q70_bm25", q70, Some(q70Sql)),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
-    QueryDef("q73_embed_clusters", q73, Some(q73Sql)))
+    QueryDef("q73_embed_clusters", q73, Some(q73Sql)),
+    QueryDef("q74_bpe_tokens", q74, Some(q74Sql)))
 }
