@@ -1414,6 +1414,58 @@ object LlmOps {
       |    * 10000.0 / len(string_split(text, ' ')), 0) / 10000.0 AS bpe_per_word
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q75 — leakage severity per benchmark document: for each eval doc,
+    * how many corpus docs share any of its 8-grams and how many distinct
+    * (corpus doc, gram) hits exist — the report that decides which
+    * benchmarks are compromised (q65 answers the corpus-side question;
+    * this is the eval-side view). Same scale shape as q65: the corpus
+    * gram stream is gated map-side by the broadcast bench-gram set BEFORE
+    * any shuffle, so only actual hits are deduped and joined back to
+    * their benchmark docs. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % 97 === 0
+    val benchGrams = docs.filter(isBench)
+      .select(col("doc_id").as("bench_id"),
+        NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
+      .select(col("bench_id"), col("ngram")).distinct()
+    val gramSet = benchGrams.select(col("ngram")).distinct()
+    val hits = docs.filter(!isBench)
+      .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram"))
+      .join(broadcast(gramSet), Seq("ngram"), "left_semi")
+      .distinct()
+    val agg = hits.join(broadcast(benchGrams), Seq("ngram"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leaking_docs"),
+        count(lit(1)).as("n_gram_hits"))
+    docs.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .orderBy(col("bench_id"))
+  }
+
+  private val q75Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |             toks[i+6] || ' ' || toks[i+7])) AS ngram
+      |      FROM t WHERE len(toks) >= 8),
+      |bg AS (SELECT DISTINCT doc_id AS bench_id, ngram FROM g WHERE doc_id % 97 = 0),
+      |hits AS (SELECT DISTINCT doc_id, ngram FROM g
+      |         WHERE doc_id % 97 <> 0 AND ngram IN (SELECT ngram FROM bg)),
+      |agg AS (SELECT bench_id, count(DISTINCT h.doc_id) AS n_leaking_docs,
+      |          count(*) AS n_gram_hits
+      |        FROM bg JOIN hits h USING (ngram) GROUP BY bench_id)
+      |SELECT b.doc_id AS bench_id,
+      |  coalesce(a.n_leaking_docs, 0) AS n_leaking_docs,
+      |  coalesce(a.n_gram_hits, 0) AS n_gram_hits
+      |FROM documents b LEFT JOIN agg a ON a.bench_id = b.doc_id
+      |WHERE b.doc_id % 97 = 0 ORDER BY bench_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -1450,5 +1502,6 @@ object LlmOps {
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),
-    QueryDef("q74_bpe_tokens", q74, Some(q74Sql)))
+    QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),
+    QueryDef("q75_leakage_report", q75, Some(q75Sql)))
 }
