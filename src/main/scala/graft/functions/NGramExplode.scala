@@ -16,6 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output schema: `(pos int, ngram string)`. Rows with null text generate
   * nothing (like `explode` on null). Used by near-dup shingling (q35) and
   * the n-gram stats query (q33).
+  *
+  * Tokenization note: splits on `\s+` (robust for production text), while
+  * the DuckDB oracles mirror with `string_split(text, ' ')` — equivalent
+  * ONLY for single-space-separated text, which the read-only fixtures
+  * guarantee (verified: no multi-space/tab/newline at any SF). A corpus
+  * with irregular whitespace needs the oracle side regenerated with a
+  * regexp splitter.
   */
 case class NGramExplode(child: Expression, n: Int)
     extends UnaryExpression with Generator with CodegenFallback {

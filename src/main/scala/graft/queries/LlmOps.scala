@@ -983,14 +983,14 @@ object LlmOps {
   /** q65 — benchmark decontamination: flag corpus documents that share any
     * word 8-gram with a held-out benchmark/eval set (the GPT-3/PaLM-style
     * train-test overlap check every serious training pipeline runs). The
-    * eval set here is the deterministic doc_id%97 bucket; in production it
+    * eval set here is the deterministic doc_id%59 bucket (chosen so the synthetic corpus actually leaks into it at every SF — a %97-style bucket happened to be contamination-free at the gate SF, making the oracle vacuous); in production it
     * is the actual benchmark suite — small by construction, so its distinct
     * 8-gram set BROADCASTS and contamination becomes a map-side semi-join
     * over the streamed corpus n-grams: no shuffle of the 100 TB side
     * before the per-doc count. */
   def q65(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isBench = col("doc_id") % 97 === 0
+    val isBench = col("doc_id") % 59 === 0
     val benchGrams = docs.filter(isBench)
       .select(NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("ngram")).distinct()
@@ -1019,14 +1019,14 @@ object LlmOps {
       |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
       |             toks[i+6] || ' ' || toks[i+7])) AS ngram
       |      FROM t WHERE len(toks) >= 8),
-      |bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0),
-      |corpus AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 97 <> 0),
+      |bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 59 = 0),
+      |corpus AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 59 <> 0),
       |hits AS (SELECT doc_id, count(*) AS n_hits FROM corpus
       |         WHERE ngram IN (SELECT ngram FROM bench) GROUP BY doc_id)
       |SELECT d.doc_id, d.lang, coalesce(h.n_hits, 0) AS n_hits,
       |       coalesce(h.n_hits, 0) >= 1 AS contaminated
       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-      |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
+      |WHERE d.doc_id % 59 <> 0 ORDER BY d.doc_id""".stripMargin
 
   /** q66 — within-document repetition score (Gopher-style quality rule):
     * repeated-trigram fraction and the hottest trigram's repeat count.
@@ -1279,7 +1279,7 @@ object LlmOps {
     * CTE chain mirroring each stage. */
   def q72(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isBench = col("doc_id") % 97 === 0
+    val isBench = col("doc_id") % 59 === 0
     val wDedup = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     val dedup = docs.withColumn("rn", row_number().over(wDedup))
       .filter(col("rn") === 1 && !isBench).drop("rn")
@@ -1308,14 +1308,14 @@ object LlmOps {
       |             SELECT doc_id, text,
       |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       |             FROM documents)
-      |           WHERE rn = 1 AND doc_id % 97 <> 0),
+      |           WHERE rn = 1 AND doc_id % 59 <> 0),
       |t8 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |g8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
       |              toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
       |              toks[i+6] || ' ' || toks[i+7])) AS ngram
       |       FROM t8 WHERE len(toks) >= 8),
-      |bench AS (SELECT DISTINCT ngram FROM g8 WHERE doc_id % 97 = 0),
+      |bench AS (SELECT DISTINCT ngram FROM g8 WHERE doc_id % 59 = 0),
       |contaminated AS (SELECT DISTINCT d.doc_id FROM dd d JOIN g8 USING (doc_id)
       |                 WHERE g8.ngram IN (SELECT ngram FROM bench)),
       |clean AS (SELECT doc_id, text FROM dd
@@ -1392,10 +1392,19 @@ object LlmOps {
     * map-side column work — no shuffle but the presentation sort. */
   def q74(s: SparkSession, d: String): DataFrame = {
     val bpe = "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+    // the synthetic corpus is pure lowercase words + single spaces, on
+    // which every BPE branch but letter-runs is dead (and the two counts
+    // trivially equal) — so the scored text deterministically appends a
+    // header with digits, punctuation and a contraction, making the
+    // pre-tokenizer genuinely diverge from the whitespace count and the
+    // oracle verify all regex branches in both engines
+    val scored = concat(col("text"), lit(" it's doc-"),
+      col("doc_id").cast("string"), lit(", n="),
+      col("n_chars").cast("string"), lit("!"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+        size(split(scored, " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(scored, lit(bpe), lit(0)))
           .cast("long").as("n_bpe_tokens"))
       // integer rational → whole-quantum rounding (the q68 parity rule)
       .withColumn("bpe_per_word",
@@ -1404,15 +1413,19 @@ object LlmOps {
   }
 
   private val q74Sql =
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-      |  CAST(len(regexp_extract_all(text,
-      |    '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT)
-      |    AS n_bpe_tokens,
-      |  round(CAST(len(regexp_extract_all(text,
-      |    '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT)
-      |    * 10000.0 / len(string_split(text, ' ')), 0) / 10000.0 AS bpe_per_word
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH s AS (SELECT doc_id,
+      |    text || ' it''s doc-' || CAST(doc_id AS VARCHAR) || ', n=' ||
+      |      CAST(n_chars AS VARCHAR) || '!' AS scored
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    CAST(len(string_split(scored, ' ')) AS BIGINT) AS n_ws_tokens,
+      |    CAST(len(regexp_extract_all(scored,
+      |      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
+      |      AS BIGINT) AS n_bpe_tokens
+      |  FROM s)
+      |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+      |  round(n_bpe_tokens * 10000.0 / n_ws_tokens, 0) / 10000.0 AS bpe_per_word
+      |FROM c ORDER BY doc_id""".stripMargin
 
   /** q75 — leakage severity per benchmark document: for each eval doc,
     * how many corpus docs share any of its 8-grams and how many distinct
@@ -1424,16 +1437,18 @@ object LlmOps {
     * their benchmark docs. */
   def q75(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isBench = col("doc_id") % 97 === 0
+    val isBench = col("doc_id") % 59 === 0
     val benchGrams = docs.filter(isBench)
       .select(col("doc_id").as("bench_id"),
         NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("bench_id"), col("ngram")).distinct()
-    val gramSet = benchGrams.select(col("ngram")).distinct()
+    // semi-join is duplicate-insensitive, so benchGrams gates directly —
+    // no separate distinct gram set; both broadcasts of the byte-identical
+    // benchGrams subtree share one exchange
     val hits = docs.filter(!isBench)
       .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram"))
-      .join(broadcast(gramSet), Seq("ngram"), "left_semi")
+      .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
       .distinct()
     val agg = hits.join(broadcast(benchGrams), Seq("ngram"))
       .groupBy(col("bench_id"))
@@ -1454,9 +1469,9 @@ object LlmOps {
       |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
       |             toks[i+6] || ' ' || toks[i+7])) AS ngram
       |      FROM t WHERE len(toks) >= 8),
-      |bg AS (SELECT DISTINCT doc_id AS bench_id, ngram FROM g WHERE doc_id % 97 = 0),
+      |bg AS (SELECT DISTINCT doc_id AS bench_id, ngram FROM g WHERE doc_id % 59 = 0),
       |hits AS (SELECT DISTINCT doc_id, ngram FROM g
-      |         WHERE doc_id % 97 <> 0 AND ngram IN (SELECT ngram FROM bg)),
+      |         WHERE doc_id % 59 <> 0 AND ngram IN (SELECT ngram FROM bg)),
       |agg AS (SELECT bench_id, count(DISTINCT h.doc_id) AS n_leaking_docs,
       |          count(*) AS n_gram_hits
       |        FROM bg JOIN hits h USING (ngram) GROUP BY bench_id)
@@ -1464,7 +1479,7 @@ object LlmOps {
       |  coalesce(a.n_leaking_docs, 0) AS n_leaking_docs,
       |  coalesce(a.n_gram_hits, 0) AS n_gram_hits
       |FROM documents b LEFT JOIN agg a ON a.bench_id = b.doc_id
-      |WHERE b.doc_id % 97 = 0 ORDER BY bench_id""".stripMargin
+      |WHERE b.doc_id % 59 = 0 ORDER BY bench_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
