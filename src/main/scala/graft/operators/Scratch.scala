@@ -45,4 +45,21 @@ object Scratch {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** Eagerly delete a one-shot materialization once its last consumer has
+    * run its action — the shutdown hook is only the backstop (and a hard
+    * kill, e.g. SIGKILL/OOM-killer, skips it entirely: a production run
+    * needs a storage lifecycle/TTL policy on the scratch prefix). A
+    * long-lived driver looping iterative queries must release per-loop
+    * dirs here or disk grows unboundedly. Only paths under this JVM's
+    * scratch root are deleted — anything else is refused. */
+  def release(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path).normalize()
+    require(p.startsWith(root), s"refusing to delete non-scratch path $path")
+    import java.nio.file.{Files => F}
+    import scala.jdk.CollectionConverters._
+    if (F.exists(p)) {
+      F.walk(p).iterator().asScala.toSeq.reverse.foreach(q => F.deleteIfExists(q))
+    }
+  }
 }

@@ -140,12 +140,16 @@ object LlmOps {
       |      FROM s)
       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY pid, rn""".stripMargin
 
+  /** "Near-duplicate" cosine gate shared by q34b and q73 (Scala filter +
+    * both oracle SQL strings interpolate this one constant). Calibrated to
+    * the synthetic corpus (max intra-label cosine ≈ 0.47 — a 0.9 gate
+    * would be vacuously empty and verify nothing); a production corpus
+    * with true duplicates raises it back toward 0.9. */
+  private[queries] val CosineNearDupThreshold = 0.35
+
   /** q34b — embedding near-duplicate pairs, label-blocked: pairs within
-    * the same label bucket with cosine ≥ 0.35. Blocking turns O(n²) into
-    * Σ bucket². The threshold is calibrated to the synthetic corpus
-    * (max intra-label cosine ≈ 0.47 — a 0.9 gate would be vacuously
-    * empty and verify nothing); a production corpus with true duplicates
-    * raises it back toward 0.9. */
+    * the same label bucket with cosine ≥ [[CosineNearDupThreshold]].
+    * Blocking turns O(n²) into Σ bucket². */
   def q34b(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val a = e.select(col("label").as("lbl"), col("vec_id").as("va"), col("embedding").as("ea"))
@@ -154,17 +158,17 @@ object LlmOps {
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
         round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
-      .filter(col("sim") >= 0.35)
+      .filter(col("sim") >= CosineNearDupThreshold)
       .orderBy(col("va"), col("vb"))
   }
 
   private val q34bSql =
-    """WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    s"""WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       |           FROM embeddings)
       |SELECT a.vec_id AS va, b.vec_id AS vb,
       |       round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= $CosineNearDupThreshold
       |ORDER BY va, vb""".stripMargin
 
   /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: component i
@@ -293,7 +297,7 @@ object LlmOps {
     jaccardPairs(s, d).orderBy(col("da"), col("db"))
 
   private val q35Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
@@ -301,7 +305,7 @@ object LlmOps {
       |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
       |       FROM (SELECT doc_id, ngram,
       |               count(*) OVER (PARTITION BY ngram) AS df
-      |             FROM sh0) WHERE df <= 256),
+      |             FROM sh0) WHERE df <= $MaxShingleDocFreq),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
@@ -841,11 +845,17 @@ object LlmOps {
     // the (expensive) pair generation is materialized to scratch parquet
     // ONCE — the CC loop rescans it several times per round, and a storage
     // materialization (vs cache) leaves zero persisted state behind
-    val pairs = graft.operators.Scratch.materialize(
+    val pairsPath = graft.operators.Scratch.materializePath(
       jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
         .select(col("da"), col("db")),
       "q61-pairs")
-    val labels = graft.operators.ConnectedComponents.minLabelPropagation(pairs)
+    val labels = graft.operators.ConnectedComponents.minLabelPropagation(
+      s.read.parquet(pairsPath))
+    // the CC loop's own actions were the pairs dir's last consumers — the
+    // returned relation reads only the cc-labels materialization, so the
+    // pair dir is released NOW, not at JVM exit (a driver looping this
+    // query would otherwise grow scratch disk per invocation)
+    graft.operators.Scratch.release(pairsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -853,7 +863,7 @@ object LlmOps {
   }
 
   private val q61Sql =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
@@ -862,7 +872,7 @@ object LlmOps {
       |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
       |       FROM (SELECT doc_id, ngram,
       |               count(*) OVER (PARTITION BY ngram) AS df
-      |             FROM sh0) WHERE df <= 256),
+      |             FROM sh0) WHERE df <= $MaxShingleDocFreq),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
@@ -1346,17 +1356,19 @@ object LlmOps {
       |FROM c ORDER BY doc_id""".stripMargin
 
   /** q73 — embedding near-dup CLUSTERS: the q61 closure applied to the
-    * q34b embedding-cosine pair graph (sim ≥ 0.35, corpus-calibrated), i.e.
+    * q34b embedding-cosine pair graph (sim ≥ [[CosineNearDupThreshold]]), i.e.
     * [[graft.operators.ConnectedComponents]] reused as a generic operator
     * over a different similarity relation — semantic dedup groups with a
     * canonical survivor per group, the embedding-space complement of the
     * lexical q61. Same lifecycle: pairs scratch-materialized once, rounds
     * cache/unpersist pairwise, zero persisted state after the action. */
   def q73(s: SparkSession, d: String): DataFrame = {
-    val pairs = graft.operators.Scratch.materialize(
+    val pairsPath = graft.operators.Scratch.materializePath(
       q34b(s, d).select(col("va").as("da"), col("vb").as("db")),
       "q73-pairs")
-    val labels = graft.operators.ConnectedComponents.minLabelPropagation(pairs)
+    val labels = graft.operators.ConnectedComponents.minLabelPropagation(
+      s.read.parquet(pairsPath))
+    graft.operators.Scratch.release(pairsPath) // last consumer was the CC loop
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id").as("vec_id"), col("lbl").as("cluster_id"),
@@ -1365,13 +1377,13 @@ object LlmOps {
   }
 
   private val q73Sql =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |e AS (SELECT label, vec_id,
       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       |      FROM embeddings),
       |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
       |          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |          WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35),
+      |          WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= $CosineNearDupThreshold),
       |edges AS (SELECT va AS a, vb AS b FROM pairs
       |          UNION ALL SELECT vb AS a, va AS b FROM pairs),
       |nodes AS (SELECT DISTINCT a AS vec_id FROM edges),

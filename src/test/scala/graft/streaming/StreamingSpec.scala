@@ -227,23 +227,29 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
-    val input = MemoryStream[(String, Long)]
-    val q = StreamIngest.runningDistinctTws(spark, input.toDS())
-      .toDF("key", "n_distinct")
-      .writeStream.format("memory").queryName("tws_out")
-      .outputMode(OutputMode.Update()).start()
-    input.addData(("a", 1L), ("a", 2L), ("b", 5L))
-    q.processAllAvailable()
-    input.addData(("a", 2L), ("a", 9L), ("b", 5L))
-    q.processAllAvailable()
-    val last = spark.table("tws_out").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
-    q.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.unset(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-    assert(last == Map("a" -> 3L, "b" -> 1L))
+    try {
+      val input = MemoryStream[(String, Long)]
+      val q = StreamIngest.runningDistinctTws(spark, input.toDS())
+        .toDF("key", "n_distinct")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(("a", 1L), ("a", 2L), ("b", 5L))
+        q.processAllAvailable()
+        input.addData(("a", 2L), ("a", 9L), ("b", 5L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally {
+      // unset even on failure: a leaked provider conf would silently switch
+      // the state store under every later streaming test in this JVM
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
   }
 
   test("checkpoint recovery: restart resumes without reprocessing (exactly-once file sink)") {
