@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Connected components by iterative min-label propagation — the Pregel
   * pattern: each propagation step is one equi-join + groupBy on the node
@@ -21,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count threshold below which the closure is solved by a
+    * single-task union-find instead of the iterative join loop. The loop
+    * costs ~10 tiny shuffle stages PER ROUND regardless of data size —
+    * on a few hundred edges that is seconds of pure scheduling for work
+    * one core does in microseconds (measured at sf0.1: 4.2s for 2 rounds
+    * over 256 edges). 1M edges is ~tens of MB of union-find state in one
+    * task; graphs above that take the distributed loop. This is the
+    * standard two-regime CC design: distributed propagation while the
+    * graph is large, a local solve once (or when) it is small. The count
+    * that drives the dispatch is metadata-cheap on the scratch parquet
+    * the caller is required to pass. */
+  val LocalMaxEdges: Long = 1L << 20
+
   /** @param pairs undirected edges (da, db). MUST be cheap to rescan —
     *   each round references the edge relation three times (two
     *   propagation steps + the outer join's left side), i.e. up to six
@@ -29,13 +43,24 @@ object ConnectedComponents {
     * @param maxIters round budget; each round is TWO propagation steps,
     *   so components up to diameter 2×maxIters converge.
     * @param onRound test hook invoked with each round's label relation
-    *   before its action (plan assertions).
+    *   before its action (plan assertions). Distributed loop only — the
+    *   single-task regime has no rounds.
+    * @param localMaxEdges override of [[LocalMaxEdges]]; pass -1 to pin
+    *   the distributed loop (plan tests), Long.MaxValue to pin local.
     * @return (doc_id, lbl) with lbl = min node id of the component,
     *   scratch-materialized — no cache survives this call. */
   def minLabelPropagation(
       pairs: DataFrame,
       maxIters: Int = 20,
-      onRound: DataFrame => Unit = _ => ()): DataFrame = {
+      onRound: DataFrame => Unit = _ => (),
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
+    val idType = pairs.schema("da").dataType
+    val localCapable = idType match {
+      case LongType | IntegerType | StringType => true
+      case _ => false
+    }
+    if (localCapable && pairs.count() <= localMaxEdges)
+      return localUnionFind(pairs)
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
     val nodes = edges.select(col("a").as("doc_id")).distinct()
@@ -91,4 +116,47 @@ object ConnectedComponents {
 
   private def sumOfLabels(labels: DataFrame): Long =
     labels.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
+
+  /** Small-graph regime: ship every edge to ONE task and run union-find
+    * with union-by-min-root — the root of each set is always its minimum
+    * id (a root only ever cedes to a smaller root), so labels match the
+    * propagation loop's min-label fixpoint exactly. One job, no rounds,
+    * no cached state; output goes through the same scratch
+    * materialization as the distributed path. */
+  private def localUnionFind(pairs: DataFrame): DataFrame = {
+    val idType = pairs.schema("da").dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case StringType  => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case t => throw new IllegalArgumentException(s"unsupported id type $t")
+    }
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idType, nullable = false),
+      StructField("lbl", idType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val labeled = pairs.select(col("da"), col("db")).coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          // path compression: second pass points the chain at the root
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { row =>
+          val a = row.get(0); val b = row.get(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (lt(rb, ra)) parent.put(ra, rb) else parent.put(rb, ra)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().asScala.iterator.map(n => Row(n, find(n)))
+      }
+    Scratch.materialize(labeled, "cc-labels")
+  }
 }

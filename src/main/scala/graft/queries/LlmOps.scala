@@ -246,15 +246,14 @@ object LlmOps {
   /** (da, db, jaccard) near-dup candidate pairs: docs sharing ≥2 rare
     * (df ≤ [[MaxShingleDocFreq]]) trigram shingles, with exact set-Jaccard
     * (4dp) over the rare-shingle universe. Shared by q35 (pair listing)
-    * and q61 (cluster closure).
+    * and q61 (cluster closure) via [[jaccardPairs]]'s per-dataset
+    * memoized scratch materialization — this is the declarative subtree.
     *
-    * Uncached on purpose: the consumers below re-derive the subtree, which
-    * round-2 measurement showed is CHEAPER than caching it (the cache
-    * squatted on executor memory for the rest of the JVM and regressed
-    * every later query 1.6-3.3×). The df window is one shuffle on ngram
-    * and leaves the relation hash-partitioned by ngram — the key the
-    * self-join needs. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * Never `.cache()`d: round-2 measurement showed an executor-memory
+    * cache squats on the JVM and regressed every later query 1.6-3.3×.
+    * The df window is one shuffle on ngram and leaves the relation
+    * hash-partitioned by ngram — the key the self-join needs. */
+  private[queries] def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     // the df cap folds into a window over the distinct relation — it
     // reuses the shuffle this pipeline needs anyway, so unlike the
     // MinHash family (which anti-joins the memoized [[hotShinglesRel]]),
@@ -286,6 +285,24 @@ object LlmOps {
       .select(col("da"), col("db"),
         (round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")), 0)
           / 10000.0).as("jaccard"))
+  }
+
+  private val jaccardPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[jaccardPairsPlan]] materialized to scratch parquet ONCE per dataset
+    * dir and memoized by PATH (the [[hotShinglesRel]] pattern): the pair
+    * relation is a shared expensive intermediate — q35 lists it, q61
+    * clusters it — and a production pipeline materializes such a stage
+    * output to storage rather than recomputing it per consumer (each
+    * DataFrame consumer re-derives the subtree; ReuseExchange only dedups
+    * within one plan). Storage, not executor memory: zero persisted-RDD
+    * state, and the consumers' scans push their own filters down. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val path = jaccardPairsCache.computeIfAbsent(d, dir =>
+      graft.operators.Scratch.materializePath(
+        jaccardPairsPlan(s, dir), "jaccard-pairs"))
+    s.read.parquet(path)
   }
 
   /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 rare

@@ -169,4 +169,32 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
       s"no dynamic partition pruning in plan:\n$plan")
   }
+
+  test("CC regimes agree: single-task union-find == distributed propagation") {
+    import spark.implicits._
+    // chain (diameter 5), two cliques sharing a bridge, a 2-cycle, and
+    // self-contained pairs — shapes that exercise path compression,
+    // union-by-min ordering, and multi-round propagation alike
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L), (13L, 14L), (14L, 13L),
+      (20L, 21L),
+      (31L, 30L)) // reversed order: min is on the right
+    val pairs = Scratch.materialize(edges.toDF("da", "db"), "cc-regimes")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(
+      ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = Long.MaxValue))
+    val dist = toMap(
+      ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = -1))
+    assert(local == dist, s"regimes diverge:\nlocal=$local\ndist=$dist")
+    assert(local(6L) == 1L && local(14L) == 10L && local(21L) == 20L
+      && local(31L) == 30L && local(30L) == 30L)
+    // and the dispatcher itself picks the local path for a graph this
+    // small (no rounds observed) while still matching
+    var rounds = 0
+    val dispatched = toMap(ConnectedComponents.minLabelPropagation(
+      pairs, onRound = _ => rounds += 1))
+    assert(dispatched == local && rounds == 0)
+  }
 }

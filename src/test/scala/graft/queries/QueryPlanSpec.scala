@@ -82,8 +82,10 @@ class QueryPlanSpec extends SparkSpec {
   test("q35: self-join sides share one exchange (ReusedExchange, no double pipeline)") {
     // the shingle pipeline (scan → explode → distinct → df/nsh windows) is
     // the expensive subtree; both self-join sides must replay ONE shuffle
-    // of it, not compute it twice — at 100 TB this halves the dominant cost
-    val df = LlmOps.q35(spark, sf0001)
+    // of it, not compute it twice — at 100 TB this halves the dominant cost.
+    // Asserted on the plan builder: q35 itself now reads the memoized
+    // scratch materialization, which hides the subtree it was built from
+    val df = LlmOps.jaccardPairsPlan(spark, sf0001)
     df.collect() // finalize AQE stages
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
@@ -118,7 +120,9 @@ class QueryPlanSpec extends SparkSpec {
     val pairs = Scratch.materialize(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db"), "plantest")
     var rounds = 0
-    val labels = ConnectedComponents.minLabelPropagation(pairs, onRound = { next =>
+    // localMaxEdges = -1 pins the distributed loop — this test guards the
+    // large-graph regime's plan shape, which the size dispatch would skip
+    val labels = ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = -1, onRound = { next =>
       rounds += 1
       val lp = next.queryExecution.optimizedPlan
       assert(lp.collect { case g: Generate => g }.isEmpty,
