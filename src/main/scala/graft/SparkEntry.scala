@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, LlmOps, QueryDef, Relational, Scalars, Temporal}
+import graft.queries.{Analytics, Curation, LlmOps, QueryDef, Relational, Scalars, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{Analytics, LlmOps, QueryDef, Relational, Scalars, Temporal
 object SparkEntry {
 
   private val all: Seq[QueryDef] =
-    Relational.defs ++ Scalars.defs ++ Temporal.defs ++ LlmOps.defs ++ Analytics.defs
+    Relational.defs ++ Scalars.defs ++ Temporal.defs ++ LlmOps.defs ++
+      Analytics.defs ++ Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

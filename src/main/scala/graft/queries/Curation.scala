@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 corpus-curation operators — the remaining pieces of a
+  * production training-data pipeline beyond the dedup/quality/packing
+  * surface already registered (q61-q75): span-level dedup, text
+  * normalization, URL/domain policy filtering, composite quality rules,
+  * tokenizer fertility, curriculum ordering, mixture reweighting, and
+  * per-document novelty. All pure DataFrame logic — no UDFs, no
+  * collects; every division that feeds the oracle hash is rounded on the
+  * 1e-4 grid in integer space (the .00005-boundary parity rule).
+  *
+  * Reference scope: opentraffic/csv-loader has no curation surface
+  * (CsvLoader.java is a CSV→HTTP loader); these extend the north-star
+  * LLM-pipeline operator set on the `documents` table.
+  */
+object Curation {
+
+  private val SpanWords = 10
+
+  /** q76 — duplicated-span removal (the C4-style middle ground between
+    * document-level dedup (q23/q61) and nothing): the corpus keeps only
+    * the FIRST occurrence of every [[SpanWords]]-word span; later
+    * occurrences are cut and each document is reassembled from its
+    * surviving spans. First = (min doc_id, then min position) — one
+    * `row_number` over a span-keyed window, the same blocked shape as
+    * the shingle pipeline: work is Σ per-span freq, never n². A viral
+    * span is the hot-key risk at 100 TB — the q35 doc-frequency-cap /
+    * salting playbook applies to the span window unchanged. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks) / lit(SpanWords.toDouble)).cast("int")
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * SpanWords + 1, lit(SpanWords))))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val first = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val kept = spans.withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk"))).as("clean_text"))
+    // docs whose every span was cut still come out (n_kept=0, empty text)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q76Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |        array_to_string(toks[(i*$SpanWords+1):(i*$SpanWords+$SpanWords)], ' ') AS chunk
+      |      FROM t, unnest(range(0, CAST(ceil(len(toks)/$SpanWords.0) AS BIGINT))) AS u(i)),
+      |r AS (SELECT doc_id, chunk_idx, chunk,
+      |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |      FROM c),
+      |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |        string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+      |      FROM r WHERE rn = 1 GROUP BY doc_id),
+      |n AS (SELECT doc_id,
+      |        CAST(ceil(len(string_split(text, ' '))/$SpanWords.0) AS BIGINT) AS n_chunks
+      |      FROM documents)
+      |SELECT n.doc_id, n.n_chunks, COALESCE(k.n_kept, 0) AS n_kept,
+      |       COALESCE(k.clean_text, '') AS clean_text
+      |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q77 — text normalization (case folding, control/punctuation strip,
+    * whitespace collapse): the first stage every crawled corpus passes
+    * through. The synthetic corpus is already clean, so the query first
+    * BUILDS the dirty form deterministically (tabs, CRLF, an upper-cased
+    * head, a punctuated trailer) and then proves the normalizer restores
+    * the expected clean text — the oracle verifies every rule fires in
+    * both engines rather than vacuously copying strings through.
+    * Entirely map-side. */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(lit("\t  "),
+      upper(substring(col("text"), 1, 40)), substring(col("text"), 41, 1000000),
+      lit(" 'END' ###\r\n"))
+    val clean = trim(regexp_replace(regexp_replace(lower(dirty),
+      "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(dirty).cast("long").as("dirty_chars"),
+        length(clean).cast("long").as("clean_chars"),
+        (clean === concat(col("text"), lit(" end"))).as("restored"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q77Sql =
+    """WITH x AS (SELECT doc_id, text,
+      |    chr(9) || '  ' || upper(substr(text, 1, 40)) || substr(text, 41, 1000000)
+      |      || ' ''END'' ###' || chr(13) || chr(10) AS dirty
+      |  FROM documents),
+      |y AS (SELECT doc_id, text, dirty,
+      |    trim(regexp_replace(regexp_replace(lower(dirty),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      |  FROM x)
+      |SELECT doc_id, CAST(length(dirty) AS BIGINT) AS dirty_chars,
+      |       CAST(length(clean) AS BIGINT) AS clean_chars,
+      |       clean = text || ' end' AS restored
+      |FROM y ORDER BY doc_id""".stripMargin
+
+  /** q78 — URL synthesis + domain extraction + blocklist filter: the
+    * RefinedWeb/C4-style provenance policy gate. Each doc's crawl URL is
+    * derived deterministically from (source, lang, doc_id); the domain is
+    * regex-extracted (mirrors in engines without a URL parser) and
+    * checked against a domain blocklist via broadcast ANTI join — the
+    * shape that still works when the blocklist is millions of domains
+    * (broadcast or bloom side), while the corpus side never shuffles. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocked = Seq("src3.example-en.com", "src7.example-de.com",
+      "src7.example-zh.com", "badsite.example.com").toDF("domain")
+    val withUrl = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("https://"), col("source"), lit(".example-"), col("lang"),
+          lit(".com/doc/"), col("doc_id").cast("string"),
+          lit("?ref=crawl")).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https://([^/]+)", 1))
+    withUrl.join(broadcast(blocked), Seq("domain"), "left_anti")
+      .select(col("doc_id"), col("domain"), col("url"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q78Sql =
+    """WITH u AS (SELECT doc_id,
+      |    'https://' || source || '.example-' || lang || '.com/doc/'
+      |      || CAST(doc_id AS VARCHAR) || '?ref=crawl' AS url
+      |  FROM documents),
+      |w AS (SELECT doc_id, url, regexp_extract(url, 'https://([^/]+)', 1) AS domain
+      |      FROM u)
+      |SELECT doc_id, domain, url FROM w
+      |WHERE domain NOT IN ('src3.example-en.com', 'src7.example-de.com',
+      |                     'src7.example-zh.com', 'badsite.example.com')
+      |ORDER BY doc_id""".stripMargin
+
+  /** q79 — composite quality-rule bundle (the Gopher-rules shape): five
+    * independent per-document gates — word-count bounds, mean word
+    * length, stopword-diversity, max word length, distinct-word ratio —
+    * each surfaced as its own flag so downstream analysis can attribute
+    * WHY a doc fell, plus the conjunction. Every signal is array
+    * arithmetic over the token list: map-side, no shuffle, no UDF. The
+    * mean/ratio gates compare grid-rounded integer rationals so the
+    * boolean flips on exactly the same documents in both engines. */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nW = size(toks).cast("long")
+    // single-space corpus: letters = chars - (words-1)
+    val meanLen = round((col("n_chars") - nW + 1) * lit(10000.0) / nW, 0) / 10000.0
+    val distinctRatio =
+      round(size(array_distinct(toks)) * lit(10000.0) / nW, 0) / 10000.0
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(lit("the"), lit("a"), lit("of"), lit("to"), lit("in"), lit("is"))))
+    val maxWord = array_max(transform(toks, t => length(t)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nW.as("n_words"),
+        meanLen.as("mean_word_len"), distinctRatio.as("distinct_ratio"),
+        stopHits.cast("long").as("n_stop_kinds"), maxWord.as("max_word_len"),
+        (nW >= 15 && nW <= 70).as("f_nwords"),
+        (meanLen >= 3.0 && meanLen <= 4.8).as("f_meanlen"),
+        (stopHits >= 2).as("f_stop"),
+        (maxWord <= 6).as("f_maxword"),
+        (distinctRatio >= 0.3).as("f_distinct"))
+      .withColumn("pass",
+        col("f_nwords") && col("f_meanlen") && col("f_stop") &&
+          col("f_maxword") && col("f_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql =
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_words,
+      |        round((n_chars - len(toks) + 1) * 10000.0 / len(toks), 0)
+      |          / 10000.0 AS mean_word_len,
+      |        round(len(list_distinct(toks)) * 10000.0 / len(toks), 0)
+      |          / 10000.0 AS distinct_ratio,
+      |        CAST(len(list_intersect(list_distinct(toks),
+      |          ['the', 'a', 'of', 'to', 'in', 'is'])) AS BIGINT) AS n_stop_kinds,
+      |        list_max(list_transform(toks, t -> len(t))) AS max_word_len
+      |      FROM t)
+      |SELECT doc_id, n_words, mean_word_len, distinct_ratio, n_stop_kinds,
+      |       max_word_len,
+      |       n_words >= 15 AND n_words <= 70 AS f_nwords,
+      |       mean_word_len >= 3.0 AND mean_word_len <= 4.8 AS f_meanlen,
+      |       n_stop_kinds >= 2 AS f_stop,
+      |       max_word_len <= 6 AS f_maxword,
+      |       distinct_ratio >= 0.3 AS f_distinct,
+      |       (n_words >= 15 AND n_words <= 70)
+      |         AND (mean_word_len >= 3.0 AND mean_word_len <= 4.8)
+      |         AND n_stop_kinds >= 2 AND max_word_len <= 6
+      |         AND distinct_ratio >= 0.3 AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q80 — tokenizer fertility by language: BPE-ish tokens per
+    * whitespace word, the budget planners track per language when
+    * sizing a multilingual mix (high-fertility languages cost more
+    * tokens per word). Scores the q74-enriched text (the raw corpus is
+    * pure lowercase where the two counts trivially coincide); one hash
+    * aggregation by lang. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val bpe = "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+"
+    val scored = concat(col("text"), lit(" it's doc-"),
+      col("doc_id").cast("string"), lit(", n="),
+      col("n_chars").cast("string"), lit("!"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(scored, " ")).cast("long").as("ws"),
+        size(regexp_extract_all(scored, lit(bpe), lit(0))).cast("long").as("bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bp")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens") * 10000.0 / col("n_ws_tokens"), 0) / 10000.0)
+      .orderBy(col("lang"))
+  }
+
+  private val q80Sql =
+    """WITH x AS (SELECT lang,
+      |    text || ' it''s doc-' || CAST(doc_id AS VARCHAR) || ', n='
+      |      || CAST(n_chars AS VARCHAR) || '!' AS scored
+      |  FROM documents),
+      |c AS (SELECT lang,
+      |    CAST(len(string_split(scored, ' ')) AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(scored,
+      |      '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+', 0))
+      |      AS BIGINT) AS bp
+      |  FROM x)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+      |       CAST(sum(bp) AS BIGINT) AS n_bpe_tokens,
+      |       round(sum(bp) * 10000.0 / sum(ws), 0) / 10000.0 AS fertility
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q81 — curriculum ordering: rank the corpus by the q38 quality score
+    * into four phases (highest-quality phase first, the
+    * easy-to-hard/clean-to-noisy curriculum) and give each doc a
+    * deterministic within-phase shuffle key (hash of id, not rand() —
+    * reproducible across partitionings, the q63/q64 rule). ntile over
+    * (quality, doc_id) is a total order, so phase assignment is
+    * engine-stable. The global sort is one shuffle; at 100 TB the same
+    * plan range-partitions instead of single-sorting. */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    LlmOps.q38(s, d).select(col("doc_id"), col("quality"))
+      .withColumn("phase", ntile(4).over(w))
+      .withColumn("shuffle_key", LlmOps.lcgKey(col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q81Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |q AS (SELECT doc_id,
+      |        round(least(len(toks), 100) *
+      |          (len(toks) - len(list_filter(toks,
+      |             t -> t IN ('the', 'a', 'data', 'row')))) * 10000.0 /
+      |          (100.0 * len(toks)), 0) / 10000.0 AS quality
+      |      FROM t)
+      |SELECT doc_id, quality,
+      |       ntile(4) OVER (ORDER BY quality DESC, doc_id) AS phase,
+      |       (doc_id * 1103515245 + 12345) % 2147483648 AS shuffle_key
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** Target language shares for q82 — a DoReMi-style static mixture spec
+    * (interpolated into the oracle SQL so Scala and DuckDB can't drift). */
+  private val LangTargets: Seq[(String, Double)] =
+    Seq("de" -> 0.15, "en" -> 0.40, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** q82 — mixture reweighting: given target language shares, compute
+    * each language's actual share and the sampling weight
+    * (target/actual) that reshapes the corpus into the target mix — the
+    * static reweighting step of mixture tuning. Corpus side is ONE hash
+    * aggregation; targets and the grand total are broadcast (the
+    * |langs|-row side never drives a shuffle at any scale). */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val targets = LangTargets.toDF("lang", "target_share")
+    val counts = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+    counts.join(broadcast(targets), "lang")
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"),
+        (round(col("n_docs") * 10000.0 / col("total"), 0) / 10000.0)
+          .as("actual_share"),
+        col("target_share"),
+        (round(col("target_share") * col("total") * 10000.0 / col("n_docs"), 0)
+          / 10000.0).as("weight"))
+      .orderBy(col("lang"))
+  }
+
+  private val q82Sql = {
+    val targetRows = LangTargets
+      .map { case (l, t) => s"('$l', CAST($t AS DOUBLE))" }.mkString(", ")
+    s"""WITH targets(lang, target_share) AS (VALUES $targetRows),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      |      GROUP BY lang),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+      |SELECT c.lang, c.n_docs,
+      |       round(c.n_docs * 10000.0 / tot.total, 0) / 10000.0 AS actual_share,
+      |       t.target_share,
+      |       round(t.target_share * tot.total * 10000.0 / c.n_docs, 0)
+      |         / 10000.0 AS weight
+      |FROM c JOIN targets t USING (lang) CROSS JOIN tot
+      |ORDER BY c.lang""".stripMargin
+  }
+
+  /** q83 — per-document novelty: the fraction of a doc's distinct
+    * trigrams whose first corpus occurrence (min doc_id) is this doc —
+    * the "marginal contribution" signal dedup-aware sampling weighs
+    * (a doc that only repeats earlier shingles adds nothing). Same
+    * blocked shape as the shingle pipeline: one shuffle by ngram for the
+    * first-seen window, one by doc for the ratio — never pairwise. */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NGramExplode
+    val dn = Tables.documents(s, d)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram")).distinct()
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("ngram"))))
+    val per = dn.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") * 10000.0 / col("n_grams"), 0) / 10000.0)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novelty"), lit(0.0)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q83Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |      FROM t WHERE len(toks) >= 3),
+      |f AS (SELECT doc_id, ngram,
+      |        min(doc_id) OVER (PARTITION BY ngram) AS first_doc FROM g),
+      |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |        CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_novel
+      |      FROM f GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+      |       COALESCE(p.n_novel, 0) AS n_novel,
+      |       COALESCE(round(p.n_novel * 10000.0 / p.n_grams, 0) / 10000.0, 0.0)
+      |         AS novelty
+      |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_span_dedup", q76, Some(q76Sql)),
+    QueryDef("q77_normalize", q77, Some(q77Sql)),
+    QueryDef("q78_domain_filter", q78, Some(q78Sql)),
+    QueryDef("q79_quality_rules", q79, Some(q79Sql)),
+    QueryDef("q80_fertility", q80, Some(q80Sql)),
+    QueryDef("q81_curriculum", q81, Some(q81Sql)),
+    QueryDef("q82_mixture_weights", q82, Some(q82Sql)),
+    QueryDef("q83_novelty", q83, Some(q83Sql)))
+}

@@ -952,7 +952,7 @@ object LlmOps {
     * so not oracle-able); the pipeline shape is unchanged. Inputs here are
     * doc ids (< 2^31), so the multiply stays far below 2^63 — no ANSI
     * overflow. */
-  private def lcgKey(mix: Column): Column =
+  private[queries] def lcgKey(mix: Column): Column =
     (mix * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
 
   /** q63 — deterministic train/val/test split (90/5/5): the standard

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the round-4 curation operators (q76-q83) —
+  * properties the DuckDB hash gate can't express: reassembly fidelity,
+  * policy monotonicity, flag/conjunction consistency, ntile balance. */
+class CurationSpec extends SparkSpec {
+
+  test("q76: docs losing no span reassemble to their original text; kept <= chunks") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val out = Curation.q76(spark, sf001)
+    val joined = out.join(docs, "doc_id").cache()
+    try {
+      val bad = joined.filter(col("n_kept") > col("n_chunks")).count()
+      assert(bad == 0, s"$bad docs kept more spans than they have")
+      val intact = joined.filter(col("n_kept") === col("n_chunks"))
+      val mismatched = intact.filter(col("clean_text") =!= col("text")).count()
+      assert(mismatched == 0,
+        s"$mismatched intact docs did not reassemble to the original text")
+      // the operator does real work at this SF: some doc loses a span
+      assert(joined.filter(col("n_kept") < col("n_chunks")).count() > 0)
+    } finally joined.unpersist()
+  }
+
+  test("q77: the normalizer restores every enriched doc") {
+    val out = Curation.q77(spark, sf001)
+    assert(out.filter(!col("restored")).count() == 0)
+    // and it had something to normalize (dirty != clean lengths)
+    assert(out.filter(col("dirty_chars") === col("clean_chars")).count() == 0)
+  }
+
+  test("q78: blocked domains are gone, unblocked docs all survive") {
+    val out = Curation.q78(spark, sf001).cache()
+    try {
+      val blockedLeft = out.filter(col("domain").isin(
+        "src3.example-en.com", "src7.example-de.com", "src7.example-zh.com")).count()
+      assert(blockedLeft == 0, s"$blockedLeft blocked-domain docs survived")
+      val total = graft.Tables.documents(spark, sf001).count()
+      val kept = out.count()
+      assert(kept < total, "blocklist removed nothing — gate is vacuous")
+      val blockedDocs = graft.Tables.documents(spark, sf001)
+        .filter((col("source") === "src3" && col("lang") === "en") ||
+          (col("source") === "src7" && col("lang").isin("de", "zh"))).count()
+      assert(kept == total - blockedDocs, "gate dropped an unblocked doc")
+    } finally out.unpersist()
+  }
+
+  test("q79: pass is exactly the conjunction of the five flags; all flags discriminate") {
+    val out = Curation.q79(spark, sf001).cache()
+    try {
+      val inconsistent = out.filter(col("pass") =!=
+        (col("f_nwords") && col("f_meanlen") && col("f_stop") &&
+          col("f_maxword") && col("f_distinct"))).count()
+      assert(inconsistent == 0)
+      for (f <- Seq("f_nwords", "f_meanlen", "f_stop", "f_maxword", "f_distinct")) {
+        val kinds = out.select(col(f)).distinct().count()
+        assert(kinds == 2, s"$f never fires at sf0.01 — rule verifies nothing")
+      }
+      assert(out.filter(col("pass")).count() > 0, "no doc passes — bundle vacuous")
+    } finally out.unpersist()
+  }
+
+  test("q80: fertility > 1 per language (the enriched text tokenizes finer than whitespace)") {
+    val rows = Curation.q80(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") > 1.0, s"${r.getString(0)} fertility <= 1")
+    }
+  }
+
+  test("q81: four balanced curriculum phases; phase 1 outranks phase 4") {
+    val out = Curation.q81(spark, sf001).cache()
+    try {
+      val sizes = out.groupBy(col("phase")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == Set(1, 2, 3, 4))
+      assert(sizes.values.max - sizes.values.min <= 1, s"ntile unbalanced: $sizes")
+      val p1min = out.filter(col("phase") === 1).agg(min(col("quality")))
+        .collect()(0).getDouble(0)
+      val p4max = out.filter(col("phase") === 4).agg(max(col("quality")))
+        .collect()(0).getDouble(0)
+      assert(p1min >= p4max, "curriculum order inverted")
+    } finally out.unpersist()
+  }
+
+  test("q82: shares sum to ~1 and weight moves each lang toward its target") {
+    val rows = Curation.q82(spark, sf001).collect()
+    assert(rows.length == 5)
+    val shareSum = rows.map(_.getAs[Double]("actual_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.01)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(w > 0)
+      // weight * actual ≈ target (the defining identity, up to 4dp rounding)
+      assert(math.abs(w * r.getAs[Double]("actual_share") -
+        r.getAs[Double]("target_share")) < 0.001, s"weight identity broken: $r")
+    }
+  }
+
+  test("q83: the first doc is fully novel; repeated content scores below 1") {
+    val out = Curation.q83(spark, sf001).cache()
+    try {
+      val first = out.orderBy(col("doc_id")).limit(1).collect()(0)
+      assert(first.getAs[Double]("novelty") == 1.0, "doc 0 must be all-novel")
+      assert(out.filter(col("novelty") < 1.0).count() > 0, "nothing repeats — vacuous")
+      val bad = out.filter(col("n_novel") > col("n_grams")).count()
+      assert(bad == 0)
+    } finally out.unpersist()
+  }
+}
