@@ -366,6 +366,174 @@ object Curation {
       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The q38 quality score as oracle-SQL text (DuckDB), for queries that
+    * rank on it — one definition interpolated everywhere it appears. */
+  private val QualityCteSql =
+    """SELECT doc_id,
+      |        round(least(len(toks), 100) *
+      |          (len(toks) - len(list_filter(toks,
+      |             t -> t IN ('the', 'a', 'data', 'row')))) * 10000.0 /
+      |          (100.0 * len(toks)), 0) / 10000.0 AS quality
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  /** q84 — canonical survivor per near-dup cluster: instead of q61's
+    * "keep min doc_id", keep the HIGHEST-QUALITY member of each cluster
+    * (ties → min doc_id) — the selection step real dedup pipelines run
+    * so the best-written duplicate survives. Reuses the memoized q61
+    * closure and the q38 score; one row_number over the cluster window.
+    * Oracle: the q61 recursive-CTE closure nested as a subquery, joined
+    * to the same quality CTE. */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    val clusters = LlmOps.q61(s, d)
+    val quality = LlmOps.q38(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+        col("cluster_size"), col("quality").as("survivor_quality"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q84Sql = {
+    // q61Sql is a complete statement (WITH RECURSIVE ... ORDER BY) — legal
+    // as a parenthesized FROM subquery in DuckDB
+    s"""WITH qual AS ($QualityCteSql)
+      |SELECT cluster_id, doc_id AS survivor_id, cluster_size,
+      |       quality AS survivor_quality, cluster_size - 1 AS n_dropped
+      |FROM (SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality,
+      |        row_number() OVER (PARTITION BY c.cluster_id
+      |          ORDER BY q.quality DESC, c.doc_id) AS rk
+      |      FROM (${LlmOps.q61Sql}) c JOIN qual q USING (doc_id))
+      |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** q85 — fill-in-the-middle transform: split each doc's token stream at
+    * the 1/3 and 2/3 boundaries and emit the PSM (prefix-suffix-middle)
+    * layout FIM-trained code/text models consume. Pure array slicing —
+    * map-side, deterministic, no shuffle but the presentation sort. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val p1 = floor(n / lit(3)).cast("int")
+    val p2 = floor(n * lit(2) / lit(3)).cast("int")
+    val prefix = concat_ws(" ", slice(toks, lit(1), p1))
+    val middle = concat_ws(" ", slice(toks, p1 + 1, p2 - p1))
+    val suffix = concat_ws(" ", slice(toks, p2 + 1, n - p2))
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        p1.cast("long").as("n_prefix"), (p2 - p1).cast("long").as("n_middle"),
+        (n - p2).cast("long").as("n_suffix"),
+        concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+          lit("<MID>"), middle).as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, len(toks) AS n,
+      |        CAST(floor(len(toks) / 3) AS INT) AS p1,
+      |        CAST(floor(len(toks) * 2 / 3) AS INT) AS p2
+      |      FROM t)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(p1 AS BIGINT) AS n_prefix,
+      |       CAST(p2 - p1 AS BIGINT) AS n_middle,
+      |       CAST(n - p2 AS BIGINT) AS n_suffix,
+      |       '<PRE>' || array_to_string(toks[1:p1], ' ')
+      |         || '<SUF>' || array_to_string(toks[(p2+1):n], ' ')
+      |         || '<MID>' || array_to_string(toks[(p1+1):p2], ' ') AS fim_text
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q86 — per-source top-k selection: the k highest-quality documents of
+    * every source (rank ties broken by doc_id) — the "keep the best of
+    * each provenance bucket" sampling step. rn <= k over a partitioned
+    * window plans as WindowGroupLimit (plan-guarded), i.e. the per-group
+    * limit pushes into the shuffle instead of ranking whole partitions. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val quality = LlmOps.q38(s, d).select(col("doc_id"), col("quality"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    src.join(quality, "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val q86Sql =
+    s"""WITH qual AS ($QualityCteSql)
+      |SELECT source, rank, doc_id, quality
+      |FROM (SELECT d.source, q.doc_id, q.quality,
+      |        row_number() OVER (PARTITION BY d.source
+      |          ORDER BY q.quality DESC, q.doc_id) AS rank
+      |      FROM documents d JOIN qual q USING (doc_id))
+      |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
+  /** q87 — incremental-batch dedup: an incoming crawl increment is
+    * deduplicated against the already-ingested corpus by content hash —
+    * the daily-ingest shape where the 100 TB side is the EXISTING corpus
+    * and the new batch is small. Join is a hash equi-join on md5(text)
+    * (pushable, partitionable); the synthetic increment is built
+    * deterministically from the corpus so both branches fire: doc_id%5==0
+    * docs are resubmissions (same text — must dedup away) and doc_id%7==3
+    * docs are genuine revisions (text + marker — must survive). */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.select(md5(col("text")).as("h"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("new_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000).as("new_id"),
+          concat(col("text"), lit(" revised v2")).as("text")))
+    incoming.withColumn("h", md5(col("text")))
+      .join(existing, Seq("h"), "left_anti")
+      .select(col("new_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("new_id"))
+  }
+
+  private val q87Sql =
+    """WITH existing AS (SELECT md5(text) AS h FROM documents),
+      |inc AS (SELECT doc_id + 1000000 AS new_id, text FROM documents
+      |        WHERE doc_id % 5 = 0
+      |        UNION ALL
+      |        SELECT doc_id + 2000000 AS new_id, text || ' revised v2' AS text
+      |        FROM documents WHERE doc_id % 7 = 3)
+      |SELECT new_id, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM inc WHERE md5(text) NOT IN (SELECT h FROM existing)
+      |ORDER BY new_id""".stripMargin
+
+  /** q88 — shard packing-efficiency report over the q69 layout: per
+    * training shard, documents, token mass, sequence count at the 2048
+    * budget, and the fill ratio — the ops metric that tells you whether
+    * the packer is wasting accelerator batch slots. Aggregates the q69
+    * result (8 shards), so the report itself is a trivial reduction. */
+  def q88(s: SparkSession, d: String): DataFrame =
+    LlmOps.q69(s, d)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("n_seqs",
+        ceil(col("total_tokens") / lit(2048.0)).cast("long"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens") * 10000.0 / (col("n_seqs") * 2048), 0) / 10000.0)
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("fill_ratio"))
+      .orderBy(col("shard"))
+
+  private val q88Sql =
+    s"""WITH p AS (${LlmOps.q69Sql}),
+      |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |      FROM p GROUP BY shard)
+      |SELECT shard, n_docs, total_tokens,
+      |       CAST(ceil(total_tokens / 2048.0) AS BIGINT) AS n_seqs,
+      |       round(total_tokens * 10000.0 /
+      |         (CAST(ceil(total_tokens / 2048.0) AS BIGINT) * 2048), 0)
+      |         / 10000.0 AS fill_ratio
+      |FROM a ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q76_span_dedup", q76, Some(q76Sql)),
     QueryDef("q77_normalize", q77, Some(q77Sql)),
@@ -374,5 +542,10 @@ object Curation {
     QueryDef("q80_fertility", q80, Some(q80Sql)),
     QueryDef("q81_curriculum", q81, Some(q81Sql)),
     QueryDef("q82_mixture_weights", q82, Some(q82Sql)),
-    QueryDef("q83_novelty", q83, Some(q83Sql)))
+    QueryDef("q83_novelty", q83, Some(q83Sql)),
+    QueryDef("q84_cluster_survivor", q84, Some(q84Sql)),
+    QueryDef("q85_fim_transform", q85, Some(q85Sql)),
+    QueryDef("q86_source_topk", q86, Some(q86Sql)),
+    QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
+    QueryDef("q88_packing_stats", q88, Some(q88Sql)))
 }

@@ -879,7 +879,7 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  private val q61Sql =
+  private[queries] val q61Sql =
     s"""WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id,
@@ -1187,7 +1187,7 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  private val q69Sql =
+  private[queries] val q69Sql =
     """WITH d AS (SELECT doc_id,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |             ((doc_id * 1103515245 + 12345) % 2147483648) % 8 AS shard,

@@ -101,6 +101,66 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q84: one survivor per q61 cluster, and quality actually decides some of them") {
+    val out = Curation.q84(spark, sf001).cache()
+    try {
+      val clusters = LlmOps.q61(spark, sf001)
+        .select(col("cluster_id")).distinct().count()
+      assert(out.count() == clusters, "not exactly one survivor per cluster")
+      // if quality never overrode the min-id default the ranking is dead
+      assert(out.filter(col("survivor_id") =!= col("cluster_id")).count() > 0,
+        "every survivor is the min-id doc — quality ranking verifies nothing")
+      assert(out.filter(col("n_dropped") < 1).count() == 0,
+        "a 1-doc cluster appeared (q61 emits only real clusters)")
+    } finally out.unpersist()
+  }
+
+  test("q85: FIM parts partition the token stream exactly") {
+    val out = Curation.q85(spark, sf001)
+    val bad = out.filter(
+      col("n_prefix") + col("n_middle") + col("n_suffix") =!= col("n_tokens"))
+      .count()
+    assert(bad == 0, s"$bad docs lost tokens in the PSM split")
+    // all three parts non-empty on this corpus (docs are 9+ words)
+    assert(out.filter(col("n_middle") === 0).count() == 0)
+  }
+
+  test("q86: exactly k best per source, ranked consistently") {
+    val out = Curation.q86(spark, sf001).cache()
+    try {
+      val sizes = out.groupBy(col("source")).count()
+        .select(max(col("count"))).collect()(0).getLong(0)
+      assert(sizes <= 3)
+      // rank 1 quality >= rank 3 quality within every source
+      val inverted = out.alias("a").join(out.alias("b"),
+        col("a.source") === col("b.source") && col("a.rank") < col("b.rank") &&
+          col("a.quality") < col("b.quality")).count()
+      assert(inverted == 0, "rank order does not follow quality")
+    } finally out.unpersist()
+  }
+
+  test("q87: resubmitted docs dedup away, revised docs survive") {
+    val out = Curation.q87(spark, sf001).cache()
+    try {
+      assert(out.filter(col("new_id") < 2000000).count() == 0,
+        "an unchanged resubmission survived the content-hash gate")
+      val survivors = out.filter(col("new_id") >= 2000000).count()
+      val revisions = graft.Tables.documents(spark, sf001)
+        .filter(col("doc_id") % 7 === 3).count()
+      assert(survivors == revisions, "a genuine revision was dropped")
+    } finally out.unpersist()
+  }
+
+  test("q88: per-shard fill ratio is in (0,1] and sequence math is consistent") {
+    val rows = Curation.q88(spark, sf001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0 && fill <= 1.0, s"fill ratio out of range: $r")
+      assert(r.getAs[Long]("n_seqs") * 2048 >= r.getAs[Long]("total_tokens"))
+    }
+  }
+
   test("q83: the first doc is fully novel; repeated content scores below 1") {
     val out = Curation.q83(spark, sf001).cache()
     try {

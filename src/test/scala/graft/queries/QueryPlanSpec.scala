@@ -110,6 +110,28 @@ class QueryPlanSpec extends SparkSpec {
       s"BM25 stats not broadcast:\n$p")
   }
 
+  test("curation plans: policy/mixture sides broadcast; span dedup never goes pairwise") {
+    // q78: a domain blocklist must gate as a broadcast ANTI join — a
+    // shuffled join would move the whole corpus for a policy lookup
+    val p78 = planString(Curation.q78(spark, sf0001))
+    assert(p78.contains("BroadcastHashJoin") && p78.contains("LeftAnti"),
+      s"blocklist gate is not a broadcast anti-join:\n$p78")
+    // q82: targets and the grand total are |langs|-row sides — broadcast
+    val p82 = planString(Curation.q82(spark, sf0001))
+    assert(p82.contains("BroadcastHashJoin") &&
+      !p82.contains("CartesianProduct"), s"mixture sides not broadcast:\n$p82")
+    // q76: span dedup is a window over the span key (blocked, like the
+    // shingle join) — any cartesian/nested-loop here would be n² at scale
+    val p76 = planString(Curation.q76(spark, sf0001))
+    assert(p76.contains("Window") && !p76.contains("CartesianProduct") &&
+      !p76.contains("BroadcastNestedLoopJoin"),
+      s"span dedup lost its blocked window shape:\n$p76")
+    // q86: rank<=3 per source must push into the shuffle as a group limit
+    val p86 = planString(Curation.q86(spark, sf0001))
+    assert(p86.contains("WindowGroupLimit"),
+      s"per-source top-k does not plan as WindowGroupLimit:\n$p86")
+  }
+
   test("q61 CC rounds read cached labels + scratch pairs, never the shingle pipeline") {
     import org.apache.spark.sql.catalyst.plans.logical.Generate
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
