@@ -128,7 +128,13 @@ object ConnectedComponents {
     val lt: (Any, Any) => Boolean = idType match {
       case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
-      case StringType  => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      // UTF8String byte order, NOT Java String order: the distributed
+      // loop's min() compares UTF-8 bytes, and the two orders disagree on
+      // supplementary characters (surrogates sort low in UTF-16, high in
+      // UTF-8) — the regimes must pick identical component labels
+      case StringType  => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String])) < 0
       case t => throw new IllegalArgumentException(s"unsupported id type $t")
     }
     val outSchema = StructType(Seq(

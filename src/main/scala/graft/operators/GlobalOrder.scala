@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global row_number over a total order WITHOUT the single-partition
+  * window Spark plans for `row_number() OVER (ORDER BY ...)` — that plan
+  * moves every row to one task and is the OOM/straggler cliff at scale.
+  *
+  * Shape: range-partition by the sort key, snapshot the partitioned
+  * layout to scratch parquet, rank each range in parallel with a
+  * range-local window, and add per-range offsets. The snapshot is load-
+  * bearing for correctness, not a cache: range boundaries come from a
+  * per-execution SAMPLE, so the counts job and the ranking job would see
+  * different partitionings if each re-evaluated the plan — the snapshot
+  * pins one layout for both. Driver state is one row count per range
+  * (numPartitions values), never data.
+  */
+object GlobalOrder {
+
+  /** @return (relation with `rnCol` = 1-based global rank, total rows).
+    *   Sort keys must be a total order (include a unique tiebreaker) or
+    *   ranks within ties are partition-dependent. */
+  def withRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val snap = Scratch.materialize(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__range_id", spark_partition_id()),
+      "global-rank")
+    val counts = snap.groupBy(col("__range_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    // ≤ numPartitions CASE branches — stays in codegen; a broadcast join
+    // would work too but adds a join for a handful of constants
+    val offExpr = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
+      when(col("__range_id") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    val ranked = snap.withColumn(rnCol,
+        row_number().over(
+          Window.partitionBy(col("__range_id")).orderBy(sortCols: _*)) + offExpr)
+      .drop("__range_id")
+    (ranked, total)
+  }
+
+  /** Exact `ntile(n)` bucket from a global rank: the first `total % n`
+    * buckets get `total/n + 1` rows, the rest `total/n` — the same split
+    * every SQL engine's ntile produces over the same total order. */
+  def ntileFromRank(rn: Column, total: Long, n: Int): Column = {
+    val q = total / n
+    val r = total % n
+    val smallDiv = math.max(q, 1L) // unused when q=0 (every rank <= r*(q+1))
+    (when(rn <= lit(r * (q + 1)), floor((rn - 1) / lit((q + 1).toDouble)))
+      .otherwise(lit(r) +
+        floor((rn - lit(r * (q + 1)) - 1) / lit(smallDiv.toDouble)))
+      + 1).cast("int")
+  }
+}

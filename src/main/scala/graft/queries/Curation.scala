@@ -247,30 +247,42 @@ object Curation {
       |       round(sum(bp) * 10000.0 / sum(ws), 0) / 10000.0 AS fertility
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** q81 — curriculum ordering: rank the corpus by the q38 quality score
-    * into four phases (highest-quality phase first, the
-    * easy-to-hard/clean-to-noisy curriculum) and give each doc a
-    * deterministic within-phase shuffle key (hash of id, not rand() —
-    * reproducible across partitionings, the q63/q64 rule). ntile over
-    * (quality, doc_id) is a total order, so phase assignment is
-    * engine-stable. The global sort is one shuffle; at 100 TB the same
-    * plan range-partitions instead of single-sorting. */
-  def q81(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("quality").desc, col("doc_id"))
-    LlmOps.q38(s, d).select(col("doc_id"), col("quality"))
-      .withColumn("phase", ntile(4).over(w))
-      .withColumn("shuffle_key", LlmOps.lcgKey(col("doc_id")))
-      .orderBy(col("doc_id"))
-  }
-
-  private val q81Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |q AS (SELECT doc_id,
+  /** The q38 quality score as oracle-SQL text (DuckDB), for queries that
+    * rank on it — one definition interpolated everywhere it appears
+    * (q81/q84/q86). */
+  private val QualityCteSql =
+    """SELECT doc_id,
       |        round(least(len(toks), 100) *
       |          (len(toks) - len(list_filter(toks,
       |             t -> t IN ('the', 'a', 'data', 'row')))) * 10000.0 /
       |          (100.0 * len(toks)), 0) / 10000.0 AS quality
-      |      FROM t)
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  /** q81 — curriculum ordering: rank the corpus by the q38 quality score
+    * into four phases (highest-quality phase first, the
+    * easy-to-hard/clean-to-noisy curriculum) and give each doc a
+    * deterministic within-phase shuffle key (hash of id, not rand() —
+    * reproducible across partitionings, the q63/q64 rule). The phase
+    * split is exactly `ntile(4) OVER (ORDER BY quality DESC, doc_id)` —
+    * but computed via [[graft.operators.GlobalOrder]] (range-partitioned
+    * parallel rank + per-range offsets) instead of the unpartitioned
+    * window Spark would plan, which moves the whole corpus into ONE task.
+    * (quality, doc_id) is a total order, so the result is engine-stable
+    * and the DuckDB ntile oracle still hash-matches. */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val (ranked, total) = graft.operators.GlobalOrder.withRowNumber(
+      LlmOps.q38(s, d).select(col("doc_id"), col("quality")),
+      "rn", col("quality").desc, col("doc_id"))
+    ranked
+      .withColumn("phase",
+        graft.operators.GlobalOrder.ntileFromRank(col("rn"), total, 4))
+      .withColumn("shuffle_key", LlmOps.lcgKey(col("doc_id")))
+      .select(col("doc_id"), col("quality"), col("phase"), col("shuffle_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q81Sql =
+    s"""WITH q AS ($QualityCteSql)
       |SELECT doc_id, quality,
       |       ntile(4) OVER (ORDER BY quality DESC, doc_id) AS phase,
       |       (doc_id * 1103515245 + 12345) % 2147483648 AS shuffle_key
@@ -285,16 +297,18 @@ object Curation {
     * each language's actual share and the sampling weight
     * (target/actual) that reshapes the corpus into the target mix — the
     * static reweighting step of mixture tuning. Corpus side is ONE hash
-    * aggregation; targets and the grand total are broadcast (the
-    * |langs|-row side never drives a shuffle at any scale). */
+    * aggregation; targets broadcast and the grand total is a window over
+    * the |langs|-row aggregate, so nothing rescans the corpus. */
   def q82(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val targets = LangTargets.toDF("lang", "target_share")
     val counts = Tables.documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
-    val total = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+    // grand total as an unpartitioned window over the POST-AGG relation
+    // (|langs| rows) — a separate .agg() would rescan the whole corpus,
+    // since each DataFrame consumer re-derives its subtree
     counts.join(broadcast(targets), "lang")
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
       .select(col("lang"), col("n_docs"),
         (round(col("n_docs") * 10000.0 / col("total"), 0) / 10000.0)
           .as("actual_share"),
@@ -310,14 +324,15 @@ object Curation {
     s"""WITH targets(lang, target_share) AS (VALUES $targetRows),
       |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
       |      GROUP BY lang),
-      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
-      |SELECT c.lang, c.n_docs,
-      |       round(c.n_docs * 10000.0 / tot.total, 0) / 10000.0 AS actual_share,
+      |w AS (SELECT lang, n_docs, CAST(sum(n_docs) OVER () AS BIGINT) AS total
+      |      FROM c)
+      |SELECT w.lang, w.n_docs,
+      |       round(w.n_docs * 10000.0 / w.total, 0) / 10000.0 AS actual_share,
       |       t.target_share,
-      |       round(t.target_share * tot.total * 10000.0 / c.n_docs, 0)
+      |       round(t.target_share * w.total * 10000.0 / w.n_docs, 0)
       |         / 10000.0 AS weight
-      |FROM c JOIN targets t USING (lang) CROSS JOIN tot
-      |ORDER BY c.lang""".stripMargin
+      |FROM w JOIN targets t USING (lang)
+      |ORDER BY w.lang""".stripMargin
   }
 
   /** q83 — per-document novelty: the fraction of a doc's distinct
@@ -365,16 +380,6 @@ object Curation {
       |         AS novelty
       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
-
-  /** The q38 quality score as oracle-SQL text (DuckDB), for queries that
-    * rank on it — one definition interpolated everywhere it appears. */
-  private val QualityCteSql =
-    """SELECT doc_id,
-      |        round(least(len(toks), 100) *
-      |          (len(toks) - len(list_filter(toks,
-      |             t -> t IN ('the', 'a', 'data', 'row')))) * 10000.0 /
-      |          (100.0 * len(toks)), 0) / 10000.0 AS quality
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
   /** q84 — canonical survivor per near-dup cluster: instead of q61's
     * "keep min doc_id", keep the HIGHEST-QUALITY member of each cluster
@@ -483,10 +488,13 @@ object Curation {
   def q87(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val existing = docs.select(md5(col("text")).as("h"))
+    // structurally disjoint id namespaces (doc_id*10 + branch tag), not
+    // fixed offsets — offsets collide once doc_id crosses them, breaking
+    // the total order the oracle hash gate needs at large corpora
     val incoming = docs.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("new_id"), col("text"))
+      .select((col("doc_id") * 10 + 1).as("new_id"), col("text"))
       .union(docs.filter(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + 2000000).as("new_id"),
+        .select((col("doc_id") * 10 + 2).as("new_id"),
           concat(col("text"), lit(" revised v2")).as("text")))
     incoming.withColumn("h", md5(col("text")))
       .join(existing, Seq("h"), "left_anti")
@@ -496,10 +504,10 @@ object Curation {
 
   private val q87Sql =
     """WITH existing AS (SELECT md5(text) AS h FROM documents),
-      |inc AS (SELECT doc_id + 1000000 AS new_id, text FROM documents
+      |inc AS (SELECT doc_id * 10 + 1 AS new_id, text FROM documents
       |        WHERE doc_id % 5 = 0
       |        UNION ALL
-      |        SELECT doc_id + 2000000 AS new_id, text || ' revised v2' AS text
+      |        SELECT doc_id * 10 + 2 AS new_id, text || ' revised v2' AS text
       |        FROM documents WHERE doc_id % 7 = 3)
       |SELECT new_id, CAST(length(text) AS BIGINT) AS n_chars
       |FROM inc WHERE md5(text) NOT IN (SELECT h FROM existing)

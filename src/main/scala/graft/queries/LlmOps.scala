@@ -866,13 +866,15 @@ object LlmOps {
       jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
         .select(col("da"), col("db")),
       "q61-pairs")
-    val labels = graft.operators.ConnectedComponents.minLabelPropagation(
-      s.read.parquet(pairsPath))
-    // the CC loop's own actions were the pairs dir's last consumers — the
+    // the CC loop's own actions are the pairs dir's last consumers — the
     // returned relation reads only the cc-labels materialization, so the
-    // pair dir is released NOW, not at JVM exit (a driver looping this
-    // query would otherwise grow scratch disk per invocation)
-    graft.operators.Scratch.release(pairsPath)
+    // pair dir is released as soon as the loop ends (finally: also on a
+    // non-convergence throw — a driver that catches and retries must not
+    // accumulate one orphaned pairs dir per attempt)
+    val labels =
+      try graft.operators.ConnectedComponents.minLabelPropagation(
+        s.read.parquet(pairsPath))
+      finally graft.operators.Scratch.release(pairsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -1383,9 +1385,10 @@ object LlmOps {
     val pairsPath = graft.operators.Scratch.materializePath(
       q34b(s, d).select(col("va").as("da"), col("vb").as("db")),
       "q73-pairs")
-    val labels = graft.operators.ConnectedComponents.minLabelPropagation(
-      s.read.parquet(pairsPath))
-    graft.operators.Scratch.release(pairsPath) // last consumer was the CC loop
+    val labels = // release even when CC throws (see q61)
+      try graft.operators.ConnectedComponents.minLabelPropagation(
+        s.read.parquet(pairsPath))
+      finally graft.operators.Scratch.release(pairsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id").as("vec_id"), col("lbl").as("cluster_id"),

@@ -170,6 +170,27 @@ class ScaleSpec extends SparkSpec {
       s"no dynamic partition pruning in plan:\n$plan")
   }
 
+  test("GlobalOrder: parallel range rank == single-window rank, ntile split identical") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
+    val (ranked, total) = GlobalOrder.withRowNumber(
+      df, "rn", col("n_chars").desc, col("doc_id"))
+    assert(total == df.count())
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val expected = df
+      .withColumn("rn2", row_number().over(w))
+      .withColumn("ph2", ntile(4).over(w))
+    val cmp = ranked
+      .withColumn("ph", GlobalOrder.ntileFromRank(col("rn"), total, 4))
+      .join(expected, "doc_id").cache()
+    try {
+      assert(cmp.filter(col("rn") =!= col("rn2")).count() == 0,
+        "range-partitioned global rank diverges from the single-window rank")
+      assert(cmp.filter(col("ph") =!= col("ph2")).count() == 0,
+        "ntileFromRank diverges from window ntile")
+    } finally cmp.unpersist()
+  }
+
   test("CC regimes agree: single-task union-find == distributed propagation") {
     import spark.implicits._
     // chain (diameter 5), two cliques sharing a bridge, a 2-cycle, and

@@ -142,9 +142,9 @@ class CurationSpec extends SparkSpec {
   test("q87: resubmitted docs dedup away, revised docs survive") {
     val out = Curation.q87(spark, sf001).cache()
     try {
-      assert(out.filter(col("new_id") < 2000000).count() == 0,
+      assert(out.filter(col("new_id") % 10 === 1).count() == 0,
         "an unchanged resubmission survived the content-hash gate")
-      val survivors = out.filter(col("new_id") >= 2000000).count()
+      val survivors = out.filter(col("new_id") % 10 === 2).count()
       val revisions = graft.Tables.documents(spark, sf001)
         .filter(col("doc_id") % 7 === 3).count()
       assert(survivors == revisions, "a genuine revision was dropped")

@@ -130,6 +130,12 @@ class QueryPlanSpec extends SparkSpec {
     val p86 = planString(Curation.q86(spark, sf0001))
     assert(p86.contains("WindowGroupLimit"),
       s"per-source top-k does not plan as WindowGroupLimit:\n$p86")
+    // q81: the curriculum rank must NOT plan as an unpartitioned window
+    // (Exchange SinglePartition = whole corpus on one task); GlobalOrder
+    // ranks range-partitions in parallel
+    val p81 = planString(Curation.q81(spark, sf0001))
+    assert(!p81.contains("SinglePartition"),
+      s"curriculum rank collapsed to a single partition:\n$p81")
   }
 
   test("q61 CC rounds read cached labels + scratch pairs, never the shingle pipeline") {
