@@ -27,11 +27,12 @@ object Curation {
     * document-level dedup (q23/q61) and nothing): the corpus keeps only
     * the FIRST occurrence of every [[SpanWords]]-word span; later
     * occurrences are cut and each document is reassembled from its
-    * surviving spans. First = (min doc_id, then min position) — one
-    * `row_number` over a span-keyed window, the same blocked shape as
-    * the shingle pipeline: work is Σ per-span freq, never n². A viral
-    * span is the hot-key risk at 100 TB — the q35 doc-frequency-cap /
-    * salting playbook applies to the span window unchanged. */
+    * surviving spans. First = (min doc_id, then min position), computed
+    * as a min-struct AGGREGATION + equi-join rather than a row_number
+    * window: a viral span is the hot-key risk at 100 TB, and a skewed
+    * window partition is a single unsplittable sort task, while the agg
+    * collapses hot spans map-side (partial min) and the join is
+    * AQE-skew-splittable. Work stays Σ per-span freq, never n². */
   def q76(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nChunks = ceil(size(toks) / lit(SpanWords.toDouble)).cast("int")
@@ -40,10 +41,10 @@ object Curation {
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(toks, i * SpanWords + 1, lit(SpanWords))))))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val first = Window.partitionBy(col("chunk"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    val kept = spans.withColumn("rn", row_number().over(first))
-      .filter(col("rn") === 1)
+    val firstSeen = spans.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first_occ"))
+    val kept = spans.join(firstSeen, "chunk")
+      .filter(struct(col("doc_id"), col("chunk_idx")) === col("first_occ"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",
