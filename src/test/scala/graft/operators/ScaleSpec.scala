@@ -191,6 +191,53 @@ class ScaleSpec extends SparkSpec {
     } finally cmp.unpersist()
   }
 
+  test("GlobalOrder.ntileFromRank: property — matches SQL ntile semantics for random sizes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // reference ntile: first (total%n) buckets get total/n+1 rows
+    def refNtile(rn: Long, total: Long, n: Int): Int = {
+      val q = total / n; val r = total % n
+      if (rn <= r * (q + 1)) ((rn - 1) / (q + 1)).toInt + 1
+      else (r + (rn - r * (q + 1) - 1) / q).toInt + 1
+    }
+    val gen = for {
+      total <- Gen.chooseNum(1L, 5000L)
+      n <- Gen.chooseNum(1, 16)
+    } yield (total, n)
+    (0 until 25).foreach { i =>
+      val (total, n) = gen.apply(Gen.Parameters.default, Seed(4200L + i)).get
+      val ranks = spark.range(1, total + 1).toDF("rn")
+      val got = ranks
+        .withColumn("ph", GlobalOrder.ntileFromRank(col("rn"), total, n))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      (1L to total).foreach { rn =>
+        assert(got(rn) == refNtile(rn, total, n),
+          s"total=$total n=$n rn=$rn: got ${got(rn)}, want ${refNtile(rn, total, n)}")
+      }
+    }
+  }
+
+  test("CC regimes: property — regimes agree on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(40,
+      for { a <- Gen.chooseNum(0L, 30L); b <- Gen.chooseNum(0L, 30L) if a != b }
+        yield (a, b))
+    (0 until 5).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(7700L + i)).get
+      val pairs = Scratch.materialize(edges.toDF("da", "db"), s"cc-prop-$i")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = toMap(ConnectedComponents.minLabelPropagation(
+        pairs, localMaxEdges = Long.MaxValue))
+      val dist = toMap(ConnectedComponents.minLabelPropagation(
+        pairs, localMaxEdges = -1))
+      assert(local == dist, s"seed ${7700 + i}: regimes diverge")
+    }
+  }
+
   test("CC regimes agree: single-task union-find == distributed propagation") {
     import spark.implicits._
     // chain (diameter 5), two cliques sharing a bridge, a 2-cycle, and
