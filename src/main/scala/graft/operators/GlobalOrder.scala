@@ -21,14 +21,34 @@ object GlobalOrder {
 
   /** @return (relation with `rnCol` = 1-based global rank, total rows).
     *   Sort keys must be a total order (include a unique tiebreaker) or
-    *   ranks within ties are partition-dependent. */
+    *   ranks within ties are partition-dependent. The internal snapshot
+    *   dir lives until JVM exit (the returned relation reads it lazily);
+    *   callers that loop should use [[rowNumberPath]], which releases it. */
   def withRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): (DataFrame, Long) = {
+    val (ranked, total, _) = rank(df, rnCol, sortCols)
+    (ranked, total)
+  }
+
+  /** [[withRowNumber]] materialized: writes the ranked relation to its own
+    * scratch dir and releases the intermediate snapshot (whose only
+    * consumer was that write). For callers that memoize or loop — leaves
+    * ONE dir per call instead of a lazily-pinned intermediate.
+    * @return (parquet path of the ranked relation, total rows) */
+  def rowNumberPath(df: DataFrame, rnCol: String, sortCols: Column*): (String, Long) = {
+    val (ranked, total, snapPath) = rank(df, rnCol, sortCols)
+    val out = Scratch.materializePath(ranked, "global-rank-out")
+    Scratch.release(snapPath)
+    (out, total)
+  }
+
+  private def rank(df: DataFrame, rnCol: String, sortCols: Seq[Column]): (DataFrame, Long, String) = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val snap = Scratch.materialize(
+    val snapPath = Scratch.materializePath(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__range_id", spark_partition_id()),
       "global-rank")
+    val snap = spark.read.parquet(snapPath)
     val counts = snap.groupBy(col("__range_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
@@ -42,7 +62,7 @@ object GlobalOrder {
         row_number().over(
           Window.partitionBy(col("__range_id")).orderBy(sortCols: _*)) + offExpr)
       .drop("__range_id")
-    (ranked, total)
+    (ranked, total, snapPath)
   }
 
   /** Exact `ntile(n)` bucket from a global rank: the first `total % n`

@@ -270,11 +270,18 @@ object Curation {
     * window Spark would plan, which moves the whole corpus into ONE task.
     * (quality, doc_id) is a total order, so the result is engine-stable
     * and the DuckDB ntile oracle still hash-matches. */
+  private val rankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
   def q81(s: SparkSession, d: String): DataFrame = {
-    val (ranked, total) = graft.operators.GlobalOrder.withRowNumber(
-      LlmOps.q38(s, d).select(col("doc_id"), col("quality")),
-      "rn", col("quality").desc, col("doc_id"))
-    ranked
+    // ranked relation memoized per dataset dir by PATH (the jaccardPairs
+    // pattern); rowNumberPath releases its internal snapshot, so repeated
+    // invocations leave exactly one dir per dataset
+    val (path, total) = rankCache.computeIfAbsent(d, dir =>
+      graft.operators.GlobalOrder.rowNumberPath(
+        LlmOps.q38(s, dir).select(col("doc_id"), col("quality")),
+        "rn", col("quality").desc, col("doc_id")))
+    s.read.parquet(path)
       .withColumn("phase",
         graft.operators.GlobalOrder.ntileFromRank(col("rn"), total, 4))
       .withColumn("shuffle_key", LlmOps.lcgKey(col("doc_id")))
