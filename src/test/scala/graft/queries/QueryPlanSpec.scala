@@ -120,12 +120,17 @@ class QueryPlanSpec extends SparkSpec {
     val p82 = planString(Curation.q82(spark, sf0001))
     assert(p82.contains("BroadcastHashJoin") &&
       !p82.contains("CartesianProduct"), s"mixture sides not broadcast:\n$p82")
-    // q76: span dedup is a window over the span key (blocked, like the
-    // shingle join) — any cartesian/nested-loop here would be n² at scale
+    // q76: first-occurrence is a min-struct AGGREGATION + equi-join
+    // (commit 8b56516) — a viral span collapses map-side via partial_min
+    // and the join is AQE-skew-splittable, whereas a window over the span
+    // key would put the hot key on one unsplittable sort task. Guard the
+    // agg shape and that no window/cartesian/nested-loop crept back in.
     val p76 = planString(Curation.q76(spark, sf0001))
-    assert(p76.contains("Window") && !p76.contains("CartesianProduct") &&
+    assert(p76.contains("partial_min(struct("),
+      s"span dedup lost its map-side partial min-struct agg:\n$p76")
+    assert(!p76.contains("Window") && !p76.contains("CartesianProduct") &&
       !p76.contains("BroadcastNestedLoopJoin"),
-      s"span dedup lost its blocked window shape:\n$p76")
+      s"span dedup regressed to a window/pairwise shape:\n$p76")
     // q86: rank<=3 per source must push into the shuffle as a group limit
     val p86 = planString(Curation.q86(spark, sf0001))
     assert(p86.contains("WindowGroupLimit"),
