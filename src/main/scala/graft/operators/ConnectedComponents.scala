@@ -48,18 +48,36 @@ object ConnectedComponents {
     * @param localMaxEdges override of [[LocalMaxEdges]]; pass -1 to pin
     *   the distributed loop (plan tests), Long.MaxValue to pin local.
     * @return (doc_id, lbl) with lbl = min node id of the component,
-    *   scratch-materialized — no cache survives this call. */
+    *   scratch-materialized — no cache survives this call. The labels
+    *   dir lives until JVM exit (the relation reads it lazily); a caller
+    *   that loops should use [[minLabelPropagationPath]] and own the
+    *   dir's release/memoization. */
   def minLabelPropagation(
       pairs: DataFrame,
       maxIters: Int = 20,
       onRound: DataFrame => Unit = _ => (),
-      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
+      localMaxEdges: Long = LocalMaxEdges): DataFrame =
+    pairs.sparkSession.read.parquet(
+      minLabelPropagationPath(pairs, maxIters, onRound, localMaxEdges))
+
+  /** [[minLabelPropagation]] returning the scratch-parquet PATH of the
+    * labels relation, so the caller controls its lifecycle (memoize per
+    * dataset, or [[Scratch.release]] after the last consumer) instead of
+    * orphaning one labels dir per invocation. */
+  def minLabelPropagationPath(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      onRound: DataFrame => Unit = _ => (),
+      localMaxEdges: Long = LocalMaxEdges): String = {
     val idType = pairs.schema("da").dataType
     val localCapable = idType match {
       case LongType | IntegerType | StringType => true
       case _ => false
     }
-    if (localCapable && pairs.count() <= localMaxEdges)
+    // localMaxEdges < 0 pins the distributed loop — short-circuit BEFORE
+    // the count() action, which would otherwise scan (or for derived
+    // inputs recompute) the edge relation without affecting the dispatch
+    if (localCapable && localMaxEdges >= 0 && pairs.count() <= localMaxEdges)
       return localUnionFind(pairs)
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
@@ -109,7 +127,7 @@ object ConnectedComponents {
           s"$iter rounds incl. the confirm round) — component diameter " +
           "exceeds the budget; raise maxIters for this graph")
     }
-    val out = Scratch.materialize(labels, "cc-labels")
+    val out = Scratch.materializePath(labels, "cc-labels")
     labels.unpersist()
     out
   }
@@ -123,7 +141,7 @@ object ConnectedComponents {
     * propagation loop's min-label fixpoint exactly. One job, no rounds,
     * no cached state; output goes through the same scratch
     * materialization as the distributed path. */
-  private def localUnionFind(pairs: DataFrame): DataFrame = {
+  private def localUnionFind(pairs: DataFrame): String = {
     val idType = pairs.schema("da").dataType
     val lt: (Any, Any) => Boolean = idType match {
       case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
@@ -163,6 +181,6 @@ object ConnectedComponents {
         import scala.jdk.CollectionConverters._
         parent.keySet().asScala.iterator.map(n => Row(n, find(n)))
       }
-    Scratch.materialize(labeled, "cc-labels")
+    Scratch.materializePath(labeled, "cc-labels")
   }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Per-dataset-dir memoization of scratch-materialized intermediates
+  * (shingle hot-lists, Jaccard pair relations, LSH signatures, global
+  * ranks): build once per dataset dir, serve the parquet path for the
+  * JVM lifetime.
+  *
+  * ASSUMPTION — dataset dirs are immutable while memoized. The cache key
+  * is the directory PATH; if a driver regenerates the data at that path
+  * in-process, memoized entries silently serve results computed from the
+  * OLD bytes. Batch runs satisfy this trivially (one dataset per run); a
+  * long-lived driver that rewrites a dataset dir must call
+  * [[DatasetCache.invalidate]] (or key its datasets by content-versioned
+  * paths, the production norm: immutable snapshot dirs, never in-place
+  * rewrites). Invalidation also releases the entry's scratch dirs, so a
+  * looping driver's disk stays bounded.
+  *
+  * @param releasePaths scratch paths owned by a cached value, released on
+  *   invalidation (values that memoize more than a path, e.g. (path,
+  *   rowCount), expose just their paths here).
+  */
+final class DatasetCache[V](name: String, releasePaths: V => Seq[String]) {
+  private val entries = new ConcurrentHashMap[String, V]()
+  DatasetCache.register(this)
+
+  /** Memoized value for `dir`, building (and typically scratch-
+    * materializing) on first use. `build` runs at most once per dir. */
+  def getOrCompute(dir: String)(build: String => V): V =
+    entries.computeIfAbsent(dir, d => build(d))
+
+  /** Drop `dir`'s entry and release its scratch dirs (no-op if absent). */
+  def invalidate(dir: String): Unit =
+    Option(entries.remove(dir)).foreach(v =>
+      releasePaths(v).foreach(Scratch.release))
+
+  /** Drop every entry (test isolation / full refresh). */
+  def invalidateAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    entries.keySet().asScala.toSeq.foreach(invalidate)
+  }
+}
+
+object DatasetCache {
+  private val registry =
+    ConcurrentHashMap.newKeySet[DatasetCache[_]]()
+  private def register(c: DatasetCache[_]): Unit = registry.add(c)
+
+  /** The driver-facing invalidation hook: drop every memoized relation
+    * derived from `dir` across all caches and release their scratch
+    * storage. Call after regenerating a dataset path in-process. */
+  def invalidate(dir: String): Unit = registry.forEach(_.invalidate(dir))
+}

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
 
 /** Exact global row_number over a total order WITHOUT the single-partition
   * window Spark plans for `row_number() OVER (ORDER BY ...)` — that plan
@@ -53,17 +55,32 @@ object GlobalOrder {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
     val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
-    // ≤ numPartitions CASE branches — stays in codegen; a broadcast join
-    // would work too but adds a join for a handful of constants
-    val offExpr = counts.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("__range_id") === pid, lit(offsets(pid))).otherwise(acc)
-    }
-    val ranked = snap.withColumn(rnCol,
+    // per-range offsets come in as a broadcast-joined side relation, NOT
+    // a CASE chain: a foldLeft of when/otherwise has nesting depth =
+    // partition count, which at cluster-scale configs (1000+ range
+    // partitions) exceeds codegen method-size limits and deoptimizes —
+    // a BroadcastHashJoin on numPartitions rows is O(1) plan depth at
+    // any partition count and stays in whole-stage codegen
+    import spark.implicits._
+    val offDf = counts.map { case (pid, _) => (pid, offsets(pid)) }.toSeq
+      .toDF("__range_id", "__range_off")
+    val ranked = snap
+      .withColumn("__range_rn",
         row_number().over(
-          Window.partitionBy(col("__range_id")).orderBy(sortCols: _*)) + offExpr)
-      .drop("__range_id")
+          Window.partitionBy(col("__range_id")).orderBy(sortCols: _*)))
+      .join(broadcast(offDf), Seq("__range_id"))
+      .withColumn(rnCol, col("__range_rn") + col("__range_off"))
+      .drop("__range_id", "__range_rn", "__range_off")
     (ranked, total, snapPath)
   }
+
+  /** Exact floor-division of a non-negative long column by a positive
+    * long constant — `a div b`, never a double `Divide`: floating-point
+    * quotients within 1 ulp of an integer floor to the wrong bucket once
+    * ranks pass 2^52, which is exactly the regime a 100 TB global order
+    * lives in. */
+  private def ldiv(a: Column, b: Long): Column =
+    CB.column(new IntegralDivide(CB.expression(a), CB.expression(lit(b))))
 
   /** Exact `ntile(n)` bucket from a global rank: the first `total % n`
     * buckets get `total/n + 1` rows, the rest `total/n` — the same split
@@ -72,9 +89,9 @@ object GlobalOrder {
     val q = total / n
     val r = total % n
     val smallDiv = math.max(q, 1L) // unused when q=0 (every rank <= r*(q+1))
-    (when(rn <= lit(r * (q + 1)), floor((rn - 1) / lit((q + 1).toDouble)))
-      .otherwise(lit(r) +
-        floor((rn - lit(r * (q + 1)) - 1) / lit(smallDiv.toDouble)))
+    val rnL = rn.cast("long")
+    (when(rnL <= lit(r * (q + 1)), ldiv(rnL - 1, q + 1))
+      .otherwise(lit(r) + ldiv(rnL - lit(r * (q + 1)) - 1, smallDiv))
       + 1).cast("int")
   }
 }

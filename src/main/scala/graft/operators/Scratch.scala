@@ -23,14 +23,31 @@ object Scratch {
   // cluster's job-scoped scratch prefix with a storage lifecycle policy
   private lazy val root: java.nio.file.Path = {
     val r = Files.createTempDirectory("graft-scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files => F}
-      import scala.jdk.CollectionConverters._
-      if (F.exists(r)) {
-        F.walk(r).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
-      }
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
     r
+  }
+
+  // Files.walk holds a directory stream (an fd) until closed — a driver
+  // looping release() would leak one per call without the Using wrapper
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    import scala.jdk.CollectionConverters._
+    if (F.exists(p)) {
+      val paths = scala.util.Using.resource(F.walk(p))(
+        _.iterator().asScala.toSeq)
+      paths.reverse.foreach(q => F.deleteIfExists(q))
+    }
+  }
+
+  /** Number of scratch dirs currently on disk — observability for leak
+    * guards: a query invoked twice must not grow this between its first
+    * completion and its second (memoized dirs persist; per-call dirs must
+    * be released). */
+  def liveDirCount: Int = {
+    import java.nio.file.{Files => F}
+    import scala.jdk.CollectionConverters._
+    if (!F.exists(root)) 0
+    else scala.util.Using.resource(F.list(root))(_.iterator().asScala.size)
   }
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -56,10 +73,6 @@ object Scratch {
   def release(path: String): Unit = {
     val p = java.nio.file.Paths.get(path).normalize()
     require(p.startsWith(root), s"refusing to delete non-scratch path $path")
-    import java.nio.file.{Files => F}
-    import scala.jdk.CollectionConverters._
-    if (F.exists(p)) {
-      F.walk(p).iterator().asScala.toSeq.reverse.foreach(q => F.deleteIfExists(q))
-    }
+    deleteTree(p)
   }
 }

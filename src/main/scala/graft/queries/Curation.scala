@@ -271,13 +271,14 @@ object Curation {
     * (quality, doc_id) is a total order, so the result is engine-stable
     * and the DuckDB ntile oracle still hash-matches. */
   private val rankCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+    new graft.operators.DatasetCache[(String, Long)](
+      "global-rank", { case (path, _) => Seq(path) })
 
   def q81(s: SparkSession, d: String): DataFrame = {
     // ranked relation memoized per dataset dir by PATH (the jaccardPairs
     // pattern); rowNumberPath releases its internal snapshot, so repeated
     // invocations leave exactly one dir per dataset
-    val (path, total) = rankCache.computeIfAbsent(d, dir =>
+    val (path, total) = rankCache.getOrCompute(d)(dir =>
       graft.operators.GlobalOrder.rowNumberPath(
         LlmOps.q38(s, dir).select(col("doc_id"), col("quality")),
         "rn", col("quality").desc, col("doc_id")))

@@ -33,10 +33,10 @@ object LlmOps {
   // candidates and the exact distinct-doc verify runs only on that tiny
   // set — no corpus-wide distinct.
   private val hotShingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DatasetCache[String]("hot-shingles", Seq(_))
 
   private def hotShinglesRel(s: SparkSession, d: String): DataFrame = {
-    val path = hotShingleCache.computeIfAbsent(d, dir => {
+    val path = hotShingleCache.getOrCompute(d) { dir =>
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
         .select(col("doc_id"), col("ngram"))
@@ -48,7 +48,7 @@ object LlmOps {
         .agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDocFreq)
         .select(col("ngram"))
       graft.operators.Scratch.materializePath(hot, "hot-shingles")
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -288,7 +288,7 @@ object LlmOps {
   }
 
   private val jaccardPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.operators.DatasetCache[String]("jaccard-pairs", Seq(_))
 
   /** [[jaccardPairsPlan]] materialized to scratch parquet ONCE per dataset
     * dir and memoized by PATH (the [[hotShinglesRel]] pattern): the pair
@@ -299,7 +299,7 @@ object LlmOps {
     * within one plan). Storage, not executor memory: zero persisted-RDD
     * state, and the consumers' scans push their own filters down. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val path = jaccardPairsCache.computeIfAbsent(d, dir =>
+    val path = jaccardPairsCache.getOrCompute(d)(dir =>
       graft.operators.Scratch.materializePath(
         jaccardPairsPlan(s, dir), "jaccard-pairs"))
     s.read.parquet(path)
@@ -344,6 +344,26 @@ object LlmOps {
     sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
   }
 
+  private val lshSigCache =
+    new graft.operators.DatasetCache[String]("lsh-sig", Seq(_))
+
+  /** MinHash signatures + capped shingle sets + exact set sizes, scratch-
+    * materialized ONCE per dataset dir and memoized by path (the
+    * [[jaccardPairs]] pattern) — the signature-build stage of an LSH
+    * dedup pipeline, whose output a production run would land in storage
+    * and fan out to band-join + verify consumers. */
+  private def lshSignatures(s: SparkSession, d: String): DataFrame = {
+    val path = lshSigCache.getOrCompute(d)(dir =>
+      graft.operators.Scratch.materializePath(
+        shingleRel(s, dir).groupBy(col("doc_id"))
+          .agg(minhashAggs.head,
+            minhashAggs.tail ++ Seq(
+              slice(sort_array(collect_set(col("ngram"))), 1, 8192).as("shingles"),
+              size(collect_set(col("ngram"))).as("nsh")): _*),
+        "lsh-sig"))
+    s.read.parquet(path)
+  }
+
   /** q35d — the full MinHash-LSH near-dup pipeline (the 100 TB path that
     * q35's exact shingle join approximates at small scale): 16 minhashes →
     * 4 bands × 4 rows → docs sharing ANY band bucket become candidate
@@ -354,21 +374,18 @@ object LlmOps {
     // the signature agg ALSO carries each doc's shingle set (capped — see
     // below) and its true size, so the Jaccard verify is a per-candidate-
     // pair array intersection on the few LSH candidates rather than a
-    // second corpus-wide shingle join. The two consumers of `sig` (band
-    // join, set join) prune different columns, so Catalyst still evaluates
-    // the tokenize→explode subtree twice — half the 4× of the join-based
-    // verify, without any persist/checkpoint lifecycle; materialize `sig`
-    // externally if the corpus scan dominates.
+    // second corpus-wide shingle join. The relation is scratch-
+    // materialized ([[lshSignatures]]): its two consumers here (band
+    // join, set join) prune different columns, and as a lazy subtree the
+    // tokenize→explode pipeline would run once per consumer — at 100 TB
+    // the corpus scan dominates, so both consumers read the one
+    // column-pruned signature parquet instead.
     // State bound: the carried set is capped at 8192 shingles per doc
     // (sort_array → deterministic prefix), so one huge document cannot
     // blow the aggregation buffer; nsh stays exact, making capped
     // jaccard a lower bound for docs beyond the cap (test corpus docs
     // are far below it).
-    val sig = shingleRel(s, d).groupBy(col("doc_id"))
-      .agg(minhashAggs.head,
-        minhashAggs.tail ++ Seq(
-          slice(sort_array(collect_set(col("ngram"))), 1, 8192).as("shingles"),
-          size(collect_set(col("ngram"))).as("nsh")): _*)
+    val sig = lshSignatures(s, d)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
@@ -858,23 +875,30 @@ object LlmOps {
     * (round-2's leaked caches regressed every later query). The driver
     * holds only a one-row convergence flag, never the graph. Oracle:
     * DuckDB recursive CTE computes the same closure declaratively. */
+  private val q61LabelsCache =
+    new graft.operators.DatasetCache[String]("q61-cc-labels", Seq(_))
+
   def q61(s: SparkSession, d: String): DataFrame = {
     // the (expensive) pair generation is materialized to scratch parquet
     // ONCE — the CC loop rescans it several times per round, and a storage
     // materialization (vs cache) leaves zero persisted state behind
-    val pairsPath = graft.operators.Scratch.materializePath(
-      jaccardPairs(s, d).filter(col("jaccard") >= 0.8)
-        .select(col("da"), col("db")),
-      "q61-pairs")
-    // the CC loop's own actions are the pairs dir's last consumers — the
-    // returned relation reads only the cc-labels materialization, so the
-    // pair dir is released as soon as the loop ends (finally: also on a
-    // non-convergence throw — a driver that catches and retries must not
-    // accumulate one orphaned pairs dir per attempt)
-    val labels =
-      try graft.operators.ConnectedComponents.minLabelPropagation(
+    // labels memoized per dataset dir (the jaccardPairs pattern): the
+    // returned relation reads the cc-labels dir lazily, so an unmemoized
+    // call would orphan one labels dir per invocation (leak-guarded in
+    // RegistrySpec). The CC loop's own actions are the pairs dir's last
+    // consumers, so that dir is released as soon as the loop ends
+    // (finally: also on a non-convergence throw — a driver that catches
+    // and retries must not accumulate one orphaned pairs dir per attempt)
+    val labelsPath = q61LabelsCache.getOrCompute(d) { dir =>
+      val pairsPath = graft.operators.Scratch.materializePath(
+        jaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
+          .select(col("da"), col("db")),
+        "q61-pairs")
+      try graft.operators.ConnectedComponents.minLabelPropagationPath(
         s.read.parquet(pairsPath))
       finally graft.operators.Scratch.release(pairsPath)
+    }
+    val labels = s.read.parquet(labelsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
@@ -1381,14 +1405,20 @@ object LlmOps {
     * canonical survivor per group, the embedding-space complement of the
     * lexical q61. Same lifecycle: pairs scratch-materialized once, rounds
     * cache/unpersist pairwise, zero persisted state after the action. */
+  private val q73LabelsCache =
+    new graft.operators.DatasetCache[String]("q73-cc-labels", Seq(_))
+
   def q73(s: SparkSession, d: String): DataFrame = {
-    val pairsPath = graft.operators.Scratch.materializePath(
-      q34b(s, d).select(col("va").as("da"), col("vb").as("db")),
-      "q73-pairs")
-    val labels = // release even when CC throws (see q61)
-      try graft.operators.ConnectedComponents.minLabelPropagation(
+    // memoized labels + pairs released in finally — see q61
+    val labelsPath = q73LabelsCache.getOrCompute(d) { dir =>
+      val pairsPath = graft.operators.Scratch.materializePath(
+        q34b(s, dir).select(col("va").as("da"), col("vb").as("db")),
+        "q73-pairs")
+      try graft.operators.ConnectedComponents.minLabelPropagationPath(
         s.read.parquet(pairsPath))
       finally graft.operators.Scratch.release(pairsPath)
+    }
+    val labels = s.read.parquet(labelsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id").as("vec_id"), col("lbl").as("cluster_id"),

@@ -50,10 +50,16 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
-  test("no query leaves persisted state behind (round-2 cache-leak guard)") {
-    // a leaked .cache() squats on executor memory for the rest of the JVM
-    // and regresses every later query — run the full registry and demand
-    // zero persisted RDDs after each query's action
+  test("no query leaves persisted state or scratch dirs behind (leak guards)") {
+    // two leak classes, both bite a long-lived driver:
+    //  - a leaked .cache() squats on executor memory for the rest of the
+    //    JVM and regresses every later query (the round-2 incident) —
+    //    demand zero persisted RDDs after each query's action;
+    //  - scratch-parquet dirs: the first run may create MEMOIZED dirs
+    //    (hot-shingles, jaccard-pairs, lsh-sig, global-rank), but a
+    //    repeat run must create none — per-call dirs (cc pairs/labels,
+    //    rowNumberPath snapshots) must be released by their query
+    import graft.operators.Scratch
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -61,6 +67,12 @@ class RegistrySpec extends SparkSpec {
       val leaked = spark.sparkContext.getPersistentRDDs
       assert(leaked.isEmpty,
         s"$name left ${leaked.size} persisted RDD(s) behind")
+      val dirsAfterFirst = Scratch.liveDirCount
+      fn(spark, sf0001).write.format("noop").mode("overwrite").save()
+      assert(Scratch.liveDirCount == dirsAfterFirst,
+        s"$name grows scratch dirs on every invocation " +
+          s"($dirsAfterFirst -> ${Scratch.liveDirCount}) — a looping " +
+          "driver's disk would grow unboundedly")
     }
   }
 

@@ -191,6 +191,65 @@ class ScaleSpec extends SparkSpec {
     } finally cmp.unpersist()
   }
 
+  test("GlobalOrder at 1000 range partitions: correct, broadcast offsets, codegen intact") {
+    // the 100×-scale config: a cluster run would range-partition a global
+    // order over ~1000 ranges. The offsets must arrive via a broadcast
+    // join (O(1) plan depth) — a nested-CASE chain of depth 1000 would
+    // blow codegen method-size limits and silently deoptimize.
+    import org.apache.spark.sql.expressions.Window
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1000")
+      val df = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
+      val (ranked, total) = GlobalOrder.withRowNumber(
+        df, "rn", col("n_chars").desc, col("doc_id"))
+      assert(total == df.count())
+      ranked.collect() // materialize AQE stages before reading the plan
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"range offsets not broadcast-joined:\n$plan")
+      val cg = org.apache.spark.sql.execution.debug.codegenString(
+        ranked.queryExecution.executedPlan)
+      val stages = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(cg)
+        .map(_.group(1).toInt).getOrElse(0)
+      assert(stages >= 1, s"rank+offset pipeline fell out of codegen:\n$cg")
+      val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      val expected = df.withColumn("rn2", row_number().over(w))
+      assert(ranked.join(expected, "doc_id")
+        .filter(col("rn") =!= col("rn2")).count() == 0,
+        "1000-range rank diverges from the single-window rank")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("GlobalOrder.ntileFromRank: exact at 2^53-scale totals (no double rounding)") {
+    // double division floors the wrong bucket once quotients sit within
+    // 1 ulp of an integer — ranks near 2^53 are exactly that regime, and
+    // exactly the regime a 100 TB corpus rank lives in. Probe every
+    // bucket's first/last rank, where an off-by-one-ulp flips the bucket.
+    import spark.implicits._
+    val total = (1L << 53) + 12345L
+    val n = 7
+    val q = total / n
+    val r = total % n
+    def refNtile(rn: Long): Int =
+      if (rn <= r * (q + 1)) ((rn - 1) / (q + 1)).toInt + 1
+      else (r + (rn - r * (q + 1) - 1) / q).toInt + 1
+    val probes = (1 to n).flatMap { k =>
+      val first =
+        if (k <= r) (k - 1) * (q + 1) + 1
+        else r * (q + 1) + (k - 1 - r) * q + 1
+      val size = if (k <= r) q + 1 else q
+      Seq(first, first + size - 1)
+    } :+ total :+ 1L
+    val got = probes.toDF("rn")
+      .withColumn("ph", GlobalOrder.ntileFromRank(col("rn"), total, n))
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    probes.foreach { rn =>
+      assert(got(rn) == refNtile(rn),
+        s"rn=$rn of $total: got ${got(rn)}, want ${refNtile(rn)}")
+    }
+  }
+
   test("GlobalOrder.ntileFromRank: property — matches SQL ntile semantics for random sizes") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
