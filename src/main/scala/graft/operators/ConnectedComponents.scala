@@ -13,12 +13,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * convergence is a one-row aggregate per round, never a join-based diff;
   * the driver holds a single Long, never the graph.
   *
-  * Lifecycle (the round-2 lesson): each round caches its final labels
-  * (only — the intermediate step is deliberately uncached, see the loop
-  * comment) and unpersists the previous round's, so lineage stays flat
-  * and at most one cached round is ever resident; the converged result is
-  * materialized to scratch parquet and the last cache dropped, leaving
-  * zero persisted state for whoever consumes the returned relation.
+  * Lifecycle (the round-2 lesson, hardened in round 5): each round
+  * scratch-materializes its labels to parquet and releases the previous
+  * round's dir, so at most one round is ever on disk and — critically —
+  * the LOGICAL plan is cut to a flat parquet scan every round. A
+  * cache()-based loop truncates recomputation but NOT the analyzed plan:
+  * `step(step(labels))` references `labels` four times, so plan size
+  * grows ~4^rounds and a graph needing ~10 rounds (diameter ~20 — normal
+  * for a giant near-dup component at corpus scale) spends unbounded time
+  * in analysis/plan-stringification before any task runs (measured: a
+  * 10k-edge random graph with a giant component hung >14 min in
+  * generateTreeString under the cached variant; it converges in seconds
+  * materialized). Same cure as GraphX/GraphFrames' checkpoint interval,
+  * with interval 1; no cached state survives the call.
   */
 object ConnectedComponents {
 
@@ -79,10 +86,13 @@ object ConnectedComponents {
     // inputs recompute) the edge relation without affecting the dispatch
     if (localCapable && localMaxEdges >= 0 && pairs.count() <= localMaxEdges)
       return localUnionFind(pairs)
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
     val nodes = edges.select(col("a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
+    var labelsPath = Scratch.materializePath(
+      nodes.withColumn("lbl", col("doc_id")), "cc-labels")
+    var labels = spark.read.parquet(labelsPath)
     var lblSum = sumOfLabels(labels)
     var converged = false
     var iter = 0
@@ -97,21 +107,22 @@ object ConnectedComponents {
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
     }
 
-    // each ROUND applies two propagation steps before the convergence
-    // action — halves the per-job overhead that dominates on small node
-    // sets (the convergence sum is a one-row driver flag either way).
+    // each ROUND applies two propagation steps, materializes the result
+    // to scratch parquet (the round's one job), and reads it back — the
+    // lineage cut that keeps plan size CONSTANT per round (see class
+    // doc; the mid-step stays unmaterialized: exchange reuse covers its
+    // double reference, measured cheaper than a second write).
     // maxIters budgets rounds (so up to 2×maxIters step diameter);
     // detecting the fixpoint costs one extra no-change round, hence +1 —
     // a graph settling exactly on round maxIters must confirm, not throw
     while (!converged && iter < maxIters + 1) {
-      // the intermediate step is deliberately NOT cached: the outer step
-      // references it on both join sides, but measurement shows exchange
-      // reuse covers that (caching the mid DOUBLED q61/q73 — columnar
-      // materialization costs more than the worst-case recompute here)
-      val next = step(step(labels)).cache()
-      onRound(next)
+      val computed = step(step(labels))
+      onRound(computed)
+      val nextPath = Scratch.materializePath(computed, "cc-labels")
+      val next = spark.read.parquet(nextPath)
       val nextSum = sumOfLabels(next)
-      labels.unpersist()
+      Scratch.release(labelsPath)
+      labelsPath = nextPath
       labels = next
       converged = nextSum == lblSum
       lblSum = nextSum
@@ -120,16 +131,14 @@ object ConnectedComponents {
     if (!converged) {
       // a silent partial closure would emit split clusters that LOOK valid
       // — fail loudly instead (component diameter exceeded maxIters)
-      labels.unpersist()
+      Scratch.release(labelsPath)
       throw new IllegalStateException(
         s"label propagation did not converge after $iter rounds " +
           s"(${2 * iter} propagation steps; maxIters=$maxIters allows " +
           s"$iter rounds incl. the confirm round) — component diameter " +
           "exceeds the budget; raise maxIters for this graph")
     }
-    val out = Scratch.materializePath(labels, "cc-labels")
-    labels.unpersist()
-    out
+    labelsPath
   }
 
   private def sumOfLabels(labels: DataFrame): Long =

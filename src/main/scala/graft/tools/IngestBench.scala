@@ -80,7 +80,10 @@ object IngestBench {
 
     server.stop(0)
     pool.shutdownNow() // non-daemon pool would keep the JVM alive
-    println(f"""{"bench":"ingest","rows":$nParsed,"parse_s":$tParse%.2f,"parse_rec_s":${nParsed / tParse}%.0f,"e2e_s":$tSink%.2f,"e2e_rec_s":${nParsed / tSink}%.0f,"sink_bytes":${received.get()}}""")
+    // Bench.scala's driver-visible shape: one JSON line, "metric"/"value"/
+    // "unit" first so round-over-round tooling can track the ST1-ST2 ingest
+    // path (the reference's actual workload) like the relational surface
+    println(f"""{"metric":"ingest_rows_per_s","value":${nParsed / tSink}%.0f,"unit":"rows/s","rows":$nParsed,"parse_s":$tParse%.2f,"parse_rows_per_s":${nParsed / tParse}%.0f,"e2e_s":$tSink%.2f,"sink_bytes":${received.get()}}""")
     spark.stop()
   }
 }

@@ -143,9 +143,8 @@ class QueryPlanSpec extends SparkSpec {
       s"curriculum rank collapsed to a single partition:\n$p81")
   }
 
-  test("q61 CC rounds read cached labels + scratch pairs, never the shingle pipeline") {
+  test("q61 CC rounds read materialized labels + scratch pairs, never the shingle pipeline") {
     import org.apache.spark.sql.catalyst.plans.logical.Generate
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import graft.operators.{ConnectedComponents, Scratch}
     import spark.implicits._
     // two components: {1,2,3} (diameter 2) and {10,11}
@@ -153,6 +152,7 @@ class QueryPlanSpec extends SparkSpec {
     val pairs = Scratch.materialize(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db"), "plantest")
     var rounds = 0
+    var planSizes = List.empty[Int]
     // localMaxEdges = -1 pins the distributed loop — this test guards the
     // large-graph regime's plan shape, which the size dispatch would skip
     val labels = ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = -1, onRound = { next =>
@@ -160,10 +160,15 @@ class QueryPlanSpec extends SparkSpec {
       val lp = next.queryExecution.optimizedPlan
       assert(lp.collect { case g: Generate => g }.isEmpty,
         s"round $rounds re-derives a generator pipeline:\n$lp")
-      assert(lp.collect { case r: InMemoryRelation => r }.nonEmpty,
-        s"round $rounds does not read the cached previous round:\n$lp")
+      // the previous round arrives as a flat scratch-parquet scan — the
+      // lineage cut; a cache-based loop keeps the full logical plan and
+      // grows it ~4× per round (>14 min of plan stringification by round
+      // ~10, measured), so constant round-plan size IS the guarantee
+      planSizes ::= lp.collectLeaves().size + lp.collect { case n => n }.size
     })
     assert(rounds >= 2, "expected at least two propagation rounds")
+    assert(planSizes.distinct.size == 1,
+      s"round plan size must stay constant (lineage cut per round): $planSizes")
     val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     // delta vs suite start: other suites may hold test-scoped caches in

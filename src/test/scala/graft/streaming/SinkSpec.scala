@@ -178,6 +178,71 @@ class SinkSpec extends SparkSpec {
     assert(kin.callSizes == Seq(50, 5))
   }
 
+  test("kinesis sink: any recoverable failure pattern delivers all records, " +
+      "per-shard order preserved for first-attempt records (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic sampling from a fixed seed (house pattern — see
+    // ExpressionsSpec): each trial draws a record count, a shard count, a
+    // batch cap, and a per-record failure count strictly below maxRetries,
+    // i.e. any *recoverable* injection pattern
+    val maxRetries = 5
+    val trialGen = for {
+      n      <- Gen.chooseNum(1, 700) // >500 exercises PutRecords chunking
+      shards <- Gen.chooseNum(1, 8)
+      batch  <- Gen.chooseNum(1, 500)
+      fails  <- Gen.listOfN(n, Gen.frequency(
+        (5, Gen.const(0)), (2, Gen.chooseNum(1, maxRetries - 1))))
+    } yield (n, shards, batch, fails)
+    for (trial <- 0 until 12) {
+      val (n, shards, batch, fails) =
+        trialGen.apply(Gen.Parameters.default, Seed(7000L + trial)).get
+      val name = s"t-prop-$trial"
+      InMemoryKinesis.reset(name)
+      val kin = new InMemoryKinesis(numShards = shards, name = name)
+      // record i carries payload [i]; remaining(i) injected failures
+      val remaining = fails.map(new java.util.concurrent.atomic.AtomicInteger(_))
+      kin.setFailNext { r =>
+        val i = java.nio.ByteBuffer.wrap(r.data).getInt
+        remaining(i).getAndDecrement() > 0
+      }
+      val sink = new KinesisSink("vehicles", kin,
+        maxBatch = batch, maxRetries = maxRetries, backoffMs = 0)
+      val records = (0 until n).map(i => KinesisRecord(
+        partitionKey = (i % (shards * 3)).toString,
+        data = java.nio.ByteBuffer.allocate(4).putInt(i).array()))
+      sink.putAll(records)
+
+      val stored = kin.records
+      val storedIdx = stored.map(r => java.nio.ByteBuffer.wrap(r._2.data).getInt)
+      // at-least-once: every record delivered (transport stores only
+      // accepted records, so here delivery is also exactly-once)
+      assert(storedIdx.sorted == (0 until n),
+        s"trial $trial: delivered ${storedIdx.size}/$n")
+      // API limit: no call exceeds maxBatch
+      assert(kin.callSizes.forall(_ <= batch), s"trial $trial: oversize call")
+      // resubmit rounds carry exactly the prior round's failures: total
+      // records-on-the-wire = n + Σ injected failures
+      assert(kin.callSizes.sum == n + fails.sum,
+        s"trial $trial: wire count ${kin.callSizes.sum} != ${n + fails.sum}")
+      // per-shard order: records that never failed are appended in their
+      // chunk's round 0 and chunks run sequentially, so per shard their
+      // stored subsequence must be in original send order (the resubmit
+      // loop may legitimately reorder *failed* records after later
+      // successes — Kinesis's documented retry semantics)
+      for (shard <- 0 until shards) {
+        val firstTry = stored.collect {
+          case (s, r) if s == shard &&
+            fails(java.nio.ByteBuffer.wrap(r.data).getInt) == 0 =>
+            java.nio.ByteBuffer.wrap(r.data).getInt
+        }
+        assert(firstTry == firstTry.sorted,
+          s"trial $trial shard $shard: first-attempt order violated")
+      }
+      InMemoryKinesis.reset(name)
+    }
+  }
+
   test("kinesis sink: gives up after maxRetries resubmit rounds") {
     val kin = new InMemoryKinesis(numShards = 2, name = "t-giveup")
     kin.setFailNext(_.partitionKey == "1")
