@@ -60,8 +60,16 @@ object LlmOps {
     * aggregating occurrences equals aggregating the shingle set with one
     * shuffle instead of two. The cap is a broadcast ANTI join against the
     * memoized hot relation — the occurrence stream never shuffles for it. */
-  private def shingleRel(s: SparkSession, d: String): DataFrame = {
-    val occ = Tables.documents(s, d)
+  /** @param docGate optional small doc_id relation; when present it
+    *   broadcast-semi-gates the document scan BEFORE the explode (a
+    *   semi-join placed after the Generate would not push below it, so
+    *   the whole corpus would still explode — the gate must sit on the
+    *   scan side for "shingles of these few docs" consumers). */
+  private def shingleRel(
+      s: SparkSession, d: String, docGate: Option[DataFrame] = None): DataFrame = {
+    val docs = docGate.foldLeft(Tables.documents(s, d))(
+      (t, g) => t.join(broadcast(g), Seq("doc_id"), "left_semi"))
+    val occ = docs
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram"))
     occ.join(broadcast(hotShinglesRel(s, d)), Seq("ngram"), "left_anti")
@@ -344,25 +352,66 @@ object LlmOps {
     sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
   }
 
-  private val lshSigCache =
-    new graft.operators.DatasetCache[String]("lsh-sig", Seq(_))
+  private val lshPairsCache =
+    new graft.operators.DatasetCache[String]("lsh-pairs", Seq(_))
 
-  /** MinHash signatures + capped shingle sets + exact set sizes, scratch-
-    * materialized ONCE per dataset dir and memoized by path (the
-    * [[jaccardPairs]] pattern) — the signature-build stage of an LSH
-    * dedup pipeline, whose output a production run would land in storage
-    * and fan out to band-join + verify consumers. */
-  private def lshSignatures(s: SparkSession, d: String): DataFrame = {
-    val path = lshSigCache.getOrCompute(d)(dir =>
-      graft.operators.Scratch.materializePath(
-        shingleRel(s, dir).groupBy(col("doc_id"))
-          .agg(minhashAggs.head,
-            minhashAggs.tail ++ Seq(
-              slice(sort_array(collect_set(col("ngram"))), 1, 8192).as("shingles"),
-              size(collect_set(col("ngram"))).as("nsh")): _*),
-        "lsh-sig"))
-    s.read.parquet(path)
-  }
+  /** The VERIFIED LSH near-dup pairs (da, db, exact jaccard), scratch-
+    * materialized ONCE per dataset dir and memoized (the [[jaccardPairs]]
+    * pattern) — the artifact an LSH dedup pipeline lands in storage for
+    * its clustering/survivor consumers. Two corpus-bounded passes:
+    *
+    * 1. Candidate pairs: 16 minhashes → 4 bands × 4 rows → docs sharing
+    *    any band bucket (equi-join on (band, h) — Σ bucket² work). The
+    *    band self-join's two sides are byte-identical subtrees, so
+    *    ReusedExchange computes the shingle→minhash pipeline once (the
+    *    q35 pattern, plan-asserted there).
+    * 2. Exact-Jaccard verify over the candidates ONLY: the candidate doc
+    *    ids (a vanishing fraction of the corpus — the LSH point)
+    *    broadcast-semi-gate the document scan BEFORE the explode
+    *    ([[shingleRel]]'s docGate), so shingle sets are re-derived for
+    *    candidate docs alone and each pair costs one O(|A|+|B|) 64-bit
+    *    fingerprint intersection. Neither a corpus-wide shingle join nor
+    *    a corpus-wide per-doc array store exists: carrying shingle
+    *    arrays through the signature relation cost more to write than
+    *    candidate re-derivation costs to compute (measured 2× on the
+    *    whole query at sf0.1), and at 100 TB the array store would
+    *    dwarf the 128-byte/doc signatures. */
+  private def lshVerifiedPairsPath(s: SparkSession, d: String): String =
+    lshPairsCache.getOrCompute(d) { dir =>
+      val sig = shingleRel(s, dir).groupBy(col("doc_id"))
+        .agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
+      }
+      val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+      val pairsPath = graft.operators.Scratch.materializePath(
+        buckets.alias("a")
+          .join(buckets.alias("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct(),
+        "lsh-cand-pairs")
+      val pairs = s.read.parquet(pairsPath)
+      val candDocs = pairs.select(col("da").as("doc_id"))
+        .union(pairs.select(col("db").as("doc_id"))).distinct()
+      val candSets = shingleRel(s, dir, docGate = Some(candDocs))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(xxhash64(col("ngram"))).as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      val verified = pairs
+        .join(candSets.select(col("doc_id").as("da"),
+          col("sh").as("sa"), col("nsh").as("na")), Seq("da"))
+        .join(candSets.select(col("doc_id").as("db"),
+          col("sh").as("sb"), col("nsh").as("nb")), Seq("db"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("da"), col("db"),
+          (round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")), 0)
+            / 10000.0).as("jaccard"))
+      try graft.operators.Scratch.materializePath(verified, "lsh-pairs")
+      finally graft.operators.Scratch.release(pairsPath)
+    }
 
   /** q35d — the full MinHash-LSH near-dup pipeline (the 100 TB path that
     * q35's exact shingle join approximates at small scale): 16 minhashes →
@@ -370,48 +419,10 @@ object LlmOps {
     * pairs (equi-join on (band, hash) — Σ bucket² work) → exact shingle
     * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
     * the exact q35 pairs is asserted in tests. */
-  def q35d(s: SparkSession, d: String): DataFrame = {
-    // the signature agg ALSO carries each doc's shingle set (capped — see
-    // below) and its true size, so the Jaccard verify is a per-candidate-
-    // pair array intersection on the few LSH candidates rather than a
-    // second corpus-wide shingle join. The relation is scratch-
-    // materialized ([[lshSignatures]]): its two consumers here (band
-    // join, set join) prune different columns, and as a lazy subtree the
-    // tokenize→explode pipeline would run once per consumer — at 100 TB
-    // the corpus scan dominates, so both consumers read the one
-    // column-pruned signature parquet instead.
-    // State bound: the carried set is capped at 8192 shingles per doc
-    // (sort_array → deterministic prefix), so one huge document cannot
-    // blow the aggregation buffer; nsh stays exact, making capped
-    // jaccard a lower bound for docs beyond the cap (test corpus docs
-    // are far below it).
-    val sig = lshSignatures(s, d)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
-    val pairs = buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    // exact Jaccard verify per candidate pair via set intersection of the
-    // carried shingle arrays (pairs are the few LSH candidates, so this
-    // is per-pair O(|A|+|B|) hash intersection, not a corpus-wide join)
-    val sets = sig.select(col("doc_id"), col("shingles"), col("nsh"))
-    pairs
-      .join(sets.select(col("doc_id").as("da"),
-        col("shingles").as("sa"), col("nsh").as("na")), Seq("da"))
-      .join(sets.select(col("doc_id").as("db"),
-        col("shingles").as("sb"), col("nsh").as("nb")), Seq("db"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .select(col("da"), col("db"),
-        (round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")), 0)
-          / 10000.0).as("jaccard"))
+  def q35d(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(lshVerifiedPairsPath(s, d))
+      .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
-  }
 
   /** q35c — SimHash (64-bit) per document: bit-majority over token
     * hashes. Hamming-close simhashes ⇒ near-dup candidates. xxhash64-
