@@ -34,13 +34,22 @@ object ConnectedComponents {
     * costs ~10 tiny shuffle stages PER ROUND regardless of data size —
     * on a few hundred edges that is seconds of pure scheduling for work
     * one core does in microseconds (measured at sf0.1: 4.2s for 2 rounds
-    * over 256 edges). 1M edges is ~tens of MB of union-find state in one
-    * task; graphs above that take the distributed loop. This is the
-    * standard two-regime CC design: distributed propagation while the
-    * graph is large, a local solve once (or when) it is small. The count
-    * that drives the dispatch is metadata-cheap on the scratch parquet
-    * the caller is required to pass. */
-  val LocalMaxEdges: Long = 1L << 20
+    * over 256 edges). Calibrated from the [[graft.tools.CcCrossover]]
+    * sweep (random small-component graphs — the near-dup edge shape, and
+    * the distributed loop's BEST case since it converges in few rounds;
+    * local[32], shared-VM load): local / distributed seconds were
+    * 0.6/9 at 10k edges, 0.5/11 at 100k, 1.2/177 at 1M, 12/209 at 4M,
+    * 20/456 at 16M — the local solve never stops winning on wall time in
+    * the measurable range, so the cap is set by single-task MEMORY, not
+    * speed: 4M edges bounds the union-find parent map at ≤8M nodes
+    * (~400 MB of HashMap state), inside a default executor task budget,
+    * while 16M+ would gamble on multi-GB single-task heap. Graphs above
+    * the cap take the distributed loop. This is the standard two-regime
+    * CC design: distributed propagation while the graph is large, a
+    * local solve once (or when) it is small. The count that drives the
+    * dispatch is metadata-cheap on the scratch parquet the caller is
+    * required to pass. */
+  val LocalMaxEdges: Long = 1L << 22
 
   /** @param pairs undirected edges (da, db). MUST be cheap to rescan —
     *   each round references the edge relation three times (two

@@ -551,6 +551,35 @@ object Curation {
       |         / 10000.0 AS fill_ratio
       |FROM a ORDER BY shard""".stripMargin
 
+  /** q91 — the dataset card: per-source corpus datasheet (the "datasheets
+    * for datasets" rollup every curated corpus ships with) — doc counts,
+    * language spread, size, exact-dup rate, and mean token length, in ONE
+    * aggregation pass over the corpus (count-distincts expand to the
+    * standard two-phase plan; nothing re-scans). Scale shape: a single
+    * hash agg keyed by source — 20 groups here, and at 100 TB the same
+    * plan with partial aggregation map-side. */
+  def q91(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+        round(QueryDef.exactAvg(
+          size(split(col("text"), " ")).cast("double")), 4).as("mean_tokens"))
+      .orderBy(col("source"))
+
+  private val q91Sql =
+    s"""SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(*) - count(DISTINCT text) AS dup_docs,
+      |  round((${QueryDef.exactSumSql("len(string_split(text, ' '))")})
+      |        / count(*), 4) AS mean_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q76_span_dedup", q76, Some(q76Sql)),
     QueryDef("q77_normalize", q77, Some(q77Sql)),
@@ -564,5 +593,6 @@ object Curation {
     QueryDef("q85_fim_transform", q85, Some(q85Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
-    QueryDef("q88_packing_stats", q88, Some(q88Sql)))
+    QueryDef("q88_packing_stats", q88, Some(q88Sql)),
+    QueryDef("q91_dataset_card", q91, Some(q91Sql)))
 }

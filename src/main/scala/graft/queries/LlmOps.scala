@@ -1247,8 +1247,14 @@ object LlmOps {
     * scanned once and never reshuffled except by doc for the final score
     * sum. Scores round at 4dp before ranking (libm ln tail bits differ
     * between engines), doc_id tiebreak. */
-  def q70(s: SparkSession, d: String): DataFrame = {
-    val qterms = Seq("vector", "filter", "spill")
+  def q70(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("score"))
+
+  /** BM25 (doc_id, score) for [[Bm25QueryTerms]] — the scored relation
+    * behind q70 (top-10 dump) and q89 (RRF fusion input). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(s, d)
@@ -1258,10 +1264,10 @@ object LlmOps {
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(qterms: _*))
+      .filter(col("term").isin(Bm25QueryTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1272,13 +1278,15 @@ object LlmOps {
           .as("part"))
       .groupBy(col("doc_id"))
       .agg(round(exactSum(col("part")), 4).as("score"))
-    scored
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
-      .select(col("doc_id"), col("score"))
   }
 
-  private val q70Sql =
-    """WITH dl AS (SELECT doc_id,
+  private val Bm25QueryTerms = Seq("vector", "filter", "spill")
+
+  /** DuckDB CTE chain producing `agg(doc_id, score)` — one definition
+    * interpolated into the q70 and q89 oracles (the QualityCteSql
+    * pattern: score parity lives in exactly one string). */
+  private val Bm25AggCteSql =
+    """dl AS (SELECT doc_id,
       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       |            FROM documents),
       |st AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl
@@ -1293,9 +1301,68 @@ object LlmOps {
       |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
       |agg AS (SELECT doc_id,
       |          round(sum(CAST(round(part * 10000) AS BIGINT)) / 10000.0, 4) AS score
-      |        FROM sc GROUP BY doc_id)
+      |        FROM sc GROUP BY doc_id)""".stripMargin
+
+  private val q70Sql =
+    s"""WITH $Bm25AggCteSql
       |SELECT doc_id, score FROM agg
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q89 — hybrid retrieval via Reciprocal Rank Fusion: fuse the sparse
+    * BM25 ranking (q70's scorer) with a dense cosine ranking against a
+    * probe embedding, score = Σ 1/(60 + rank) over the systems that
+    * retrieved the doc (RRF, Cormack et al.) — the standard
+    * lexical+vector hybrid of a RAG/retrieval stack. Scale shape: each
+    * system independently takes its top-[[RrfTopN]] via orderBy+limit
+    * (TakeOrderedAndProject — a distributed partial top-k, never a
+    * corpus-wide single-partition window); ranks are then assigned on
+    * ≤[[RrfTopN]] rows, the fusion is a full outer join of two tiny
+    * relations, and 1/(60+r) is two correctly-rounded IEEE ops — engine-
+    * stable, so the oracle hash-matches without tolerance. */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val kRrf = 60
+    val lexTop = bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfTopN)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val denseTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(CosineSimilarityExpr(col("embedding"), col("pe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(RrfTopN)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("dense_rank"))
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+  }
+
+  private val RrfTopN = 100
+
+  private val q89Sql =
+    s"""WITH $Bm25AggCteSql,
+      |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+      |        FROM (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT $RrfTopN)),
+      |pe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+      |       FROM embeddings WHERE vec_id = 0),
+      |sim AS (SELECT vec_id AS doc_id,
+      |          round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), pe), 4) AS sim
+      |        FROM embeddings CROSS JOIN pe WHERE vec_id <> 0),
+      |dense AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS dense_rank
+      |          FROM (SELECT doc_id, sim FROM sim ORDER BY sim DESC, doc_id LIMIT $RrfTopN)),
+      |fused AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, lex_rank, dense_rank,
+      |            round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+      |                  coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6) AS rrf
+      |          FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+      |SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** q71 — SimHash-banded near-dup: the classic web-dedup pipeline
     * (Charikar simhash + Manku-Jain-Sarma band blocking). The 64-bit
@@ -1587,6 +1654,7 @@ object LlmOps {
     QueryDef("q68_unigram_fluency", q68, Some(q68Sql)),
     QueryDef("q69_seq_pack", q69, Some(q69Sql)),
     QueryDef("q70_bm25", q70, Some(q70Sql)),
+    QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),

@@ -612,6 +612,36 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q90 — exact order statistics per group: continuous (interpolating)
+    * and discrete percentiles of l_extendedprice by return flag. Exact
+    * percentile is a sort-based aggregate — at scale it shuffles once on
+    * the group key like any hash agg, and the per-group sort is bounded
+    * by the group's row count (the approx path for wide groups is
+    * `approx_percentile`, a mergeable KLL-style sketch — test-covered,
+    * not oracled, since its outputs are estimator-specific). Both
+    * engines interpolate at (n-1)*p; 4dp rounding absorbs libm tail
+    * bits. */
+  def q90(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50_disc"))
+      .orderBy(col("l_returnflag"))
+
+  private val q90Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -640,5 +670,6 @@ object Relational {
     QueryDef("q42_stat_aggs", q42, Some(q42Sql)),
     QueryDef("q48_sql_frontend", q48, Some(q48Sql)),
     QueryDef("q56_schema_evolution", q56, Some(q56Sql)),
-    QueryDef("q57_window_dist", q57, Some(q57Sql)))
+    QueryDef("q57_window_dist", q57, Some(q57Sql)),
+    QueryDef("q90_percentiles", q90, Some(q90Sql)))
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants of the round-5 additions: RRF hybrid fusion
+  * (q89), exact + approximate percentiles (q90), and the per-source
+  * dataset card (q91). Hash parity vs DuckDB is the oracle's job; these
+  * pin the semantics the oracle can't see (approx-sketch error, fusion
+  * bounds, conservation). */
+class RetrievalStatsSpec extends SparkSpec {
+
+  test("q89: RRF scores are bounded, ranks come from the per-system top lists") {
+    val out = LlmOps.q89(spark, sf001).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val dense = Option(r.getAs[Integer]("dense_rank")).map(_.toInt)
+      assert(lex.nonEmpty || dense.nonEmpty, s"fused doc retrieved by neither system: $r")
+      (lex ++ dense).foreach(rk => assert(rk >= 1 && rk <= 100))
+      val expected = lex.map(rk => 1.0 / (60 + rk)).getOrElse(0.0) +
+        dense.map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-6)
+    }
+    // the fused list is sorted by score desc — a doc both systems rank
+    // high must beat a doc only one system retrieved at similar rank
+    val scores = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores == scores.sorted.reverse, "fusion output not ordered by rrf")
+  }
+
+  test("q90: approx_percentile tracks the exact percentile within sketch accuracy") {
+    // the 100 TB path for wide groups is the mergeable sketch; pin its
+    // error against the exact sort-based aggregate the oracle verifies
+    val exact = Relational.q90(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p90")).toMap
+    val approx = graft.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ap90")).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      assert(math.abs(a - e) / e < 0.05,
+        s"approx p90 for $flag drifted: exact=$e approx=$a")
+    }
+  }
+
+  test("q90: percentiles are monotone per group and bracket the data range") {
+    val li = graft.Tables.lineitem(spark, sf001)
+      .agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).collect()(0)
+    val (lo, hi) = (li.getDouble(0), li.getDouble(1))
+    Relational.q90(spark, sf001).collect().foreach { r =>
+      val ps = Seq("p25", "p50", "p90", "p99").map(r.getAs[Double])
+      assert(ps == ps.sorted, s"percentiles not monotone: $r")
+      ps.foreach(p => assert(p >= lo && p <= hi))
+      // discrete median is an actual data value at the cont median's side
+      assert(r.getAs[Double]("p50_disc") <= r.getAs[Double]("p50") + 1e-9)
+    }
+  }
+
+  test("q91: dataset card conserves corpus totals across sources") {
+    val card = Curation.q91(spark, sf001).collect()
+    val docs = graft.Tables.documents(spark, sf001)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(card.map(_.getAs[Long]("total_chars")).sum ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 1 && r.getAs[Long]("n_langs") <= 5)
+      assert(r.getAs[Long]("dup_docs") >= 0)
+      assert(r.getAs[Double]("mean_tokens") > 0)
+    }
+  }
+}
