@@ -339,6 +339,150 @@ object LlmOps {
       |  round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0 AS jaccard
       |FROM inter ORDER BY da, db""".stripMargin
 
+  /** q93 — embedding-space outlier scoring: per-label centroids, each
+    * vector's cosine to its label centroid, and a bottom-decile outlier
+    * flag — the embedding-space quality filter (CLIP-score-style: far
+    * from your cluster's center ⇒ likely mislabeled/noisy; the E-step of
+    * one k-means round). Scale shape: centroids are a per-(label, dim)
+    * aggregation of the exploded vectors (map-side partials; 640 groups
+    * here and #labels × dims at any corpus size), the tiny centroid
+    * relation broadcasts back, and the cosine is the codegen'd
+    * sequential-loop expression map-side — the corpus never shuffles for
+    * scoring, only for the per-label decile rank (bounded per label).
+    * Oracle parity: centroid components use the quantized-integer-sum
+    * average (the exactSum rule) so both engines build bit-identical
+    * centroids; both cosines are sequential-order loops, rounded 4dp. */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(round(col("v").cast("double") * 10000, 0).cast("long"))
+        / lit(10000.0) / count(lit(1))).as("c"))
+    val centArr = cent.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label"),
+        transform(col("dc"), x => x.getField("c")).as("centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("centroid_sim"), col("vec_id"))
+    val n = Window.partitionBy(col("label"))
+    e.join(broadcast(centArr), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(CosineSimilarityExpr(col("embedding"), col("centroid")), 4)
+          .as("centroid_sim"))
+      .withColumn("is_outlier",
+        row_number().over(w) * 10 <= count(lit(1)).over(n))
+      .select(col("vec_id"), col("label"), col("centroid_sim"), col("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q93Sql =
+    """WITH x AS (SELECT label, vec_id, embedding FROM embeddings),
+      |ex AS (SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+      |       FROM x CROSS JOIN range(0, 64) t(i)),
+      |cd AS (SELECT label, dim,
+      |         sum(CAST(round(v * 10000) AS BIGINT)) / 10000.0 / count(*) AS c
+      |       FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM cd GROUP BY 1),
+      |sc AS (SELECT vec_id, x.label,
+      |         round(list_cosine_similarity(
+      |           list_transform(embedding, e -> CAST(e AS DOUBLE)), centroid), 4)
+      |           AS centroid_sim
+      |       FROM x JOIN cent ON x.label = cent.label),
+      |rk AS (SELECT vec_id, label, centroid_sim,
+      |         row_number() OVER (PARTITION BY label ORDER BY centroid_sim, vec_id) AS rn,
+      |         count(*) OVER (PARTITION BY label) AS n
+      |       FROM sc)
+      |SELECT vec_id, label, centroid_sim, rn * 10 <= n AS is_outlier
+      |FROM rk ORDER BY vec_id""".stripMargin
+
+  /** q92 — incremental-batch NEAR-dup: the q87 daily-ingest shape at
+    * near-dup strength. An incoming crawl increment is blocked against
+    * the EXISTING corpus on shared rare shingles (df ≤
+    * [[MaxShingleDocFreq]] computed over the existing corpus — in
+    * production that df index is a persisted stage output, here the
+    * memoized [[hotShinglesRel]]), exact set-Jaccard verifies the
+    * candidates, and every incoming doc gets a verdict: its best match
+    * (highest jaccard, doc_id tiebreak) and is_dup at the q61 clustering
+    * threshold (0.8). Scale shape: the increment is small — its shingle
+    * relation broadcasts into the block join, so the 100 TB existing
+    * side streams map-side and only candidate groups shuffle; work is
+    * Σ_shingle (new_freq × ex_freq), never new × corpus. The synthetic
+    * increment exercises both branches deterministically: doc_id%11==5
+    * docs get a 3-token suffix (near-dup — must match their original),
+    * doc_id%13==7 docs are token-reversed (trigrams destroyed — must
+    * come back unmatched). */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val incoming = docs.filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") * 10 + 3).as("new_id"),
+        concat(col("text"), lit(" v2 updated fresh")).as("text"))
+      .union(docs.filter(col("doc_id") % 13 === 7)
+        .select((col("doc_id") * 10 + 4).as("new_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+    val exSh = shingleRel(s, d).distinct()
+      .withColumn("n_ex", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val newSh = incoming
+      .select(col("new_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("new_id"), col("ngram")).distinct()
+      .join(broadcast(hotShinglesRel(s, d)), Seq("ngram"), "left_anti")
+      .withColumn("n_new", count(lit(1)).over(Window.partitionBy(col("new_id"))))
+    val cand = broadcast(newSh).join(exSh, Seq("ngram"))
+      .groupBy(col("new_id"), col("doc_id"), col("n_new"), col("n_ex"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+      .select(col("new_id"), col("doc_id"),
+        (round(col("inter") * 10000.0 / (col("n_new") + col("n_ex") - col("inter")), 0)
+          / 10000.0).as("jaccard"))
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("new_id"), col("doc_id").as("match_doc_id"), col("jaccard"))
+    incoming.select(col("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .withColumn("is_dup", coalesce(col("jaccard") >= 0.8, lit(false)))
+      .orderBy(col("new_id"))
+  }
+
+  private val q92Sql =
+    s"""WITH inc AS (
+      |  SELECT doc_id * 10 + 3 AS new_id, text || ' v2 updated fresh' AS text
+      |  FROM documents WHERE doc_id % 11 = 5
+      |  UNION ALL
+      |  SELECT doc_id * 10 + 4,
+      |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |  FROM documents WHERE doc_id % 13 = 7),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |exsh0 AS (SELECT DISTINCT doc_id,
+      |           unnest(list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |          FROM t WHERE len(toks) >= 3),
+      |hot AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM exsh0 GROUP BY 1)
+      |        WHERE df > $MaxShingleDocFreq),
+      |exsh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS n_ex
+      |         FROM exsh0 WHERE ngram NOT IN (SELECT ngram FROM hot)),
+      |nt AS (SELECT new_id, string_split(text, ' ') AS toks FROM inc),
+      |nsh0 AS (SELECT DISTINCT new_id,
+      |          unnest(list_transform(range(1, len(toks) - 1),
+      |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |         FROM nt WHERE len(toks) >= 3),
+      |nsh AS (SELECT new_id, ngram, count(*) OVER (PARTITION BY new_id) AS n_new
+      |        FROM nsh0 WHERE ngram NOT IN (SELECT ngram FROM hot)),
+      |j AS (SELECT new_id, doc_id, n_new, n_ex, count(*) AS inter
+      |      FROM nsh JOIN exsh USING (ngram) GROUP BY 1, 2, 3, 4
+      |      HAVING count(*) >= 2),
+      |cand AS (SELECT new_id, doc_id,
+      |           round(inter * 10000.0 / (n_new + n_ex - inter), 0) / 10000.0 AS jaccard
+      |         FROM j),
+      |best AS (SELECT new_id, doc_id AS match_doc_id, jaccard,
+      |           row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, doc_id) AS rn
+      |         FROM cand)
+      |SELECT new_id, match_doc_id, jaccard,
+      |       coalesce(jaccard >= 0.8, FALSE) AS is_dup
+      |FROM inc LEFT JOIN (SELECT new_id, match_doc_id, jaccard FROM best WHERE rn = 1)
+      |  USING (new_id)
+      |ORDER BY new_id""".stripMargin
+
   /** q35b — MinHash signatures (k=16) per document: the scale path for
     * near-dup (LSH banding joins on signature bands instead of raw
     * shingles). xxhash64-based → engine-specific, no SQL oracle; banding
@@ -1655,6 +1799,8 @@ object LlmOps {
     QueryDef("q69_seq_pack", q69, Some(q69Sql)),
     QueryDef("q70_bm25", q70, Some(q70Sql)),
     QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
+    QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
+    QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),

@@ -58,6 +58,44 @@ class RetrievalStatsSpec extends SparkSpec {
     }
   }
 
+  test("q92: suffixed docs match their originals; reversed docs come back unmatched") {
+    val out = LlmOps.q92(spark, sf001).collect()
+    val docs = graft.Tables.documents(spark, sf001)
+    val nInc = docs.filter(col("doc_id") % 11 === 5).count() +
+      docs.filter(col("doc_id") % 13 === 7).count()
+    assert(out.length == nInc, "every incoming doc gets a verdict row")
+    val (suffixed, reversed) = out.partition(_.getLong(0) % 10 == 3)
+    // a 3-token suffix keeps the trigram sets nearly identical — the best
+    // match must be the original doc at dedup-grade jaccard
+    val selfMatched = suffixed.count(r => !r.isNullAt(1) &&
+      r.getLong(1) == (r.getLong(0) - 3) / 10 && r.getBoolean(3))
+    assert(selfMatched >= suffixed.length * 9 / 10,
+      s"only $selfMatched/${suffixed.length} suffixed docs dedup to their original")
+    // token reversal destroys trigrams — no candidate survives inter>=2
+    // at dedup strength
+    assert(reversed.forall(r => !r.getBoolean(3)),
+      "a reversed doc came back is_dup=true")
+  }
+
+  test("q93: bottom decile per label is flagged; sims bounded") {
+    val out = LlmOps.q93(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sim = r.getAs[Double]("centroid_sim")
+      assert(sim >= -1.0 && sim <= 1.0)
+    }
+    out.groupBy(_.getAs[Int]("label")).foreach { case (label, rows) =>
+      val flagged = rows.count(_.getAs[Boolean]("is_outlier"))
+      assert(flagged == rows.length / 10,
+        s"label $label flagged $flagged of ${rows.length} (want floor(n/10))")
+      // flagged rows are exactly the lowest-sim tail (ties broken by id)
+      val worst = rows.sortBy(r => (r.getAs[Double]("centroid_sim"),
+        r.getAs[Long]("vec_id"))).take(flagged).map(_.getAs[Long]("vec_id")).toSet
+      assert(rows.filter(_.getAs[Boolean]("is_outlier"))
+        .map(_.getAs[Long]("vec_id")).toSet == worst)
+    }
+  }
+
   test("q91: dataset card conserves corpus totals across sources") {
     val card = Curation.q91(spark, sf001).collect()
     val docs = graft.Tables.documents(spark, sf001)
