@@ -186,6 +186,30 @@ class QueryPlanSpec extends SparkSpec {
     assert(labels.collect().isEmpty)
   }
 
+  test("q89: both retrieval arms are distributed partial top-k, never a corpus window") {
+    val p = planString(LlmOps.q89(spark, sf0001))
+    // each system's top-100 (and the final top-20) must plan as
+    // TakeOrderedAndProject; the only Window nodes allowed are the rank
+    // assignments OVER the ≤100-row top lists (post-TakeOrdered)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      s"expected 3 TakeOrderedAndProject (lex top, dense top, final):\n$p")
+  }
+
+  test("q92: the increment side broadcasts; best-match is a group limit") {
+    val p = planString(LlmOps.q92(spark, sf0001))
+    // block join: tiny increment shingles build-side, corpus streamed
+    assert(p.contains("BroadcastHashJoin"), s"block join not broadcast:\n$p")
+    // rn==1 best-match must push as WindowGroupLimit, not full-window+filter
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pairwise blowup:\n$p")
+  }
+
+  test("q93: centroids broadcast; the corpus never shuffles for scoring") {
+    val p = planString(LlmOps.q93(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for scoring join:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
