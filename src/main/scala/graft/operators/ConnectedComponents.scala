@@ -9,9 +9,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * set, and each ROUND batches two steps before its convergence check, so
   * components converge in O(diameter / 2) rounds ≈ O(log n) for near-dup
   * families with half the job-submission overhead. Labels only ever
-  * decrease, so Σlbl strictly decreases iff any label changed —
-  * convergence is a one-row aggregate per round, never a join-based diff;
-  * the driver holds a single Long, never the graph.
+  * decrease, so any change alters the (doc_id, lbl) pair set —
+  * convergence is a one-row fingerprint aggregate per round
+  * ([[labelFingerprint]]), never a join-based diff; the driver holds two
+  * Longs, never the graph.
   *
   * Lifecycle (the round-2 lesson, hardened in round 5): each round
   * scratch-materializes its labels to parquet and releases the previous
@@ -102,7 +103,7 @@ object ConnectedComponents {
     var labelsPath = Scratch.materializePath(
       nodes.withColumn("lbl", col("doc_id")), "cc-labels")
     var labels = spark.read.parquet(labelsPath)
-    var lblSum = sumOfLabels(labels)
+    var lblFp = labelFingerprint(labels)
     var converged = false
     var iter = 0
 
@@ -129,12 +130,12 @@ object ConnectedComponents {
       onRound(computed)
       val nextPath = Scratch.materializePath(computed, "cc-labels")
       val next = spark.read.parquet(nextPath)
-      val nextSum = sumOfLabels(next)
+      val nextFp = labelFingerprint(next)
       Scratch.release(labelsPath)
       labelsPath = nextPath
       labels = next
-      converged = nextSum == lblSum
-      lblSum = nextSum
+      converged = nextFp == lblFp
+      lblFp = nextFp
       iter += 1
     }
     if (!converged) {
@@ -150,8 +151,22 @@ object ConnectedComponents {
     labelsPath
   }
 
-  private def sumOfLabels(labels: DataFrame): Long =
-    labels.agg(coalesce(sum(col("lbl")), lit(0L))).collect()(0).getLong(0)
+  /** Order-independent fingerprint of the label relation: XOR of two
+    * independently-seeded xxhash64 row hashes (one row in the driver).
+    * Labels only ever decrease, so any propagation change alters the
+    * (doc_id, lbl) pair set and — up to a ~2^-128 double-collision —
+    * the fingerprint; convergence is fingerprint equality across
+    * consecutive rounds. XOR rather than the previous SUM(lbl): a sum
+    * type-coerces (and crashes) for the StringType ids the local regime
+    * explicitly supports, and overflows for full-range long ids (e.g.
+    * xxhash64-derived node ids) under ANSI arithmetic. */
+  private def labelFingerprint(labels: DataFrame): (Long, Long) = {
+    val r = labels.agg(
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("lbl"), lit(1))), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("lbl"), lit(2))), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Small-graph regime: ship every edge to ONE task and run union-find
     * with union-by-min-root — the root of each set is always its minimum

@@ -21,9 +21,15 @@ import java.util.concurrent.ConcurrentHashMap
   *   invalidation (values that memoize more than a path, e.g. (path,
   *   rowCount), expose just their paths here).
   */
-final class DatasetCache[V](name: String, releasePaths: V => Seq[String]) {
+final class DatasetCache[V](val name: String, releasePaths: V => Seq[String]) {
   private val entries = new ConcurrentHashMap[String, V]()
   DatasetCache.register(this)
+
+  /** Number of memoized dataset dirs (observability — see
+    * [[DatasetCache.stats]]). */
+  def size: Int = entries.size()
+
+  override def toString: String = s"DatasetCache($name, ${entries.size()} entries)"
 
   /** Memoized value for `dir`, building (and typically scratch-
     * materializing) on first use. `build` runs at most once per dir. */
@@ -51,4 +57,12 @@ object DatasetCache {
     * derived from `dir` across all caches and release their scratch
     * storage. Call after regenerating a dataset path in-process. */
   def invalidate(dir: String): Unit = registry.forEach(_.invalidate(dir))
+
+  /** Per-cache entry counts by name — the long-lived driver's view of
+    * what is memoized (each entry pins its scratch dirs until
+    * invalidated, so this is also a disk-held-by-memo inventory). */
+  def stats: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.map(c => c.name -> c.size).toMap
+  }
 }

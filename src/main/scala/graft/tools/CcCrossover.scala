@@ -32,10 +32,15 @@ object CcCrossover {
       .select((rand(1) * 5000).cast("long").as("da"),
         (rand(2) * 5000).cast("long").as("db"))
       .filter($"da" =!= $"db")
+    // the looping-caller contract: use the *Path variant and release each
+    // labels dir — minLabelPropagation orphans one dir per call
+    def solveAndRelease(edges: org.apache.spark.sql.DataFrame, lme: Long): Unit =
+      Scratch.release(ConnectedComponents.minLabelPropagationPath(edges, localMaxEdges = lme))
+
     val warmPath = Scratch.materializePath(warm, "cc-x-warm")
     val warmEdges = spark.read.parquet(warmPath)
-    ConnectedComponents.minLabelPropagation(warmEdges, localMaxEdges = Long.MaxValue)
-    ConnectedComponents.minLabelPropagation(warmEdges, localMaxEdges = -1L)
+    solveAndRelease(warmEdges, Long.MaxValue)
+    solveAndRelease(warmEdges, -1L)
     Scratch.release(warmPath)
 
     for (n <- sizes) {
@@ -48,10 +53,8 @@ object CcCrossover {
       val path = Scratch.materializePath(pairs, s"cc-x-$n")
       val edges = spark.read.parquet(path)
       edges.count() // touch parquet footer/readahead outside the timers
-      val tLocal = time(
-        ConnectedComponents.minLabelPropagation(edges, localMaxEdges = Long.MaxValue))
-      val tDist = time(
-        ConnectedComponents.minLabelPropagation(edges, localMaxEdges = -1L))
+      val tLocal = time(solveAndRelease(edges, Long.MaxValue))
+      val tDist = time(solveAndRelease(edges, -1L))
       println(f"""CROSSOVER {"edges":$n,"local_s":$tLocal%.2f,"dist_s":$tDist%.2f}""")
       Scratch.release(path)
     }

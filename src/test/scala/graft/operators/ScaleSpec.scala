@@ -297,6 +297,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("CC regimes agree on STRING ids — incl. the distributed loop (regression)") {
+    import spark.implicits._
+    // the distributed regime previously crashed on string ids: the old
+    // convergence check summed the label column (type-coerced to double,
+    // .getLong ClassCastException), so the UTF8String-order parity the
+    // local comparator guarantees was unreachable above the size cap.
+    // The fingerprint check is type-agnostic — both regimes must run and
+    // agree, including a supplementary char (UTF-8 vs UTF-16 order trap)
+    val edges = Seq(
+      ("alpha", "beta"), ("beta", "gamma"),
+      ("z1", "😀emoji"), // surrogate pair: UTF-8 sorts it HIGH
+      ("solo-a", "solo-b"))
+    val pairs = Scratch.materialize(edges.toDF("da", "db"), "cc-str")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = toMap(
+      ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = Long.MaxValue))
+    val dist = toMap(
+      ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = -1))
+    assert(local == dist, s"string regimes diverge:\nlocal=$local\ndist=$dist")
+    assert(local("gamma") == "alpha" && local("😀emoji") == "z1",
+      s"unexpected labels: $local")
+  }
+
   test("CC regimes agree: single-task union-find == distributed propagation") {
     import spark.implicits._
     // chain (diameter 5), two cliques sharing a bridge, a 2-cycle, and

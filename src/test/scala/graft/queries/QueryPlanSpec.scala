@@ -196,12 +196,27 @@ class QueryPlanSpec extends SparkSpec {
   }
 
   test("q92: the increment side broadcasts; best-match is a group limit") {
-    val p = planString(LlmOps.q92(spark, sf0001))
-    // block join: tiny increment shingles build-side, corpus streamed
-    assert(p.contains("BroadcastHashJoin"), s"block join not broadcast:\n$p")
-    // rn==1 best-match must push as WindowGroupLimit, not full-window+filter
-    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
-    assert(!p.contains("CartesianProduct"), s"pairwise blowup:\n$p")
+    // the registered query reads the memoized verdict parquet — the plan
+    // under guard is the BUILD's, surfaced via the planProbe hook (drop
+    // the memo first so the build actually runs)
+    graft.operators.DatasetCache.invalidate(sf0001)
+    var probed = false
+    LlmOps.q92VerdictPath(spark, sf0001, planProbe = (cand, verdict) => {
+      probed = true
+      val pc = planString(cand)
+      // block join: tiny increment shingles build-side, corpus streamed —
+      // and NO corpus-wide window computing per-doc counts up front
+      assert(pc.contains("BroadcastHashJoin"), s"block join not broadcast:\n$pc")
+      assert(!pc.contains("CartesianProduct"), s"pairwise blowup:\n$pc")
+      // the increment-side n_new window (partitioned by new_id) is fine;
+      // a doc_id-partitioned window would be the corpus-wide count trap
+      assert(!pc.contains("windowspecdefinition(doc_id"),
+        s"corpus-wide per-doc count window in build:\n$pc")
+      // rn==1 best-match must push as WindowGroupLimit, not window+filter
+      val pv = planString(verdict)
+      assert(pv.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$pv")
+    })
+    assert(probed, "planProbe never fired — memo was not invalidated")
   }
 
   test("q93: centroids broadcast; the corpus never shuffles for scoring") {
