@@ -18,7 +18,8 @@ import graft.ingest.CsvFieldsExpr
   * }}}
   *
   * Registered: `flex_timestamp_ms(s)`, `cosine_similarity(a, b)`,
-  * `bigint_low64(s)`, `ngram_explode(text, n)`, `csv_fields(line)`.
+  * `bigint_low64(s)`, `ngram_explode(text, n)`, `csv_fields(line)`,
+  * `zorder_key(x, y)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,5 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("csv_fields",
         "csv_fields(line) - split one RFC-4180 CSV line into a string array"),
       (args: Seq[Expression]) => CsvFieldsExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(x, y) - Morton curve key: interleaves the low 32 bits of two longs"),
+      (args: Seq[Expression]) => graft.functions.ZOrderKeyExpr(args(0), args(1))))
   }
 }

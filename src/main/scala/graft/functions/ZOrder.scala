@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Z-order (Morton) curve key: interleaves the low 32 bits of two
+  * non-negative dimension values, x in the even bit positions and y in
+  * the odd ones. Sorting (or range-partitioning) a table by this key
+  * co-locates rows that are close in BOTH dimensions, so min/max
+  * row-group statistics on either source column stay tight and a
+  * predicate on either dimension prunes file/row-group ranges — the
+  * multi-dimensional clustering behind `OPTIMIZE ZORDER BY` in lakehouse
+  * table formats, here as a plain codegen'd expression usable with
+  * `orderBy(zorder_key(a, b))` + any writer (e.g.
+  * [[graft.operators.ShardWriter]]).
+  *
+  * Interleave via the standard parallel bit-spread (magic-mask shifts),
+  * not a 32-step loop: 10 shift/mask ops per dimension, branch-free,
+  * whole-stage-codegen friendly. Callers bucket dimensions to ≤32 bits
+  * first (e.g. `pmod(hash(col), 1024)` or a range bucketizer).
+  */
+object ZOrder {
+  /** Spread the low 32 bits of x so bit i lands at position 2i. */
+  def spread(x: Long): Long = {
+    var v = x & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  def interleave(x: Long, y: Long): Long =
+    spread(x) | (spread(y) << 1)
+
+  /** Inverse of [[spread]]: collect bits from even positions. */
+  def unspread(z: Long): Long = {
+    var v = z & 0x5555555555555555L
+    v = (v | (v >> 1)) & 0x3333333333333333L
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFFL
+    v
+  }
+
+  def deinterleave(z: Long): (Long, Long) = (unspread(z), unspread(z >> 1))
+}
+
+case class ZOrderKeyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderKeyExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrderKeyExpr {
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      ZOrderKeyExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -642,6 +642,37 @@ object Relational {
       |  quantile_disc(l_extendedprice, 0.5) AS p50_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q94 — Z-order (Morton) layout key: bucket two join/filter dimensions
+    * to 10 bits each and interleave them ([[graft.functions.ZOrderKeyExpr]],
+    * codegen'd parallel bit-spread), then totally order the table by the
+    * curve — the multi-dimensional clustering (`OPTIMIZE ZORDER BY`) that
+    * keeps min/max row-group stats tight on BOTH source columns, so a
+    * predicate on either dimension prunes storage ranges after a write.
+    * The sort is an ordinary range-partitioned total sort on the key —
+    * at 100 TB this is the layout job before [[graft.operators.ShardWriter]],
+    * not a query-time cost. */
+  def q94(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024)).cast("long").as("xb"),
+        pmod(col("l_suppkey"), lit(1024)).cast("long").as("yb"))
+      .withColumn("zkey", graft.functions.ZOrderKeyExpr(col("xb"), col("yb")))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+
+  private val q94Sql = {
+    // 10-bit-per-dimension Morton interleave as plain integer arithmetic
+    // (one term per bit — DuckDB-side mirror of ZOrder.interleave)
+    val zterms = (0 until 10).map { i =>
+      s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""SELECT l_orderkey, l_linenumber, xb, yb,
+      |  CAST($zterms AS BIGINT) AS zkey
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        l_partkey % 1024 AS xb, l_suppkey % 1024 AS yb
+      |      FROM lineitem)
+      |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -671,5 +702,6 @@ object Relational {
     QueryDef("q48_sql_frontend", q48, Some(q48Sql)),
     QueryDef("q56_schema_evolution", q56, Some(q56Sql)),
     QueryDef("q57_window_dist", q57, Some(q57Sql)),
-    QueryDef("q90_percentiles", q90, Some(q90Sql)))
+    QueryDef("q90_percentiles", q90, Some(q90Sql)),
+    QueryDef("q94_zorder_layout", q94, Some(q94Sql)))
 }

@@ -18,12 +18,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  flex_timestamp_ms('2015-02-14 23:51:40+05') AS ms,
         |  bigint_low64('18446744073709551617') AS low,
         |  round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)), 9) AS sim,
-        |  csv_fields('a,"b,c",d') AS f
+        |  csv_fields('a,"b,c",d') AS f,
+        |  zorder_key(3L, 1L) AS z
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) == 1423939900000L)
     assert(r.getLong(1) == 1L)
     assert(r.getDouble(2) == 1.0)
     assert(r.getSeq[String](3) == Seq("a", "b,c", "d"))
+    assert(r.getLong(4) == 7L) // x=0b11 even bits + y=0b1 odd bit -> 0b111
   }
 
   test("ngram_explode works as a SQL generator in LATERAL VIEW position") {

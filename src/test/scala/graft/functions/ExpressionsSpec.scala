@@ -117,6 +117,41 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(got - 4.0) < 1e-12) // geomean(2,8)=4; -1,0 ignored
   }
 
+  test("zorder: property — deinterleave inverts interleave; key is bit-exact") {
+    val pairGen = for {
+      x <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+      y <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+    } yield (x, y)
+    for ((x, y) <- samples(pairGen, 200) ++ Seq(
+        (0L, 0L), (0xFFFFFFFFL, 0xFFFFFFFFL), (1L, 0L), (0L, 1L))) {
+      val z = ZOrder.interleave(x, y)
+      assert(ZOrder.deinterleave(z) == (x, y), s"roundtrip failed for ($x, $y)")
+      // x occupies even bits, y odd bits — reconstruct by definition
+      val manual = (0 until 32).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+      assert(z == manual, s"interleave mismatch for ($x, $y)")
+    }
+    // expression evaluates the same as the helper (codegen path)
+    val row = Seq((37L, 1000L)).toDF("x", "y")
+      .select(ZOrderKeyExpr(col("x"), col("y")).as("z")).collect()(0)
+    assert(row.getLong(0) == ZOrder.interleave(37L, 1000L))
+  }
+
+  test("zorder: curve locality — quadrant prefix order is preserved") {
+    // the defining property the layout relies on: the top interleaved
+    // bits form the quadrant index, so any two points in different
+    // quadrants sort strictly by quadrant — range stats per file stay
+    // tight on BOTH dims
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val sorted = pts.sortBy { case (x, y) => ZOrder.interleave(x, y) }
+    val quadrant = sorted.map { case (x, y) => ((x >> 4) << 1) | (y >> 4) }
+    // quadrant ids must appear in Morton order of the quadrant's own key
+    val quadKeys = sorted.map { case (x, y) => ZOrder.interleave(x >> 4, y >> 4) }
+    assert(quadKeys == quadKeys.sorted, "points from different quadrants interleave")
+    assert(quadrant.distinct.size == 4)
+  }
+
   test("approx_count_distinct within 5% of exact (q12's no-oracle contract)") {
     val events = graft.Tables.events(spark, sf0001)
     val exact = events.select(countDistinct(col("user_id"))).collect()(0).getLong(0)

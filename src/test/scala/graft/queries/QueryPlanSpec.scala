@@ -239,5 +239,6 @@ class QueryPlanSpec extends SparkSpec {
     }
     assert(codegenStages(Scalars.q24(spark, sf0001)) >= 1, "q24 lost codegen")
     assert(codegenStages(LlmOps.q34(spark, sf0001)) >= 1, "q34 lost codegen")
+    assert(codegenStages(Relational.q94(spark, sf0001)) >= 1, "q94 lost codegen")
   }
 }
