@@ -74,6 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("zorder_key"),
       info("zorder_key",
         "zorder_key(x, y) - Morton curve key: interleaves the low 32 bits of two longs"),
-      (args: Seq[Expression]) => graft.functions.ZOrderKeyExpr(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.ZOrderKeyExpr.forSql(args(0), args(1))))
   }
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -57,6 +58,20 @@ case class ZOrderKeyExpr(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
   override def nullIntolerant: Boolean = true
 
+  // reject non-long children at ANALYSIS time: an INT input would work
+  // under codegen (java widening) but ClassCastException in interpreted
+  // eval — e.g. ConstantFolding of zorder_key(3, 1). Both construction
+  // fronts (the Column builder, the SQL registration) insert Casts, so
+  // users never see this; it guards direct Expression construction.
+  // (ExpectsInputTypes would give implicit casts, but AbstractDataType
+  // is private[sql] in Spark 4.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder_key expects (bigint, bigint), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql}) — cast inputs to long")
+
   override def nullSafeEval(a: Any, b: Any): Any =
     ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
@@ -71,6 +86,11 @@ case class ZOrderKeyExpr(left: Expression, right: Expression)
 
 object ZOrderKeyExpr {
   def apply(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      ZOrderKeyExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    ExpressionUtils.column(ZOrderKeyExpr(
+      Cast(ExpressionUtils.expression(a), LongType),
+      Cast(ExpressionUtils.expression(b), LongType)))
+
+  /** SQL-registration front: casts narrower integer args to long. */
+  def forSql(a: Expression, b: Expression): ZOrderKeyExpr =
+    ZOrderKeyExpr(Cast(a, LongType), Cast(b, LongType))
 }

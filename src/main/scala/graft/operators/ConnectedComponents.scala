@@ -161,9 +161,14 @@ object ConnectedComponents {
     * explicitly supports, and overflows for full-range long ids (e.g.
     * xxhash64-derived node ids) under ANSI arithmetic. */
   private def labelFingerprint(labels: DataFrame): (Long, Long) = {
+    // salt FIRST: Spark's xxhash64 chains its args column-by-column from
+    // a fixed seed, so a trailing salt would give two finalizations of
+    // the SAME chain state (one 2^-64 state collision defeats both); a
+    // leading salt diverges the chains from step one, making the two
+    // row-hash families independent (~2^-128 joint collision)
     val r = labels.agg(
-      coalesce(bit_xor(xxhash64(col("doc_id"), col("lbl"), lit(1))), lit(0L)),
-      coalesce(bit_xor(xxhash64(col("doc_id"), col("lbl"), lit(2))), lit(0L)))
+      coalesce(bit_xor(xxhash64(lit(1), col("doc_id"), col("lbl"))), lit(0L)),
+      coalesce(bit_xor(xxhash64(lit(2), col("doc_id"), col("lbl"))), lit(0L)))
       .collect()(0)
     (r.getLong(0), r.getLong(1))
   }

@@ -63,6 +63,9 @@ object DatasetCache {
     * invalidated, so this is also a disk-held-by-memo inventory). */
   def stats: Map[String, Int] = {
     import scala.jdk.CollectionConverters._
-    registry.asScala.map(c => c.name -> c.size).toMap
+    // groupBy, not toMap: two caches constructed with the same name must
+    // aggregate, not silently drop one
+    registry.asScala.toSeq.groupBy(_.name)
+      .map { case (n, cs) => n -> cs.map(_.size).sum }
   }
 }

@@ -419,6 +419,12 @@ object LlmOps {
   private val incNearDupCache =
     new graft.operators.DatasetCache[String]("q92-verdict", Seq(_))
 
+  /** Targeted memo drop for the q92 verdict relation — the plan test
+    * needs a rebuild without invalidating every other memoized relation
+    * for the dataset (hot shingles, LSH pairs, ...). */
+  private[queries] def invalidateQ92Memo(dir: String): Unit =
+    incNearDupCache.invalidate(dir)
+
   /** The q92 verdict relation, scratch-materialized once per dataset and
     * memoized (the [[lshVerifiedPairsPath]] two-pass pattern): (1) block
     * the broadcast increment shingles against the corpus's rare-shingle
@@ -470,9 +476,12 @@ object LlmOps {
       val verdict = incoming.select(col("new_id"))
         .join(best, Seq("new_id"), "left")
         .withColumn("is_dup", coalesce(col("jaccard") >= 0.8, lit(false)))
-      planProbe(candBuild, verdict)
-      try graft.operators.Scratch.materializePath(verdict, "q92-verdict")
-      finally graft.operators.Scratch.release(candPath)
+      // probe INSIDE the try: a throwing plan assertion must still
+      // release the candidate scratch dir
+      try {
+        planProbe(candBuild, verdict)
+        graft.operators.Scratch.materializePath(verdict, "q92-verdict")
+      } finally graft.operators.Scratch.release(candPath)
     }
 
   private val q92Sql =
@@ -571,25 +580,32 @@ object LlmOps {
       val pairs = s.read.parquet(pairsPath)
       val candDocs = pairs.select(col("da").as("doc_id"))
         .union(pairs.select(col("db").as("doc_id"))).distinct()
-      // per-doc set capped at 8192 fingerprints (smallest-hash prefix —
-      // a proper minwise sketch, so capped jaccard is an unbiased
-      // estimate for docs beyond the cap and exact below it; corpus docs
-      // are far below). nsh stays exact. The cap bounds what one
-      // pathologically large candidate doc carries into the pair join —
-      // large docs share many shingles, so they ARE likely candidates.
+      // per-doc set capped at 8192 fingerprints (smallest-hash prefix).
+      // The cap bounds what one pathologically large candidate doc
+      // carries into the pair join — large docs share many shingles, so
+      // they ARE likely candidates. Jaccard then uses the bottom-k
+      // estimator (below), which the prefix makes well-defined: the
+      // union's bottom-k is always contained in the two prefixes.
       val candSets = shingleRel(s, dir, docGate = Some(candDocs))
         .groupBy(col("doc_id"))
-        .agg(slice(sort_array(collect_set(xxhash64(col("ngram")))), 1, 8192).as("sh"),
-          size(collect_set(xxhash64(col("ngram")))).as("nsh"))
+        .agg(slice(sort_array(collect_set(xxhash64(col("ngram")))), 1, 8192).as("sh"))
+      // Bottom-k Jaccard estimator: j = |B_k(A∪B) ∩ A ∩ B| / |B_k(A∪B)|
+      // with k = 8192. Every element of the union's bottom-k is within
+      // its own side's bottom-k prefix, so unionK and the membership test
+      // are computable from the carried prefixes alone. Below the cap
+      // this reduces EXACTLY to |A∩B|/|A∪B| (unionK is the whole union);
+      // above it, it is the standard unbiased bottom-k sketch estimate —
+      // NOT the truncated-intersection-over-exact-union ratio, which
+      // biases sharply low for big docs and would drop true near-dups.
+      val unionK = slice(array_sort(array_union(col("sa"), col("sb"))), 1, 8192)
       val verified = pairs
-        .join(candSets.select(col("doc_id").as("da"),
-          col("sh").as("sa"), col("nsh").as("na")), Seq("da"))
-        .join(candSets.select(col("doc_id").as("db"),
-          col("sh").as("sb"), col("nsh").as("nb")), Seq("db"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .join(candSets.select(col("doc_id").as("da"), col("sh").as("sa")), Seq("da"))
+        .join(candSets.select(col("doc_id").as("db"), col("sh").as("sb")), Seq("db"))
+        .withColumn("uk", unionK)
+        .withColumn("ik", size(array_intersect(col("uk"),
+          array_intersect(col("sa"), col("sb")))))
         .select(col("da"), col("db"),
-          (round(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")), 0)
-            / 10000.0).as("jaccard"))
+          (round(col("ik") * 10000.0 / size(col("uk")), 0) / 10000.0).as("jaccard"))
       try graft.operators.Scratch.materializePath(verified, "lsh-pairs")
       finally graft.operators.Scratch.release(pairsPath)
     }

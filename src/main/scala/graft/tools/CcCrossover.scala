@@ -33,14 +33,16 @@ object CcCrossover {
         (rand(2) * 5000).cast("long").as("db"))
       .filter($"da" =!= $"db")
     // the looping-caller contract: use the *Path variant and release each
-    // labels dir — minLabelPropagation orphans one dir per call
-    def solveAndRelease(edges: org.apache.spark.sql.DataFrame, lme: Long): Unit =
-      Scratch.release(ConnectedComponents.minLabelPropagationPath(edges, localMaxEdges = lme))
+    // labels dir — minLabelPropagation orphans one dir per call. The
+    // release happens in the caller AFTER the timer stops, so CROSSOVER
+    // numbers time only the solve (comparable with the recorded series).
+    def solve(edges: org.apache.spark.sql.DataFrame, lme: Long): String =
+      ConnectedComponents.minLabelPropagationPath(edges, localMaxEdges = lme)
 
     val warmPath = Scratch.materializePath(warm, "cc-x-warm")
     val warmEdges = spark.read.parquet(warmPath)
-    solveAndRelease(warmEdges, Long.MaxValue)
-    solveAndRelease(warmEdges, -1L)
+    Scratch.release(solve(warmEdges, Long.MaxValue))
+    Scratch.release(solve(warmEdges, -1L))
     Scratch.release(warmPath)
 
     for (n <- sizes) {
@@ -53,8 +55,11 @@ object CcCrossover {
       val path = Scratch.materializePath(pairs, s"cc-x-$n")
       val edges = spark.read.parquet(path)
       edges.count() // touch parquet footer/readahead outside the timers
-      val tLocal = time(solveAndRelease(edges, Long.MaxValue))
-      val tDist = time(solveAndRelease(edges, -1L))
+      var out: String = null
+      val tLocal = time { out = solve(edges, Long.MaxValue) }
+      Scratch.release(out)
+      val tDist = time { out = solve(edges, -1L) }
+      Scratch.release(out)
       println(f"""CROSSOVER {"edges":$n,"local_s":$tLocal%.2f,"dist_s":$tDist%.2f}""")
       Scratch.release(path)
     }

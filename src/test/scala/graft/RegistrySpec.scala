@@ -72,8 +72,18 @@ class RegistrySpec extends SparkSpec {
       assert(Scratch.liveDirCount == dirsAfterFirst,
         s"$name grows scratch dirs on every invocation " +
           s"($dirsAfterFirst -> ${Scratch.liveDirCount}) — a looping " +
-          "driver's disk would grow unboundedly")
+          "driver's disk would grow unboundedly; memoized inventory: " +
+          graft.operators.DatasetCache.stats)
     }
+    // every on-disk scratch dir is accounted for: memoized entries (the
+    // DatasetCache inventory) plus nothing else after a full sweep —
+    // stats is the observability surface a long-lived driver uses to see
+    // what is pinning disk
+    val memoized = graft.operators.DatasetCache.stats.values.sum
+    assert(Scratch.liveDirCount >= memoized,
+      s"fewer live dirs (${Scratch.liveDirCount}) than memoized entries " +
+        s"($memoized): a memo is serving a released path — " +
+        graft.operators.DatasetCache.stats)
   }
 
   test("proto envelope: property — random messages round-trip exactly") {

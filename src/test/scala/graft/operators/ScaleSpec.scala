@@ -304,10 +304,15 @@ class ScaleSpec extends SparkSpec {
     // .getLong ClassCastException), so the UTF8String-order parity the
     // local comparator guarantees was unreachable above the size cap.
     // The fingerprint check is type-agnostic — both regimes must run and
-    // agree, including a supplementary char (UTF-8 vs UTF-16 order trap)
+    // agree, including a component where UTF-8 and UTF-16 orders truly
+    // DISAGREE on the minimum: '😀' begins with surrogate 0xD83D, so
+    // UTF-16 ranks it below U+E000 ('…', private use) while UTF-8
+    // compares bytes F0 9F… vs EE 80… and ranks it above — a Java-String-
+    // order comparator would pick the emoji as the component label and
+    // fail this test, the UTF8String order must pick the U+E000 string
     val edges = Seq(
       ("alpha", "beta"), ("beta", "gamma"),
-      ("z1", "😀emoji"), // surrogate pair: UTF-8 sorts it HIGH
+      ("pua", "😀emoji"),
       ("solo-a", "solo-b"))
     val pairs = Scratch.materialize(edges.toDF("da", "db"), "cc-str")
     def toMap(df: org.apache.spark.sql.DataFrame) =
@@ -317,8 +322,11 @@ class ScaleSpec extends SparkSpec {
     val dist = toMap(
       ConnectedComponents.minLabelPropagation(pairs, localMaxEdges = -1))
     assert(local == dist, s"string regimes diverge:\nlocal=$local\ndist=$dist")
-    assert(local("gamma") == "alpha" && local("😀emoji") == "z1",
-      s"unexpected labels: $local")
+    // the two orders must actually disagree here, or this test is vacuous
+    assert("😀emoji".compareTo("pua") < 0,
+      "fixture lost its UTF-16-vs-UTF-8 disagreement")
+    assert(local("gamma") == "alpha" && local("😀emoji") == "pua",
+      s"unexpected labels (Java-String-order min leaked in?): $local")
   }
 
   test("CC regimes agree: single-task union-find == distributed propagation") {

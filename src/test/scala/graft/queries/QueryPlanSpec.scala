@@ -198,8 +198,9 @@ class QueryPlanSpec extends SparkSpec {
   test("q92: the increment side broadcasts; best-match is a group limit") {
     // the registered query reads the memoized verdict parquet — the plan
     // under guard is the BUILD's, surfaced via the planProbe hook (drop
-    // the memo first so the build actually runs)
-    graft.operators.DatasetCache.invalidate(sf0001)
+    // ONLY q92's memo so the build runs without forcing every other
+    // memoized relation for the dataset to rebuild after this test)
+    LlmOps.invalidateQ92Memo(sf0001)
     var probed = false
     LlmOps.q92VerdictPath(spark, sf0001, planProbe = (cand, verdict) => {
       probed = true
