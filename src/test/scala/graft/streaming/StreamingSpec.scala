@@ -332,6 +332,47 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("incremental corpus dedup runs as a stream: cross-batch dups never land") {
+    // the q87 daily-ingest operator under Structured Streaming: each
+    // micro-batch of incoming docs is content-hash deduped within the
+    // batch (deterministic min-doc_id survivor) and anti-joined against
+    // the ACCUMULATED corpus before landing — the corpus-side state is
+    // storage (parquet), not executor memory, so it scales with the
+    // store, survives restarts, and is exactly what a 100 TB corpus's
+    // admission pipeline looks like as a stream
+    val corpus = Files.createTempDirectory("graft-inc-corpus").toString
+    Seq((100L, "seed text")).toDF("doc_id", "text")
+      .withColumn("h", md5(col("text")))
+      .write.mode("overwrite").parquet(corpus)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val admitted = batch
+          .withColumn("h", md5(col("text")))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .join(s.read.parquet(corpus).select(col("h")), Seq("h"), "left_anti")
+          .select(col("doc_id"), col("text"), col("h"))
+        admitted.write.mode("append").parquet(corpus)
+      }.start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      in.addData((3L, "beta"), (4L, "gamma")) // beta: cross-batch dup
+      q.processAllAvailable()
+      // cross-batch dups of both earlier batches + an in-batch dup pair
+      in.addData((5L, "alpha"), (6L, "gamma"), (7L, "delta"), (8L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(corpus).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(landed == Map("seed text" -> 100L, "alpha" -> 1L, "beta" -> 2L,
+      "gamma" -> 4L, "delta" -> 7L),
+      s"admission pipeline admitted the wrong survivors: $landed")
+  }
+
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinct(spark, input.toDS())
