@@ -20,8 +20,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Interleave via the standard parallel bit-spread (magic-mask shifts),
   * not a 32-step loop: 10 shift/mask ops per dimension, branch-free,
-  * whole-stage-codegen friendly. Callers bucket dimensions to ≤32 bits
-  * first (e.g. `pmod(hash(col), 1024)` or a range bucketizer).
+  * whole-stage-codegen friendly.
+  *
+  * LAYOUT CONSTRAINT — bucket dimensions to ≤31 bits (e.g.
+  * `pmod(hash(col), 1024)` or a range bucketizer): y's bit 31 would land
+  * in the long's SIGN bit, so a ≥2^31 y-value produces a negative key
+  * and a signed `orderBy(zkey)` would put the upper half of that
+  * dimension's range FIRST, destroying the clustering. The key VALUE is
+  * a correct 64-bit Morton code for full 32-bit inputs (round-trips via
+  * [[deinterleave]]); only signed ORDERING needs the 31-bit bound.
   */
 object ZOrder {
   /** Spread the low 32 bits of x so bit i lands at position 2i. */

@@ -125,28 +125,37 @@ object ConnectedComponents {
     // maxIters budgets rounds (so up to 2×maxIters step diameter);
     // detecting the fixpoint costs one extra no-change round, hence +1 —
     // a graph settling exactly on round maxIters must confirm, not throw
-    while (!converged && iter < maxIters + 1) {
-      val computed = step(step(labels))
-      onRound(computed)
-      val nextPath = Scratch.materializePath(computed, "cc-labels")
-      val next = spark.read.parquet(nextPath)
-      val nextFp = labelFingerprint(next)
-      Scratch.release(labelsPath)
-      labelsPath = nextPath
-      labels = next
-      converged = nextFp == lblFp
-      lblFp = nextFp
-      iter += 1
-    }
-    if (!converged) {
-      // a silent partial closure would emit split clusters that LOOK valid
-      // — fail loudly instead (component diameter exceeded maxIters)
-      Scratch.release(labelsPath)
-      throw new IllegalStateException(
-        s"label propagation did not converge after $iter rounds " +
-          s"(${2 * iter} propagation steps; maxIters=$maxIters allows " +
-          s"$iter rounds incl. the confirm round) — component diameter " +
-          "exceeds the budget; raise maxIters for this graph")
+    // failure path releases the live round dir(s): a driver that catches
+    // a transient job failure and retries must not accumulate one
+    // orphaned cc-labels dir per attempt (release is idempotent, so the
+    // non-convergence branch below releasing first is fine)
+    try {
+      while (!converged && iter < maxIters + 1) {
+        val computed = step(step(labels))
+        onRound(computed)
+        val nextPath = Scratch.materializePath(computed, "cc-labels")
+        val next = spark.read.parquet(nextPath)
+        val nextFp =
+          try labelFingerprint(next)
+          catch { case t: Throwable => Scratch.release(nextPath); throw t }
+        Scratch.release(labelsPath)
+        labelsPath = nextPath
+        labels = next
+        converged = nextFp == lblFp
+        lblFp = nextFp
+        iter += 1
+      }
+      if (!converged) {
+        // a silent partial closure would emit split clusters that LOOK
+        // valid — fail loudly (component diameter exceeded maxIters)
+        throw new IllegalStateException(
+          s"label propagation did not converge after $iter rounds " +
+            s"(${2 * iter} propagation steps; maxIters=$maxIters allows " +
+            s"$iter rounds incl. the confirm round) — component diameter " +
+            "exceeds the budget; raise maxIters for this graph")
+      }
+    } catch {
+      case t: Throwable => Scratch.release(labelsPath); throw t
     }
     labelsPath
   }

@@ -22,23 +22,45 @@ import java.util.concurrent.ConcurrentHashMap
   *   rowCount), expose just their paths here).
   */
 final class DatasetCache[V](val name: String, releasePaths: V => Seq[String]) {
-  private val entries = new ConcurrentHashMap[String, V]()
+  // the map holds lazy CELLS, not values: the multi-job Spark build runs
+  // under the cell's own monitor, never inside computeIfAbsent's bin
+  // lock — so a minutes-long build for one dataset dir neither blocks
+  // unrelated keys that hash to the same bin nor trips
+  // ConcurrentHashMap's recursive-update detection if a build consults
+  // another entry. A build that THROWS leaves the cell unfilled and is
+  // retried on the next access (transient Spark failures don't poison
+  // the memo).
+  private final class Cell(build: () => V) {
+    @volatile private var filled: Option[V] = None
+    def value: V = filled.getOrElse(this.synchronized {
+      filled.getOrElse { val v = build(); filled = Some(v); v }
+    })
+    def peek: Option[V] = filled
+  }
+
+  private val entries = new ConcurrentHashMap[String, Cell]()
   DatasetCache.register(this)
 
-  /** Number of memoized dataset dirs (observability — see
-    * [[DatasetCache.stats]]). */
-  def size: Int = entries.size()
+  /** Number of memoized (completed) dataset dirs — unfilled cells from
+    * in-flight or failed builds hold no scratch and don't count
+    * (observability — see [[DatasetCache.stats]]). */
+  def size: Int = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.count(_.peek.isDefined)
+  }
 
   override def toString: String = s"DatasetCache($name, ${entries.size()} entries)"
 
   /** Memoized value for `dir`, building (and typically scratch-
-    * materializing) on first use. `build` runs at most once per dir. */
+    * materializing) on first use. `build` runs at most once per dir
+    * (concurrent same-dir callers wait for the one build). */
   def getOrCompute(dir: String)(build: String => V): V =
-    entries.computeIfAbsent(dir, d => build(d))
+    entries.computeIfAbsent(dir, d => new Cell(() => build(d))).value
 
-  /** Drop `dir`'s entry and release its scratch dirs (no-op if absent). */
+  /** Drop `dir`'s entry and release its scratch dirs (no-op if absent;
+    * a cell whose build never completed holds no scratch to release). */
   def invalidate(dir: String): Unit =
-    Option(entries.remove(dir)).foreach(v =>
+    Option(entries.remove(dir)).flatMap(_.peek).foreach(v =>
       releasePaths(v).foreach(Scratch.release))
 
   /** Drop every entry (test isolation / full refresh). */

@@ -454,10 +454,16 @@ object LlmOps {
         .select(col("new_id"), col("ngram")).distinct()
         .join(broadcast(hotShinglesRel(s, dir)), Seq("ngram"), "left_anti")
         .withColumn("n_new", count(lit(1)).over(Window.partitionBy(col("new_id"))))
+      // no corpus-side distinct: that would hash-shuffle every rare-
+      // shingle OCCURRENCE of the whole corpus before the gate. The raw
+      // occurrence stream joins the broadcast increment map-side — only
+      // matches survive — and countDistinct collapses a doc's repeated
+      // occurrences of a shared shingle AFTER the gate, over candidate
+      // rows only (the hotShinglesRel detect-then-verify pattern)
       val candBuild =
-        broadcast(newSh).join(shingleRel(s, dir).distinct(), Seq("ngram"))
+        broadcast(newSh).join(shingleRel(s, dir), Seq("ngram"))
           .groupBy(col("new_id"), col("doc_id"), col("n_new"))
-          .agg(count(lit(1)).as("inter"))
+          .agg(countDistinct(col("ngram")).as("inter"))
           .filter(col("inter") >= 2)
       val candPath = graft.operators.Scratch.materializePath(candBuild, "q92-cand")
       val cand = s.read.parquet(candPath)

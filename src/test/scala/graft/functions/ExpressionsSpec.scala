@@ -136,6 +136,14 @@ class ExpressionsSpec extends SparkSpec {
     val row = Seq((37L, 1000L)).toDF("x", "y")
       .select(ZOrderKeyExpr(col("x"), col("y")).as("z")).collect()(0)
     assert(row.getLong(0) == ZOrder.interleave(37L, 1000L))
+    // the documented layout bound: keys stay non-negative (signed order
+    // == Morton order) through 31-bit dimensions, and the top of the
+    // 31-bit range sorts AFTER zero — while a 32-bit y demonstrably
+    // wraps negative, which is why the scaladoc caps layout dims at 31
+    val maxDim = (1L << 31) - 1
+    assert(ZOrder.interleave(maxDim, maxDim) > 0)
+    assert(ZOrder.interleave(0L, maxDim) > ZOrder.interleave(0L, 0L))
+    assert(ZOrder.interleave(0L, 1L << 31) < 0, "doc claim no longer holds")
   }
 
   test("zorder: curve locality — quadrant prefix order is preserved") {

@@ -366,8 +366,12 @@ class StreamingSpec extends SparkSpec {
       in.addData((5L, "alpha"), (6L, "gamma"), (7L, "delta"), (8L, "delta"))
       q.processAllAvailable()
     } finally q.stop()
-    val landed = spark.read.parquet(corpus).collect()
-      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val rows = spark.read.parquet(corpus).collect()
+    // row count FIRST: a .toMap would silently mask a duplicate admission
+    // (two 'alpha' rows collapse to whichever partition order serves last)
+    assert(rows.length == 5, s"expected 5 admitted docs, got ${rows.length}: " +
+      rows.map(r => (r.getLong(0), r.getString(1))).mkString(", "))
+    val landed = rows.map(r => r.getString(1) -> r.getLong(0)).toMap
     assert(landed == Map("seed text" -> 100L, "alpha" -> 1L, "beta" -> 2L,
       "gamma" -> 4L, "delta" -> 7L),
       s"admission pipeline admitted the wrong survivors: $landed")
