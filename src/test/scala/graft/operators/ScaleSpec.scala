@@ -297,6 +297,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("CC distributed loop at 200 shuffle partitions: converges, constant round plans") {
+    // a cluster-scale config: each propagation round's joins/aggs shuffle
+    // over many partitions. The loop must converge identically and each
+    // round's logical plan must stay CONSTANT-size (the per-round scratch
+    // lineage cut) regardless of the partition count — the two properties
+    // that keep round cost flat when the config scales 100×.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      // chain of diameter 8 forces several rounds
+      val edges = (1L until 9L).map(i => (i, i + 1)) ++ Seq((20L, 21L))
+      val pairs = Scratch.materialize(edges.toDF("da", "db"), "cc-200p")
+      var planSizes = List.empty[Int]
+      val labels = ConnectedComponents.minLabelPropagation(
+        pairs, localMaxEdges = -1,
+        onRound = next => planSizes ::= next.queryExecution.optimizedPlan
+          .collect { case n => n }.size)
+      val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == ((1L to 9L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L)).toMap,
+        s"wrong closure at 200 partitions: $m")
+      assert(planSizes.length >= 3, "diameter-8 chain should take >= 3 rounds")
+      assert(planSizes.distinct.size == 1,
+        s"round plan size must stay constant: $planSizes")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("CC regimes agree on STRING ids — incl. the distributed loop (regression)") {
     import spark.implicits._
     // the distributed regime previously crashed on string ids: the old
