@@ -673,6 +673,32 @@ object Relational {
       |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** q95 — unpivot/melt (the inverse of q41's pivot): four measure
+    * columns become (measure, value) rows per line item — the
+    * wide-to-long reshape feeding ML feature stores and per-metric
+    * aggregation. `Dataset.unpivot` plans as a Generate (Expand) — pure
+    * map-side row generation, no shuffle until the caller aggregates. */
+  def q95(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  private val q95Sql =
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |         l_quantity, l_extendedprice, l_discount, l_tax
+      |  FROM lineitem)
+      |UNPIVOT (value FOR measure IN
+      |  (l_quantity, l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -703,5 +729,6 @@ object Relational {
     QueryDef("q56_schema_evolution", q56, Some(q56Sql)),
     QueryDef("q57_window_dist", q57, Some(q57Sql)),
     QueryDef("q90_percentiles", q90, Some(q90Sql)),
-    QueryDef("q94_zorder_layout", q94, Some(q94Sql)))
+    QueryDef("q94_zorder_layout", q94, Some(q94Sql)),
+    QueryDef("q95_unpivot", q95, Some(q95Sql)))
 }
