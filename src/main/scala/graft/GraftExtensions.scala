@@ -19,7 +19,7 @@ import graft.ingest.CsvFieldsExpr
   *
   * Registered: `flex_timestamp_ms(s)`, `cosine_similarity(a, b)`,
   * `bigint_low64(s)`, `ngram_explode(text, n)`, `csv_fields(line)`,
-  * `zorder_key(x, y)`.
+  * `squared_distance(a, b)`, `zorder_key(x, y)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("csv_fields",
         "csv_fields(line) - split one RFC-4180 CSV line into a string array"),
       (args: Seq[Expression]) => CsvFieldsExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("squared_distance"),
+      info("squared_distance",
+        "squared_distance(vec1, vec2) - integer squared L2 distance of two long arrays"),
+      (args: Seq[Expression]) => graft.functions.SquaredDistanceExpr(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("zorder_key"),
       info("zorder_key",

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Squared L2 distance between two quantized (long) vectors, computed
+  * entirely in integer arithmetic — no floating point, so the result is
+  * bit-identical regardless of summation order or engine, which is what
+  * lets k-means assignment be DuckDB-oracled under the strict hash
+  * compare (SURVEY §7.4).
+  *
+  * North-star extension operator (the reference has no vector ops);
+  * companion to [[CosineSimilarity]]. Codegen emits a static call on the
+  * unpacked ArrayData so the k-way argmin in the assignment projection
+  * stays inside whole-stage codegen.
+  *
+  * Overflow headroom: components quantized at 1e4 scale stay within
+  * ±~1e4, so per-dim diff² ≤ 4e8 and a 128-dim sum ≤ ~5e10 — 20+ bits of
+  * long headroom even at much coarser quantization.
+  */
+object SquaredDistance {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+case class SquaredDistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SquaredDistance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SquaredDistance.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistanceExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredDistanceExpr {
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SquaredDistanceExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

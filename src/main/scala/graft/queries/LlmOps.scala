@@ -397,6 +397,70 @@ object LlmOps {
       |SELECT vec_id, label, centroid_sim, rn * 10 <= n AS is_outlier
       |FROM rk ORDER BY vec_id""".stripMargin
 
+  /** q96 — semantic clustering (the SemDeDup shape): k-means over the
+    * embedding corpus — 2 full Lloyd rounds then the final assignment —
+    * with every step bit-reproducible so an ITERATIVE operator can be
+    * DuckDB-oracled under the strict hash gate: vectors quantized to
+    * longs (the q93 exactSum trick), integer squared-L2 distances
+    * (summation-order-proof), k-lowest-id init, floor(sum/n) recenter,
+    * lowest-id tie-breaks. Scale shape: [[graft.operators.KMeans]] —
+    * the corpus never shuffles for assignment (centroids are driver-held
+    * k×dims literals inside a codegen'd map-side argmin); each recenter
+    * shuffles only O(partitions × k × dims) partial sums. Downstream
+    * SemDeDup = q73's within-cluster cosine pruning, with these cluster
+    * ids as the blocking key. */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val vq = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    graft.operators.KMeans.lloyd(vq, "vec_id", "vq", k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The Lloyd loop unrolled as a DuckDB CTE chain: c0 = k-lowest-id
+    * init; round n = assign (cross join with the k centroids, argmin by
+    * (dist2, cid)) + recenter (per-dim integer sums, floor(s/n),
+    * LEFT JOIN so empty clusters keep their previous centroid). */
+  private val q96Sql = {
+    val k = 8
+    def dist(v: String, c: String) =
+      s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
+    def assignCte(n: Int, cent: String) =
+      s"""a$n AS (SELECT vec_id, vq, cid, dist2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |       FROM (SELECT q.vec_id, q.vq, c.cid,
+         |               ${dist("q.vq", "c.cent")} AS dist2
+         |             FROM q, $cent c)),
+         |b$n AS (SELECT vec_id, vq, cid AS cluster, dist2 FROM a$n WHERE rn = 1)"""
+        .stripMargin
+    def recenterCte(n: Int, prevCent: String, fromAssign: String) =
+      s"""c$n AS (SELECT p.cid, coalesce(u.cent, p.cent) AS cent
+         |       FROM $prevCent p LEFT JOIN (
+         |         SELECT cluster AS cid,
+         |                list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+         |                     ORDER BY dim) AS cent
+         |         FROM (SELECT cluster, dim, sum(v) AS s, count(*) AS n
+         |               FROM (SELECT cluster, generate_subscripts(vq, 1) AS dim,
+         |                       unnest(vq) AS v FROM $fromAssign)
+         |               GROUP BY 1, 2)
+         |         GROUP BY 1) u ON p.cid = u.cid)"""
+        .stripMargin
+    s"""WITH q AS (SELECT vec_id,
+      |         list_transform(embedding,
+      |           v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS vq
+      |       FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cent
+      |       FROM (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT $k)),
+      |${assignCte(1, "c0")},
+      |${recenterCte(1, "c0", "b1")},
+      |${assignCte(2, "c1")},
+      |${recenterCte(2, "c1", "b2")},
+      |${assignCte(3, "c2")}
+      |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
+      |FROM b3 ORDER BY vec_id""".stripMargin
+  }
+
   /** q92 — incremental-batch NEAR-dup: the q87 daily-ingest shape at
     * near-dup strength. An incoming crawl increment is blocked against
     * the EXISTING corpus on shared rare shingles (df ≤
@@ -1860,6 +1924,7 @@ object LlmOps {
     QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),
+    QueryDef("q96_kmeans_clusters", q96, Some(q96Sql)),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),

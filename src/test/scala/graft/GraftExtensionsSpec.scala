@@ -19,13 +19,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  bigint_low64('18446744073709551617') AS low,
         |  round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)), 9) AS sim,
         |  csv_fields('a,"b,c",d') AS f,
-        |  zorder_key(3L, 1L) AS z
+        |  zorder_key(3L, 1L) AS z,
+        |  squared_distance(array(3L, 0L), array(0L, 4L)) AS d2
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) == 1423939900000L)
     assert(r.getLong(1) == 1L)
     assert(r.getDouble(2) == 1.0)
     assert(r.getSeq[String](3) == Seq("a", "b,c", "d"))
     assert(r.getLong(4) == 7L) // x=0b11 even bits + y=0b1 odd bit -> 0b111
+    assert(r.getLong(5) == 25L)
   }
 
   test("ngram_explode works as a SQL generator in LATERAL VIEW position") {

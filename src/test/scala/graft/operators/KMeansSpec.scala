@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Lloyd k-means: convergence, determinism, empty-cluster handling, and
+  * the no-shuffle-for-assignment scale guarantee. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quantized = Tables.embeddings(spark, sf0001).select(
+    col("vec_id"),
+    transform(col("embedding"),
+      v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+
+  test("objective (sum of dist2) is non-increasing across Lloyd rounds") {
+    val vq = quantized.cache()
+    try {
+      val objectives = (0 to 3).map { iters =>
+        KMeans.lloyd(vq, "vec_id", "vq", k = 4, iters = iters)
+          .agg(sum(col("dist2"))).as[Long].head()
+      }
+      objectives.sliding(2).foreach { case Seq(prev, next) =>
+        assert(next <= prev, s"objective rose across a round: $objectives")
+      }
+      // and the rounds actually move it on real data
+      assert(objectives.last < objectives.head)
+    } finally vq.unpersist()
+  }
+
+  test("deterministic: identical output across runs") {
+    val a = KMeans.lloyd(quantized, "vec_id", "vq", k = 4, iters = 2)
+      .select("vec_id", "cluster", "dist2").orderBy("vec_id").collect()
+    val b = KMeans.lloyd(quantized, "vec_id", "vq", k = 4, iters = 2)
+      .select("vec_id", "cluster", "dist2").orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("empty clusters keep their previous centroid; every point assigned") {
+    // two tight groups, k=3: the third (lowest-id-init) centroid loses
+    // all points after round 1 and must survive via the keep-previous rule
+    val vecs = Seq(
+      (0L, Array(0L, 0L)), (1L, Array(1L, 0L)), (2L, Array(0L, 1L)),
+      (10L, Array(100L, 100L)), (11L, Array(101L, 100L)), (12L, Array(100L, 101L))
+    ).toDF("vec_id", "vq")
+    val out = KMeans.lloyd(vecs, "vec_id", "vq", k = 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(out.size == 6)
+    assert(out.values.forall(c => c >= 0 && c < 3))
+    // the two tight groups end up internally co-clustered
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(Set(out(0L), out(1L), out(2L)).size == 1)
+  }
+
+  test("assignment is map-side: final plan has no Exchange") {
+    val plan = KMeans.lloyd(quantized, "vec_id", "vq", k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"k-means assignment must not shuffle the corpus:\n$plan")
+  }
+}
