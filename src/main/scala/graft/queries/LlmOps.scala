@@ -461,6 +461,34 @@ object LlmOps {
       |FROM b3 ORDER BY vec_id""".stripMargin
   }
 
+  /** q98 — heavy-hitter tokens via count-min sketch: one pass builds a
+    * mergeable CMS over the token stream (map-side partial sketches,
+    * counter-wise merge — the shuffle carries O(eps⁻¹·ln(1/δ)) counters
+    * per partition, never token cardinality), then the exact top-20
+    * tokens are probed against it to report estimate vs truth. At 100 TB
+    * the exact pass is replaced by probing a candidate list (the sketch
+    * answers point queries only); here the exact side doubles as the
+    * error gate's ground truth. Deterministic: fixed seed, and CMS merge
+    * is commutative counter addition, so partition order can't change
+    * estimates. No oracle (sketch, engine-specific binary);
+    * LlmOpsSpec gates est ≥ truth and est − truth ≤ eps·N instead. */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("tok"))
+    val sketchBytes = toks
+      .agg(expr("count_min_sketch(tok, 0.001D, 0.99D, 42)")).head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(20)
+      .as[(String, Long)].collect()
+    top.map { case (tok, freq) => (tok, freq, cms.estimateCount(tok)) }
+      .toSeq.toDF("tok", "exact_freq", "cms_est")
+      .orderBy(col("exact_freq").desc, col("tok"))
+  }
+
   /** q92 — incremental-batch NEAR-dup: the q87 daily-ingest shape at
     * near-dup strength. An incoming crawl increment is blocked against
     * the EXISTING corpus on shared rare shingles (df ≤
@@ -1925,6 +1953,7 @@ object LlmOps {
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),
     QueryDef("q96_kmeans_clusters", q96, Some(q96Sql)),
+    QueryDef("q98_cms_heavy_hitters", q98, None),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),

@@ -699,6 +699,28 @@ object Relational {
       |  (l_quantity, l_extendedprice, l_discount, l_tax))
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  /** q97 — approximate quantiles: `approx_percentile` (a mergeable
+    * Greenwald-Khanna-style quantile summary) at accuracy 10000, the
+    * single-pass scale path next to q90's exact `percentile`. Exact
+    * percentile buffers every value per group in the agg state — fine
+    * per-group, fatal on a 100 TB unsplittable group; the sketch keeps
+    * map-side partials at bounded size and merges associatively, so the
+    * shuffle carries O(accuracy) bytes per group regardless of corpus
+    * size. No oracle (sketch, engine-specific); AnalyticsSpec bounds the
+    * rank error vs the exact result instead (SURVEY §7.4). */
+  def q97(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.25D, 0.5D, 0.9D, 0.99D), 10000)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("ap").getItem(0).as("p25"), col("ap").getItem(1).as("p50"),
+        col("ap").getItem(2).as("p90"), col("ap").getItem(3).as("p99"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -730,5 +752,6 @@ object Relational {
     QueryDef("q57_window_dist", q57, Some(q57Sql)),
     QueryDef("q90_percentiles", q90, Some(q90Sql)),
     QueryDef("q94_zorder_layout", q94, Some(q94Sql)),
-    QueryDef("q95_unpivot", q95, Some(q95Sql)))
+    QueryDef("q95_unpivot", q95, Some(q95Sql)),
+    QueryDef("q97_approx_quantiles", q97, None))
 }

@@ -96,6 +96,47 @@ class RetrievalStatsSpec extends SparkSpec {
     }
   }
 
+  test("q97: approx quantiles land within rank tolerance of the exact order statistic") {
+    // the sketch promise is a RANK guarantee (±n/accuracy), not a value
+    // guarantee — gate on the rank of each reported value per group
+    val byFlag = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    val out = Relational.q97(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSet == byFlag.keySet.toSet)
+    out.foreach { r =>
+      val vs = byFlag(r.getString(0))
+      val n = vs.length
+      assert(r.getAs[Long]("n") == n)
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).foreach {
+        case (cname, q) =>
+          val a = r.getAs[Double](cname)
+          // GK summaries return actual data values
+          assert(vs.contains(a), s"$cname=$a is not a data value")
+          val rank = vs.count(_ <= a)
+          val tol = math.max(1, n / 1000) // 10x the accuracy-10000 bound
+          assert(math.abs(rank - q * n) <= tol,
+            s"$cname rank drift: rank=$rank want ~${q * n} of $n")
+      }
+    }
+  }
+
+  test("q98: CMS estimates dominate truth and respect the eps*N error bound") {
+    val out = LlmOps.q98(spark, sf001).collect()
+    assert(out.length == 20)
+    val totalToks = graft.Tables.documents(spark, sf001)
+      .select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_freq"), r.getAs[Long]("cms_est"))
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}: $est < $exact")
+      assert(est - exact <= (0.001 * totalToks).toLong + 1,
+        s"CMS overshot eps*N for ${r.getString(0)}: est=$est exact=$exact N=$totalToks")
+    }
+    // the report really is the top of the distribution, in order
+    val freqs = out.map(_.getAs[Long]("exact_freq")).toSeq
+    assert(freqs == freqs.sorted.reverse)
+  }
+
   test("q91: dataset card conserves corpus totals across sources") {
     val card = Curation.q91(spark, sf001).collect()
     val docs = graft.Tables.documents(spark, sf001)
