@@ -74,7 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("squared_distance"),
       info("squared_distance",
         "squared_distance(vec1, vec2) - integer squared L2 distance of two long arrays"),
-      (args: Seq[Expression]) => graft.functions.SquaredDistanceExpr(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.SquaredDistanceExpr.forSql(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("zorder_key"),
       info("zorder_key",

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Squared L2 distance between two quantized (long) vectors, computed
   * entirely in integer arithmetic — no floating point, so the result is
@@ -42,6 +43,17 @@ case class SquaredDistanceExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // getLong on a float/double/int ArrayData would bit-reinterpret, not
+  // convert — reject anything that is not array<bigint> at analysis time
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"squared_distance requires two array<bigint> arguments, " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     SquaredDistance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -58,4 +70,17 @@ object SquaredDistanceExpr {
   def apply(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SquaredDistanceExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** SQL-registration front: casts integer-element arrays up to
+    * array<bigint>; float/double arrays still fail the type check rather
+    * than silently truncating a quantization the caller didn't choose. */
+  def forSql(a: Expression, b: Expression): SquaredDistanceExpr = {
+    def widen(e: Expression): Expression = e.dataType match {
+      case ArrayType(LongType, _) => e
+      case ArrayType(t, n) if Cast.canUpCast(t, LongType) =>
+        Cast(e, ArrayType(LongType, n))
+      case _ => e // let checkInputDataTypes report it
+    }
+    SquaredDistanceExpr(widen(a), widen(b))
+  }
 }

@@ -471,12 +471,11 @@ object LlmOps {
     * error gate's ground truth. Deterministic: fixed seed, and CMS merge
     * is commutative counter addition, so partition order can't change
     * estimates. No oracle (sketch, engine-specific binary);
-    * LlmOpsSpec gates est ≥ truth and est − truth ≤ eps·N instead. */
+    * RetrievalStatsSpec gates est ≥ truth and est − truth ≤ eps·N. */
   def q98(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
-      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("tok"))
+      .select(explode(split(col("text"), " ")).as("tok"))
     val sketchBytes = toks
       .agg(expr("count_min_sketch(tok, 0.001D, 0.99D, 42)")).head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(

@@ -688,6 +688,10 @@ object Relational {
           col("l_discount"), col("l_tax")),
         variableColumnName = "measure",
         valueColumnName = "value")
+      // Spark unpivot RETAINS null measure values; DuckDB UNPIVOT drops
+      // them by default — pin the (common) exclude-nulls semantics on
+      // both sides so the oracle pair can't diverge on nullable input
+      .where(col("value").isNotNull)
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
 
   private val q95Sql =
@@ -706,8 +710,8 @@ object Relational {
     * per-group, fatal on a 100 TB unsplittable group; the sketch keeps
     * map-side partials at bounded size and merges associatively, so the
     * shuffle carries O(accuracy) bytes per group regardless of corpus
-    * size. No oracle (sketch, engine-specific); AnalyticsSpec bounds the
-    * rank error vs the exact result instead (SURVEY §7.4). */
+    * size. No oracle (sketch, engine-specific); RetrievalStatsSpec
+    * bounds the rank error vs the exact result instead (SURVEY §7.4). */
   def q97(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))

@@ -30,6 +30,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 25L)
   }
 
+  test("squared_distance: int arrays upcast, float/double arrays rejected") {
+    // narrower integers widen losslessly
+    assert(spark.sql("SELECT squared_distance(array(1, 2), array(3, 4)) AS d")
+      .collect()(0).getLong(0) == 8L)
+    // doubles would bit-reinterpret under getLong — must fail analysis,
+    // not return garbage
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT squared_distance(array(1.0D), array(2.0D))").collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"))
+  }
+
   test("ngram_explode works as a SQL generator in LATERAL VIEW position") {
     val rows = spark.sql(
       """SELECT pos, ngram

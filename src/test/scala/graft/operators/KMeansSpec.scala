@@ -17,14 +17,20 @@ class KMeansSpec extends SparkSpec {
   test("objective (sum of dist2) is non-increasing across Lloyd rounds") {
     val vq = quantized.cache()
     try {
+      val n = vq.count()
+      val dims = vq.select(size(col("vq"))).as[Int].head()
       val objectives = (0 to 3).map { iters =>
         KMeans.lloyd(vq, "vec_id", "vq", k = 4, iters = iters)
           .agg(sum(col("dist2"))).as[Long].head()
       }
+      // floor(mean) recentering (not the exact mean) can cost up to 1 per
+      // point per dim vs true Lloyd, so monotonicity holds to that slack
+      val floorSlack = n * dims
       objectives.sliding(2).foreach { case Seq(prev, next) =>
-        assert(next <= prev, s"objective rose across a round: $objectives")
+        assert(next <= prev + floorSlack,
+          s"objective rose beyond floor-recenter slack: $objectives")
       }
-      // and the rounds actually move it on real data
+      // and the rounds strictly improve on real data
       assert(objectives.last < objectives.head)
     } finally vq.unpersist()
   }
