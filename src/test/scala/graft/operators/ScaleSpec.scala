@@ -277,6 +277,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("KMeans at 500 shuffle partitions: same clustering, assignment stays shuffle-free") {
+    // cluster-scale config: only the recenter aggregations see the
+    // partition count (O(partitions × k × dims) partial rows); the
+    // assignment projection must stay exchange-free and in codegen at
+    // any setting, and the result must be config-independent
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run() = KMeans.lloyd(
+      Tables.embeddings(spark, sf0001).select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long")).as("vq")),
+      "vec_id", "vq", k = 4, iters = 2)
+      .select("vec_id", "cluster", "dist2").orderBy("vec_id").collect()
+    try {
+      val base = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "500")
+      val scaled = run()
+      assert(base.sameElements(scaled),
+        "clustering depends on the shuffle-partition count")
+      val finalAssign = KMeans.lloyd(
+        Tables.embeddings(spark, sf0001).select(col("vec_id"),
+          transform(col("embedding"),
+            v => round(v.cast("double") * 10000, 0).cast("long")).as("vq")),
+        "vec_id", "vq", k = 4, iters = 1)
+      val plan = finalAssign.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"assignment shuffled at 500 partitions:\n$plan")
+      val cg = org.apache.spark.sql.execution.debug.codegenString(
+        finalAssign.queryExecution.executedPlan)
+      val stages = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(cg)
+        .map(_.group(1).toInt).getOrElse(0)
+      assert(stages >= 1, s"argmin projection fell out of codegen:\n$cg")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("CC regimes: property — regimes agree on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
