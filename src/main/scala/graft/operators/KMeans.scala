@@ -68,7 +68,7 @@ object KMeans {
   /** Map-side argmin over the k centroid literals: first index of the
     * minimum distance (ties → lowest cluster id). */
   private def assign(vecs: DataFrame, vecCol: String, cents: Array[Array[Long]]): DataFrame = {
-    val darr = array(cents.map(c =>
+    val darr = array(cents.toIndexedSeq.map(c =>
       SquaredDistanceExpr(col(vecCol), typedlit(c.toSeq))): _*)
     vecs
       .withColumn("dist2", array_min(darr))
