@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object SquaredDistance {
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast: a silent min-length prefix would return a plausible but
+    // wrong distance for mismatched-dimension vectors — in a dedup or
+    // clustering pipeline that's a data-corruption bug, not a distance
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"squared_distance: dimension mismatch ($n vs ${b.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) {

@@ -58,10 +58,17 @@ final class DatasetCache[V](val name: String, releasePaths: V => Seq[String]) {
     entries.computeIfAbsent(dir, d => new Cell(() => build(d))).value
 
   /** Drop `dir`'s entry and release its scratch dirs (no-op if absent;
-    * a cell whose build never completed holds no scratch to release). */
+    * a cell whose build FAILED holds no scratch to release). If a build
+    * is IN FLIGHT, block on the cell's monitor until it completes, then
+    * release what it produced — removing the cell without waiting would
+    * leave the freshly-built scratch dirs untracked (leaked until JVM
+    * exit) and let a concurrent getOrCompute double-build the dir. */
   def invalidate(dir: String): Unit =
-    Option(entries.remove(dir)).flatMap(_.peek).foreach(v =>
-      releasePaths(v).foreach(Scratch.release))
+    Option(entries.remove(dir)).foreach { cell =>
+      cell.synchronized {
+        cell.peek.foreach(v => releasePaths(v).foreach(Scratch.release))
+      }
+    }
 
   /** Drop every entry (test isolation / full refresh). */
   def invalidateAll(): Unit = {

@@ -40,11 +40,21 @@ object KMeans {
     * @param idCol  total-order id used for the deterministic k-lowest init
     */
   def lloyd(vecs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
-    var cents: Array[Array[Long]] = vecs
+    require(!vecs.columns.contains("dist2") && !vecs.columns.contains("cluster"),
+      "KMeans.lloyd adds output columns 'dist2' and 'cluster'; the input " +
+        s"relation already has ${vecs.columns.filter(Set("dist2", "cluster")).mkString(", ")} " +
+        "— rename or drop it first")
+    val initRows = vecs
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Long](0).toArray)
+    require(initRows.forall(!_.isNullAt(0)),
+      s"KMeans.lloyd: '$vecCol' contains null vectors (seen among the k-lowest-$idCol init rows)")
+    var cents: Array[Array[Long]] = initRows.map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least k=$k vectors, got ${cents.length}")
+    val dims = cents.head.length
+    require(cents.forall(_.length == dims),
+      s"KMeans.lloyd: '$vecCol' vectors must have uniform length; init rows " +
+        s"have lengths ${cents.map(_.length).distinct.mkString(", ")}")
     var it = 0
     while (it < iters) {
       val updated = assign(vecs, vecCol, cents)
@@ -65,13 +75,49 @@ object KMeans {
     assign(vecs, vecCol, cents)
   }
 
-  /** Map-side argmin over the k centroid literals: first index of the
-    * minimum distance (ties → lowest cluster id). */
+  // internal names for the per-row validated vector and the winning
+  // (dist2, cluster) struct — never visible in the output schema, and
+  // unique enough not to collide with caller columns
+  private val VecChk = "__graft_kmeans_vec"
+  private val BestCol = "__graft_kmeans_best"
+
+  /** Map-side argmin over the k centroid literals: min over an array of
+    * (dist, cid) structs — struct ordering is lexicographic, so the min
+    * is the lowest distance with ties broken to the lowest cluster id.
+    *
+    * Each centroid distance is computed ONCE per row: the struct array
+    * and its `array_min` live in their own projection under an internal
+    * name, and the final projection only extracts the two fields.
+    * CollapseProject keeps that split (a non-trivial alias consumed more
+    * than once is not inlined), so the plan carries exactly k
+    * `SquaredDistanceExpr`s per row — not the 2k of the previous
+    * `array_min(darr)` + `array_position(darr, …)` shape, where the whole
+    * distance array was inlined into both consumers. Assignment dominates
+    * k-means cost at scale, so this halves the hot loop.
+    *
+    * Input hardening: a null vector or a row whose vector length differs
+    * from the centroids' fails fast with a clear per-row error
+    * (`raise_error`, codegen'd) instead of surfacing as a null-key group
+    * and an opaque NPE in the recenter collect. */
   private def assign(vecs: DataFrame, vecCol: String, cents: Array[Array[Long]]): DataFrame = {
-    val darr = array(cents.toIndexedSeq.map(c =>
-      SquaredDistanceExpr(col(vecCol), typedlit(c.toSeq))): _*)
+    val dims = cents.head.length
+    val vec = col(vecCol)
+    val checked = when(vec.isNotNull && size(vec) === dims, vec)
+      .otherwise(raise_error(concat(
+        lit(s"KMeans: '$vecCol' must be a non-null array<long> of length $dims, got "),
+        when(vec.isNull, lit("null")).otherwise(
+          concat(lit("length "), size(vec).cast("string"))))))
+    val dcand = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(
+        SquaredDistanceExpr(col(VecChk), typedlit(c.toSeq)).as("d"),
+        lit(i.toLong).as("i"))
+    }: _*)
+    val outCols = vecs.columns.map(col).toIndexedSeq :+
+      col(BestCol).getField("d").as("dist2") :+
+      col(BestCol).getField("i").as("cluster")
     vecs
-      .withColumn("dist2", array_min(darr))
-      .withColumn("cluster", array_position(darr, col("dist2")) - 1)
+      .withColumn(VecChk, checked)
+      .withColumn(BestCol, array_min(dcand))
+      .select(outCols: _*)
   }
 }

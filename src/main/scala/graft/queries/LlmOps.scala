@@ -472,21 +472,38 @@ object LlmOps {
     * is commutative counter addition, so partition order can't change
     * estimates. No oracle (sketch, engine-specific binary);
     * RetrievalStatsSpec gates est ≥ truth and est − truth ≤ eps·N. */
-  def q98(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("tok"))
-    val sketchBytes = toks
-      .agg(expr("count_min_sketch(tok, 0.001D, 0.99D, 42)")).head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("tok")).limit(20)
-      .as[(String, Long)].collect()
-    top.map { case (tok, freq) => (tok, freq, cms.estimateCount(tok)) }
-      .toSeq.toDF("tok", "exact_freq", "cms_est")
+  def q98(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(q98StatsPath(s, d))
       .orderBy(col("exact_freq").desc, col("tok"))
-  }
+
+  private val cmsStatsCache =
+    new graft.operators.DatasetCache[String]("q98-cms", Seq(_))
+
+  /** The sketch-vs-truth report, scratch-materialized once per dataset
+    * dir and memoized (the [[q92VerdictPath]] pattern) so [[q98]] itself
+    * keeps the registry's lazy contract: after the first build it
+    * returns a plain parquet read without running jobs, and a caller
+    * composing it into a larger plan gets a real scan, not a
+    * LocalRelation snapshot. The build necessarily probes the sketch on
+    * the driver — a CMS answers point queries only, so the probe list
+    * (the exact top-20, 20 rows) must land driver-side; that is the
+    * documented sketch-probe shape, bounded at 112 KB + 20 rows. */
+  private[queries] def q98StatsPath(s: SparkSession, d: String): String =
+    cmsStatsCache.getOrCompute(d) { dir =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sketchBytes = toks
+        .agg(expr("count_min_sketch(tok, 0.001D, 0.99D, 42)")).head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(20)
+        .as[(String, Long)].collect()
+      val report = top.map { case (tok, freq) => (tok, freq, cms.estimateCount(tok)) }
+        .toSeq.toDF("tok", "exact_freq", "cms_est")
+      graft.operators.Scratch.materializePath(report, "q98-cms")
+    }
 
   /** q92 — incremental-batch NEAR-dup: the q87 daily-ingest shape at
     * near-dup strength. An incoming crawl increment is blocked against

@@ -42,6 +42,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("array<bigint>"))
   }
 
+  test("squared_distance: dimension mismatch fails instead of silent prefix") {
+    // a min-length prefix would return a plausible but wrong distance —
+    // in a dedup/clustering pipeline that's silent data corruption
+    val e = intercept[Exception] {
+      spark.sql("SELECT squared_distance(array(1L, 2L, 3L), array(1L, 2L))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")),
+      s"expected a dimension-mismatch error, got: $e")
+  }
+
   test("ngram_explode works as a SQL generator in LATERAL VIEW position") {
     val rows = spark.sql(
       """SELECT pos, ngram

@@ -59,6 +59,56 @@ class KMeansSpec extends SparkSpec {
     assert(Set(out(0L), out(1L), out(2L)).size == 1)
   }
 
+  test("each centroid distance is evaluated once per row (k, not 2k)") {
+    // the r5 shape inlined the distance array into both array_min and
+    // array_position, doubling the dominant cost of assignment; the
+    // struct-argmin shape must keep exactly k SquaredDistanceExpr in the
+    // optimized plan (CollapseProject must not re-inline the array into
+    // its two field extractions)
+    val k = 4
+    val plan = KMeans.lloyd(quantized, "vec_id", "vq", k = k, iters = 1)
+      .queryExecution.optimizedPlan
+    val evals = plan.map(p => p.expressions.map(e =>
+      e.collect { case _: graft.functions.SquaredDistanceExpr => 1 }.sum).sum).sum
+    assert(evals == k, s"expected $k distance evals in the plan, got $evals")
+  }
+
+  test("null vector among init rows fails fast with a clear error") {
+    val vecs = Seq(
+      (0L, Option(Array(0L, 0L))), (1L, Option.empty[Array[Long]]),
+      (2L, Option(Array(1L, 1L))), (3L, Option(Array(2L, 2L)))
+    ).toDF("vec_id", "vq")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.lloyd(vecs, "vec_id", "vq", k = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("null vectors"))
+  }
+
+  test("null / ragged vector beyond the init rows fails at execution, not as an opaque NPE") {
+    def run(vecs: org.apache.spark.sql.DataFrame): Throwable = intercept[Exception] {
+      KMeans.lloyd(vecs, "vec_id", "vq", k = 2, iters = 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val ragged = Seq(
+      (0L, Array(0L, 0L)), (1L, Array(5L, 5L)), (2L, Array(1L, 2L, 3L))
+    ).toDF("vec_id", "vq")
+    assert(messages(run(ragged)).exists(_.contains("must be a non-null array<long> of length 2")))
+    val withNull = Seq(
+      (0L, Option(Array(0L, 0L))), (1L, Option(Array(5L, 5L))), (9L, Option.empty[Array[Long]])
+    ).toDF("vec_id", "vq")
+    assert(messages(run(withNull)).exists(_.contains("must be a non-null array<long> of length 2")))
+  }
+
+  test("input columns named dist2/cluster are rejected, not silently replaced") {
+    val vecs = Seq((0L, Array(0L, 0L), 7L), (1L, Array(1L, 1L), 7L))
+      .toDF("vec_id", "vq", "cluster")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.lloyd(vecs, "vec_id", "vq", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("cluster"))
+  }
+
   test("assignment is map-side: final plan has no Exchange") {
     val plan = KMeans.lloyd(quantized, "vec_id", "vq", k = 4, iters = 1)
       .queryExecution.executedPlan.toString

@@ -113,10 +113,20 @@ class RetrievalStatsSpec extends SparkSpec {
           val a = r.getAs[Double](cname)
           // GK summaries return actual data values
           assert(vs.contains(a), s"$cname=$a is not a data value")
-          val rank = vs.count(_ <= a)
-          val tol = math.max(1, n / 1000) // 10x the accuracy-10000 bound
-          assert(math.abs(rank - q * n) <= tol,
-            s"$cname rank drift: rank=$rank want ~${q * n} of $n")
+          // the documented guarantee (approx_percentile at accuracy A,
+          // err = 1/A): the returned value's rank lies in
+          // [floor((q-err)·n), ceil((q+err)·n)] — asserted exactly, no
+          // ad-hoc slack. `a` is a data value, possibly duplicated: ANY
+          // rank in its duplicate run [count(< a)+1, count(≤ a)] is
+          // "its" rank, so the run must intersect the guaranteed band.
+          val err = 1.0 / 10000
+          val bandLo = math.floor((q - err) * n)
+          val bandHi = math.ceil((q + err) * n)
+          val runLo = vs.count(_ < a) + 1
+          val runHi = vs.count(_ <= a)
+          assert(runHi >= bandLo && runLo <= bandHi,
+            s"$cname rank out of the documented band: run=[$runLo,$runHi] " +
+              s"band=[$bandLo,$bandHi] of $n")
       }
     }
   }
@@ -135,6 +145,12 @@ class RetrievalStatsSpec extends SparkSpec {
     // the report really is the top of the distribution, in order
     val freqs = out.map(_.getAs[Long]("exact_freq")).toSeq
     assert(freqs == freqs.sorted.reverse)
+    // lazy contract (r5 advice): q98 returns a real scan over the
+    // memoized report — composable into larger plans — not a
+    // driver-local LocalRelation snapshot rebuilt on every call
+    val plan = LlmOps.q98(spark, sf001).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"), s"q98 is not lazy:\n$plan")
+    assert(plan.contains("Relation"), s"expected a parquet relation:\n$plan")
   }
 
   test("q91: dataset card conserves corpus totals across sources") {
