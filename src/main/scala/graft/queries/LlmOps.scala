@@ -557,6 +557,20 @@ object LlmOps {
         .union(docs.filter(col("doc_id") % 13 === 7)
           .select((col("doc_id") * 10 + 4).as("new_id"),
             concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      nearDupVerdictPath(s, dir, incoming, planProbe)
+    }
+
+  /** The q92 two-pass verdict build for an ARBITRARY incoming
+    * `(new_id, text)` relation — extracted so the streaming admission
+    * pipeline ([[graft.streaming.NearDupAdmission]]) can run the exact
+    * batch operator per micro-batch against the same memoized
+    * hot-shingle index. Returns the path of a scratch parquet
+    * `(new_id, match_doc_id, jaccard, is_dup)`; NOT memoized — the
+    * caller owns the dir and must [[graft.operators.Scratch.release]]
+    * it (q92 memoizes per dataset dir; streaming releases per batch). */
+  private[graft] def nearDupVerdictPath(
+      s: SparkSession, dir: String, incoming: DataFrame,
+      planProbe: (DataFrame, DataFrame) => Unit = (_, _) => ()): String = {
       val newSh = incoming
         .select(col("new_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
         .select(col("new_id"), col("ngram")).distinct()
@@ -596,7 +610,7 @@ object LlmOps {
         planProbe(candBuild, verdict)
         graft.operators.Scratch.materializePath(verdict, "q92-verdict")
       } finally graft.operators.Scratch.release(candPath)
-    }
+  }
 
   private val q92Sql =
     s"""WITH inc AS (

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.{SparkSpec, Tables}
 
@@ -107,6 +109,74 @@ class KMeansSpec extends SparkSpec {
       KMeans.lloyd(vecs, "vec_id", "vq", k = 2, iters = 1)
     }
     assert(e.getMessage.contains("cluster"))
+  }
+
+  // plain-Scala reference implementation of the documented semantics:
+  // k-lowest-id init, integer squared-L2 argmin with lowest-cid ties,
+  // floor(sum/n) recentering in double, empty clusters keep their
+  // previous centroid — the CC regime-equality pattern: the distributed
+  // operator must equal an independently-written sequential one
+  private def localLloyd(pts: Seq[(Long, Array[Long])], k: Int,
+      iters: Int): (Map[Long, (Long, Long)], Boolean) = {
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents: Array[Array[Long]] = pts.sortBy(_._1).take(k).map(_._2.clone()).toArray
+    var sawEmpty = false
+    def assign(): Map[Long, (Long, Long)] = pts.map { case (id, v) =>
+      val ds = cents.map(c => d2(v, c))
+      val cid = ds.indices.minBy(i => (ds(i), i))
+      id -> (cid.toLong, ds(cid))
+    }.toMap
+    (0 until iters).foreach { _ =>
+      val byCluster = pts.groupBy(p => assign()(p._1)._1)
+      cents = Array.tabulate(k) { cid =>
+        byCluster.get(cid.toLong) match {
+          case Some(ps) => Array.tabulate(ps.head._2.length) { d =>
+            math.floor(ps.map(_._2(d)).sum.toDouble / ps.length).toLong
+          }
+          case None => sawEmpty = true; cents(cid)
+        }
+      }
+    }
+    (assign(), sawEmpty)
+  }
+
+  test("property: distributed Lloyd equals the sequential reference on random corpora") {
+    val corpusGen = for {
+      dims <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(2, 24)
+      k <- Gen.chooseNum(1, math.min(n, 5))
+      // a tiny value range forces duplicate points, distance ties, and
+      // clusters that empty out mid-run — the regime edges
+      vals <- Gen.listOfN(n, Gen.listOfN(dims, Gen.chooseNum(-2L, 2L)))
+    } yield (k, vals.map(_.toArray))
+    var emptyClusterCases = 0
+    (0 until 14).foreach { i =>
+      val (k, vals) = corpusGen.apply(Gen.Parameters.default, Seed(4200L + i))
+        .getOrElse(fail(s"gen failed at seed $i"))
+      val pts = vals.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      val iters = i % 4
+      val (expected, sawEmpty) = localLloyd(pts, k, iters)
+      if (sawEmpty) emptyClusterCases += 1
+      val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "vq")
+      val got = KMeans.lloyd(df, "vec_id", "vq", k, iters)
+        .select("vec_id", "cluster", "dist2").as[(Long, Long, Long)]
+        .collect().map { case (id, c, d) => id -> (c, d) }.toMap
+      assert(got == expected,
+        s"seed=$i k=$k iters=$iters n=${pts.size}: spark=$got local=$expected")
+      // objective non-increase (to floor-recenter slack), cheap on the
+      // reference impl — equality above transfers it to the operator
+      val dims = vals.head.length
+      val objs = (0 to 3).map(it => localLloyd(pts, k, it)._1.values.map(_._2).sum)
+      objs.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a + pts.size.toLong * dims, s"seed=$i objective rose: $objs")
+      }
+    }
+    // the generator must actually exercise the empty-cluster branch
+    assert(emptyClusterCases > 0, "no random case emptied a cluster — weaken the value range")
   }
 
   test("assignment is map-side: final plan has no Exchange") {

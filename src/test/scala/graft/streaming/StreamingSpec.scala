@@ -377,6 +377,81 @@ class StreamingSpec extends SparkSpec {
       s"admission pipeline admitted the wrong survivors: $landed")
   }
 
+  test("streaming near-dup admission: near-dups rejected, fresh docs land, index reused across batches") {
+    // the q92 operator inside foreachBatch — the incremental-crawl shape.
+    // A FRESH corpus dir makes the hot-shingle memo cold: batch 1 must
+    // build the index exactly once; batch 2 must reuse it (memo count
+    // flat, scratch dirs flat, strictly fewer Spark jobs — no corpus
+    // re-scan).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val corpusRoot = Files.createTempDirectory("graft-nd-corpus").toString
+    graft.Tables.documents(spark, sf0001).write.mode("overwrite")
+      .parquet(s"$corpusRoot/documents.parquet")
+    val admitted = Files.createTempDirectory("graft-nd-admit").resolve("docs").toString
+
+    val base = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // long docs: a 3-token suffix leaves Jaccard ≈ n/(n+4) ≥ 0.8 only
+    // when the doc has enough trigrams — pick 4 with ≥30 tokens
+    val longIds = base.filter(_._2.split(" ").length >= 30).keys.toSeq.sorted
+    assert(longIds.size >= 4, s"sf0.001 has only ${longIds.size} long docs")
+    def suffixed(id: Long) = base(id) + " v2 updated fresh"
+    def reversed(id: Long) = base(id).split(" ").reverse.mkString(" ")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    // listener events post asynchronously — wait until the count stops
+    // moving before reading it
+    def settledJobs(): Int = {
+      var last = -1; var cur = jobs.get()
+      var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(200); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+
+    val hotBefore = graft.operators.DatasetCache.stats.getOrElse("hot-shingles", 0)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NearDupAdmission.admitBatch(batch, corpusRoot, admitted)
+      }.start()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      in.addData((9001L, suffixed(longIds(0))), (9002L, reversed(longIds(1))))
+      q.processAllAvailable()
+      val j1 = settledJobs()
+      val hotAfter1 = graft.operators.DatasetCache.stats.getOrElse("hot-shingles", 0)
+      assert(hotAfter1 == hotBefore + 1,
+        s"batch 1 must build the corpus index exactly once ($hotBefore -> $hotAfter1)")
+      val dirs1 = graft.operators.Scratch.liveDirCount
+      jobs.set(0)
+      in.addData((9003L, suffixed(longIds(2))), (9004L, reversed(longIds(3))))
+      q.processAllAvailable()
+      val j2 = settledJobs()
+      assert(graft.operators.DatasetCache.stats.getOrElse("hot-shingles", 0) == hotAfter1,
+        "batch 2 rebuilt the hot-shingle index instead of reusing the memo")
+      assert(graft.operators.Scratch.liveDirCount == dirs1,
+        "per-batch verdict scratch leaked (or a second index dir appeared)")
+      assert(j2 < j1,
+        s"batch 2 ran $j2 jobs vs batch 1's $j1 — the index-build jobs should be absent")
+    } finally {
+      q.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val landed = spark.read.parquet(admitted).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(landed.map(_._1).toSeq.sorted == Seq(9002L, 9004L),
+      s"admission verdicts wrong: landed=${landed.map(_._1).toSeq.sorted}")
+    assert(landed.toMap == Map(
+      9002L -> reversed(longIds(1)), 9004L -> reversed(longIds(3))))
+  }
+
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinct(spark, input.toDS())
