@@ -418,11 +418,13 @@ object LlmOps {
       .orderBy(col("vec_id"))
   }
 
-  /** The Lloyd loop unrolled as a DuckDB CTE chain: c0 = k-lowest-id
-    * init; round n = assign (cross join with the k centroids, argmin by
-    * (dist2, cid)) + recenter (per-dim integer sums, floor(s/n),
-    * LEFT JOIN so empty clusters keep their previous centroid). */
-  private val q96Sql = {
+  /** The Lloyd loop unrolled as a DuckDB CTE chain (shared by q96 and
+    * q99): c0 = k-lowest-id init; round n = assign (cross join with the
+    * k centroids, argmin by (dist2, cid)) + recenter (per-dim integer
+    * sums, floor(s/n), LEFT JOIN so empty clusters keep their previous
+    * centroid). Final assignment lands in `b3(vec_id, vq, cluster,
+    * dist2)`. */
+  private val kmeansCtes = {
     val k = 8
     def dist(v: String, c: String) =
       s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
@@ -446,7 +448,7 @@ object LlmOps {
          |               GROUP BY 1, 2)
          |         GROUP BY 1) u ON p.cid = u.cid)"""
         .stripMargin
-    s"""WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
       |         list_transform(embedding,
       |           v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS vq
       |       FROM embeddings),
@@ -456,10 +458,69 @@ object LlmOps {
       |${recenterCte(1, "c0", "b1")},
       |${assignCte(2, "c1")},
       |${recenterCte(2, "c1", "b2")},
-      |${assignCte(3, "c2")}
+      |${assignCte(3, "c2")}""".stripMargin
+  }
+
+  private val q96Sql =
+    s"""WITH $kmeansCtes
       |SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
       |FROM b3 ORDER BY vec_id""".stripMargin
+
+  /** q99 — SemDeDup: semantic dedup with LEARNED blocking — the composed
+    * production operator q96's doc promises. K-means cluster ids (the
+    * q96 bit-reproducible Lloyd operator) are the blocking key; within
+    * each cluster, every vector is checked against its lower-id
+    * cluster-mates and PRUNED when its best such cosine ≥
+    * [[CosineNearDupThreshold]] — keep-lowest-id, the deterministic
+    * representative rule. Emits the full audit relation (vec_id,
+    * cluster, max_sim_lower nullable, pruned), not just survivors, so a
+    * pipeline can threshold differently downstream.
+    *
+    * Scale shape: assignment is the map-side k-means (corpus never
+    * shuffles — see [[graft.operators.KMeans]]); the pairwise stage
+    * shuffles both sides ONCE on the cluster key and costs Σ n_c², with
+    * k grown ∝ corpus so n/k (and the per-task quadratic) stays bounded
+    * — SemDeDup's reason to exist vs corpus-wide q34b-style blocking on
+    * a fixed label. The per-vec `max` pre-reduces map-side (partial
+    * HashAggregate over the join output), so its shuffle carries ≤ one
+    * row per (vec, partition), O(n) not O(pairs). */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val vq = e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val clusters = graft.operators.KMeans.lloyd(vq, "vec_id", "vq", k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+    val withC = e.join(clusters, "vec_id")
+    val a = withC.select(col("cluster"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = withC.select(col("cluster"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val bestLower = a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .select(col("vb").as("vec_id"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("max_sim_lower"))
+    clusters.join(bestLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("max_sim_lower"),
+        coalesce(col("max_sim_lower") >= CosineNearDupThreshold, lit(false))
+          .as("pruned"))
+      .orderBy(col("vec_id"))
   }
+
+  private val q99Sql =
+    s"""WITH $kmeansCtes,
+      |cl AS (SELECT vec_id, cluster FROM b3),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |      FROM embeddings),
+      |pr AS (SELECT cb.vec_id,
+      |         max(round(list_cosine_similarity(ea.emb, eb.emb), 4)) AS max_sim_lower
+      |       FROM cl ca JOIN cl cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+      |       JOIN e ea ON ea.vec_id = ca.vec_id
+      |       JOIN e eb ON eb.vec_id = cb.vec_id
+      |       GROUP BY cb.vec_id)
+      |SELECT cl.vec_id, cl.cluster, pr.max_sim_lower,
+      |       coalesce(pr.max_sim_lower >= $CosineNearDupThreshold, FALSE) AS pruned
+      |FROM cl LEFT JOIN pr ON cl.vec_id = pr.vec_id
+      |ORDER BY cl.vec_id""".stripMargin
 
   /** q98 — heavy-hitter tokens via count-min sketch: one pass builds a
     * mergeable CMS over the token stream (map-side partial sketches,
@@ -1983,6 +2044,7 @@ object LlmOps {
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),
     QueryDef("q96_kmeans_clusters", q96, Some(q96Sql)),
+    QueryDef("q99_semdedup", q99, Some(q99Sql)),
     QueryDef("q98_cms_heavy_hitters", q98, None),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),

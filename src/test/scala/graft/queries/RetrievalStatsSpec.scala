@@ -153,6 +153,30 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(plan.contains("Relation"), s"expected a parquet relation:\n$plan")
   }
 
+  test("q99: SemDeDup prunes exactly the dominated vectors; cluster-lowest ids survive") {
+    val out = LlmOps.q99(spark, sf001).collect()
+    val clusters = LlmOps.q96(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == clusters.size, "one verdict row per vector")
+    out.foreach { r =>
+      val (id, c) = (r.getLong(0), r.getLong(1))
+      // blocking key is exactly the q96 assignment
+      assert(c == clusters(id), s"vec $id cluster drifted from q96")
+      val best = Option(r.getAs[java.lang.Double]("max_sim_lower")).map(_.toDouble)
+      // pruned iff the best lower-id cluster-mate crosses the gate
+      assert(r.getBoolean(3) == best.exists(_ >= 0.35), s"gate mismatch: $r")
+      best.foreach(s => assert(s >= -1.0 && s <= 1.0))
+    }
+    // the lowest id of each cluster has no lower-id mate: never pruned
+    val lowest = out.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).min).toSet
+    out.filter(r => lowest(r.getLong(0))).foreach { r =>
+      assert(r.isNullAt(2) && !r.getBoolean(3),
+        s"cluster-lowest vec ${r.getLong(0)} was pruned")
+    }
+    // the gate actually fires on this corpus (τ calibrated to it)
+    assert(out.exists(_.getBoolean(3)), "no vector pruned — τ miscalibrated")
+  }
+
   test("q91: dataset card conserves corpus totals across sources") {
     val card = Curation.q91(spark, sf001).collect()
     val docs = graft.Tables.documents(spark, sf001)
