@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object CosineSimilarity {
   def compute(a: ArrayData, b: ArrayData, isFloatA: Boolean, isFloatB: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast: a silent min-length prefix would return a plausible but
+    // wrong similarity for mismatched-dimension vectors (the
+    // SquaredDistance rule) — in dedup/retrieval that is data corruption,
+    // not a similarity
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_similarity: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

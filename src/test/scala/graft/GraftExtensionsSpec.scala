@@ -55,6 +55,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"expected a dimension-mismatch error, got: $e")
   }
 
+  test("cosine_similarity: dimension mismatch fails instead of silent prefix") {
+    // same rule as squared_distance: the old min-length prefix returned a
+    // plausible but wrong similarity for mismatched vectors
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")),
+      s"expected a dimension-mismatch error, got: $e")
+  }
+
   test("ngram_explode works as a SQL generator in LATERAL VIEW position") {
     val rows = spark.sql(
       """SELECT pos, ngram

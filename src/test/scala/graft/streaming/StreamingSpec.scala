@@ -452,6 +452,26 @@ class StreamingSpec extends SparkSpec {
       9002L -> reversed(longIds(1)), 9004L -> reversed(longIds(3))))
   }
 
+  test("near-dup admission is replay-idempotent: a re-delivered batch appends nothing") {
+    // foreachBatch + append file sink is at-least-once across restarts: a
+    // crash between the parquet append and the checkpoint commit
+    // re-delivers the same batch. The admitted-store anti-join must make
+    // the replay a no-op, not a duplicate append.
+    val admitted = Files.createTempDirectory("graft-nd-replay").resolve("docs").toString
+    val batch = Seq(
+      (7001L, "wholly novel alpha beta gamma delta epsilon zeta"),
+      (7002L, "equally novel one two three four five six seven"))
+      .toDF("doc_id", "text")
+    NearDupAdmission.admitBatch(batch, sf0001, admitted)
+    val first = spark.read.parquet(admitted).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(first.map(_._1) == Seq(7001L, 7002L), s"fresh docs must land: $first")
+    NearDupAdmission.admitBatch(batch, sf0001, admitted) // the replay
+    val second = spark.read.parquet(admitted).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(second == first, s"replayed batch re-admitted docs: $second")
+  }
+
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinct(spark, input.toDS())
