@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEnv, SparkEntry, Tables}
+
+/** Dev-only scale-stress harness: materializes a key-shifted FACTOR×
+  * copy of the fact tables under /tmp and times the heavy queries on
+  * both the source and the scaled dir, reporting the observed runtime
+  * ratio per query. The point is measured would-it-scale evidence: a
+  * ratio near FACTOR (modulo fixed per-query overhead) means the plan
+  * is linear in the data; a ratio near FACTOR² means a pairwise blowup
+  * escaped its blocking.
+  *
+  * Scaling is SEMANTIC, not verbatim duplication:
+  *   - lineitem/orders: order keys shift by copy × 10M — more orders,
+  *     same dims (TPC-H-style fact growth; join fan-outs stay linear).
+  *   - events: user_id and event_id shift — more users, same per-user
+  *     activity, so the q09 bucketed range join's per-bucket occupancy
+  *     (its blowup bound) is unchanged.
+  *   - documents: doc_id shifts; copy i's text is rotated by i words —
+  *     cross-copy trigram overlap stays high, so every original doc
+  *     gains ~FACTOR near-dup siblings. That makes the dedup family a
+  *     DELIBERATE super-linear stress: pair counts grow ~FACTOR× per
+  *     doc (clusters of siblings), which is exactly the workload shape
+  *     corpus dedup exists for — blocked candidate generation must
+  *     absorb it without an n² scan.
+  *   - embeddings: vec_id shifts; copy i jitters each component
+  *     deterministically so k-means/SemDeDup see denser, not
+  *     degenerate-duplicate, clusters.
+  *
+  * Usage: runMain graft.tools.ScaleStress [factor] [srcDir] [outDir]
+  *        [query ...]
+  * Prints one JSON line:
+  *   {"metric":"scale_stress","factor":F,
+  *    "queries":{name:{"src":s,"scaled":s,"ratio":r},...}}
+  */
+object ScaleStress {
+
+  private val DefaultQueries = Seq(
+    "q01_pricing_summary", "q04_join_sortmerge", "q09_range_join",
+    "q18_window_rank", "q94_zorder_layout",
+    "q96_kmeans_clusters", "q99_semdedup",
+    "q35_near_dup", "q61_dedup_clusters", "q76_span_dedup",
+    "q92_incremental_neardup", "q72_pipeline_e2e")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else s"/tmp/graft-scaled-x$factor"
+    val queries = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val unknown = queries.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+
+    val spark = SparkEnv.local("scale-stress")
+    try {
+      writeScaled(spark, src, out, factor)
+      def timeOnce(name: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def minOf2(name: String, dir: String): Double =
+        math.min(timeOnce(name, dir), timeOnce(name, dir))
+      val rows = queries.map { name =>
+        val s = minOf2(name, src)
+        val x = minOf2(name, out)
+        (name, s, x, x / s)
+      }
+      val qs = rows.map { case (n, s, x, r) =>
+        f"""\"$n\":{\"src\":$s%.3f,\"scaled\":$x%.3f,\"ratio\":$r%.2f}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"scale_stress","factor":$factor,"src":"$src","queries":$qs}""")
+    } finally spark.stop()
+  }
+
+  /** Union of `factor` key-shifted copies of each fact table (dims copied
+    * verbatim), written as parquet under `out`. */
+  private def writeScaled(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val copies = (0 until factor).toSeq
+
+    def scaled(base: DataFrame, shift: Int => DataFrame => DataFrame): DataFrame =
+      copies.map(i => shift(i)(base)).reduce(_ unionAll _)
+
+    val orderSpan = 10L * 1000 * 1000
+    val idSpan = 1L * 1000 * 1000
+
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    save(scaled(Tables.lineitem(spark, src), i => df =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderSpan))), "lineitem")
+    save(scaled(Tables.orders(spark, src), i => df =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderSpan))), "orders")
+    save(scaled(Tables.events(spark, src), i => df =>
+      df.withColumn("event_id", col("event_id") + lit(i * idSpan))
+        .withColumn("user_id", col("user_id") + lit(i * idSpan))), "events")
+    save(scaled(Tables.documents(spark, src), i => df => {
+      val words = split(col("text"), " ")
+      val n = size(words)
+      // rotate by i words: high trigram overlap with the original —
+      // deliberate near-dup siblings (see scaladoc)
+      val rotated =
+        if (i == 0) col("text")
+        else concat_ws(" ",
+          concat(slice(words, lit(i + 1), greatest(n - i, lit(0))),
+            slice(words, lit(1), least(lit(i), n))))
+      df.withColumn("doc_id", col("doc_id") + lit(i * idSpan))
+        .withColumn("text", rotated)
+    }), "documents")
+    save(scaled(Tables.embeddings(spark, src), i => df => {
+      // deterministic per-copy jitter: denser clusters, not exact dups
+      val jittered =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, idx) =>
+          (x + (pmod(col("vec_id") * 31 + lit(i * 17) + idx, lit(7)) - lit(3))
+            .cast("float") * lit(0.001f)).cast("float"))
+      df.withColumn("vec_id", col("vec_id") + lit(i * idSpan))
+        .withColumn("embedding", jittered)
+    }), "embeddings")
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      save(spark.read.parquet(s"$src/$dim.parquet"), dim)
+  }
+}

@@ -472,6 +472,23 @@ class StreamingSpec extends SparkSpec {
     assert(second == first, s"replayed batch re-admitted docs: $second")
   }
 
+  test("near-dup admission: empty micro-batch is a no-op (streams deliver them routinely)") {
+    val admitted = Files.createTempDirectory("graft-nd-empty").resolve("docs").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dirsBefore = graft.operators.Scratch.liveDirCount
+    NearDupAdmission.admitBatch(empty, sf0001, admitted)
+    assert(graft.operators.Scratch.liveDirCount == dirsBefore,
+      "empty batch leaked a scratch dir")
+    // the store may or may not exist yet; if it does, it must be empty
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(admitted)))
+      assert(spark.read.parquet(admitted).count() == 0)
+    // and a real batch afterwards still works against the same store
+    NearDupAdmission.admitBatch(
+      Seq((7100L, "post empty batch doc with plenty novel words here"))
+        .toDF("doc_id", "text"), sf0001, admitted)
+    assert(spark.read.parquet(admitted).collect().map(_.getLong(0)).toSeq == Seq(7100L))
+  }
+
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinct(spark, input.toDS())
