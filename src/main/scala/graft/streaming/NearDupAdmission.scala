@@ -33,7 +33,15 @@ import org.apache.spark.sql.functions._
   * rejects cross-batch exact dups. Near-dup blocking targets the (large,
   * indexed) corpus snapshot; admitted-vs-admitted NEAR-dup requires
   * folding admitted docs into the shingle index, which production does
-  * on an index-refresh cadence, not per batch.
+  * on an index-refresh cadence, not per batch — that cadence is
+  * [[refreshCorpus]].
+  *
+  * Single-writer assumption: one admission stream per admitted store.
+  * `admitBatch` reads the store (the anti-join) and then appends to it;
+  * two concurrent streams on the same store could both pass the
+  * anti-join before either append lands. foreachBatch serializes
+  * batches WITHIN a stream, so the contract holds there by
+  * construction.
   */
 object NearDupAdmission {
 
@@ -60,5 +68,25 @@ object NearDupAdmission {
       admitted.select(col("doc_id"), col("text"))
         .write.mode("append").parquet(admittedPath)
     } finally graft.operators.Scratch.release(verdictPath)
+  }
+
+  /** The index-refresh cadence: fold the admitted store into the corpus
+    * (full documents schema, stream-sourced rows marked `source =
+    * 'stream'`) and invalidate every memoized relation derived from the
+    * corpus dir — the next batch's blocking join sees the folded docs,
+    * so admitted-vs-admitted near-dups are rejected from then on.
+    * Requires a WRITABLE corpus dir (production corpora are; the
+    * read-only driver testdata is not — tests copy it to scratch).
+    * Run between batches (or from a maintenance job while the stream is
+    * paused): the corpus-dir immutability assumption behind the memo
+    * ([[graft.operators.DatasetCache]]) means the fold and the
+    * invalidation must not race an in-flight batch's index build. */
+  def refreshCorpus(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      admittedPath: String): Unit = {
+    spark.read.parquet(admittedPath)
+      .select(col("doc_id"), col("text"), lit("und").as("lang"),
+        lit("stream").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("append").parquet(s"$corpusDir/documents.parquet")
+    graft.operators.DatasetCache.invalidate(corpusDir)
   }
 }

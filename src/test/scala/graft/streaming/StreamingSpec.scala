@@ -489,6 +489,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(admitted).collect().map(_.getLong(0)).toSeq == Seq(7100L))
   }
 
+  test("index refresh: folded admitted docs block their near-dups from the next batch") {
+    val corpusRoot = Files.createTempDirectory("graft-nd-refresh").toString
+    graft.Tables.documents(spark, sf0001).write.mode("overwrite")
+      .parquet(s"$corpusRoot/documents.parquet")
+    val admitted = Files.createTempDirectory("graft-nd-refresh-admit")
+      .resolve("docs").toString
+    // batch 1: a genuinely novel long doc — admitted
+    val novel = (1 to 40).map(i => s"refreshtok$i").mkString(" ")
+    NearDupAdmission.admitBatch(
+      Seq((8001L, novel)).toDF("doc_id", "text"), corpusRoot, admitted)
+    assert(spark.read.parquet(admitted).count() == 1)
+    // a near-dup of the ADMITTED doc, before any refresh: the corpus
+    // index doesn't know it yet, so it lands — the documented trade of
+    // refresh-cadence (vs per-batch) index folding
+    NearDupAdmission.admitBatch(
+      Seq((8002L, novel + " v2 fresh suffix")).toDF("doc_id", "text"),
+      corpusRoot, admitted)
+    assert(spark.read.parquet(admitted).count() == 2,
+      "pre-refresh: corpus-blind near-dup should land")
+    // the refresh cadence: fold the store into the corpus, drop memos
+    NearDupAdmission.refreshCorpus(spark, corpusRoot, admitted)
+    // a near-dup of the folded doc must now be REJECTED
+    NearDupAdmission.admitBatch(
+      Seq((8003L, novel + " v3 another suffix")).toDF("doc_id", "text"),
+      corpusRoot, admitted)
+    val ids = spark.read.parquet(admitted).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(8001L, 8002L), s"post-refresh near-dup was admitted: $ids")
+  }
+
   test("ST8: stateful running distinct per key (streaming HashSet analog)") {
     val input = MemoryStream[(String, Long)]
     val q = StreamIngest.runningDistinct(spark, input.toDS())
