@@ -522,6 +522,45 @@ object LlmOps {
       |FROM cl LEFT JOIN pr ON cl.vec_id = pr.vec_id
       |ORDER BY cl.vec_id""".stripMargin
 
+  /** q100 — distributed embedding Gram matrix (Xᵀ X upper triangle):
+    * the corpus-scale reduction behind embedding-space PCA, drift
+    * detection, and whitening. One typed-Aggregator pass
+    * ([[graft.functions.GramMatrix]]) folds every partition into a
+    * d·(d+1)/2 integer buffer — the shuffle carries O(partitions)
+    * 16 KB buffers, never rows, vs the explode-join formulation's
+    * corpus×d² blowup. Quantized integer arithmetic makes the sums
+    * exact and partitioning-independent, so a distributed
+    * linear-algebra op is DuckDB-oracled under the strict hash gate.
+    * Downstream: [[graft.operators.Pca]] eigen-analyzes the matrix on
+    * the driver (O(d²) state) and re-enters the component as a literal
+    * for a codegen'd map-side projection. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val vq = Tables.embeddings(s, d).select(
+      transform(col("embedding"),
+        v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val entries = vq.agg(new graft.functions.GramMatrix(dims).agg(col("vq")).as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "gram")))
+    val pairs = (for { i <- 0 until dims; j <- i until dims }
+      yield (graft.functions.GramMatrix.upperIndex(dims, i, j), i.toLong, j.toLong))
+      .toDF("idx", "i", "j")
+    entries.join(broadcast(pairs), "idx")
+      .select(col("i"), col("j"), col("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val q100Sql =
+    """WITH q AS (SELECT vec_id,
+      |         list_transform(embedding,
+      |           v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS vq
+      |       FROM embeddings),
+      |u AS (SELECT vec_id, generate_subscripts(vq, 1) AS p, unnest(vq) AS v FROM q)
+      |SELECT CAST(a.p - 1 AS BIGINT) AS i, CAST(b.p - 1 AS BIGINT) AS j,
+      |       CAST(sum(a.v * b.v) AS BIGINT) AS gram
+      |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.p <= b.p
+      |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   /** q98 — heavy-hitter tokens via count-min sketch: one pass builds a
     * mergeable CMS over the token stream (map-side partial sketches,
     * counter-wise merge — the shuffle carries O(eps⁻¹·ln(1/δ)) counters
@@ -2045,6 +2084,7 @@ object LlmOps {
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),
     QueryDef("q96_kmeans_clusters", q96, Some(q96Sql)),
     QueryDef("q99_semdedup", q99, Some(q99Sql)),
+    QueryDef("q100_embedding_gram", q100, Some(q100Sql)),
     QueryDef("q98_cms_heavy_hitters", q98, None),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
