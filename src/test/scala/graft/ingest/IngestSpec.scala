@@ -139,6 +139,38 @@ class IngestSpec extends SparkSpec {
     assert(split("""a""b,c""") == Seq("a\"\"b", "c"))
   }
 
+  test("property: arbitrary garbage input never throws — parse-or-drop, bounded output") {
+    // the reference is a PERMISSIVE loader (CsvLoader.java:131-143 catches
+    // per-row and continues); our distributed counterpart must hold that
+    // under fuzz: any byte salad either parses into a row or drops — a
+    // single poison line must never fail the job
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val weird = Gen.oneOf(',', '"', '\t', '\\', '0', '9', '.', '-', '+', ':',
+      'Z', 'T', 'x', 'é', '日', ' ')
+    val lineGen = Gen.oneOf(
+      Gen.listOf(weird).map(_.mkString),                       // byte salad
+      Gen.listOfN(12, Gen.oneOf(Gen.const(""), Gen.numStr.map(_.take(25)),
+        Gen.alphaStr.map(_.take(8)))).map(_.mkString(",")),    // csv-ish arity soup
+      Gen.const("2015-02-14 23:51:40+05,42,23.7689,90.3886"))  // known-good
+    (0 until 6).foreach { i =>
+      val lines = Gen.listOfN(40, lineGen)
+        .apply(Gen.Parameters.default, Seed(9900L + i))
+        .getOrElse(fail(s"gen failed at seed $i"))
+      val path = writeFile(tmpDir, s"fuzz$i.csv", lines.mkString("\n"))
+      val rows = CsvVehicleReader.read(spark, path).collect() // must not throw
+      assert(rows.length <= lines.length, "more rows out than lines in")
+      val good = lines.count(_ == "2015-02-14 23:51:40+05,42,23.7689,90.3886")
+      assert(rows.length >= good, s"dropped known-good rows (seed $i)")
+      // whatever survived is fully typed — no nulls leak through the gate
+      rows.foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("ts_ms")) &&
+          !r.isNullAt(r.fieldIndex("vehicle_id")) &&
+          !r.isNullAt(r.fieldIndex("lat")) && !r.isNullAt(r.fieldIndex("lon")))
+      }
+    }
+  }
+
   test("ingest plan: no shuffle — scan→project→filter is one codegen stage") {
     val path = writeFile(tmpDir, "narrow2.csv", narrowCsv)
     val plan = CsvVehicleReader.read(spark, path)
