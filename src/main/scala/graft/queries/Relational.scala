@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampNTZType
 
 import graft.Tables
-import graft.functions.GeoMean
+import graft.functions.{BloomProbe, GeoMean}
 import QueryDef._
 
 /** Relational core (SURVEY.md §2.2-2.6): projection/filter, all join
@@ -725,6 +725,45 @@ object Relational {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** q101 — runtime-filtered shuffle join (bloom semi-join reduction,
+    * [[graft.functions.BloomProbe]]): lineitem ⋈ part where only ~5% of
+    * parts survive the dim predicate. A bloom over the surviving
+    * `p_partkey`s (built by a scalar subquery — one tiny aggregation of
+    * the already-filtered dim) pre-filters lineitem BELOW its shuffle,
+    * so the sort-merge Exchange carries ~5% of the fact table instead of
+    * all of it. False positives are removed by the exact join that
+    * follows, so the result is bit-identical to the plain join — the
+    * oracle is the un-bloomed SQL. At 100 TB this is the difference
+    * between shuffling 100 TB and shuffling 5 TB; Spark's own
+    * InjectRuntimeFilter produces exactly this plan when its size
+    * thresholds fire, and QueryPlanSpec asserts the probe sits in the
+    * fact scan stage under the Exchange. */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    val dimPred = col("p_brand") === "Brand#4"
+    val dim = Tables.part(s, d).filter(dimPred)
+      .select(col("p_partkey"), col("p_size"))
+    val bloom = BloomProbe.bloomOf(
+      Tables.part(s, d).filter(dimPred).select(col("p_partkey")),
+      col("p_partkey"), 100000L)
+    Tables.lineitem(s, d)
+      .filter(BloomProbe.mightContain(bloom, col("l_partkey")))
+      .join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_size"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        exactSum(col("l_quantity")).as("total_qty"),
+        exactSum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_size"))
+  }
+
+  private val q101Sql =
+    s"""SELECT p_size, count(*) AS n_items,
+       | ${exactSumSql("l_quantity")} AS total_qty,
+       | ${exactSumSql("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey=p_partkey
+       |WHERE p_brand='Brand#4'
+       |GROUP BY p_size ORDER BY p_size""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
@@ -757,5 +796,6 @@ object Relational {
     QueryDef("q90_percentiles", q90, Some(q90Sql)),
     QueryDef("q94_zorder_layout", q94, Some(q94Sql)),
     QueryDef("q95_unpivot", q95, Some(q95Sql)),
-    QueryDef("q97_approx_quantiles", q97, None))
+    QueryDef("q97_approx_quantiles", q97, None),
+    QueryDef("q101_bloom_join", q101, Some(q101Sql)))
 }

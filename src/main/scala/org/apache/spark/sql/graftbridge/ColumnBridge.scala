@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{ExpressionUtils => EU}
 
 /** Public bridge over Spark 4's `private[sql]` Column ↔ Expression
@@ -10,4 +11,9 @@ import org.apache.spark.sql.classic.{ExpressionUtils => EU}
 object ColumnBridge {
   def column(e: Expression): Column = EU.column(e)
   def expression(c: Column): Expression = EU.expression(c)
+
+  /** The analyzed logical plan of a Dataset — for embedding a DataFrame
+    * as a subquery expression (e.g. a scalar-subquery bloom filter). */
+  def analyzedPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 }

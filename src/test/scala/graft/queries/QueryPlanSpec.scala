@@ -226,6 +226,24 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for scoring join:\n$p")
   }
 
+  test("q101: bloom probe filters the fact side BELOW its shuffle (runtime-filter shape)") {
+    val p = planString(Relational.q101(spark, sf0001))
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ fact join:\n$p")
+    // the probe must sit in the lineitem scan stage, i.e. the formatted
+    // plan's Filter step whose Condition carries might_contain must come
+    // before (= plan-below) the fact-side Exchange: assert the subtree
+    // order Scan lineitem → Filter(might_contain) → Exchange
+    val fmt = p.substring(p.indexOf("== Physical Plan =="))
+    val scanIdx = fmt.indexOf("lineitem.parquet")
+    val probeIdx = fmt.indexOf("might_contain", scanIdx)
+    val exchIdx = fmt.indexOf("hashpartitioning(l_partkey", scanIdx)
+    assert(scanIdx >= 0 && probeIdx >= 0 && exchIdx >= 0,
+      s"missing scan/probe/exchange markers:\n$fmt")
+    assert(probeIdx < exchIdx,
+      s"bloom probe is ABOVE the fact shuffle — reduction lost:\n$fmt")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
