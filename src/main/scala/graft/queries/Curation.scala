@@ -580,6 +580,64 @@ object Curation {
       |        / count(*), 4) AS mean_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q102 — MERGE-style corpus refresh (upsert + delete in one pass): an
+    * updates batch carrying revisions (op=U), tombstones (op=D), and new
+    * documents (op=I) is merged into the corpus — revised/deleted keys
+    * leave, revisions and inserts arrive. The batch here is derived
+    * deterministically from the corpus (residue classes of doc_id;
+    * inserts get the structurally disjoint key -doc_id-1, corpus ids are
+    * non-negative) so the oracle can rebuild it.
+    *
+    * Scale shape — the corpus NEVER shuffles: the delta batch (small by
+    * nature — a crawl increment against a 100 TB corpus) broadcasts into
+    * a map-side LEFT ANTI that drops replaced/deleted keys, and the
+    * surviving updates union in map-side. This is the lakehouse MERGE
+    * INTO re-expressed as broadcast-anti + union — the only Exchange in
+    * the plan is the oracle-required final total order. For a delta too
+    * big to broadcast the same plan degrades gracefully to one
+    * hash-partitioned anti join on the key. */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nullS = lit(null).cast("string")
+    val upd = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id").as("k"), concat(col("text"), lit(" v2")).as("text"),
+        col("lang"), col("source"), lit("U").as("op"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("k"), nullS.as("text"),
+          nullS.as("lang"), nullS.as("source"), lit("D").as("op")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((-col("doc_id") - 1).as("k"),
+          concat(col("text"), lit(" (new)")).as("text"),
+          col("lang"), col("source"), lit("I").as("op")))
+    val untouched = docs
+      .join(broadcast(upd.select(col("k").as("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    untouched
+      .unionByName(upd.filter(col("op") =!= "D")
+        .select(col("k").as("doc_id"), col("text"), col("lang"), col("source")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q102Sql =
+    """WITH upd AS (
+      |  SELECT doc_id AS k, text || ' v2' AS text, lang, source, 'U' AS op
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id AS k, NULL AS text, NULL AS lang, NULL AS source, 'D' AS op
+      |  FROM documents WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT -doc_id - 1 AS k, text || ' (new)' AS text, lang, source, 'I' AS op
+      |  FROM documents WHERE doc_id % 10 = 5),
+      |merged AS (
+      |  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT k FROM upd)
+      |  UNION ALL
+      |  SELECT k AS doc_id, text, lang, source FROM upd WHERE op <> 'D')
+      |SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM merged ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q76_span_dedup", q76, Some(q76Sql)),
     QueryDef("q77_normalize", q77, Some(q77Sql)),
@@ -594,5 +652,6 @@ object Curation {
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),
-    QueryDef("q91_dataset_card", q91, Some(q91Sql)))
+    QueryDef("q91_dataset_card", q91, Some(q91Sql)),
+    QueryDef("q102_merge_upsert", q102, Some(q102Sql)))
 }

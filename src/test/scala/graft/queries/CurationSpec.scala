@@ -161,6 +161,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q102: merge applies all three ops — updates replace, deletes leave, inserts arrive") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val nDocs = docs.count()
+    val nDel = docs.filter(col("doc_id") % 10 === 7).count()
+    val nIns = docs.filter(col("doc_id") % 10 === 5).count()
+    val out = Curation.q102(spark, sf001).cache()
+    try {
+      assert(nDel > 0 && nIns > 0, "delta branches empty — test is vacuous")
+      assert(out.count() == nDocs - nDel + nIns,
+        "merged cardinality must be corpus - deletes + inserts")
+      assert(out.filter(col("doc_id") % 10 === 7 && col("doc_id") >= 0).count() == 0,
+        "tombstoned keys survived the merge")
+      assert(out.filter(col("doc_id") < 0).count() == nIns,
+        "inserted keys (disjoint negative namespace) missing")
+      // an updated row carries the revised payload: +3 chars (" v2")
+      val origLen = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), length(col("text")).cast("long").as("l0"))
+      val joined = out.join(origLen, "doc_id")
+        .filter(col("n_chars") =!= col("l0") + 3).count()
+      assert(joined == 0, "an update landed without its revision")
+    } finally out.unpersist()
+  }
+
   test("q83: the first doc is fully novel; repeated content scores below 1") {
     val out = Curation.q83(spark, sf001).cache()
     try {
