@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.PageRank
 import QueryDef._
 
 /** Event-stream analytics the reference's GPS domain implies but never
@@ -126,8 +127,67 @@ object Analytics {
       |FROM ev JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
 
+  /** q103 — PageRank authority over the nation-level trade graph
+    * ([[graft.operators.PageRank]]): a directed edge supplier-nation →
+    * customer-nation for every distinct trading pair in
+    * lineitem⋈orders⋈supplier⋈customer (self-loops dropped), then 3
+    * integer-quantized iterations — the crawl/source authority signal a
+    * curation pipeline weights provenance by. The edge DERIVATION is the
+    * heavy part at 100 TB (one fact shuffle + distinct, all pushed-down
+    * column pruning); the iteration then works on the collapsed graph,
+    * each round one rank shuffle + one dst aggregation with the edge
+    * exchange planned once and reused. Bit-reproducible integer math →
+    * DuckDB-oracled as an unrolled 3-round CTE chain (q96 pattern). */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct()
+    PageRank.ranks(edges, iters = 3)
+      .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), col("rankq"))
+      .orderBy(col("node"))
+  }
+
+  /** The unrolled-CTE oracle: rN is the rank relation after N rounds of
+    * rank'(v) = 150000 + (85 * Σ rank(u)//outdeg(u)) // 100 — DuckDB's
+    * `//` on the non-negative BIGINTs computes the same quotient as the
+    * operator's IntegralDivide. */
+  private val q103Sql = {
+    def round(n: Int): String =
+      s"""r$n AS (
+         |  SELECT nodes.node,
+         |         150000 + (85 * COALESCE(c.csum, 0)) // 100 AS rankq
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst, sum(r.rankq // o.outdeg) AS csum
+         |    FROM edges e
+         |      JOIN r${n - 1} r ON e.src = r.node
+         |      JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) c ON nodes.node = c.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |  WHERE s_nationkey <> c_nationkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rankq FROM nodes),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, n_name, rankq
+       |FROM r3 JOIN nation ON node = n_nationkey
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_gapfill", q58, Some(q58Sql)),
     QueryDef("q59_funnel", q59, Some(q59Sql)),
-    QueryDef("q60_cohort", q60, Some(q60Sql)))
+    QueryDef("q60_cohort", q60, Some(q60Sql)),
+    QueryDef("q103_pagerank", q103, Some(q103Sql)))
 }
