@@ -44,6 +44,15 @@ object KMeans {
       "KMeans.lloyd adds output columns 'dist2' and 'cluster'; the input " +
         s"relation already has ${vecs.columns.filter(Set("dist2", "cluster")).mkString(", ")} " +
         "— rename or drop it first")
+    assign(vecs, vecCol, trainCentroids(vecs, idCol, vecCol, k, iters))
+  }
+
+  /** The training loop alone: `iters` Lloyd rounds, returning the final
+    * k×dims centroid matrix (driver-held — O(k×dims) longs). Callers
+    * that need the codebook itself (e.g. [[Pq]] product quantization)
+    * use this; [[lloyd]] is trainCentroids + one final assignment. */
+  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Long]] = {
     val initRows = vecs
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
@@ -72,7 +81,7 @@ object KMeans {
       cents = Array.tabulate(k)(cid => updated.getOrElse(cid, cents(cid)))
       it += 1
     }
-    assign(vecs, vecCol, cents)
+    cents
   }
 
   // internal names for the per-row validated vector and the winning

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{CosineSimilarityExpr, NGramExplode}
+import graft.operators.Pq
 import QueryDef._
 
 /** LLM-data-pipeline operators (BASELINE.json north_star: dedup,
@@ -424,20 +425,28 @@ object LlmOps {
     * sums, floor(s/n), LEFT JOIN so empty clusters keep their previous
     * centroid). Final assignment lands in `b3(vec_id, vq, cluster,
     * dist2)`. */
-  private val kmeansCtes = {
-    val k = 8
-    def dist(v: String, c: String) =
-      s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
+  /** Integer squared-L2 between two DuckDB lists (the SQL mirror of
+    * SquaredDistanceExpr). */
+  private def sqDistSql(v: String, c: String) =
+    s"list_sum(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
+
+  /** The Lloyd loop (2 training rounds + final assignment) unrolled as a
+    * DuckDB CTE chain, parameterized so q96/q99 (one full-dims chain)
+    * and q104's product quantizer (one chain per sub-vector slice) share
+    * the generator. `srcSql` must select `(vec_id, vq)`; every CTE name
+    * is prefixed with `p`, final assignment lands in `${p}b3(vec_id, vq,
+    * cluster, dist2)` and final centroids in `${p}c2(cid, cent)`. */
+  private def lloydCteChain(k: Int, srcSql: String, p: String): String = {
     def assignCte(n: Int, cent: String) =
-      s"""a$n AS (SELECT vec_id, vq, cid, dist2,
+      s"""${p}a$n AS (SELECT vec_id, vq, cid, dist2,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
          |       FROM (SELECT q.vec_id, q.vq, c.cid,
-         |               ${dist("q.vq", "c.cent")} AS dist2
-         |             FROM q, $cent c)),
-         |b$n AS (SELECT vec_id, vq, cid AS cluster, dist2 FROM a$n WHERE rn = 1)"""
+         |               ${sqDistSql("q.vq", "c.cent")} AS dist2
+         |             FROM ${p}q q, $cent c)),
+         |${p}b$n AS (SELECT vec_id, vq, cid AS cluster, dist2 FROM ${p}a$n WHERE rn = 1)"""
         .stripMargin
     def recenterCte(n: Int, prevCent: String, fromAssign: String) =
-      s"""c$n AS (SELECT p.cid, coalesce(u.cent, p.cent) AS cent
+      s"""${p}c$n AS (SELECT p.cid, coalesce(u.cent, p.cent) AS cent
          |       FROM $prevCent p LEFT JOIN (
          |         SELECT cluster AS cid,
          |                list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
@@ -448,18 +457,24 @@ object LlmOps {
          |               GROUP BY 1, 2)
          |         GROUP BY 1) u ON p.cid = u.cid)"""
         .stripMargin
-    s"""q AS (SELECT vec_id,
+    s"""${p}q AS ($srcSql),
+      |${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cent
+      |       FROM (SELECT vec_id, vq FROM ${p}q ORDER BY vec_id LIMIT $k)),
+      |${assignCte(1, s"${p}c0")},
+      |${recenterCte(1, s"${p}c0", s"${p}b1")},
+      |${assignCte(2, s"${p}c1")},
+      |${recenterCte(2, s"${p}c1", s"${p}b2")},
+      |${assignCte(3, s"${p}c2")}""".stripMargin
+  }
+
+  /** The corpus quantization select shared by the q96/q99/q104 chains. */
+  private val quantizedSrcSql =
+    """SELECT vec_id,
       |         list_transform(embedding,
       |           v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS vq
-      |       FROM embeddings),
-      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vq AS cent
-      |       FROM (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT $k)),
-      |${assignCte(1, "c0")},
-      |${recenterCte(1, "c0", "b1")},
-      |${assignCte(2, "c1")},
-      |${recenterCte(2, "c1", "b2")},
-      |${assignCte(3, "c2")}""".stripMargin
-  }
+      |       FROM embeddings""".stripMargin
+
+  private val kmeansCtes = lloydCteChain(8, quantizedSrcSql, "")
 
   private val q96Sql =
     s"""WITH $kmeansCtes
@@ -560,6 +575,58 @@ object LlmOps {
       |       CAST(sum(a.v * b.v) AS BIGINT) AS gram
       |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.p <= b.p
       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
+  /** q104 — product-quantized ANN (the compression half of the ANN
+    * story, next to q34c sign-LSH and q34d IVF which give the probe-set
+    * half): [[graft.operators.Pq]] learns m=8 per-subspace codebooks
+    * (k=64, 2 Lloyd rounds each — bit-reproducible KMeans over vector
+    * slices; recall@10 = 0.6 vs exact at this config, gated in PqSpec),
+    * encodes the corpus to 8 codes/vector map-side, and scores every
+    * code row against the lowest-id probe vector by asymmetric distance
+    * computation: the 8×64 probe→centroid distance table is
+    * driver-computed literals, so the scan does 8 array lookups + a sum
+    * per row and the top-10 is a distributed TakeOrderedAndProject. At
+    * 100 TB the float corpus (26 TB at 64-dim) becomes 8 bytes/vector of
+    * codes; ADC never touches floats. Every stage is integer-exact, so
+    * the whole quantize→train→encode→score pipeline is DuckDB-oracled
+    * (8 unrolled Lloyd CTE chains, one per subspace). */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val (m, k, dims) = (8, 64, 64)
+    val vq = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val cb = Pq.train(vq, "vec_id", "vq", dims, m, k, iters = 2)
+    val probeRow = vq.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("vq")).head()
+    val probeId = probeRow.getLong(0)
+    val probe = probeRow.getSeq[Long](1).toArray
+    Pq.encode(vq, "vq", cb)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), Pq.adc(cb, probe).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val q104Sql = {
+    val (m, k, sub) = (8, 64, 8)
+    val chains = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      lloydCteChain(k, s"SELECT vec_id, vq[$lo:$hi] AS vq FROM pqbase", s"s${j}_")
+    }
+    val scores = (0 until m).map { j =>
+      s"""score$j AS (SELECT b.vec_id, ${sqDistSql("p.vq", "c.cent")} AS dj
+         |  FROM s${j}_b3 b JOIN s${j}_c2 c ON b.cluster = c.cid,
+         |       (SELECT vq FROM s${j}_q ORDER BY vec_id LIMIT 1) p)""".stripMargin
+    }
+    s"""WITH pqbase AS ($quantizedSrcSql),
+       |${chains.mkString(",\n")},
+       |${scores.mkString(",\n")}
+       |SELECT score0.vec_id,
+       |       CAST(${(0 until m).map(j => s"score$j.dj").mkString(" + ")} AS BIGINT) AS adc
+       |FROM score0 ${(1 until m).map(j => s"JOIN score$j USING (vec_id)").mkString(" ")}
+       |WHERE vec_id <> (SELECT min(vec_id) FROM pqbase)
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
 
   /** q98 — heavy-hitter tokens via count-min sketch: one pass builds a
     * mergeable CMS over the token stream (map-side partial sketches,
@@ -2085,6 +2152,7 @@ object LlmOps {
     QueryDef("q96_kmeans_clusters", q96, Some(q96Sql)),
     QueryDef("q99_semdedup", q99, Some(q99Sql)),
     QueryDef("q100_embedding_gram", q100, Some(q100Sql)),
+    QueryDef("q104_pq_ann", q104, Some(q104Sql)),
     QueryDef("q98_cms_heavy_hitters", q98, None),
     QueryDef("q71_simhash_neardup", q71, None),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
