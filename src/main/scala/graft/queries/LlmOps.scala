@@ -2113,6 +2113,195 @@ object LlmOps {
       |FROM documents b LEFT JOIN agg a ON a.bench_id = b.doc_id
       |WHERE b.doc_id % 59 = 0 ORDER BY bench_id""".stripMargin
 
+  /** Number of BPE merge rounds trained by q105 — fixed so the oracle's
+    * unrolled CTE chain and the Spark loop agree on iteration count. */
+  private val BpeMerges = 20
+
+  private val bpeCache = new graft.operators.DatasetCache[(String, String)](
+    "q105-bpe", v => Seq(v._1, v._2))
+
+  /** The trained-BPE artifact pair for a dataset dir, built once and
+    * memoized (the q92/q98 lazy-registry pattern): `_1` is the merge
+    * table (merge_rank, lhs, rhs, merged, pair_count), `_2` the final
+    * vocabulary tokenization (word, s, n_toks). The corpus collapses to
+    * a word-count table before training, so the [[graft.operators.Bpe]]
+    * rounds run over vocabulary-sized data — the corpus is scanned
+    * exactly once regardless of merge count. */
+  private[queries] def bpePaths(s: SparkSession, d: String): (String, String) =
+    bpeCache.getOrCompute(d) { dir =>
+      val wordCounts = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val wcPath = graft.operators.Scratch.materializePath(wordCounts, "bpe-words")
+      try {
+        val (merges, finalSyms) = graft.operators.Bpe.train(
+          s.read.parquet(wcPath), "word", "cnt", BpeMerges)
+        import s.implicits._
+        val mergeDf = merges
+          .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
+          .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        val mergesPath = graft.operators.Scratch.materializePath(mergeDf, "bpe-merges")
+        val vocab = finalSyms.select(col("word"), col("s"),
+          size(split(col("s"), " ")).cast("long").as("n_toks"))
+        val vocabPath =
+          try graft.operators.Scratch.materializePath(vocab, "bpe-vocab")
+          catch { case e: Throwable =>
+            graft.operators.Scratch.release(mergesPath); throw e
+          }
+        (mergesPath, vocabPath)
+      } finally graft.operators.Scratch.release(wcPath)
+    }
+
+  /** q105 — BPE merge training over the corpus ([[graft.operators.Bpe]]):
+    * the learned merge table, the artifact a tokenizer build hands to
+    * every downstream encode job. Iterative-operator oracle parity via an
+    * unrolled CTE chain (the q96 precedent). */
+  def q105(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(bpePaths(s, d)._1).orderBy(col("merge_rank"))
+
+  /** q106 — encode the corpus with the q105-trained BPE: per-document
+    * real-tokenizer budget vs raw characters. The production fast-
+    * tokenizer shape: tokenization is per-word, so documents broadcast-
+    * join the word→tokens VOCABULARY table instead of re-running merges
+    * per document — the corpus-side work is one map-side join + one
+    * aggregation, and the merge loop's cost is amortized across every
+    * consumer of the memoized vocab relation. */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    val vocab = s.read.parquet(bpePaths(s, d)._2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(vocab.select(col("word"), col("n_toks"))), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("word"))).cast("long").as("n_word_chars"),
+        sum(col("n_toks")).cast("long").as("n_bpe_tokens"))
+      // integer rational → whole-quantum rounding (the q68/q74 parity rule)
+      .withColumn("chars_per_token",
+        round(col("n_word_chars") * 10000.0 / col("n_bpe_tokens"), 0) / 10000.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared unrolled-CTE prefix for the BPE oracles: w0 is the
+    * word-count table with char symbolization; each round i derives pair
+    * counts p_i, the argmax b_i (1 row), and the merged words w_i via the
+    * same canonical left-to-right fold the Spark side uses
+    * (`list_reduce` here, `aggregate` there — see
+    * [[graft.operators.Bpe]] on why a plain string replace is NOT an
+    * exact merge scan). If pairs exhaust early both engines converge
+    * identically: an empty b_i cross-joins w_i to empty, so later rounds
+    * contribute no rows — the same truncation the Spark loop's early
+    * stop produces.
+    *
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    * w_i is referenced twice (by p_{i+1} and w_{i+1}) — inlined, the
+    * chain expands 2^rounds scans of the base table. */
+  private def bpeChainSql: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(t)),
+         |          j -> [t[j], t[j+1]])) AS pr
+         |        FROM (SELECT cnt, string_split(s, ' ') AS t FROM w${i - 1}))
+         |  GROUP BY l, r),
+         |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, cnt,
+         |          list_reduce(string_split(s, ' '), (acc, x) ->
+         |            CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+         |                 THEN substr(acc, 1, len(acc) - len(b.l)) || b.l || b.r
+         |                 ELSE acc || ' ' || x END) AS s
+         |        FROM w${i - 1}, b$i b)""".stripMargin
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def q105Sql: String = {
+    val ms = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+    s"""$bpeChainSql
+       |SELECT merge_rank, lhs, rhs, lhs || rhs AS merged, pair_count
+       |FROM (${ms.mkString(" UNION ALL ")})
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  private def q106Sql: String =
+    s"""$bpeChainSql,
+       |docs AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |         FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(sum(len(d.word)) AS BIGINT) AS n_word_chars,
+       |  CAST(sum(len(string_split(w.s, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(len(d.word)) AS BIGINT) * 10000.0 /
+       |        CAST(sum(len(string_split(w.s, ' '))) AS BIGINT), 0)
+       |    / 10000.0 AS chars_per_token
+       |FROM docs d JOIN w$BpeMerges w USING (word)
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q107 — windowed word co-occurrence with quantized PMI: the
+    * word2vec/GloVe-prep artifact (directed skip-gram pairs, window 3).
+    *
+    * Scale shape: the naive formulation is a positions SELF-JOIN on
+    * (doc, |pos_a − pos_b| ≤ W) — quadratic blowup per document and a
+    * corpus-wide shuffle of every token occurrence. Here pair expansion
+    * is MAP-SIDE over each document's token array (posexplode + W
+    * `element_at` probes, no join), so the only corpus-scale shuffle is
+    * the pair aggregation itself, map-side combined and bounded by
+    * vocab² partials per partition. Unigram counts and the 1-row total
+    * broadcast back into the tiny pair relation.
+    *
+    * PMI is reported as an integer-quantized ratio `pmi10k` =
+    * ⌊c_ab·N·10⁴ / (c_a·c_b)⌋ (the PMI argument before the log, fixed-
+    * point) — pure BIGINT arithmetic in both engines, so the iterative-
+    * free plan is hash-oracled; a float log would differ in final ULPs
+    * between libm implementations. At 100 TB the 10⁴ scale factor needs
+    * rebasing against N to stay under 2⁶³ (documented, not hit here). */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    val W = 3
+    val toks = Tables.documents(s, d).select(tokens(col("text")).as("t"))
+    val pairs = toks
+      .select(col("t"), posexplode(col("t")).as(Seq("i", "a")))
+      // try_element_at: past-the-end probes are nulls to filter, not
+      // ANSI-mode errors
+      .select(col("a"), explode(array((1 to W).map(j =>
+        try_element_at(col("t"), col("i") + lit(1 + j))): _*)).as("b"))
+      .filter(col("b").isNotNull)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = toks.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).as("n_tokens"))
+    pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * n_tokens * 10000) div (c_a * c_b)").as("pmi10k"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val q107Sql =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT unnest(toks) AS w FROM t),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+      |pr AS (SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+      |         i -> list_transform(range(i + 1, least(i + 4, len(toks) + 1)),
+      |                j -> [toks[i], toks[j]])))) AS p
+      |       FROM t),
+      |cab AS (SELECT p[1] AS a, p[2] AS b, CAST(count(*) AS BIGINT) AS c_ab
+      |        FROM pr GROUP BY a, b)
+      |SELECT cab.a, cab.b, cab.c_ab, ua.c AS c_a, ub.c AS c_b,
+      |  (cab.c_ab * tot.n_tokens * 10000) // (ua.c * ub.c) AS pmi10k
+      |FROM cab
+      |JOIN uni ua ON ua.w = cab.a
+      |JOIN uni ub ON ub.w = cab.b
+      |CROSS JOIN tot
+      |WHERE cab.c_ab >= 5
+      |ORDER BY a, b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -2158,5 +2347,8 @@ object LlmOps {
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),
     QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),
-    QueryDef("q75_leakage_report", q75, Some(q75Sql)))
+    QueryDef("q75_leakage_report", q75, Some(q75Sql)),
+    QueryDef("q105_bpe_train", q105, Some(q105Sql)),
+    QueryDef("q106_bpe_encode", q106, Some(q106Sql)),
+    QueryDef("q107_cooccurrence", q107, Some(q107Sql)))
 }

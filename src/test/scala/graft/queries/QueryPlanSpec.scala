@@ -226,6 +226,13 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for scoring join:\n$p")
   }
 
+  test("q107: pair expansion is map-side — no positions self-join; unigram sides broadcast") {
+    val p = planString(LlmOps.q107(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"unigram joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"co-occurrence must not self-join token positions:\n$p")
+  }
+
   test("q101: bloom probe filters the fact side BELOW its shuffle (runtime-filter shape)") {
     val p = planString(Relational.q101(spark, sf0001))
     assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
