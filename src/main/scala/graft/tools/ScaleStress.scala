@@ -43,7 +43,8 @@ object ScaleStress {
     "q18_window_rank", "q94_zorder_layout",
     "q96_kmeans_clusters", "q99_semdedup",
     "q35_near_dup", "q61_dedup_clusters", "q76_span_dedup",
-    "q92_incremental_neardup", "q72_pipeline_e2e")
+    "q92_incremental_neardup", "q72_pipeline_e2e",
+    "q105_bpe_train", "q106_bpe_encode", "q107_cooccurrence")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -61,15 +62,22 @@ object ScaleStress {
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      def minOf2(name: String, dir: String): Double =
-        math.min(timeOnce(name, dir), timeOnce(name, dir))
-      val rows = queries.map { name =>
-        val s = minOf2(name, src)
-        val x = minOf2(name, out)
-        (name, s, x, x / s)
+      // (cold, warm): pass 1 includes any memoized index/artifact build
+      // (q92 verdicts, q105 BPE training); min-of-2 is the steady-state
+      // read. Reporting BOTH keeps the scale evidence honest for
+      // memoized queries — their warm ratio alone hides the build cost.
+      def twoPass(name: String, dir: String): (Double, Double) = {
+        val t1 = timeOnce(name, dir); val t2 = timeOnce(name, dir)
+        (t1, math.min(t1, t2))
       }
-      val qs = rows.map { case (n, s, x, r) =>
-        f"""\"$n\":{\"src\":$s%.3f,\"scaled\":$x%.3f,\"ratio\":$r%.2f}"""
+      val rows = queries.map { name =>
+        val (sc, s) = twoPass(name, src)
+        val (xc, x) = twoPass(name, out)
+        (name, s, x, x / s, sc, xc)
+      }
+      val qs = rows.map { case (n, s, x, r, sc, xc) =>
+        f"""\"$n\":{\"src\":$s%.3f,\"scaled\":$x%.3f,\"ratio\":$r%.2f,""" +
+          f"""\"srcCold\":$sc%.3f,\"scaledCold\":$xc%.3f,\"coldRatio\":${xc / sc}%.2f}"""
       }.mkString("{", ",", "}")
       println(s"""{"metric":"scale_stress","factor":$factor,"src":"$src","queries":$qs}""")
     } finally spark.stop()
