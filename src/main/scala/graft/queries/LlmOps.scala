@@ -2302,6 +2302,90 @@ object LlmOps {
       |WHERE cab.c_ab >= 5
       |ORDER BY a, b""".stripMargin
 
+  /** q108 — content-defined chunking + cross-document chunk dedup: the
+    * CDC counterpart to q49's fixed-window chunking and q76's span
+    * dedup. Token boundaries cut where a deterministic polynomial hash
+    * of the token ≡ 0 (mod 8) — boundaries depend only on CONTENT, so
+    * an insertion re-chunks only its own chunk and near-dup documents
+    * share identical chunks despite offset drift (the property fixed
+    * windows lack, and the reason CDC underlies dedup at backup/corpus
+    * scale). The report lists chunk hashes seen in ≥ 2 distinct docs —
+    * the cross-doc boilerplate detector.
+    *
+    * Scale shape: chunking is ENTIRELY map-side per document — token
+    * hashes, cut positions, and per-chunk hashes are array expressions
+    * (transform/filter/aggregate folds) inside whole-stage codegen; no
+    * token-level window, no positions self-join, no corpus-wide token
+    * shuffle. The only Exchange is the map-side-combined groupBy on
+    * chunk_hash — the dedup report itself.
+    *
+    * Determinism / parity: both hashes are integer folds mod 2³¹−1
+    * (char-level base 31, chunk-level base 1000003), bit-identical in
+    * ANSI SQL (`list_reduce` with a [0]-prepend for the zero init).
+    * Hash collisions (~n²/2³¹) would merge report rows identically in
+    * both engines — acceptable for a candidate report. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val M = 2147483647L // 2^31 - 1; fold products stay < 2^52, no overflow
+    def tokHash(tok: Column): Column =
+      when(length(tok) === 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), length(tok)), lit(0L),
+          (h, j) => pmod(h * lit(31L) + ascii(tok.substr(j, lit(1))).cast("long"), lit(M))))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(tokens(col("text")), tokHash(_)).as("th"))
+      // cut AFTER 0-based position i when th[i] % 8 == 0; chunk k spans
+      // starts[k]..ends[k] (0-based, inclusive); a trailing cut yields
+      // an empty span filtered by cs <= ce
+      .select(col("doc_id"), col("th"),
+        filter(sequence(lit(0), size(col("th")) - 1),
+          i => pmod(element_at(col("th"), i + 1), lit(8L)) === 0).as("cuts"))
+      .select(col("doc_id"), col("th"),
+        concat(array(lit(0)), transform(col("cuts"), c => c + 1)).as("starts"),
+        concat(col("cuts"), array(size(col("th")) - 1)).as("ends"))
+      .select(col("doc_id"), col("th"),
+        explode(arrays_zip(col("starts"), col("ends"))).as("se"))
+      .select(col("doc_id"), col("th"),
+        col("se.starts").as("cs"), col("se.ends").as("ce"))
+      .filter(col("cs") <= col("ce"))
+      .select(col("doc_id"),
+        aggregate(slice(col("th"), col("cs") + 1, col("ce") - col("cs") + 1),
+          lit(0L), (a, x) => pmod(a * lit(1000003L) + x, lit(M))).as("chunk_hash"),
+        (col("ce") - col("cs") + 1).cast("long").as("toklen"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("toklen")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
+  }
+
+  private val q108Sql =
+    """WITH d AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '), tok ->
+      |      list_reduce([CAST(0 AS BIGINT)] ||
+      |          list_transform(range(1, len(tok) + 1), j -> CAST(ascii(tok[j]) AS BIGINT)),
+      |        (h, x) -> (h * 31 + x) % 2147483647)) AS th
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, th,
+      |    list_filter(range(0, len(th)), i -> th[i + 1] % 8 = 0) AS cuts
+      |  FROM d),
+      |se AS (
+      |  SELECT doc_id, th,
+      |    [0] || list_transform(cuts, x -> x + 1) AS starts,
+      |    cuts || [len(th) - 1] AS ends,
+      |    unnest(range(1, len(cuts) + 2)) AS k
+      |  FROM c),
+      |ch AS (
+      |  SELECT doc_id,
+      |    list_reduce([CAST(0 AS BIGINT)] || list_slice(th, starts[k] + 1, ends[k] + 1),
+      |      (a, x) -> (a * 1000003 + x) % 2147483647) AS chunk_hash,
+      |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS toklen
+      |  FROM se WHERE starts[k] <= ends[k])
+      |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occ, min(toklen) AS n_tokens
+      |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_hash""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
@@ -2350,5 +2434,6 @@ object LlmOps {
     QueryDef("q75_leakage_report", q75, Some(q75Sql)),
     QueryDef("q105_bpe_train", q105, Some(q105Sql)),
     QueryDef("q106_bpe_encode", q106, Some(q106Sql)),
-    QueryDef("q107_cooccurrence", q107, Some(q107Sql)))
+    QueryDef("q107_cooccurrence", q107, Some(q107Sql)),
+    QueryDef("q108_cdc_chunks", q108, Some(q108Sql)))
 }

@@ -233,6 +233,21 @@ class QueryPlanSpec extends SparkSpec {
       s"co-occurrence must not self-join token positions:\n$p")
   }
 
+  test("q108: chunking is map-side — exactly one aggregation exchange, no window/join") {
+    val p = planString(LlmOps.q108(spark, sf0001))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"CDC chunking must not window or join token positions:\n$p")
+    // two hash exchanges is the count-distinct expansion — partial agg
+    // keyed (chunk_hash, doc_id), final keyed chunk_hash — BOTH carry
+    // only chunk-level rows, never token positions; anything more means
+    // the map-side chunking leaked a corpus-scale shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected at most the two dedup-aggregation exchanges, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(chunk_hash"),
+      s"dedup aggregation must shuffle on chunk_hash:\n$p")
+  }
+
   test("q101: bloom probe filters the fact side BELOW its shuffle (runtime-filter shape)") {
     val p = planString(Relational.q101(spark, sf0001))
     assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
