@@ -44,7 +44,8 @@ object ScaleStress {
     "q96_kmeans_clusters", "q99_semdedup",
     "q35_near_dup", "q61_dedup_clusters", "q76_span_dedup",
     "q92_incremental_neardup", "q72_pipeline_e2e",
-    "q105_bpe_train", "q106_bpe_encode", "q107_cooccurrence")
+    "q105_bpe_train", "q106_bpe_encode", "q107_cooccurrence",
+    "q108_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
