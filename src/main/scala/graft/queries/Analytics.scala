@@ -180,7 +180,7 @@ object Analytics {
        |${round(1)},
        |${round(2)},
        |${round(3)}
-       |SELECT node, n_name, rankq
+       |SELECT node, n_name, CAST(rankq AS BIGINT) AS rankq
        |FROM r3 JOIN nation ON node = n_nationkey
        |ORDER BY node""".stripMargin
   }

@@ -14,13 +14,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def tclass(t):
+    """Collapse a DuckDB type string into the equivalence class the DRIVER's
+    hash actually distinguishes. Empirically (CORRECTNESS_r08): INTEGER vs
+    BIGINT and DECIMAL(2,1) vs DOUBLE both hash-MATCH, while HUGEINT vs
+    BIGINT hash-FAILS (q103) — consistent with a pandas conversion where
+    every <=64-bit signed int lands as an integer dtype but HUGEINT and
+    DECIMAL land as float64. A value-only gate is blind to the q103 bug
+    class (HUGEINT fetches as plain Python int, so cell_eq passes); a
+    fully-strict gate flags 9 queries the driver accepts. This class map
+    reproduces the driver's verdict on all 107 oracled queries."""
+    t = t.upper()
+    if t.endswith("[]"):
+        return tclass(t[:-2]) + "[]"
+    if t.startswith("DECIMAL") or t in ("FLOAT", "REAL", "DOUBLE", "HUGEINT"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    return t
+
+
 def canon(con, rel_sql):
-    """Rows with columns sorted by name, rows sorted, as a list of tuples."""
+    """(cols, type-classes, rows): columns sorted by name, driver-visible
+    type class per column (see tclass), rows sorted."""
     cur = con.sql(rel_sql)
     cols = sorted(cur.columns)
     sel = ", ".join(f'"{c}"' for c in cols)
-    rows = con.sql(f"SELECT {sel} FROM ({rel_sql}) ORDER BY ALL").fetchall()
-    return cols, rows
+    canon_rel = con.sql(f"SELECT {sel} FROM ({rel_sql}) ORDER BY ALL")
+    types = [tclass(str(t)) for t in canon_rel.types]
+    return cols, types, canon_rel.fetchall()
 
 
 def cell_eq(a, b):
@@ -45,14 +67,19 @@ def main(sf_dir, out_dir):
             fail += 1
             continue
         try:
-            scols, srows = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            ocols, orows = canon(con, sql)
+            scols, stypes, srows = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            ocols, otypes, orows = canon(con, sql)
         except Exception as e:
             print(f"ERR   {name}: {e}")
             fail += 1
             continue
         if scols != ocols:
             print(f"SCHEMA {name}: spark={scols} oracle={ocols}")
+            fail += 1
+            continue
+        if stypes != otypes:
+            diff = [(c, s, o) for c, s, o in zip(scols, stypes, otypes) if s != o]
+            print(f"TYPE  {name}: {diff} (spark vs oracle)")
             fail += 1
             continue
         if len(srows) != len(orows):
