@@ -916,27 +916,77 @@ object LlmOps {
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
 
-  /** q35c — SimHash (64-bit) per document: bit-majority over token
-    * hashes. Hamming-close simhashes ⇒ near-dup candidates. xxhash64-
-    * based → no SQL oracle. */
+  /** q35c — SimHash (60-bit) per document: bit-majority over token
+    * signatures. Hamming-close simhashes ⇒ near-dup candidates. The token
+    * signature is two independent char-polynomial hashes (the q37 pattern)
+    * packed into 60 bits — same O(chars) map-side cost as xxhash64, but
+    * computable bit-identically in any ANSI engine, so the sketch is
+    * portable across engines AND fully DuckDB-oracled (vs the usual
+    * hash-sketch queries that can only be property-tested). */
   def q35c(s: SparkSession, d: String): DataFrame =
     simhashRel(s, d).orderBy(col("doc_id"))
 
+  /** Simhash width and band geometry: 60 bits = 4 bands × 15 bits. By
+    * Manku-Jain-Sarma pigeonhole, any pair within Hamming distance 3 of
+    * each other shares at least one intact 15-bit band. */
+  private val SimhashBits = 60
+  private[queries] val SimhashBandBits = 15
+
+  /** Portable 60-bit token signature: char-polynomial hashes with
+    * (base 31, mod 1e9+7) and (base 131, mod 998244353), packed as
+    * h1 * 2^30 + h2 (both residues < 2^30, so the fields never overlap
+    * and the product stays far inside BIGINT). */
+  private def tokenSig(tok: Column): Column = {
+    def fold(base: Long, p: Long): Column =
+      aggregate(split(tok, ""), lit(0L), (acc, c) => (acc * base + ascii(c)) % p)
+    fold(31L, 1000000007L) * lit(1073741824L) + fold(131L, 998244353L)
+  }
+
   /** (doc_id, simhash) without presentation order — shared by q35c and the
-    * banded pairing in q71. */
+    * banded pairing in q71. One explode + one hash-agg; the 60 bit-tallies
+    * ride a single shuffle as a fixed-width row. */
   private def simhashRel(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", tokenSig(col("tok")))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i")
     }
     val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
+    val simhash = (0 until SimhashBits)
       .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), simhash.as("simhash"))
   }
+
+  /** DuckDB mirror of [[simhashRel]], as a WITH-clause fragment ending in
+    * `sim(doc_id, simhash)`. Generated so the 60 bit-tallies stay in
+    * lockstep with SimhashBits. */
+  private def simhashSqlCtes: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val assemble = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tv AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) * 1073741824 +
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % 998244353) AS v
+       |  FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM tv GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $assemble AS simhash FROM bits)""".stripMargin
+  }
+
+  private def q35cSql: String =
+    s"""WITH $simhashSqlCtes
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
 
   /** q36 — text stats per language: doc counts, char/token averages
     * (exact integer sums → deterministic division), source cardinality. */
@@ -1857,20 +1907,22 @@ object LlmOps {
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** q71 — SimHash-banded near-dup: the classic web-dedup pipeline
-    * (Charikar simhash + Manku-Jain-Sarma band blocking). The 64-bit
-    * simhash splits into 4×16-bit bands; by pigeonhole, any pair within
+    * (Charikar simhash + Manku-Jain-Sarma band blocking). The 60-bit
+    * simhash splits into 4×15-bit bands; by pigeonhole, any pair within
     * Hamming distance 3 shares at least one intact band, so candidates
     * come from 4 equi-joins on (band, chunk) — Σ bucket² work — and the
     * exact Hamming check is one codegen'd `bit_count(xor)` per candidate.
     * Complements q35d (MinHash bands ≈ Jaccard) with the bit-sketch
-    * family (simhash ≈ cosine over feature vectors). xxhash64-based →
-    * engine-specific, no SQL oracle; recall vs exact pairs is asserted in
-    * LlmOpsSpec. */
+    * family (simhash ≈ cosine over feature vectors). The portable token
+    * signature (see q35c) makes the whole pipeline pure cross-engine
+    * integer arithmetic, so it is DuckDB-oracled; blocking losslessness
+    * vs brute force is additionally asserted in LlmOpsSpec. */
   def q71(s: SparkSession, d: String): DataFrame = {
     val sim = simhashRel(s, d)
     val chunks = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("chunk"))
         .as(s"b$b")
     }
     val buckets = sim
@@ -1890,6 +1942,21 @@ object LlmOps {
       .distinct()
       .orderBy(col("da"), col("db"))
   }
+
+  /** The q71 oracle mirrors the banded self-join exactly: DuckDB's `>>`,
+    * `&`, `xor` and `bit_count` compute the same 64-bit integer results
+    * (bit_count returns TINYINT there — cast to INT to match Spark). */
+  private def q71Sql: String =
+    s"""WITH $simhashSqlCtes,
+       |bk AS (SELECT doc_id, simhash, band,
+       |         (simhash >> (band * $SimhashBandBits)) & ${(1L << SimhashBandBits) - 1} AS chunk
+       |       FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band))
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM bk a JOIN bk b
+       |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY da, db""".stripMargin
 
   /** q72 — the END-TO-END training-data pipeline, composed from the
     * operators above as ONE declarative flow Catalyst plans globally:
@@ -2395,7 +2462,7 @@ object LlmOps {
     QueryDef("q34d_ivf_ann", q34d, Some(q34dSql)),
     QueryDef("q35_near_dup", q35, Some(q35Sql)),
     QueryDef("q35b_minhash_sig", q35b, None),
-    QueryDef("q35c_simhash", q35c, None),
+    QueryDef("q35c_simhash", q35c, Some(q35cSql)),
     QueryDef("q35d_lsh_neardup", q35d, None),
     QueryDef("q36_text_stats", q36, Some(q36Sql)),
     QueryDef("q37_fingerprint", q37, Some(q37Sql)),
@@ -2427,7 +2494,7 @@ object LlmOps {
     QueryDef("q100_embedding_gram", q100, Some(q100Sql)),
     QueryDef("q104_pq_ann", q104, Some(q104Sql)),
     QueryDef("q98_cms_heavy_hitters", q98, None),
-    QueryDef("q71_simhash_neardup", q71, None),
+    QueryDef("q71_simhash_neardup", q71, Some(q71Sql)),
     QueryDef("q72_pipeline_e2e", q72, Some(q72Sql)),
     QueryDef("q73_embed_clusters", q73, Some(q73Sql)),
     QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),
