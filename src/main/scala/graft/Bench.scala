@@ -47,13 +47,33 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    // Machine-speed calibration: a fixed CPU-bound probe (1e8-row codegen'd
+    // range aggregation, no IO, no shuffle) timed before and after the
+    // sweep. Round-8 incident: SUSTAINED VM contention slowed both min-of-2
+    // passes, recording 35× phantom regressions on bit-identical code. The
+    // probe's cost is machine-only, so readers normalize query times by
+    // (calibration / its historical ~0.1-0.3 s value) — and a large
+    // start-vs-end delta flags contention that arrived mid-sweep. Protocol
+    // documented in BASELINE.md.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    calibrate() // untimed codegen warmup for the probe itself
+    val calStart = math.min(calibrate(), calibrate())
+    // min-of-2, escalating to min-of-3 when the min still looks hot: a
+    // sustained-contention run gets one more chance to catch a quiet slot
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val m = math.min(timeOnce(fn), timeOnce(fn))
+      if (m > 1.5) math.min(m, timeOnce(fn)) else m
+    }
+    val results = selected.map { case (name, fn) => name -> measure(fn) }
+    val calEnd = math.min(calibrate(), calibrate())
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calStart,"calibration_end":$calEnd,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
