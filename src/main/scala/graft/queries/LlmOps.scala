@@ -76,10 +76,70 @@ object LlmOps {
     occ.join(broadcast(hotShinglesRel(s, d)), Seq("ngram"), "left_anti")
   }
 
-  /** Hash family h_j(x) = xxhash64(x, j) — seeded rehash, no overflow
-    * under ANSI arithmetic (a multiplicative family would long-overflow). */
-  private val minhashAggs: Seq[Column] = (0 until 16).map { j =>
-    min(xxhash64(col("ngram"), lit(j))).as(s"mh$j")
+  /** Char-polynomial fold — the q37 fingerprint pattern, computable
+    * bit-identically in DuckDB via list_reduce (see [[polyFoldSql]]). */
+  private def polyFold(c: Column, base: Long, p: Long): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * base + ascii(ch)) % p)
+
+  private def polyFoldSql(expr: String, base: Long, p: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * $base + b) % $p)""".stripMargin
+
+  /** Portable minhash family: h_j(x) = (A_j·k1(x) + B_j·k2(x) + j) mod
+    * 2^31-1, where k1/k2 are the two char-polynomial digests of the
+    * shingle (bases 31/131, primes 1e9+7/998244353). Each digest < 2^30
+    * and each multiplier < 2^31, so every product stays < 2^61 — no
+    * overflow in either engine (a multiplicative family over 64-bit
+    * hashes would long-overflow; DuckDB would refuse it). Two string
+    * passes per shingle feed all 16 hashes — cheaper than 16 seeded
+    * rehashes, and pure cross-engine integer math ⇒ DuckDB-oracleable. */
+  private val MinhashP = 2147483647L
+  private def minhashA(j: Int): Long = (1000003L * (j + 1)) % MinhashP
+  private def minhashB(j: Int): Long = (998244353L * (j + 7) + 12345L) % MinhashP
+
+  /** (doc_id, mh0..mh15) — one shingle explode + one hash-agg; k1/k2 are
+    * computed once per shingle occurrence and shared by the 16 mins. */
+  private def minhashSigRel(s: SparkSession, d: String): DataFrame = {
+    val keyed = shingleRel(s, d)
+      .withColumn("k1", polyFold(col("ngram"), 31L, 1000000007L))
+      .withColumn("k2", polyFold(col("ngram"), 131L, 998244353L))
+    val aggs = (0 until 16).map { j =>
+      min((col("k1") * minhashA(j) + col("k2") * minhashB(j) + j) % MinhashP).as(s"mh$j")
+    }
+    keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band hash = left fold (acc·31 + mh) mod 2^31-1 over the band's 4
+    * minhashes (acc < 2^36 before each mod — safe in both engines). */
+  private def bandHash(mhs: Seq[Column]): Column =
+    mhs.foldLeft(lit(0L): Column)((acc, c) => (acc * 31L + c) % MinhashP)
+
+  private def bandHashSql(mhs: Seq[String]): String =
+    mhs.foldLeft("CAST(0 AS BIGINT)")((acc, c) => s"(($acc) * 31 + $c) % $MinhashP")
+
+  /** DuckDB mirror of [[minhashSigRel]] as WITH-clause CTEs ending in
+    * `sig(doc_id, mh0..mh15)`; the rare-shingle universe mirrors
+    * [[hotShinglesRel]] (df counted over distinct (doc, ngram)). */
+  private def minhashSigSqlCtes: String = {
+    val mins = (0 until 16)
+      .map(j => s"min((k1 * ${minhashA(j)} + k2 * ${minhashB(j)} + $j) % $MinhashP) AS mh$j")
+      .mkString(",\n    ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+       |       FROM t WHERE len(toks) >= 3),
+       |hot AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM sh0 GROUP BY 1)
+       |        WHERE df > $MaxShingleDocFreq),
+       |sh AS (SELECT doc_id, ngram FROM sh0 WHERE ngram NOT IN (SELECT ngram FROM hot)),
+       |k AS (SELECT doc_id,
+       |    ${polyFoldSql("ngram", 31L, 1000000007L)} AS k1,
+       |    ${polyFoldSql("ngram", 131L, 998244353L)} AS k2
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM k GROUP BY doc_id)""".stripMargin
   }
 
   /** q23 — exact dedup with deterministic survivor (smallest doc_id per
@@ -818,17 +878,28 @@ object LlmOps {
       |  USING (new_id)
       |ORDER BY new_id""".stripMargin
 
-  /** q35b — MinHash signatures (k=16) per document: the scale path for
-    * near-dup (LSH banding joins on signature bands instead of raw
-    * shingles). xxhash64-based → engine-specific, no SQL oracle; banding
-    * recall is asserted in unit tests. */
+  /** q35b — MinHash band keys (k=16 → 4 bands × 4 rows) per document:
+    * the scale path for near-dup (LSH banding joins on signature bands
+    * instead of raw shingles). The portable hash family (see
+    * [[minhashSigRel]]) makes the signatures pure cross-engine integer
+    * math, so this is DuckDB-oracled; banding recall is additionally
+    * asserted in unit tests. */
   def q35b(s: SparkSession, d: String): DataFrame = {
-    val sig = shingleRel(s, d).groupBy(col("doc_id"))
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
+    val sig = minhashSigRel(s, d)
     val bands = (0 until 4).map { b =>
-      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as(s"band$b")
+      bandHash((0 until 4).map(r => col(s"mh${b * 4 + r}"))).as(s"band$b")
     }
     sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
+  }
+
+  private def q35bSql: String = {
+    val bands = (0 until 4)
+      .map(b => s"${bandHashSql((0 until 4).map(r => s"mh${b * 4 + r}"))} AS band$b")
+      .mkString(",\n  ")
+    s"""WITH $minhashSigSqlCtes
+       |SELECT doc_id,
+       |  $bands
+       |FROM sig ORDER BY doc_id""".stripMargin
   }
 
   private val lshPairsCache =
@@ -857,11 +928,10 @@ object LlmOps {
     *    dwarf the 128-byte/doc signatures. */
   private def lshVerifiedPairsPath(s: SparkSession, d: String): String =
     lshPairsCache.getOrCompute(d) { dir =>
-      val sig = shingleRel(s, dir).groupBy(col("doc_id"))
-        .agg(minhashAggs.head, minhashAggs.tail: _*)
+      val sig = minhashSigRel(s, dir)
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("h")).as(s"b$b")
+          bandHash((0 until 4).map(r => col(s"mh${b * 4 + r}"))).as("h")).as(s"b$b")
       }
       val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
@@ -909,12 +979,43 @@ object LlmOps {
     * q35's exact shingle join approximates at small scale): 16 minhashes →
     * 4 bands × 4 rows → docs sharing ANY band bucket become candidate
     * pairs (equi-join on (band, hash) — Σ bucket² work) → exact shingle
-    * Jaccard verifies candidates. Hash-based → no SQL oracle; recall vs
-    * the exact q35 pairs is asserted in tests. */
+    * Jaccard verifies candidates. With the portable minhash family the
+    * candidate set is cross-engine-deterministic, so the pipeline is
+    * DuckDB-oracled: the oracle re-derives the same candidates and their
+    * exact Jaccard (the bottom-k estimator reduces to exact Jaccard when
+    * doc shingle sets are under the 8192 cap, which holds at oracle
+    * scale by orders of magnitude). Recall vs the exact q35 pairs is
+    * additionally asserted in tests. */
   def q35d(s: SparkSession, d: String): DataFrame =
     s.read.parquet(lshVerifiedPairsPath(s, d))
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
+
+  private def q35dSql: String = {
+    val bk = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, " +
+        s"${bandHashSql((0 until 4).map(r => s"mh${b * 4 + r}"))} AS h FROM sig")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $minhashSigSqlCtes,
+       |bk AS ($bk),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bk a JOIN bk b
+       |           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       |ints AS (SELECT c.da, c.db, count(*) AS inter
+       |         FROM cand c
+       |           JOIN sh x ON x.doc_id = c.da
+       |           JOIN sh y ON y.doc_id = c.db AND y.ngram = x.ngram
+       |         GROUP BY 1, 2)
+       |SELECT c.da, c.db,
+       |  round(COALESCE(i.inter, 0) * 10000.0 /
+       |        (sa.nsh + sb.nsh - COALESCE(i.inter, 0)), 0) / 10000.0 AS jaccard
+       |FROM cand c
+       |  JOIN sizes sa ON sa.doc_id = c.da
+       |  JOIN sizes sb ON sb.doc_id = c.db
+       |  LEFT JOIN ints i ON i.da = c.da AND i.db = c.db
+       |ORDER BY c.da, c.db""".stripMargin
+  }
 
   /** q35c — SimHash (60-bit) per document: bit-majority over token
     * signatures. Hamming-close simhashes ⇒ near-dup candidates. The token
@@ -936,11 +1037,9 @@ object LlmOps {
     * (base 31, mod 1e9+7) and (base 131, mod 998244353), packed as
     * h1 * 2^30 + h2 (both residues < 2^30, so the fields never overlap
     * and the product stays far inside BIGINT). */
-  private def tokenSig(tok: Column): Column = {
-    def fold(base: Long, p: Long): Column =
-      aggregate(split(tok, ""), lit(0L), (acc, c) => (acc * base + ascii(c)) % p)
-    fold(31L, 1000000007L) * lit(1073741824L) + fold(131L, 998244353L)
-  }
+  private def tokenSig(tok: Column): Column =
+    polyFold(tok, 31L, 1000000007L) * lit(1073741824L) +
+      polyFold(tok, 131L, 998244353L)
 
   /** (doc_id, simhash) without presentation order — shared by q35c and the
     * banded pairing in q71. One explode + one hash-agg; the 60 bit-tallies
@@ -2461,9 +2560,9 @@ object LlmOps {
     QueryDef("q34c_lsh_ann", q34c, Some(q34cSql)),
     QueryDef("q34d_ivf_ann", q34d, Some(q34dSql)),
     QueryDef("q35_near_dup", q35, Some(q35Sql)),
-    QueryDef("q35b_minhash_sig", q35b, None),
+    QueryDef("q35b_minhash_sig", q35b, Some(q35bSql)),
     QueryDef("q35c_simhash", q35c, Some(q35cSql)),
-    QueryDef("q35d_lsh_neardup", q35d, None),
+    QueryDef("q35d_lsh_neardup", q35d, Some(q35dSql)),
     QueryDef("q36_text_stats", q36, Some(q36Sql)),
     QueryDef("q37_fingerprint", q37, Some(q37Sql)),
     QueryDef("q38_quality_score", q38, Some(q38Sql)),
