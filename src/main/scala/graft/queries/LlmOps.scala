@@ -77,9 +77,14 @@ object LlmOps {
   }
 
   /** Char-polynomial fold — the q37 fingerprint pattern, computable
-    * bit-identically in DuckDB via list_reduce (see [[polyFoldSql]]). */
+    * bit-identically in DuckDB via list_reduce (see [[polyFoldSql]]).
+    * Backed by the codegen'd [[graft.functions.PolyHashExpr]] rather
+    * than the interpreted `aggregate(split(...))` HOF: shingle hashing
+    * is the map-side hot loop of the whole near-dup family, and the HOF
+    * form (CodegenFallback) both interprets the lambda per char and
+    * kicks the surrounding projection out of whole-stage codegen. */
   private def polyFold(c: Column, base: Long, p: Long): Column =
-    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * base + ascii(ch)) % p)
+    graft.functions.PolyHashExpr(c, base, p)
 
   private def polyFoldSql(expr: String, base: Long, p: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1121,12 +1126,12 @@ object LlmOps {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q37 — document fingerprint: polynomial rolling hash over characters,
-    * mod 1e9+7 (stays in 64-bit range in both engines). */
+    * mod 1e9+7 (stays in 64-bit range in both engines; codegen'd
+    * [[graft.functions.PolyHashExpr]], see [[polyFold]]). */
   def q37(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        aggregate(split(col("text"), ""), lit(0L),
-          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fingerprint"))
+        polyFold(col("text"), 31L, 1000000007L).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   private val q37Sql =

@@ -167,4 +167,21 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(math.abs(approx - exact).toDouble / exact <= 0.05)
   }
+
+  test("poly_hash: codegen'd fold equals the interpreted HOF formulation") {
+    // PolyHashExpr replaced aggregate(split(s,''), 0, (a,c) => (a*b +
+    // ascii(c)) % m) in the near-dup hot path; the two must stay
+    // bit-identical over the printable-ASCII universe the corpus and the
+    // DuckDB oracles use (plus edge cases: empty string, repeats)
+    val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val strs = (samples(gen, 300) ++ Seq("", " ", "  ", "aaa", "a b c")).distinct
+    for ((base, mod) <- Seq((31L, 1000000007L), (131L, 998244353L))) {
+      val df = strs.toDF("s")
+      val got = df.select(PolyHashExpr(col("s"), base, mod)).collect().map(_.getLong(0))
+      val want = df.select(
+        aggregate(split(col("s"), ""), lit(0L),
+          (acc, c) => (acc * base + ascii(c)) % mod)).collect().map(_.getLong(0))
+      assert(got.toSeq == want.toSeq, s"divergence at base=$base mod=$mod")
+    }
+  }
 }
