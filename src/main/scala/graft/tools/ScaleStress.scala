@@ -42,7 +42,8 @@ object ScaleStress {
     "q01_pricing_summary", "q04_join_sortmerge", "q09_range_join",
     "q18_window_rank", "q94_zorder_layout",
     "q96_kmeans_clusters", "q99_semdedup",
-    "q35_near_dup", "q61_dedup_clusters", "q76_span_dedup",
+    "q35_near_dup", "q35d_lsh_neardup", "q71_simhash_neardup",
+    "q61_dedup_clusters", "q76_span_dedup",
     "q92_incremental_neardup", "q72_pipeline_e2e",
     "q105_bpe_train", "q106_bpe_encode", "q107_cooccurrence",
     "q108_cdc_chunks")
