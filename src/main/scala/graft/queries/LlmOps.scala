@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{CosineSimilarityExpr, NGramExplode}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, NGramExplode}
 import graft.operators.Pq
 import QueryDef._
 
@@ -268,8 +268,9 @@ object LlmOps {
     val dbl = transform(col("embedding"), x => x.cast("double"))
     val sig = lshPlanes.zipWithIndex.map { case (plane, j) =>
       val planeLit = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(col("dbl"), planeLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen'd sequential fold — bit-identical to the
+      // aggregate(zip_with(...)) HOF it replaces (same IEEE order)
+      val dot = DotProductExpr(col("dbl"), planeLit)
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     val e = Tables.embeddings(s, d)
@@ -2525,10 +2526,12 @@ object LlmOps {
     * both engines — acceptable for a candidate report. */
   def q108(s: SparkSession, d: String): DataFrame = {
     val M = 2147483647L // 2^31 - 1; fold products stay < 2^52, no overflow
+    // the codegen'd PolyHashExpr replaces the nested interpreted
+    // aggregate(sequence(...substr...)) fold — same base-31 mod 2^31-1
+    // digest (empty token → 0 in both), one static call per token with
+    // no per-token index-array allocation
     def tokHash(tok: Column): Column =
-      when(length(tok) === 0, lit(0L)).otherwise(
-        aggregate(sequence(lit(1), length(tok)), lit(0L),
-          (h, j) => pmod(h * lit(31L) + ascii(tok.substr(j, lit(1))).cast("long"), lit(M))))
+      graft.functions.PolyHashExpr(tok, 31L, M)
     Tables.documents(s, d)
       .select(col("doc_id"),
         transform(tokens(col("text")), tokHash(_)).as("th"))

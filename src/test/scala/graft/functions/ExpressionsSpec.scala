@@ -184,4 +184,19 @@ class ExpressionsSpec extends SparkSpec {
       assert(got.toSeq == want.toSeq, s"divergence at base=$base mod=$mod")
     }
   }
+
+  test("dot_product: codegen'd loop equals the interpreted HOF formulation") {
+    // DotProductExpr replaced aggregate(zip_with(a, b, _*_), 0.0, _+_) in
+    // the sign-LSH signature; both must produce the same IEEE double
+    // BIT-FOR-BIT (same sequential summation order), not just approximately
+    val gen = Gen.listOfN(64, Gen.choose(-1e3, 1e3))
+    val pairs = samples(gen.flatMap(a => gen.map(b => (a, b))), 100)
+    val df = pairs.toDF("a", "b")
+    val got = df.select(DotProductExpr(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val want = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    assert(got.toSeq.map(java.lang.Double.doubleToLongBits) ==
+      want.toSeq.map(java.lang.Double.doubleToLongBits))
+  }
 }
