@@ -1868,6 +1868,53 @@ object LlmOps {
       |    / 10000.0 AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q109 — bigram-LM fluency: each document's mean log-probability of
+    * its token bigrams under an add-1-smoothed corpus bigram model,
+    * P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) — the next perplexity proxy up
+    * from q68's unigram score (the CCNet-style LM quality filter:
+    * locally-incoherent token sequences score low even when every token
+    * is individually common). Scale shape: the pair stream is map-side
+    * (NGramExplode), the bigram/context models are vocab-bounded hash
+    * aggregations, only the 1-row vocab size broadcasts, and scoring
+    * reuses the pair stream's own keys — token-linear end to end, like
+    * q68. Same 1e-4 integer quantization ⇒ bit-stable mean under any
+    * partitioning, fully DuckDB-oracled. */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = docs
+      .select(col("doc_id"), NGramExplode(col("text"), 2).as(Seq("pos", "pr")))
+      .select(col("doc_id"), col("pr"), substring_index(col("pr"), " ", 1).as("w1"))
+    val bigram = pairs.groupBy(col("pr")).agg(count(lit(1)).as("c12"))
+    val context = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    pairs.join(bigram, "pr").join(context, "w1").crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum(round(col("logp") * 10000, 0).cast("long")) / count(lit(1)), 0)
+          / 10000.0).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q109Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS pr
+      |      FROM t WHERE len(toks) >= 2),
+      |pw AS (SELECT doc_id, pr, string_split(pr, ' ')[1] AS w1 FROM p),
+      |b AS (SELECT pr, count(*) AS c12 FROM pw GROUP BY pr),
+      |cx AS (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1),
+      |vv AS (SELECT count(DISTINCT tok) AS v
+      |       FROM (SELECT unnest(toks) AS tok FROM t)),
+      |sc AS (SELECT doc_id, ln((c12 + 1) * 1.0 / (c1 + v)) AS logp
+      |       FROM pw JOIN b USING (pr) JOIN cx USING (w1) CROSS JOIN vv)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(sum(CAST(round(logp * 10000) AS BIGINT)) * 1.0 / count(*), 0)
+      |    / 10000.0 AS avg_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q69 — training-sequence packing: lay documents out in a deterministic
     * pseudo-random order and greedily concatenate into fixed token-budget
     * sequences (budget 2048) — how training shards are materialized from a
@@ -2637,5 +2684,6 @@ object LlmOps {
     QueryDef("q105_bpe_train", q105, Some(q105Sql)),
     QueryDef("q106_bpe_encode", q106, Some(q106Sql)),
     QueryDef("q107_cooccurrence", q107, Some(q107Sql)),
-    QueryDef("q108_cdc_chunks", q108, Some(q108Sql)))
+    QueryDef("q108_cdc_chunks", q108, Some(q108Sql)),
+    QueryDef("q109_bigram_lm", q109, Some(q109Sql)))
 }
