@@ -19,13 +19,30 @@ import graft.ingest.CsvFieldsExpr
   *
   * Registered: `flex_timestamp_ms(s)`, `cosine_similarity(a, b)`,
   * `bigint_low64(s)`, `ngram_explode(text, n)`, `csv_fields(line)`,
-  * `squared_distance(a, b)`, `zorder_key(x, y)`.
+  * `squared_distance(a, b)`, `zorder_key(x, y)`, `poly_hash(s, base,
+  * mod)`, `dot_product(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "java_udf")
+
+  /** Evaluate a foldable integer-literal argument (the ngram_explode
+    * discipline: SQL-frontend scalars that parameterize codegen must be
+    * literals, not runtime columns). */
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case f if f.foldable => f.eval() match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long    => l.longValue()
+      case s: java.lang.Short   => s.longValue()
+      case b: java.lang.Byte    => b.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable integer literal")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -48,18 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ngram_explode",
         "ngram_explode(text, n) - generator: (pos, ngram) rows of word n-grams"),
       (args: Seq[Expression]) => {
-        val n: Long = args(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: java.lang.Integer => i.longValue()
-            case l: java.lang.Long    => l.longValue()
-            case s: java.lang.Short   => s.longValue()
-            case b: java.lang.Byte    => b.longValue()
-            case other => throw new IllegalArgumentException(
-              s"ngram_explode: n must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "ngram_explode: n must be a foldable integer literal")
-        }
+        val n = longLit(args(1), "ngram_explode", "n")
         if (n < 1 || n > Int.MaxValue)
           throw new IllegalArgumentException(
             s"ngram_explode: n must be in [1, ${Int.MaxValue}], got $n")
@@ -80,5 +86,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder_key",
         "zorder_key(x, y) - Morton curve key: interleaves the low 32 bits of two longs"),
       (args: Seq[Expression]) => graft.functions.ZOrderKeyExpr.forSql(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      info("poly_hash",
+        "poly_hash(str, base, mod) - char-polynomial rolling hash (acc*base + char) % mod"),
+      (args: Seq[Expression]) => graft.functions.PolyHashExpr(args(0),
+        longLit(args(1), "poly_hash", "base"), longLit(args(2), "poly_hash", "mod"))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(vec1, vec2) - sequential-order dot product of two float/double arrays"),
+      (args: Seq[Expression]) => graft.functions.DotProductExpr(args(0), args(1))))
   }
 }

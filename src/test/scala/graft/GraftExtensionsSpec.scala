@@ -68,6 +68,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"expected a dimension-mismatch error, got: $e")
   }
 
+  test("poly_hash / dot_product in SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  poly_hash('abc', 31, 1000000007) AS ph,
+        |  poly_hash('', 31, 1000000007) AS ph0,
+        |  dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp
+        |""".stripMargin).collect()(0)
+    // ((0*31+97)*31+98)*31+99 = 96354 for 'abc' under mod >> value
+    assert(r.getLong(0) == (('a'.toInt * 31 + 'b') * 31 + 'c').toLong)
+    assert(r.getLong(1) == 0L)
+    assert(r.getDouble(2) == 32.0)
+    // base/mod must be literals, not columns
+    val e = intercept[Exception] {
+      spark.sql("SELECT poly_hash('x', id, 7) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("foldable"))
+  }
+
   test("ngram_explode works as a SQL generator in LATERAL VIEW position") {
     val rows = spark.sql(
       """SELECT pos, ngram
