@@ -677,21 +677,31 @@ object LlmOps {
   private val pqCodesCache =
     new graft.operators.DatasetCache[String]("pq-codes", Seq(_))
 
-  def q104(s: SparkSession, d: String): DataFrame = {
-    val (m, k, dims) = (8, 64, 64)
-    val vq = Tables.embeddings(s, d).select(col("vec_id"),
+  private val PqM = 8
+  private val PqK = 64
+  private val PqDims = 64
+
+  /** The corpus quantized to longs — shared base of the PQ/IVF family. */
+  private def pqQuantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
-    val cb = pqCbCache.computeIfAbsent(d,
-      _ => Pq.train(vq, "vec_id", "vq", dims, m, k, iters = 2))
+
+  private def pqCodebooks(s: SparkSession, d: String): Pq.Codebooks =
+    pqCbCache.computeIfAbsent(d,
+      _ => Pq.train(pqQuantized(s, d), "vec_id", "vq", PqDims, PqM, PqK, iters = 2))
+
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val vq = pqQuantized(s, d)
+    val cb = pqCodebooks(s, d)
     val probeRow = vq.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("vq")).head()
     val probeId = probeRow.getLong(0)
     val probe = probeRow.getSeq[Long](1).toArray
     val codesPath = pqCodesCache.getOrCompute(d) { dir =>
       graft.operators.Scratch.materializePath(
-        Pq.encode(vq, "vq", cb).select(
-          col("vec_id") +: (0 until m).map(j => col(s"code_$j")): _*),
+        Pq.encode(pqQuantized(s, dir), "vq", cb).select(
+          col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*),
         "pq-codes")
     }
     s.read.parquet(codesPath)
@@ -720,6 +730,110 @@ object LlmOps {
        |FROM score0 ${(1 until m).map(j => s"JOIN score$j USING (vec_id)").mkString(" ")}
        |WHERE vec_id <> (SELECT min(vec_id) FROM pqbase)
        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q110 — IVF-PQ ANN: the composed production index (FAISS's
+    * IndexIVFPQ shape) that q34d (coarse cells) and q104 (PQ codes) each
+    * demonstrate half of. Build: every vector gets a coarse cell (argmin
+    * integer L2 to 16 seed centroids — a map-side codegen'd argmin over
+    * driver-held literals, the Pq.encode discipline; NO window shuffle)
+    * plus its 8 PQ codes, landed once per dataset as the
+    * (vec_id, cell, code_0..7) index table — at 100 TB that's 16 bytes a
+    * vector and the only corpus pass. Serve: each probe computes its own
+    * cell and 8×64 ADC table driver-side (bounded per-query state — the
+    * ANN-server shape), the 10-probe relation broadcasts, candidates are
+    * the probe's cell members only (n/K, the IVF point), and scoring is
+    * 8 array lookups + a sum per candidate — no floats touched. Fully
+    * integer-deterministic ⇒ DuckDB-oracled end to end (coarse argmin
+    * CTE + the 8 Lloyd chains + per-subspace ADC joins). */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cb = pqCodebooks(s, d)
+    val sub = PqDims / PqM
+    // 16 seed centroids + 10 probes: bounded driver rows by design
+    val cents = pqQuantized(s, d).filter(col("vec_id") < 16)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def sqDist(a: Array[Long], b: Array[Long], lo: Int, n: Int): Long = {
+      var s2 = 0L; var i = 0
+      while (i < n) { val dd = a(lo + i) - b(i); s2 += dd * dd; i += 1 }
+      s2
+    }
+    // distributed cell assignment: argmin over centroid literals with
+    // (dist2, cid) tie-break — identical to the oracle's row_number order
+    val cellExpr = array_min(array(cents.map { case (cid, c) =>
+      struct(graft.functions.SquaredDistanceExpr(col("vq"), typedlit(c.toSeq)).as("d"),
+        lit(cid).as("i"))
+    }: _*)).getField("i")
+    val indexPath = ivfpqIndexCache.getOrCompute(d) { dir =>
+      graft.operators.Scratch.materializePath(
+        Pq.encode(pqQuantized(s, dir), "vq", cb)
+          .withColumn("cell", cellExpr)
+          .select(col("vec_id") +: col("cell") +:
+            (0 until PqM).map(j => col(s"code_$j")): _*),
+        "ivfpq-index")
+    }
+    val probes = pqQuantized(s, d)
+      .filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .collect().map { r =>
+        val pid = r.getLong(0)
+        val pvq = r.getSeq[Long](1).toArray
+        val cell = cents.map { case (cid, c) => (sqDist(pvq, c, 0, PqDims), cid) }.min._2
+        val tabs: Seq[Seq[Long]] = (0 until PqM).map(j =>
+          cb.books(j).map(c => sqDist(pvq, c.toArray, j * sub, sub)))
+        (pid, cell, tabs)
+      }.toSeq.toDF("pid", "cell", "tabs")
+    val adc = (0 until PqM).map(j =>
+      element_at(element_at(col("tabs"), j + 1), col(s"code_$j").cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("pid")).orderBy(col("adc"), col("cid"))
+    s.read.parquet(indexPath)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("pid") =!= col("vec_id"))
+      .select(col("pid"), col("vec_id").as("cid"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private val ivfpqIndexCache =
+    new graft.operators.DatasetCache[String]("ivfpq-index", Seq(_))
+
+  private val q110Sql = {
+    val (m, k, sub) = (PqM, PqK, PqDims / PqM)
+    val chains = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      lloydCteChain(k, s"SELECT vec_id, vq[$lo:$hi] AS vq FROM pqbase", s"s${j}_")
+    }
+    val sj = (0 until m).map { j =>
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      s"""sc$j AS (SELECT cand.pid, cand.cid,
+         |    ${sqDistSql(s"cand.pvq[$lo:$hi]", "c.cent")} AS dj
+         |  FROM cand JOIN s${j}_b3 b ON b.vec_id = cand.cid
+         |       JOIN s${j}_c2 c ON c.cid = b.cluster)""".stripMargin
+    }
+    s"""WITH pqbase AS ($quantizedSrcSql),
+       |cents AS (SELECT vec_id AS ccid, vq AS cvq FROM pqbase WHERE vec_id < 16),
+       |casg AS (SELECT b.vec_id, c.ccid,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.vq", "c.cvq")}, c.ccid) AS rn
+       |         FROM pqbase b CROSS JOIN cents c),
+       |cell AS (SELECT vec_id, ccid AS cell FROM casg WHERE rn = 1),
+       |${chains.mkString(",\n")},
+       |pp AS (SELECT p.vec_id AS pid, p.vq AS pvq, pc.cell
+       |       FROM pqbase p JOIN cell pc ON pc.vec_id = p.vec_id
+       |       WHERE p.vec_id >= 16 AND p.vec_id < 26),
+       |cand AS (SELECT pp.pid, cc.vec_id AS cid, pp.pvq
+       |         FROM pp JOIN cell cc ON cc.cell = pp.cell AND cc.vec_id <> pp.pid),
+       |${sj.mkString(",\n")},
+       |fin AS (SELECT sc0.pid, sc0.cid,
+       |          CAST(${(0 until m).map(j => s"sc$j.dj").mkString(" + ")} AS BIGINT) AS adc
+       |        FROM sc0 ${(1 until m).map(j =>
+                  s"JOIN sc$j ON sc$j.pid = sc0.pid AND sc$j.cid = sc0.cid").mkString(" ")}),
+       |rk AS (SELECT pid, cid, adc,
+       |         row_number() OVER (PARTITION BY pid ORDER BY adc, cid) AS rn
+       |       FROM fin)
+       |SELECT pid, cid, adc, rn FROM rk WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
   }
 
   /** q98 — heavy-hitter tokens via count-min sketch: one pass builds a
@@ -2685,5 +2799,6 @@ object LlmOps {
     QueryDef("q106_bpe_encode", q106, Some(q106Sql)),
     QueryDef("q107_cooccurrence", q107, Some(q107Sql)),
     QueryDef("q108_cdc_chunks", q108, Some(q108Sql)),
-    QueryDef("q109_bigram_lm", q109, Some(q109Sql)))
+    QueryDef("q109_bigram_lm", q109, Some(q109Sql)),
+    QueryDef("q110_ivfpq_ann", q110, Some(q110Sql)))
 }
