@@ -248,6 +248,29 @@ class QueryPlanSpec extends SparkSpec {
       s"dedup aggregation must shuffle on chunk_hash:\n$p")
   }
 
+  test("q109: vocab size broadcasts; no cartesian beyond the 1-row cross") {
+    val p = planString(LlmOps.q109(spark, sf0001))
+    // the only nested-loop is the broadcast cross with the 1-row vocab
+    // count; the bigram/context model joins must stay keyed
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"vocab size not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the scoring join:\n$p")
+  }
+
+  test("q110: serving scans the landed index — probes broadcast, no distance exprs") {
+    val p = planString(LlmOps.q110(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"probe relation not broadcast:\n$p")
+    // all SquaredDistance work happens in the one-time index build; the
+    // serving plan is codes-scan + table lookups + per-probe top-k
+    assert(!p.toLowerCase.contains("squareddistance"),
+      s"distance expressions leaked into the serving plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-3 must plan as a group limit:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cell join must not sort-merge (probes are broadcast-sized):\n$p")
+  }
+
   test("q101: bloom probe filters the fact side BELOW its shuffle (runtime-filter shape)") {
     val p = planString(Relational.q101(spark, sf0001))
     assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
