@@ -67,6 +67,32 @@ class LlmOpsSpec extends SparkSpec {
         s"extra=${out.keySet -- brute.keySet}")
   }
 
+  test("q110 IVF-PQ recalls a usable fraction of the exact top-3 (q34)") {
+    // the composed-index sanity gate: quantization (PQ) + cell pruning
+    // (IVF, nprobe=1) lose recall BY DESIGN, but the index must still
+    // surface true neighbors. q34's probes are vec_id < 10; q110's are
+    // 16..26 — compare against a brute-force recompute on q110's probes
+    import graft.functions.CosineSimilarityExpr
+    val d = sf0001
+    val e = graft.Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("pid") =!= col("vec_id"))
+      .select(col("pid"), col("vec_id").as("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("embedding")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = LlmOps.q110(spark, d)
+      .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty, "IVF-PQ produced no candidates")
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    info(f"q110 recall@3 vs exact cosine at sf0.001: $recall%.3f")
+    assert(recall > 0.0, s"zero recall: ann=$ann")
+  }
+
   test("exact dedup (q23) is idempotent") {
     val once = LlmOps.q23(spark, sf0001)
     // dedup of an already-deduped relation is itself: doc_id sets equal
