@@ -1991,8 +1991,13 @@ object LlmOps {
     * (NGramExplode), the bigram/context models are vocab-bounded hash
     * aggregations, only the 1-row vocab size broadcasts, and scoring
     * reuses the pair stream's own keys — token-linear end to end, like
-    * q68. Same 1e-4 integer quantization ⇒ bit-stable mean under any
-    * partitioning, fully DuckDB-oracled. */
+    * q68. The scoring joins key on pr/w1, whose stopword head is the
+    * classic skew shape — but the model sides are one row per key, so a
+    * hot key is a 1×N broadcast-shaped probe within its partition and
+    * AQE's skew-join split handles the residual imbalance (same posture
+    * as q68's token join; q53 demonstrates explicit salting where a
+    * skewed key pairs fat×fat). Same 1e-4 integer quantization ⇒
+    * bit-stable mean under any partitioning, fully DuckDB-oracled. */
   def q109(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = docs
