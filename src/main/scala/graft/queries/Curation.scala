@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -460,6 +460,64 @@ object Curation {
       |         || '<MID>' || array_to_string(toks[(p1+1):p2], ' ') AS fim_text
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q111 — T5-style span corruption: the denoising-objective sibling of
+    * q85's FIM. Tokens group into triples; each triple is masked when a
+    * deterministic LCG on (doc_id, group) lands under the 15% noise
+    * density. The input replaces every masked group with a `<extra_id_g>`
+    * sentinel; the targets string concatenates each sentinel with the
+    * tokens it hid (sentinel ids reuse the group index — unique within
+    * the doc WITHOUT a quadratic rank-before-me scan over groups, so a
+    * 100k-token doc costs O(L), not O(L²/9)). Pure map-side array
+    * expressions, deterministic in both engines — oracled. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val SpanLen = 3
+    val NoisePct = 15
+    def lcgMasked(g: Column): Column =
+      ((col("doc_id") * 97 + g) * 1103515245L + 12345L) % 2147483648L % 100 < NoisePct
+    def sentinel(g: Column): Column =
+      concat(lit("<extra_id_"), g.cast("string"), lit(">"))
+    def groupToks(g: Column): Column =
+      slice(col("toks"), g * SpanLen + 1, lit(SpanLen))
+    val ng = ceil(size(col("toks")) / lit(SpanLen.toDouble)).cast("int")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("masked",
+        transform(sequence(lit(0), ng - 1), g => lcgMasked(g)))
+    val inputParts = transform(sequence(lit(0), size(col("masked")) - 1), g =>
+      when(element_at(col("masked"), g + 1), array(sentinel(g)))
+        .otherwise(groupToks(g)))
+    val targetParts = transform(
+      filter(sequence(lit(0), size(col("masked")) - 1),
+        g => element_at(col("masked"), g + 1)),
+      g => concat(array(sentinel(g)), groupToks(g)))
+    base.select(col("doc_id"),
+      concat_ws(" ", flatten(inputParts)).as("input_text"),
+      concat_ws(" ", flatten(targetParts)).as("targets"),
+      size(filter(col("masked"), m => m)).as("n_masked"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q111Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |        CAST(ceil(len(toks) / 3.0) AS INT) AS ng FROM t),
+      |m AS (SELECT doc_id, toks, ng,
+      |        list_transform(range(0, ng),
+      |          g -> ((doc_id * 97 + g) * 1103515245 + 12345)
+      |                 % 2147483648 % 100 < 15) AS masked
+      |      FROM g)
+      |SELECT doc_id,
+      |  array_to_string(flatten(list_transform(range(0, ng),
+      |    g -> CASE WHEN masked[g + 1] THEN ['<extra_id_' || g || '>']
+      |              ELSE toks[(g * 3 + 1):(g * 3 + 3)] END)), ' ') AS input_text,
+      |  -- flatten([]) is NULL in DuckDB where Spark's concat_ws gives ''
+      |  COALESCE(array_to_string(flatten(list_transform(
+      |    list_filter(range(0, ng), g -> masked[g + 1]),
+      |    g -> list_prepend('<extra_id_' || g || '>',
+      |           toks[(g * 3 + 1):(g * 3 + 3)]))), ' '), '') AS targets,
+      |  CAST(len(list_filter(masked, x -> x)) AS INT) AS n_masked
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** q86 — per-source top-k selection: the k highest-quality documents of
     * every source (rank ties broken by doc_id) — the "keep the best of
     * each provenance bucket" sampling step. rn <= k over a partitioned
@@ -649,6 +707,7 @@ object Curation {
     QueryDef("q83_novelty", q83, Some(q83Sql)),
     QueryDef("q84_cluster_survivor", q84, Some(q84Sql)),
     QueryDef("q85_fim_transform", q85, Some(q85Sql)),
+    QueryDef("q111_span_corrupt", q111, Some(q111Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),
