@@ -271,6 +271,12 @@ class QueryPlanSpec extends SparkSpec {
       s"cell join must not sort-merge (probes are broadcast-sized):\n$p")
   }
 
+  test("q111: span corruption is pure map-side — no join, window, or aggregation") {
+    val p = planString(Curation.q111(spark, sf0001))
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"span corruption must be a map-only transform:\n$p")
+  }
+
   test("q101: bloom probe filters the fact side BELOW its shuffle (runtime-filter shape)") {
     val p = planString(Relational.q101(spark, sf0001))
     assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
