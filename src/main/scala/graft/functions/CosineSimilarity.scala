@@ -31,6 +31,11 @@ object CosineSimilarity {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // getFloat/getDouble on a null slot read garbage — fail loudly
+      // (the dimension-mismatch rule applied to elements)
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_similarity: null element at index $i")
       val x = if (isFloatA) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF formulation it
   * replaces (same IEEE summation order) and to a left-to-right `+` chain
   * in ANSI SQL, which is what keeps the sign-LSH bucketing oracle
-  * engine-stable. The HOF form is CodegenFallback: it allocates the
+  * engine-stable. One deliberate deviation: a null ELEMENT fails fast
+  * (the HOF propagated NULL; `ArrayData.getDouble` on a null slot would
+  * silently read garbage). The HOF form is CodegenFallback: it allocates the
   * zipped products array and interprets both lambdas per element, and
   * drops the projection out of whole-stage codegen; this expression
   * emits one static call on the unpacked ArrayData.
@@ -32,6 +34,13 @@ object DotProduct {
     var dot = 0.0
     var i = 0
     while (i < n) {
+      // ArrayData.getDouble on a null slot returns garbage, not NULL —
+      // where the HOF formulation propagated NULL. Fail loudly instead
+      // of silently scoring a corrupt vector (the dimension-mismatch
+      // rule applied to elements).
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_product: null element at index $i")
       val x = if (isFloatA) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

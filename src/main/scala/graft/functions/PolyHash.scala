@@ -18,23 +18,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * each evaluation allocates the split array and interprets the lambda
   * per element, and it drops the surrounding projection out of
   * whole-stage codegen. This expression IS the fold — one codegen'd
-  * static call iterating the string's UTF-16 units, no intermediate
-  * array — so the map-side hot loop of shingle hashing stays inside
+  * static call folding the string's code points (zero-allocation byte
+  * fast path for pure-ASCII input), no intermediate array — so the map-side hot loop of shingle hashing stays inside
   * WholeStageCodegen at 100 TB.
   *
   * North-star extension operator (the reference has no text-hash ops);
   * the interpreted-HOF equivalence is property-tested in
-  * ExpressionsSpec across the printable-ASCII universe the corpus and
-  * oracles use.
+  * ExpressionsSpec across printable ASCII plus supplementary-plane
+  * (surrogate-pair) inputs.
   */
 object PolyHash {
+  /** Folds CODE POINTS, matching both `split(s, "")` (Java's split never
+    * separates a surrogate pair) + `ascii` (codePointAt) and DuckDB's
+    * `string_split(s, '') + ascii` — a UTF-16-unit fold would diverge on
+    * any supplementary-plane character. ASCII-only strings (the corpus
+    * and oracle universe) take a zero-allocation byte fast path; any
+    * high byte falls back to a code-point walk over the decoded string. */
   def compute(s: UTF8String, base: Long, mod: Long): Long = {
-    val js = s.toString
+    val n = s.numBytes()
     var acc = 0L
     var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      val b = s.getByte(i)
+      if (b < 0) ascii = false
+      else { acc = (acc * base + b) % mod; i += 1 }
+    }
+    if (ascii) return acc
+    val js = s.toString
+    acc = 0L
+    i = 0
     while (i < js.length) {
-      acc = (acc * base + js.charAt(i)) % mod
-      i += 1
+      val cp = js.codePointAt(i)
+      acc = (acc * base + cp) % mod
+      i += Character.charCount(cp)
     }
     acc
   }

@@ -35,6 +35,11 @@ object SquaredDistance {
     var s = 0L
     var i = 0
     while (i < n) {
+      // getLong on a null slot bit-reads garbage — fail loudly (the
+      // dimension-mismatch rule applied to elements)
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"squared_distance: null element at index $i")
       val d = a.getLong(i) - b.getLong(i)
       s += d * d
       i += 1

@@ -472,8 +472,14 @@ object Curation {
   def q111(s: SparkSession, d: String): DataFrame = {
     val SpanLen = 3
     val NoisePct = 15
+    // seed reduced mod 2^31 BEFORE the LCG multiply: the raw product
+    // (doc_id*97+g)*1103515245 would wrap Long for doc_id >= ~8.6e7 —
+    // inside the 100 TB posture — skewing mask density (Spark wraps
+    // negative, so wrapped groups always mask); after reduction the
+    // product is < 2^31 * 1103515245 < 2^62 in both engines
     def lcgMasked(g: Column): Column =
-      ((col("doc_id") * 97 + g) * 1103515245L + 12345L) % 2147483648L % 100 < NoisePct
+      ((col("doc_id") * 97 + g) % 2147483648L * 1103515245L + 12345L) %
+        2147483648L % 100 < NoisePct
     def sentinel(g: Column): Column =
       concat(lit("<extra_id_"), g.cast("string"), lit(">"))
     def groupToks(g: Column): Column =
@@ -503,7 +509,7 @@ object Curation {
       |        CAST(ceil(len(toks) / 3.0) AS INT) AS ng FROM t),
       |m AS (SELECT doc_id, toks, ng,
       |        list_transform(range(0, ng),
-      |          g -> ((doc_id * 97 + g) * 1103515245 + 12345)
+      |          g -> ((doc_id * 97 + g) % 2147483648 * 1103515245 + 12345)
       |                 % 2147483648 % 100 < 15) AS masked
       |      FROM g)
       |SELECT doc_id,

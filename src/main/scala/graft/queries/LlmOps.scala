@@ -656,30 +656,50 @@ object LlmOps {
     * codes; ADC never touches floats. Every stage is integer-exact, so
     * the whole quantize→train→encode→score pipeline is DuckDB-oracled
     * (8 unrolled Lloyd CTE chains, one per subspace). */
-  /** Trained PQ codebooks, memoized per dataset dir (the lshPairsCache
-    * rationale: training is the pipeline's one-time BUILD step — a
-    * production deployment lands the codebooks next to the codes and
-    * serves reads against them; re-running Lloyd per query would bill
-    * every read for the build. Deterministic inputs ⇒ the memo can never
-    * go stale within a run, and the state is 8×64×8 longs — driver-held
-    * by design, like KMeans centroids). */
-  private val pqCbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Codebooks]()
-
-  /** The encoded code table (vec_id, code_0..code_7), scratch-
-    * materialized once per dataset: encoding is the other half of the PQ
-    * build (a production pipeline lands the 8-byte/vector codes next to
-    * the codebooks, and every ANN read scans CODES, never floats). It is
-    * also where the plan's one expensive compile lives — 8 subspaces ×
-    * 64 SquaredDistance argmin structs of whole-stage codegen — so
-    * serving reads from the landed table leaves each q104 call with just
-    * the ADC lookup scan + distributed top-k. */
-  private val pqCodesCache =
-    new graft.operators.DatasetCache[String]("pq-codes", Seq(_))
-
   private val PqM = 8
   private val PqK = 64
   private val PqDims = 64
+
+  /** The ONE per-dataset PQ/IVF build artifact, shared by q104 and q110:
+    * trained codebooks (8×64×8 longs, driver-held by design like KMeans
+    * centroids), the 16 coarse seed centroids, and the landed
+    * (vec_id, cell, code_0..7) index table — 16 bytes/vector, one corpus
+    * encode pass. Training + encoding are the pipeline's one-time BUILD
+    * step (a production deployment lands exactly this table and serves
+    * reads against it; re-running Lloyd or the 8×64-argmin encode per
+    * query would bill every read for the build). Memoized via
+    * DatasetCache — its lazy-cell design runs the multi-job build under
+    * the cell's own monitor, never inside ConcurrentHashMap's bin lock,
+    * so concurrent datasets don't serialize and the invariant tests see
+    * the scratch path. q104 reads a (vec_id, code_*) projection of the
+    * index (parquet pruning drops `cell`); q110 reads all columns. */
+  private final case class PqIndexArtifacts(
+      cb: Pq.Codebooks, cents: Seq[(Long, Array[Long])], path: String)
+
+  private val pqIndexCache =
+    new graft.operators.DatasetCache[PqIndexArtifacts]("pq-index", a => Seq(a.path))
+
+  private def pqIndex(s: SparkSession, d: String): PqIndexArtifacts =
+    pqIndexCache.getOrCompute(d) { dir =>
+      val vq = pqQuantized(s, dir)
+      val cb = Pq.train(vq, "vec_id", "vq", PqDims, PqM, PqK, iters = 2)
+      val cents = vq.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+      // distributed cell assignment: argmin over centroid literals with
+      // (dist2, cid) tie-break — identical to the oracle's row_number
+      val cellExpr = array_min(array(cents.map { case (cid, c) =>
+        struct(graft.functions.SquaredDistanceExpr(col("vq"), typedlit(c.toSeq)).as("d"),
+          lit(cid).as("i"))
+      }: _*)).getField("i")
+      val path = graft.operators.Scratch.materializePath(
+        Pq.encode(vq, "vq", cb)
+          .withColumn("cell", cellExpr)
+          .select(col("vec_id") +: col("cell") +:
+            (0 until PqM).map(j => col(s"code_$j")): _*),
+        "pq-index")
+      PqIndexArtifacts(cb, cents, path)
+    }
 
   /** The corpus quantized to longs — shared base of the PQ/IVF family. */
   private def pqQuantized(s: SparkSession, d: String): DataFrame =
@@ -687,26 +707,15 @@ object LlmOps {
       transform(col("embedding"),
         v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
 
-  private def pqCodebooks(s: SparkSession, d: String): Pq.Codebooks =
-    pqCbCache.computeIfAbsent(d,
-      _ => Pq.train(pqQuantized(s, d), "vec_id", "vq", PqDims, PqM, PqK, iters = 2))
-
   def q104(s: SparkSession, d: String): DataFrame = {
-    val vq = pqQuantized(s, d)
-    val cb = pqCodebooks(s, d)
-    val probeRow = vq.orderBy(col("vec_id")).limit(1)
+    val art = pqIndex(s, d)
+    val probeRow = pqQuantized(s, d).orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("vq")).head()
     val probeId = probeRow.getLong(0)
     val probe = probeRow.getSeq[Long](1).toArray
-    val codesPath = pqCodesCache.getOrCompute(d) { dir =>
-      graft.operators.Scratch.materializePath(
-        Pq.encode(pqQuantized(s, dir), "vq", cb).select(
-          col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*),
-        "pq-codes")
-    }
-    s.read.parquet(codesPath)
+    s.read.parquet(art.path)
       .filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"), Pq.adc(cb, probe).as("adc"))
+      .select(col("vec_id"), Pq.adc(art.cb, probe).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(10)
   }
@@ -748,46 +757,30 @@ object LlmOps {
     * CTE + the 8 Lloyd chains + per-subspace ADC joins). */
   def q110(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cb = pqCodebooks(s, d)
+    val art = pqIndex(s, d)
     val sub = PqDims / PqM
-    // 16 seed centroids + 10 probes: bounded driver rows by design
-    val cents = pqQuantized(s, d).filter(col("vec_id") < 16)
-      .orderBy(col("vec_id")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     def sqDist(a: Array[Long], b: Array[Long], lo: Int, n: Int): Long = {
       var s2 = 0L; var i = 0
       while (i < n) { val dd = a(lo + i) - b(i); s2 += dd * dd; i += 1 }
       s2
     }
-    // distributed cell assignment: argmin over centroid literals with
-    // (dist2, cid) tie-break — identical to the oracle's row_number order
-    val cellExpr = array_min(array(cents.map { case (cid, c) =>
-      struct(graft.functions.SquaredDistanceExpr(col("vq"), typedlit(c.toSeq)).as("d"),
-        lit(cid).as("i"))
-    }: _*)).getField("i")
-    val indexPath = ivfpqIndexCache.getOrCompute(d) { dir =>
-      graft.operators.Scratch.materializePath(
-        Pq.encode(pqQuantized(s, dir), "vq", cb)
-          .withColumn("cell", cellExpr)
-          .select(col("vec_id") +: col("cell") +:
-            (0 until PqM).map(j => col(s"code_$j")): _*),
-        "ivfpq-index")
-    }
+    // 10 probes: bounded driver rows by design (per-query ADC state)
     val probes = pqQuantized(s, d)
       .filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .collect().map { r =>
         val pid = r.getLong(0)
         val pvq = r.getSeq[Long](1).toArray
-        val cell = cents.map { case (cid, c) => (sqDist(pvq, c, 0, PqDims), cid) }.min._2
+        val cell = art.cents
+          .map { case (cid, c) => (sqDist(pvq, c, 0, PqDims), cid) }.min._2
         val tabs: Seq[Seq[Long]] = (0 until PqM).map(j =>
-          cb.books(j).map(c => sqDist(pvq, c.toArray, j * sub, sub)))
+          art.cb.books(j).map(c => sqDist(pvq, c.toArray, j * sub, sub)))
         (pid, cell, tabs)
       }.toSeq.toDF("pid", "cell", "tabs")
     val adc = (0 until PqM).map(j =>
       element_at(element_at(col("tabs"), j + 1), col(s"code_$j").cast("int") + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("pid")).orderBy(col("adc"), col("cid"))
-    s.read.parquet(indexPath)
+    s.read.parquet(art.path)
       .join(broadcast(probes), Seq("cell"))
       .filter(col("pid") =!= col("vec_id"))
       .select(col("pid"), col("vec_id").as("cid"), adc.as("adc"))
@@ -795,9 +788,6 @@ object LlmOps {
       .filter(col("rn") <= 3)
       .orderBy(col("pid"), col("rn"))
   }
-
-  private val ivfpqIndexCache =
-    new graft.operators.DatasetCache[String]("ivfpq-index", Seq(_))
 
   private val q110Sql = {
     val (m, k, sub) = (PqM, PqK, PqDims / PqM)

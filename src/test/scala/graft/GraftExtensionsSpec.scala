@@ -68,6 +68,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"expected a dimension-mismatch error, got: $e")
   }
 
+  test("vector ops: null ELEMENT fails loudly instead of reading garbage") {
+    // ArrayData.getDouble/getLong on a null slot bit-read garbage; the
+    // HOFs these expressions replaced propagated NULL — silent either
+    // way. The expressions fail fast instead (the dimension-mismatch rule)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for (sql <- Seq(
+        "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))",
+        "SELECT cosine_similarity(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))",
+        "SELECT squared_distance(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))")) {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(messages(e).exists(_.contains("null element")),
+        s"expected null-element error for $sql, got: $e")
+    }
+  }
+
   test("poly_hash / dot_product in SQL") {
     val r = spark.sql(
       """SELECT

@@ -174,7 +174,13 @@ class ExpressionsSpec extends SparkSpec {
     // bit-identical over the printable-ASCII universe the corpus and the
     // DuckDB oracles use (plus edge cases: empty string, repeats)
     val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
-    val strs = (samples(gen, 300) ++ Seq("", " ", "  ", "aaa", "a b c")).distinct
+    val strs = (samples(gen, 300) ++ Seq("", " ", "  ", "aaa", "a b c",
+      // non-ASCII: the byte fast path must bail to the code-point walk,
+      // and supplementary-plane chars (surrogate pairs) must fold as ONE
+      // code point — the split("")+ascii semantics (Java split never
+      // separates a surrogate pair)
+      "café", "über", "中文 tokens",
+      "a😀b", "😀", "x 🚀🚀 y")).distinct
     for ((base, mod) <- Seq((31L, 1000000007L), (131L, 998244353L))) {
       val df = strs.toDF("s")
       val got = df.select(PolyHashExpr(col("s"), base, mod)).collect().map(_.getLong(0))

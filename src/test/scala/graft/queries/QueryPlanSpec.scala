@@ -250,10 +250,11 @@ class QueryPlanSpec extends SparkSpec {
 
   test("q109: vocab size broadcasts; no cartesian beyond the 1-row cross") {
     val p = planString(LlmOps.q109(spark, sf0001))
-    // the only nested-loop is the broadcast cross with the 1-row vocab
-    // count; the bigram/context model joins must stay keyed
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"vocab size not broadcast:\n$p")
+    // the 1-row vocab-count cross MUST plan as a broadcast nested loop
+    // specifically — a BroadcastHashJoin elsewhere in the plan must not
+    // mask its regression to a non-broadcast cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"vocab-size cross join not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"non-broadcast cartesian in the scoring join:\n$p")
   }
