@@ -524,6 +524,216 @@ object Curation {
       |  CAST(len(list_filter(masked, x -> x)) AS INT) AS n_masked
       |FROM m ORDER BY doc_id""".stripMargin
 
+  private val LineLen = 5
+
+  /** q112 — line-level boilerplate dedup (the CCNet/RedPajama line rule):
+    * a "line" that recurs across ≥2 DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, license footers) and EVERY occurrence is
+    * removed — including the first, which is what distinguishes this from
+    * q76's first-occurrence-survives span dedup. The corpus has no
+    * newlines, so a line is a deterministic [[LineLen]]-token segment
+    * (same positional chunking as q76/q111). Scale shape: the line
+    * stream is map-side (one posexplode), the doc-frequency aggregation
+    * is the only corpus shuffle on the line key (hot boilerplate lines
+    * collapse map-side in the partial distinct), and the verdict join is
+    * an AQE-skew-splittable equi-join back on the same key — work stays
+    * Σ per-line freq, never n². At 100 TB the join key would be the
+    * 128-bit line digest (8–16 bytes of shuffle width instead of the
+    * raw string); the raw line is kept here so the oracle is exact. */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ng = ceil(size(toks) / lit(LineLen.toDouble)).cast("int")
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), ng - 1),
+          i => concat_ws(" ", slice(toks, i * LineLen + 1, lit(LineLen))))))
+      .withColumnRenamed("pos", "line_idx").withColumnRenamed("col", "line")
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("line"))
+    lines.join(boiler.withColumn("removed", lit(true)), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(when(col("removed").isNull,
+            struct(col("line_idx"), col("line"))))),
+            x => x.getField("line"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q112Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |l AS (SELECT doc_id, i AS line_idx,
+      |        array_to_string(toks[(i*$LineLen+1):(i*$LineLen+$LineLen)], ' ') AS line
+      |      FROM t, unnest(range(0, CAST(ceil(len(toks)/$LineLen.0) AS BIGINT))) AS u(i)),
+      |b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (b.line IS NOT NULL) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(list_transform(list_sort(
+      |    list({'line_idx': line_idx, 'line': l.line})
+      |      FILTER (b.line IS NULL)), x -> x.line), ' '), '') AS clean_text
+      |FROM l LEFT JOIN b ON l.line = b.line
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q113 — DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): documents are scored by
+    * an importance log-ratio between a TARGET domain's hashed-n-gram
+    * distribution and the raw corpus's, then the top slice is admitted —
+    * the principled replacement for hand-written quality rules when a
+    * trusted in-domain seed exists. Features are bigrams hashed into 128
+    * buckets (char-polynomial digest — codegen'd here, `list_reduce` in
+    * the oracle); target = `lang='en'` as the stand-in trusted domain.
+    * Per-bucket weight w[b] = ln(p_target[b]) − ln(p_raw[b]) (add-1
+    * smoothed), quantized on the 1e-4 grid per BUCKET so each document's
+    * score is an exact integer sum — bit-stable under any partitioning.
+    * Scale shape: the corpus is exploded ONCE into a per-(doc, bucket)
+    * occurrence-count relation (map-side combined, ≤128 rows per doc)
+    * that is scratch-materialized and memoized per dataset (the
+    * hot-shingles/PQ pattern — the distribution build, the scoring pass
+    * and the threshold pass all re-scan the compact relation, never the
+    * corpus); everything downstream of it is bucket-bounded (≤128 rows)
+    * or per-doc. The 128-row weight table and the 1-row totals
+    * broadcast. The admission threshold is the 100th-best score via
+    * distributed top-k (TakeOrderedAndProject) collapsed to a 1-row
+    * broadcast — at-threshold ties are all admitted (deterministic, no
+    * global sort of the corpus). */
+  private val dsirCache =
+    new graft.operators.DatasetCache[String]("dsir-docb", Seq(_))
+
+  private def dsirDocb(s: SparkSession, d: String): DataFrame = {
+    val B = 128
+    val path = dsirCache.getOrCompute(d) { dir =>
+      val docb = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.NGramExplode(col("text"), 2).as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("lang"),
+          (graft.functions.PolyHashExpr(col("bg"), 31L, 1000000007L) % B)
+            .as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Scratch.materializePath(docb, "dsir-docb")
+    }
+    s.read.parquet(path)
+  }
+
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val B = 128
+    val docb = dsirDocb(s, d)
+    val bc = docb.groupBy(col("b")).agg(sum(col("n")).as("cr"),
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("ct"))
+    val nn = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lam = bc.crossJoin(broadcast(nn))
+      .select(col("b"),
+        round((log((col("ct") + 1).cast("double") / (col("nt") + B)) -
+               log((col("cr") + 1).cast("double") / (col("nr") + B))) * 10000,
+          0).cast("long").as("w"))
+    val sc = docb.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("w")).as("score"))
+    val thr = sc.orderBy(col("score").desc, col("doc_id")).limit(100)
+      .agg(min(col("score")).as("thr"))
+    sc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (col("score") >= col("thr")).as("sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q113Sql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, lang,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |      FROM t WHERE len(toks) >= 2),
+      |f AS (SELECT doc_id, lang,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(bg, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007) % 128 AS b
+      |      FROM p),
+      |cr AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+      |ct AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+      |nn AS (SELECT count(*) AS nr, count(*) FILTER (lang = 'en') AS nt FROM f),
+      |lam AS (SELECT cr.b,
+      |          CAST(round((ln((COALESCE(ct.c, 0) + 1) * 1.0 / (nn.nt + 128))
+      |                    - ln((cr.c + 1) * 1.0 / (nn.nr + 128))) * 10000)
+      |            AS BIGINT) AS w
+      |        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nn),
+      |sc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |         CAST(sum(lam.w) AS BIGINT) AS score
+      |       FROM f JOIN lam ON f.b = lam.b GROUP BY f.doc_id),
+      |thr AS (SELECT min(score) AS thr FROM
+      |          (SELECT score FROM sc ORDER BY score DESC, doc_id LIMIT 100))
+      |SELECT doc_id, n_feats, score, score >= thr.thr AS sampled
+      |FROM sc CROSS JOIN thr ORDER BY doc_id""".stripMargin
+
+  /** q115 — canonical-URL dedup (the crawl-frontier rule that runs BEFORE
+    * any content dedup: ~half of recrawled URLs differ only in
+    * decoration). The corpus carries no URLs, so each document first
+    * synthesizes one deterministically — four docs share a base resource
+    * and each wears a different real-world decoration (uppercase
+    * scheme/host + `www.`, explicit `:443` + trailing slash, `utm_*`
+    * tracking params + fragment) — and the canonicalizer must strip all
+    * of them to converge the group: lowercase, drop fragment, drop
+    * `utm_*` params, drop `www.`, drop the default port, drop the
+    * trailing slash. Survivor = min doc_id per canonical URL (same
+    * deterministic-survivor rule as q23/q87). Every rule is proven
+    * non-vacuous by construction (each variant's canon must equal the
+    * clean form or its whole 4-group splits). Scale shape: synthesis and
+    * canonicalization are pure map-side string expressions; the only
+    * corpus shuffles are the canonical-key aggregation (map-side
+    * partials) and the AQE-skew-splittable survivor join back on the
+    * same key. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val base = floor(col("doc_id") / 4).cast("long")
+    val host = concat(lit("site"), (base % 16).cast("string"),
+      lit(".example.com"))
+    val path = concat(lit("/doc/"), base.cast("string"))
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://"), host, path))
+      .when(col("doc_id") % 4 === 1,
+        concat(upper(concat(lit("https://www."), host)), path))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://"), host, lit(":443"), path, lit("/")))
+      .otherwise(
+        concat(lit("https://"), host, path,
+          lit("?utm_source=feed&utm_campaign=x#frag")))
+    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(col("url")), "#.*$", ""),
+      "[?&]utm_[a-z]+=[a-z0-9]*", ""),
+      "://www\\.", "://"), ":443/", "/"), "/$", "")
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canon_url", canon)
+    val g = c.groupBy(col("canon_url")).agg(min(col("doc_id")).as("survivor_id"))
+    c.join(g, "canon_url")
+      .select(col("doc_id"), col("url"), col("canon_url"), col("survivor_id"),
+        (col("doc_id") =!= col("survivor_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q115Sql =
+    """WITH u AS (SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://site' || (doc_id // 4 % 16)
+      |        || '.example.com/doc/' || (doc_id // 4)
+      |      WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id // 4 % 16)
+      |        || '.EXAMPLE.COM' || '/doc/' || (doc_id // 4)
+      |      WHEN 2 THEN 'https://site' || (doc_id // 4 % 16)
+      |        || '.example.com:443/doc/' || (doc_id // 4) || '/'
+      |      ELSE 'https://site' || (doc_id // 4 % 16) || '.example.com/doc/'
+      |        || (doc_id // 4) || '?utm_source=feed&utm_campaign=x#frag'
+      |    END AS url FROM documents),
+      |c AS (SELECT doc_id, url,
+      |    regexp_replace(replace(replace(
+      |      regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+      |                     '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
+      |      '://www.', '://'), ':443/', '/'), '/$', '') AS canon_url
+      |  FROM u),
+      |g AS (SELECT canon_url, min(doc_id) AS survivor_id FROM c GROUP BY canon_url)
+      |SELECT doc_id, url, c.canon_url, survivor_id,
+      |       doc_id <> survivor_id AS is_dup
+      |FROM c JOIN g ON c.canon_url = g.canon_url ORDER BY doc_id""".stripMargin
+
   /** q86 — per-source top-k selection: the k highest-quality documents of
     * every source (rank ties broken by doc_id) — the "keep the best of
     * each provenance bucket" sampling step. rn <= k over a partitioned
@@ -714,6 +924,9 @@ object Curation {
     QueryDef("q84_cluster_survivor", q84, Some(q84Sql)),
     QueryDef("q85_fim_transform", q85, Some(q85Sql)),
     QueryDef("q111_span_corrupt", q111, Some(q111Sql)),
+    QueryDef("q112_line_dedup", q112, Some(q112Sql)),
+    QueryDef("q113_dsir_select", q113, Some(q113Sql)),
+    QueryDef("q115_url_dedup", q115, Some(q115Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),

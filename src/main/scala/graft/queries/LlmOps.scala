@@ -2139,6 +2139,65 @@ object LlmOps {
       |SELECT doc_id, score FROM agg
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q114 — exact phrase search over a POSITIONAL inverted index: the
+    * third member of the retrieval family (q70 BM25 bag-of-words, q89
+    * hybrid fusion, this = ordered-adjacency matching — Lucene's
+    * PhraseQuery shape). The query phrase is data-derived (the globally
+    * most frequent trigram, ties lexicographic — a 1-row relation, so
+    * the query works unchanged at every SF) and each phrase word's
+    * posting list is probed INDEPENDENTLY: postings broadcast-join the
+    * 1-row phrase to keep only the three terms' lists, positions are
+    * pre-shifted (pos−1, pos−2) so adjacency becomes a pure EQUI-join on
+    * (doc_id, pos) — no theta condition, SMJ/shuffle-hash planable, AQE
+    * skew-splittable on a stopword-heavy phrase term. Scale shape: the
+    * posting stream is map-side; only the three filtered posting lists
+    * shuffle (each ≪ corpus); the trigram argmax is a map-side-combined
+    * count + 1-row TakeOrderedAndProject. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val post = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val top = docs
+      .select(NGramExplode(col("text"), 3).as(Seq("p", "g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(1)
+    val pw = top.select(
+      element_at(split(col("g"), " "), 1).as("w1"),
+      element_at(split(col("g"), " "), 2).as("w2"),
+      element_at(split(col("g"), " "), 3).as("w3"))
+    val p1 = post.join(broadcast(pw), col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val p2 = post.join(broadcast(pw), col("term") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val p3 = post.join(broadcast(pw), col("term") === col("w3"))
+      .select(col("doc_id"), (col("pos") - 2).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos")).join(p3, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q114Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tri AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+      |top AS (SELECT g FROM tri GROUP BY g
+      |        ORDER BY count(*) DESC, g LIMIT 1),
+      |pw AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+      |              string_split(g, ' ')[3] AS w3 FROM top),
+      |post AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, toks[i] AS term
+      |         FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |m AS (SELECT p1.doc_id, p1.pos FROM post p1
+      |      JOIN pw ON p1.term = pw.w1
+      |      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      |                  AND p2.term = pw.w2
+      |      JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+      |                  AND p3.term = pw.w3)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |       min(pos) AS first_pos
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q89 — hybrid retrieval via Reciprocal Rank Fusion: fuse the sparse
     * BM25 ranking (q70's scorer) with a dense cosine ranking against a
     * probe embedding, score = Σ 1/(60 + rank) over the systems that
@@ -2777,6 +2836,7 @@ object LlmOps {
     QueryDef("q68_unigram_fluency", q68, Some(q68Sql)),
     QueryDef("q69_seq_pack", q69, Some(q69Sql)),
     QueryDef("q70_bm25", q70, Some(q70Sql)),
+    QueryDef("q114_phrase_search", q114, Some(q114Sql)),
     QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),

@@ -112,4 +112,29 @@ class LlmOpsSpec extends SparkSpec {
     val h2 = LlmOps.q35c(spark, sf0001).collect().map(_.toSeq).toSeq
     assert(h1 == h2)
   }
+
+  test("q114: the positional index finds exactly the docs containing the phrase") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    // independently derive the query phrase (most frequent trigram, ties lex)
+    val phrase = docs
+      .select(graft.functions.NGramExplode(col("text"), 3).as(Seq("p", "g")))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(1)
+      .collect()(0).getString(0)
+    val out = LlmOps.q114(spark, sf0001).collect()
+    assert(out.nonEmpty, "phrase search found nothing — vacuous")
+    val found = out.map(_.getLong(0)).toSet
+    // a string-contains scan must agree with the index join: padded text
+    // so boundary-anchored occurrences match whole tokens only
+    val expected = docs
+      .filter(concat(lit(" "), col("text"), lit(" "))
+        .contains(s" $phrase "))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(found == expected,
+      s"index=$found scan=$expected for phrase '$phrase'")
+    // n_matches >= 1 everywhere, first_pos in bounds
+    assert(out.forall(_.getLong(1) >= 1))
+    assert(out.forall(_.getLong(2) >= 0))
+  }
 }

@@ -296,6 +296,39 @@ class QueryPlanSpec extends SparkSpec {
       s"bloom probe is ABOVE the fact shuffle — reduction lost:\n$fmt")
   }
 
+  test("q112: line stream is map-side; the df-gate joins back with no cartesian/window") {
+    val p = planString(Curation.q112(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in line dedup:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    // two Generate sides only (line stream + df build), never more
+    assert(p.contains("Generate"), s"expected posexplode line stream:\n$p")
+  }
+
+  test("q113: scoring re-scans the scratch features — no corpus explode in the query plan") {
+    val p = planString(Curation.q113(spark, sf0001))
+    // the (doc,bucket) relation is scratch-materialized at build; the
+    // query plan itself must carry no Generate and no documents scan
+    assert(!p.contains("Generate"), s"corpus explode leaked into q113 plan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q113 replans the corpus instead of the scratch features:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"threshold must be distributed top-k:\n$p")
+  }
+
+  test("q114: phrase argmax is distributed top-k; adjacency is pure equi-join") {
+    val p = planString(LlmOps.q114(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-1 trigram:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in phrase join:\n$p")
+    // pos-shift makes adjacency equi-joinable: no nested-loop anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in phrase match:\n$p")
+  }
+
+  test("q115: canonicalization is map-side string work — no explode, window, or cartesian") {
+    val p = planString(Curation.q115(spark, sf0001))
+    assert(!p.contains("Generate") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"), s"q115 plan regressed:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
