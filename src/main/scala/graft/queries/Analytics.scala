@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.PageRank
+import graft.operators.{Hits, PageRank}
 import QueryDef._
 
 /** Event-stream analytics the reference's GPS domain implies but never
@@ -138,14 +138,33 @@ object Analytics {
     * each round one rank shuffle + one dst aggregation with the edge
     * exchange planned once and reused. Bit-reproducible integer math →
     * DuckDB-oracled as an unrolled 3-round CTE chain (q96 pattern). */
-  def q103(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.lineitem(s, d)
+  /** The supplier-nation → customer-nation trade graph shared by the
+    * link-analysis pair (q103 PageRank, q117 HITS): a directed edge for
+    * every distinct trading pair in lineitem⋈orders⋈supplier⋈customer,
+    * self-loops dropped. The derivation is the heavy part at 100 TB (one
+    * fact shuffle + distinct, all pushed-down column pruning); the
+    * iterations then work on the collapsed graph. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .filter(col("s_nationkey") =!= col("c_nationkey"))
       .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
       .distinct()
+
+  private val tradeEdgesSql =
+    """edges AS (
+      |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |  WHERE s_nationkey <> c_nationkey),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""".stripMargin
+
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
     PageRank.ranks(edges, iters = 3)
       .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
       .select(col("node"), col("n_name"), col("rankq"))
@@ -167,14 +186,7 @@ object Analytics {
          |      JOIN r${n - 1} r ON e.src = r.node
          |      JOIN outdeg o ON e.src = o.src
          |    GROUP BY e.dst) c ON nodes.node = c.dst)""".stripMargin
-    s"""WITH edges AS (
-       |  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
-       |  FROM lineitem
-       |    JOIN orders ON l_orderkey = o_orderkey
-       |    JOIN supplier ON l_suppkey = s_suppkey
-       |    JOIN customer ON o_custkey = c_custkey
-       |  WHERE s_nationkey <> c_nationkey),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    s"""WITH $tradeEdgesSql,
        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rankq FROM nodes),
        |${round(1)},
@@ -185,9 +197,93 @@ object Analytics {
        |ORDER BY node""".stripMargin
   }
 
+  /** q117 — HITS hubs & authorities over the VOLUME-WEIGHTED trade graph
+    * ([[graft.operators.Hits]]): edge weight = lineitem multiplicity of
+    * the (exporter, importer) nation pair, two mutual-reinforcement
+    * rounds with per-round integer max-normalization — nations that buy
+    * heavily from well-regarded exporters (hubs) vs nations whose
+    * exports the big buyers converge on (authorities); the two-sided
+    * provenance signal PageRank's single score can't separate. Weighted
+    * on purpose: the DISTINCT nation pair graph (q103's) is complete at
+    * the gate SFs, where unweighted HITS is uniform — weights are what
+    * the check discriminates on. Bit-reproducible integer math
+    * (milli-unit scores, IntegralDivide by the broadcast round max) ⇒
+    * DuckDB-oracled as an unrolled CTE chain. */
+  private val hitsCache =
+    new graft.operators.DatasetCache[String]("hits-scores", Seq(_))
+
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val path = hitsCache.getOrCompute(d) { dir =>
+      val wedges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Hits.scoresPath(wedges, iters = 2)
+    }
+    s.read.parquet(path)
+      .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), col("hubq"), col("authq"))
+      .orderBy(col("node"))
+  }
+
+  /** Unrolled-CTE mirror of [[Hits.scoresPath]]: each half-round is the
+    * endpoint aggregation + its 1-row round max; every sum and `//` is
+    * CAST back to BIGINT (DuckDB widens to HUGEINT — the q103 lesson).
+    * Every CTE is MATERIALIZED (the q105 discipline) and each max is its
+    * own CTE: DuckDB INLINES plain CTEs, and each normalize references
+    * its raw relation twice (values + max), so an un-materialized chain
+    * re-expands the fact join ~2× per half-round — at sf0.1 that
+    * exponential inlining spilled DuckDB's temp storage to disk
+    * exhaustion. Materialization is the oracle-side analog of the
+    * operator's scratch-checkpointed regime. */
+  private val q117Sql = {
+    def round(n: Int): String = {
+      val hPrev = if (n == 1) "h0" else s"h${n - 1}"
+      s"""ar$n AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(e.w * h.hubq) AS BIGINT) AS raw
+         |  FROM wedges e JOIN $hPrev h ON e.src = h.node GROUP BY e.dst),
+         |am$n AS MATERIALIZED (SELECT max(raw) AS mx FROM ar$n),
+         |a$n AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST((COALESCE(ar.raw, 0) * 1000) // am$n.mx AS BIGINT) AS authq
+         |  FROM nodes n LEFT JOIN ar$n ar ON n.node = ar.dst CROSS JOIN am$n),
+         |hr$n AS MATERIALIZED (
+         |  SELECT e.src, CAST(sum(e.w * a.authq) AS BIGINT) AS raw
+         |  FROM wedges e JOIN a$n a ON e.dst = a.node GROUP BY e.src),
+         |hm$n AS MATERIALIZED (SELECT max(raw) AS mx FROM hr$n),
+         |h$n AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST((COALESCE(hr.raw, 0) * 1000) // hm$n.mx AS BIGINT) AS hubq
+         |  FROM nodes n LEFT JOIN hr$n hr ON n.node = hr.src CROSS JOIN hm$n)""".stripMargin
+    }
+    s"""WITH wedges AS MATERIALIZED (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |  WHERE s_nationkey <> c_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM wedges UNION SELECT dst FROM wedges),
+       |h0 AS MATERIALIZED (
+       |  SELECT node, CAST(1000 AS BIGINT) AS hubq FROM nodes),
+       |${round(1)},
+       |${round(2)}
+       |SELECT h2.node, n_name, hubq, authq
+       |FROM h2 JOIN a2 ON h2.node = a2.node
+       |  JOIN nation ON h2.node = n_nationkey
+       |ORDER BY h2.node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_gapfill", q58, Some(q58Sql)),
     QueryDef("q59_funnel", q59, Some(q59Sql)),
     QueryDef("q60_cohort", q60, Some(q60Sql)),
-    QueryDef("q103_pagerank", q103, Some(q103Sql)))
+    QueryDef("q103_pagerank", q103, Some(q103Sql)),
+    QueryDef("q117_hits", q117, Some(q117Sql)))
 }

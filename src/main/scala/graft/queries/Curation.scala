@@ -734,6 +734,84 @@ object Curation {
       |       doc_id <> survivor_id AS is_dup
       |FROM c JOIN g ON c.canon_url = g.canon_url ORDER BY doc_id""".stripMargin
 
+  private val SubstrGram = 8
+
+  /** Interval-merge ("gaps and islands") over duplicated-gram start
+    * positions: each hit at `pos` covers tokens [pos, pos+width-1];
+    * overlapping or ADJACENT intervals coalesce into one maximal span. A
+    * row opens a new island when its pos exceeds (running max of covered
+    * end over all PRECEDING rows) + 1; the island id is the running sum
+    * of open-flags (1-based). Both windows partition BY DOC — per-doc
+    * linear passes that parallelize across the corpus, never a global
+    * sort. Input: (doc_id, pos); output: (doc_id, span_id, start_tok,
+    * end_tok, n_tokens). Factored out of [[q116]] so the multi-island
+    * merge logic is unit-testable on synthetic position sets (the
+    * corpus mostly yields single-island docs). */
+  private[queries] def mergeSpans(hits: DataFrame, width: Int): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("new_isl",
+        when(col("pos") > coalesce(max(col("pos") + lit(width - 1)).over(prev),
+          lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_isl")).over(run))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(width - 1)).as("end_tok"),
+        (max(col("pos")) + lit(width) - min(col("pos"))).as("n_tokens"))
+  }
+
+  /** q116 — maximal duplicated-substring spans (the ExactSubstr signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every [[SubstrGram]]-token window repeated ANYWHERE in the
+    * corpus (across docs or within one, ≥2 occurrences) marks its
+    * positions, and overlapping/adjacent marks merge into maximal spans —
+    * the per-doc (start, end) extents an ExactSubstr pass would cut.
+    * Complements q76 (fixed chunks, first-survives) and q112 (line df
+    * rule): sliding windows catch duplication at ARBITRARY offsets, and
+    * the island merge recovers full extents instead of chunk-aligned
+    * fragments. Scale shape: the gram stream is map-side (NGramExplode);
+    * the ≥2-occurrence gate is one map-side-combined count on the gram
+    * key (at 100 TB: keyed on the 128-bit digest — the suffix-array
+    * construction of the paper solves the same multiset membership; the
+    * gram-gate form is the standard distributed approximation); the hit
+    * join back is AQE-skew-splittable; the merge windows are per-doc. */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.NGramExplode(col("text"), SubstrGram)
+          .as(Seq("pos", "ng")))
+    val dup = occ.groupBy(col("ng")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("ng"))
+    val hits = occ.join(dup, "ng")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    mergeSpans(hits, SubstrGram)
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
+  private val q116Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+      |        array_to_string(toks[i:(i + ${SubstrGram - 1})], ' ') AS ng
+      |      FROM t, unnest(range(1, len(toks) - ${SubstrGram - 2})) AS u(i)),
+      |d AS (SELECT ng FROM g GROUP BY ng HAVING count(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM g JOIN d USING (ng)),
+      |isl AS (SELECT doc_id, pos,
+      |          CASE WHEN pos > COALESCE(max(pos + ${SubstrGram - 1}) OVER (
+      |            PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |          THEN 1 ELSE 0 END AS new_isl
+      |        FROM hits),
+      |sp AS (SELECT doc_id, pos,
+      |         CAST(sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+      |       FROM isl)
+      |SELECT doc_id, span_id, min(pos) AS start_tok,
+      |  max(pos) + ${SubstrGram - 1} AS end_tok,
+      |  max(pos) + $SubstrGram - min(pos) AS n_tokens
+      |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin
+
   /** q86 — per-source top-k selection: the k highest-quality documents of
     * every source (rank ties broken by doc_id) — the "keep the best of
     * each provenance bucket" sampling step. rn <= k over a partitioned
@@ -927,6 +1005,7 @@ object Curation {
     QueryDef("q112_line_dedup", q112, Some(q112Sql)),
     QueryDef("q113_dsir_select", q113, Some(q113Sql)),
     QueryDef("q115_url_dedup", q115, Some(q115Sql)),
+    QueryDef("q116_dup_spans", q116, Some(q116Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),

@@ -278,4 +278,67 @@ class CurationSpec extends SparkSpec {
       assert(out.filter(col("url") =!= col("canon_url")).count() == n / 4 * 3)
     } finally out.unpersist()
   }
+
+  test("mergeSpans: overlapping and adjacent hits coalesce; gaps split islands") {
+    import spark.implicits._
+    // doc 1 (width 8): hits at 0,3 overlap -> [0,10]; 20,21 -> [20,28]
+    // (gap 11..19 splits); 40 isolated -> [40,47]. doc 2: single hit.
+    val hits = Seq((1L, 0L), (1L, 3L), (1L, 20L), (1L, 21L), (1L, 40L),
+      (2L, 5L)).toDF("doc_id", "pos")
+    val out = Curation.mergeSpans(hits, 8)
+      .orderBy(col("doc_id"), col("span_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 10L, 11L), (1L, 2L, 20L, 28L, 9L), (1L, 3L, 40L, 47L, 8L),
+      (2L, 1L, 5L, 12L, 8L)), s"bad merge: ${out.toSeq}")
+  }
+
+  test("q116: spans are maximal, disjoint, and anchored on genuinely duplicated grams") {
+    val out = Curation.q116(spark, sf001).cache()
+    try {
+      assert(out.count() > 0, "no duplicated spans at this SF — vacuous")
+      // spans within a doc are disjoint with a real gap between them
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("span_id"))
+      val overlapping = out
+        .withColumn("prev_end", lag(col("end_tok"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          col("start_tok") <= col("prev_end") + 1).count()
+      assert(overlapping == 0, "adjacent/overlapping spans were not merged")
+      // every span is at least one gram wide and length-consistent
+      assert(out.filter(col("n_tokens") < 8).count() == 0)
+      assert(out.filter(
+        col("n_tokens") =!= col("end_tok") - col("start_tok") + 1).count() == 0)
+      // boundary anchors: the 8-gram starting at start_tok occurs >= 2
+      // times in the corpus (independent recomputation)
+      val grams = graft.Tables.documents(spark, sf001)
+        .select(col("doc_id"),
+          graft.functions.NGramExplode(col("text"), 8).as(Seq("pos", "ng")))
+      val counts = grams.groupBy("ng").agg(count(lit(1)).as("c"))
+      val anchors = out.select(col("doc_id"),
+          col("start_tok").cast("int").as("pos"))
+        .join(grams, Seq("doc_id", "pos"))
+        .join(counts, "ng")
+      val weak = anchors.filter(col("c") < 2).count()
+      assert(weak == 0, s"$weak spans anchored on a non-duplicated gram")
+      assert(anchors.count() == out.count(), "anchor lookup lost spans")
+    } finally out.unpersist()
+  }
+
+  test("q117: weighted HITS discriminates on the complete trade graph") {
+    val out = Analytics.q117(spark, sf001).cache()
+    try {
+      assert(out.count() == 25)
+      // volume weighting must break the complete-graph symmetry
+      assert(out.select("hubq").distinct().count() > 10,
+        "hub scores degenerate — weighting lost")
+      assert(out.select("authq").distinct().count() > 10,
+        "authority scores degenerate — weighting lost")
+      import org.apache.spark.sql.Row
+      val Row(hmax: Long, amax: Long) =
+        out.agg(max(col("hubq")), max(col("authq"))).collect()(0)
+      assert(hmax == 1000L && amax == 1000L, "round max must normalize to Scale")
+    } finally out.unpersist()
+  }
 }

@@ -329,6 +329,27 @@ class QueryPlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"), s"q115 plan regressed:\n$p")
   }
 
+  test("q116: island-merge windows are per-doc partitioned; no cartesian") {
+    val p = planString(Curation.q116(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in span merge:\n$p")
+    assert(p.contains("Window"), s"expected per-doc merge windows:\n$p")
+    // the merge windows must carry a partition key (a keyless window is a
+    // single unsplittable task at scale)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"window lost its doc partition key:\n$p")
+  }
+
+  test("q117: serving reads the landed HITS scores — no graph replay in the query plan") {
+    val p = planString(Analytics.q117(spark, sf0001))
+    // checkpointed regime: the iteration landed to scratch at build; the
+    // registered query's own plan must not re-derive the trade graph
+    assert(!p.contains("lineitem.parquet"),
+      s"q117 replays the edge derivation instead of the landed scores:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected non-equi join serving landed scores:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
