@@ -137,4 +137,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) >= 1))
     assert(out.forall(_.getLong(2) >= 0))
   }
+
+  test("q118: completions extend their prefix; ranks are contiguous per prefix") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.q118(spark, sf0001).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(!col("term").startsWith(col("p"))).count() == 0,
+        "a completion does not extend its prefix")
+      assert(out.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+      // ranks contiguous: per prefix, max(rnk) == count(rnk)
+      val bad = out.groupBy("p")
+        .agg(max(col("rnk")).as("mx"), count(lit(1)).as("n"))
+        .filter(col("mx") =!= col("n")).count()
+      assert(bad == 0, "rank holes within a prefix")
+      // the index does real top-k work: some prefix has >= 3 completions
+      assert(out.filter(col("rnk") === 3).count() > 0, "top-3 vacuous")
+      // doc frequency can never exceed occurrence frequency
+      assert(out.filter(col("n_docs") > col("freq")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q119: truncation fidelity is bounded and degrades toward shorter prefixes") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.q119(spark, sf0001).cache()
+    try {
+      assert(out.count() == 30, "10 probes x 3 truncation widths")
+      assert(out.filter(col("n_overlap") > 5 ||
+        col("n_rank_agree") > col("n_overlap")).count() == 0,
+        "agreement must be within overlap within top-5")
+      val byDims = out.groupBy("dims").agg(sum(col("n_overlap")).as("o"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byDims(48) > byDims(16),
+        s"recall must degrade from 48 to 16 prefix dims: $byDims")
+    } finally out.unpersist()
+  }
 }

@@ -350,6 +350,25 @@ class QueryPlanSpec extends SparkSpec {
       s"unexpected non-equi join serving landed scores:\n$p")
   }
 
+  test("q118: the per-prefix top-3 plans as WindowGroupLimit") {
+    val p = planString(LlmOps.q118(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-prefix rank limit must push into the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q119: the report replans over the landed top-5 relation — no corpus rescoring") {
+    val p = planString(LlmOps.q119(spark, sf0001))
+    // the scoring pass (one candidate stream, width explode BEFORE the
+    // cosine) landed to scratch at build; the four report consumers must
+    // re-read the tiny ranked relation, never the embeddings
+    assert(!p.contains("embeddings.parquet"),
+      s"q119 rescores the corpus instead of the landed ranks:\n$p")
+    assert(!p.contains("cosine_similarity"),
+      s"distance exprs leaked into the report plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
