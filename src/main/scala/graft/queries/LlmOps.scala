@@ -2348,6 +2348,61 @@ object LlmOps {
       |          LEFT JOIN ag ON base.pid = ag.pid AND base.dims = ag.dims
       |ORDER BY base.pid, base.dims DESC""".stripMargin
 
+  /** q120 — contrastive hard-negative mining (the training-pair miner of
+    * every embedding/retrieval fine-tune, DPR/SBERT-style): for each
+    * probe, the top-3 most-similar candidates with a DIFFERENT label
+    * (the hard negatives) plus the best same-label similarity and the
+    * margin — a NEGATIVE margin flags a hard negative outranking every
+    * positive, exactly the pairs a contrastive loss needs most. Single
+    * corpus pass: probes broadcast (q34 shape), then ONE per-probe
+    * window shuffle serves both the negative ranking (same-label rows
+    * key below every negative via a sentinel sort key) and the
+    * best-positive max — no second scan, no self-join. 4dp-rounded sims
+    * before ranking ⇒ engine-stable, hash-oracled. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("label").as("plabel"),
+        col("embedding").as("pe"))
+    val cands = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"))
+    val isNeg = col("plabel") =!= col("clabel")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(when(isNeg, col("sim")).otherwise(lit(-2.0)).desc, col("cid"))
+    val wp = Window.partitionBy(col("pid"))
+    cands.join(broadcast(probes), col("pid") =!= col("cid"))
+      .select(col("pid"), col("plabel"), col("cid"), col("clabel"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("best_pos", max(when(!isNeg, col("sim"))).over(wp))
+      .filter(isNeg && col("rnk") <= 3)
+      .select(col("pid"), col("rnk"), col("cid"), col("sim"), col("best_pos"),
+        round(col("best_pos") - col("sim"), 4).as("margin"))
+      .orderBy(col("pid"), col("rnk"))
+  }
+
+  private val q120Sql =
+    """WITH p AS (SELECT vec_id AS pid, label AS plabel,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, label AS clabel,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      |      FROM embeddings),
+      |s AS (SELECT pid, plabel, cid, clabel,
+      |        round(list_cosine_similarity(pe, ce), 4) AS sim
+      |      FROM p CROSS JOIN c WHERE pid <> cid),
+      |neg AS (SELECT pid, cid, sim, row_number() OVER (
+      |          PARTITION BY pid ORDER BY sim DESC, cid) AS rnk
+      |        FROM s WHERE plabel <> clabel),
+      |pos AS (SELECT pid, max(sim) AS best_pos FROM s
+      |        WHERE plabel = clabel GROUP BY pid)
+      |SELECT n.pid, n.rnk, n.cid, n.sim, p.best_pos,
+      |       round(p.best_pos - n.sim, 4) AS margin
+      |-- LEFT join: a probe with no same-label candidate still reports
+      |-- its negatives (NULL best_pos/margin), matching the window form
+      |FROM neg n LEFT JOIN pos p USING (pid) WHERE rnk <= 3
+      |ORDER BY pid, rnk""".stripMargin
+
   /** q89 — hybrid retrieval via Reciprocal Rank Fusion: fuse the sparse
     * BM25 ranking (q70's scorer) with a dense cosine ranking against a
     * probe embedding, score = Σ 1/(60 + rank) over the systems that
@@ -2989,6 +3044,7 @@ object LlmOps {
     QueryDef("q114_phrase_search", q114, Some(q114Sql)),
     QueryDef("q118_prefix_search", q118, Some(q118Sql)),
     QueryDef("q119_mrl_eval", q119, Some(q119Sql)),
+    QueryDef("q120_hard_negatives", q120, Some(q120Sql)),
     QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),

@@ -46,7 +46,12 @@ object ScaleStress {
     "q61_dedup_clusters", "q76_span_dedup",
     "q92_incremental_neardup", "q72_pipeline_e2e",
     "q105_bpe_train", "q106_bpe_encode", "q107_cooccurrence",
-    "q108_cdc_chunks")
+    "q108_cdc_chunks",
+    // r9 additions: the new dedup/retrieval family members. The rotated
+    // sibling copies make q112/q116 deliberate super-linear stresses
+    // (duplicated lines/spans multiply), like q35/q76 above.
+    "q112_line_dedup", "q113_dsir_select", "q114_phrase_search",
+    "q116_dup_spans", "q117_hits", "q118_prefix_search")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -172,4 +172,27 @@ class LlmOpsSpec extends SparkSpec {
         s"recall must degrade from 48 to 16 prefix dims: $byDims")
     } finally out.unpersist()
   }
+
+  test("q120: hard negatives really are cross-label and some outrank every positive") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.q120(spark, sf0001).cache()
+    try {
+      assert(out.count() == 30, "10 probes x top-3 hard negatives")
+      // cross-label check against the raw table
+      val labels = graft.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("label"))
+      val sameLabel = out
+        .join(labels.withColumnRenamed("vec_id", "pid")
+          .withColumnRenamed("label", "pl"), "pid")
+        .join(labels.withColumnRenamed("vec_id", "cid")
+          .withColumnRenamed("label", "cl"), "cid")
+        .filter(col("pl") === col("cl")).count()
+      assert(sameLabel == 0, "a mined negative shares the probe's label")
+      // margins are consistent and the miner finds genuinely hard ones
+      assert(out.filter(col("margin") =!=
+        round(col("best_pos") - col("sim"), 4)).count() == 0)
+      assert(out.filter(col("margin") < 0).count() > 0,
+        "no negative outranks the positives — mining vacuous here")
+    } finally out.unpersist()
+  }
 }
