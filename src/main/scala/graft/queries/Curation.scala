@@ -812,6 +812,65 @@ object Curation {
       |  max(pos) + $SubstrGram - min(pos) AS n_tokens
       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin
 
+  /** q121 — distributed suffix-array build
+    * ([[graft.operators.SuffixArray]], prefix doubling): the EXACT index
+    * behind ExactSubstr dedup — q116's gram gate approximates what an SA
+    * answers exactly (every repeated run of any length, longest-match
+    * queries, contamination lookups). The demo corpus slice is the first
+    * 8 documents concatenated with global token positions (the oracle
+    * re-sorts all suffixes as strings, so the slice keeps it O(head²)
+    * chars; the OPERATOR is corpus-general — log₂(n) checkpointed
+    * rounds of equi-join + GlobalOrder range-rank). Per-doc offsets for
+    * the concatenation come from a driver-side scan of ≤8 doc counts
+    * (bounded by the head cap; at corpus scale the offsets relation is
+    * itself a GlobalOrder prefix-sum over the doc table). Output: (pos,
+    * tok, sa_rank) — the inverse suffix array; memoized per dataset. */
+  private val saCache =
+    new graft.operators.DatasetCache[(String, String)]("suffix-array",
+      v => Seq(v._1, v._2))
+
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val (flatPath, rankPath) = saCache.getOrCompute(d) { dir =>
+      import s.implicits._
+      val toksRaw = Tables.documents(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      val counts = toksRaw.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val offs = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+        .toSeq.toDF("doc_id", "off")
+      val flat = toksRaw.join(broadcast(offs), "doc_id")
+        .select((col("off") + col("p")).cast("long").as("pos"), col("tok"))
+      val flatPath = graft.operators.Scratch.materializePath(flat, "sa-toks")
+      val rankPath =
+        graft.operators.SuffixArray.ranksPath(s.read.parquet(flatPath))
+      (flatPath, rankPath)
+    }
+    s.read.parquet(flatPath)
+      .join(s.read.parquet(rankPath), "pos")
+      .select(col("pos"), col("tok"), col("rank").as("sa_rank"))
+      .orderBy(col("pos"))
+  }
+
+  private val q121Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id < 8),
+      |f AS (SELECT doc_id, i, toks[i] AS tok
+      |      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |o AS (SELECT tok,
+      |        row_number() OVER (ORDER BY doc_id, i) - 1 AS pos FROM f),
+      |a AS (SELECT list(tok ORDER BY pos) AS allt FROM o),
+      |s AS (SELECT pos, tok,
+      |        array_to_string(list_slice(allt, pos + 1, len(allt)), chr(1)) AS suf
+      |      FROM o CROSS JOIN a),
+      |r AS (SELECT pos, tok,
+      |        CAST(row_number() OVER (ORDER BY suf) AS BIGINT) AS sa_rank
+      |      FROM s)
+      |SELECT pos, tok, sa_rank FROM r ORDER BY pos""".stripMargin
+
   /** q86 — per-source top-k selection: the k highest-quality documents of
     * every source (rank ties broken by doc_id) — the "keep the best of
     * each provenance bucket" sampling step. rn <= k over a partitioned
@@ -1006,6 +1065,7 @@ object Curation {
     QueryDef("q113_dsir_select", q113, Some(q113Sql)),
     QueryDef("q115_url_dedup", q115, Some(q115Sql)),
     QueryDef("q116_dup_spans", q116, Some(q116Sql)),
+    QueryDef("q121_suffix_array", q121, Some(q121Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),

@@ -369,6 +369,14 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q121: serving joins the landed token and rank relations — no corpus replay") {
+    val p = planString(Curation.q121(spark, sf0001))
+    assert(!p.contains("documents.parquet"),
+      s"q121 replays the corpus instead of the landed SA:\n$p")
+    assert(!p.contains("Generate"), s"unexpected explode at serve time:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
