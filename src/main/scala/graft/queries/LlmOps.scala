@@ -2403,6 +2403,75 @@ object LlmOps {
       |FROM neg n LEFT JOIN pos p USING (pid) WHERE rnk <= 3
       |ORDER BY pid, rnk""".stripMargin
 
+  /** q122 — shingle CONTAINMENT detection (the asymmetric near-dup
+    * Jaccard is blind to): containment |A∩B| / min(|A|,|B|) flags a
+    * document wholly embedded in another (quotes, excerpts, wrapper
+    * pages) even when the size mismatch keeps Jaccard low — the Broder
+    * resemblance-vs-containment distinction. The corpus plants no
+    * contained docs, so the query first SYNTHESIZES them (the q77/q115
+    * enrich-then-prove pattern): every 25th document contributes a
+    * fragment (its first third, id-shifted), and the detector must flag
+    * every fragment as contained-but-not-Jaccard-similar. Sets live in
+    * the RARE-shingle universe (df ≤ 16 via broadcast-anti of the
+    * bounded hot list — the q35 blocking discipline), so pair work is Σ
+    * per-shingle df², never n²; containment/Jaccard are exact integer
+    * 1e-4 quotients (`div`) over candidate pairs only. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val frag = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          ceil(size(toks) / lit(3.0)).cast("int"))).as("text"))
+    val g = base.unionByName(frag)
+      .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("p", "ng")))
+      .select(col("doc_id"), col("ng")).distinct()
+    val hot = g.groupBy(col("ng")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > 16).select(col("ng"))
+    val gr = g.join(broadcast(hot), Seq("ng"), "left_anti")
+    val sz = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = gr.select(col("doc_id").as("a_id"), col("ng"))
+      .join(gr.select(col("doc_id").as("b_id"), col("ng")), "ng")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("common"),
+        expr("(common * 10000) div least(na, nb)").as("cont10k"),
+        expr("(common * 10000) div (na + nb - common)").as("jacc10k"))
+      .filter(col("cont10k") >= 8000)
+      .withColumn("asymmetric", col("jacc10k") < 5000)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q122Sql =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |frag AS (SELECT doc_id + 1000000 AS doc_id,
+      |           array_to_string(string_split(text, ' ')[1:CAST(
+      |             ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)],
+      |             ' ') AS text
+      |         FROM documents WHERE doc_id % 25 = 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM (SELECT * FROM base UNION ALL SELECT * FROM frag)),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:(i+2)], ' ') AS ng
+      |      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+      |hot AS (SELECT ng FROM g GROUP BY ng HAVING count(*) > 16),
+      |gr AS (SELECT g.doc_id, g.ng FROM g ANTI JOIN hot USING (ng)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gr GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |            CAST(count(*) AS BIGINT) AS common
+      |          FROM gr a JOIN gr b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sc AS (SELECT a_id, b_id, sa.n AS na, sb.n AS nb, common,
+      |         CAST(common * 10000 // least(sa.n, sb.n) AS BIGINT) AS cont10k,
+      |         CAST(common * 10000 // (sa.n + sb.n - common) AS BIGINT) AS jacc10k
+      |       FROM pairs JOIN sz sa ON a_id = sa.doc_id
+      |                  JOIN sz sb ON b_id = sb.doc_id)
+      |SELECT a_id, b_id, na, nb, common, cont10k, jacc10k,
+      |       jacc10k < 5000 AS asymmetric
+      |FROM sc WHERE cont10k >= 8000 ORDER BY a_id, b_id""".stripMargin
+
   /** q89 — hybrid retrieval via Reciprocal Rank Fusion: fuse the sparse
     * BM25 ranking (q70's scorer) with a dense cosine ranking against a
     * probe embedding, score = Σ 1/(60 + rank) over the systems that
@@ -3045,6 +3114,7 @@ object LlmOps {
     QueryDef("q118_prefix_search", q118, Some(q118Sql)),
     QueryDef("q119_mrl_eval", q119, Some(q119Sql)),
     QueryDef("q120_hard_negatives", q120, Some(q120Sql)),
+    QueryDef("q122_containment", q122, Some(q122Sql)),
     QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),

@@ -195,4 +195,26 @@ class LlmOpsSpec extends SparkSpec {
         "no negative outranks the positives — mining vacuous here")
     } finally out.unpersist()
   }
+
+  test("q122: every planted fragment is flagged contained AND asymmetric") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.q122(spark, sf0001).cache()
+    try {
+      val planted = graft.Tables.documents(spark, sf0001)
+        .filter(col("doc_id") % 25 === 0).count()
+      assert(planted > 0, "no fragment bases at this SF — vacuous")
+      // each fragment (base_id + 1000000) must pair with its base
+      val fragPairs = out.filter(col("b_id") === col("a_id") + 1000000L)
+      assert(fragPairs.count() == planted,
+        s"expected $planted fragment pairs, got ${fragPairs.count()}")
+      assert(fragPairs.filter(!col("asymmetric")).count() == 0,
+        "a fragment pair was not asymmetric — Jaccard should be low")
+      // containment/Jaccard bounds: common <= min(na, nb), cont >= jacc
+      assert(out.filter(col("common") > least(col("na"), col("nb"))).count() == 0)
+      assert(out.filter(col("cont10k") < col("jacc10k")).count() == 0)
+      // a symmetric (high-Jaccard) duplicate family also fires at this SF
+      assert(out.filter(!col("asymmetric")).count() > 0,
+        "no symmetric containment pairs — both branches should fire")
+    } finally out.unpersist()
+  }
 }
