@@ -51,7 +51,8 @@ object ScaleStress {
     // sibling copies make q112/q116 deliberate super-linear stresses
     // (duplicated lines/spans multiply), like q35/q76 above.
     "q112_line_dedup", "q113_dsir_select", "q114_phrase_search",
-    "q116_dup_spans", "q117_hits", "q118_prefix_search")
+    "q116_dup_spans", "q117_hits", "q118_prefix_search",
+    "q122_containment")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
