@@ -46,13 +46,26 @@ object SuffixArray {
     * caller reads it and [[Scratch.release]]s when done, or memoizes
     * per dataset (the q61/q117 pattern). */
   def ranksPath(toks0: DataFrame): String = {
-    val spark = toks0.sparkSession
+    val (levels, _) = hierarchyPaths(toks0)
+    levels.init.foreach { case (_, p) => Scratch.release(p) }
+    levels.last._2
+  }
 
+  /** The full doubling-rank HIERARCHY: every round's landed (pos, rank)
+    * relation tagged with its prefix length (1, 2, 4, …) — round k's
+    * ranks order suffixes by their first 2^k tokens, and rank EQUALITY
+    * at level p means "first p tokens equal", which is the primitive
+    * [[lcpPath]] composes LCPs from. The last level is the final
+    * (all-distinct) ranking. Caller releases every path (or the init
+    * via [[ranksPath]]). @return (levels ordered by prefixLen asc, n) */
+  def hierarchyPaths(toks0: DataFrame): (Seq[(Long, String)], Long) = {
+    val spark = toks0.sparkSession
     // round 0: rank by the single leading token (the only string sort)
     val (p0, n) = GlobalOrder.rowNumberPath(
       toks0.select(col("pos"), col("tok")), "rn", col("tok"), col("pos"))
     var (rPath, groups) = groupMinPath(spark.read.parquet(p0), Seq("tok"))
     Scratch.release(p0)
+    val levels = scala.collection.mutable.ArrayBuffer((1L, rPath))
 
     var gap = 1L
     while (groups < n && gap < n) {
@@ -67,12 +80,55 @@ object SuffixArray {
       val (newPath, newGroups) = groupMinPath(spark.read.parquet(pp),
         Seq("r1", "r2"))
       Scratch.release(pp)
-      Scratch.release(rPath)
       rPath = newPath
       groups = newGroups
       gap *= 2
+      levels += ((gap, rPath))
     }
-    rPath
+    (levels.toSeq, n)
+  }
+
+  /** Adjacent-suffix LCP array from the rank hierarchy — the companion
+    * structure that makes the SA answer ExactSubstr questions (a
+    * repeated run of length L exists ⟺ some adjacent LCP ≥ L; the
+    * repeated extent is the SA interval around it). Token-wise LCP of
+    * each SA-adjacent pair, computed WITHOUT comparing tokens: descend
+    * the hierarchy's prefix lengths and greedily add level p whenever
+    * ranks at (a+done, b+done) are equal at level p — binary
+    * decomposition, so log₂(n) rounds each a pair of equi-joins against
+    * that level's landed ranks (positions past the end left-join to
+    * null = mismatch). All levels released before return. Output
+    * scratch DIR: (rank, a_pos, b_pos, lcp) for rank 1..n-1 (pair =
+    * SA[rank], SA[rank+1]). */
+  def lcpPath(toks0: DataFrame): String = {
+    val spark = toks0.sparkSession
+    val (levels, _) = hierarchyPaths(toks0)
+    try {
+      val fin = spark.read.parquet(levels.last._2)
+      val a = fin.select(col("rank"), col("pos").as("a_pos"))
+      val b = fin.select((col("rank") - 1).as("rank"), col("pos").as("b_pos"))
+      var statePath = Scratch.materializePath(
+        a.join(b, Seq("rank")).withColumn("lcp", lit(0L)), "sa-lcp")
+      for ((p, path) <- levels.reverse) {
+        val rp = spark.read.parquet(path)
+        val state = spark.read.parquet(statePath)
+        val withA = state
+          .join(rp.select(col("pos").as("__ap"), col("rank").as("__ar")),
+            col("__ap") === col("a_pos") + col("lcp"), "left")
+        val next = withA
+          .join(rp.select(col("pos").as("__bp"), col("rank").as("__br")),
+            col("__bp") === col("b_pos") + col("lcp"), "left")
+          .withColumn("lcp",
+            when(col("__ar").isNotNull && col("__br").isNotNull &&
+              col("__ar") === col("__br"), col("lcp") + p)
+              .otherwise(col("lcp")))
+          .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
+        val newState = Scratch.materializePath(next, "sa-lcp")
+        Scratch.release(statePath)
+        statePath = newState
+      }
+      statePath
+    } finally levels.foreach { case (_, p) => Scratch.release(p) }
   }
 
   /** Equality-preserving rank from a total-order row_number: every row

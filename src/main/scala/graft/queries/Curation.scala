@@ -830,9 +830,47 @@ object Curation {
       v => Seq(v._1, v._2))
 
   def q121(s: SparkSession, d: String): DataFrame = {
-    val (flatPath, rankPath) = saCache.getOrCompute(d) { dir =>
+    val (flatPath, rankPath) = saPathsFor(s, d)
+    s.read.parquet(flatPath)
+      .join(s.read.parquet(rankPath), "pos")
+      .select(col("pos"), col("tok"), col("rank").as("sa_rank"))
+      .orderBy(col("pos"))
+  }
+
+  /** q123 — the LCP array over q121's suffix array
+    * ([[graft.operators.SuffixArray.lcpPath]]): adjacent-suffix longest
+    * common prefixes, the companion structure that turns the SA into an
+    * ExactSubstr engine (a repeated run of length L exists ⟺ some
+    * adjacent LCP ≥ L). Computed WITHOUT token comparisons: the doubling
+    * hierarchy's per-level ranks answer "do these suffixes share their
+    * first p tokens?" as an equi-join, and descending the levels builds
+    * each LCP by binary decomposition — log₂(n) join rounds, landed per
+    * round. The head corpus has only short organic repeats, so the
+    * stream PLANTS one (doc 0's first 10 tokens re-appended at the end
+    * — the q77/q115 enrich-then-prove pattern): the detector must
+    * surface an adjacent pair with lcp ≥ 10. Memoized per dataset. */
+  private val lcpCache =
+    new graft.operators.DatasetCache[String]("sa-lcp", Seq(_))
+
+  def q123(s: SparkSession, d: String): DataFrame = {
+    val path = lcpCache.getOrCompute(d) { dir =>
+      val (flatPath, _) = saPathsFor(s, dir)
+      val flat = s.read.parquet(flatPath)
+      val n = flat.count()
+      val planted = flat.filter(col("pos") < 10)
+        .select((col("pos") + n).as("pos"), col("tok"))
+      graft.operators.SuffixArray.lcpPath(flat.unionByName(planted))
+    }
+    s.read.parquet(path)
+      .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
+      .orderBy(col("rank"))
+  }
+
+  /** q121's memoized (flat tokens, SA ranks) pair — shared with q123. */
+  private def saPathsFor(s: SparkSession, dir: String): (String, String) =
+    saCache.getOrCompute(dir) { dd =>
       import s.implicits._
-      val toksRaw = Tables.documents(s, dir).filter(col("doc_id") < 8)
+      val toksRaw = Tables.documents(s, dd).filter(col("doc_id") < 8)
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
       val counts = toksRaw.groupBy(col("doc_id"))
@@ -849,11 +887,32 @@ object Curation {
         graft.operators.SuffixArray.ranksPath(s.read.parquet(flatPath))
       (flatPath, rankPath)
     }
-    s.read.parquet(flatPath)
-      .join(s.read.parquet(rankPath), "pos")
-      .select(col("pos"), col("tok"), col("rank").as("sa_rank"))
-      .orderBy(col("pos"))
-  }
+
+  private val q123Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id < 8),
+      |f AS (SELECT doc_id, i, toks[i] AS tok
+      |      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |o0 AS (SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS pos FROM f),
+      |nn AS (SELECT count(*) AS n FROM o0),
+      |o AS (SELECT tok, pos FROM o0
+      |      UNION ALL
+      |      SELECT tok, pos + nn.n AS pos FROM o0 CROSS JOIN nn WHERE pos < 10),
+      |a AS (SELECT list(tok ORDER BY pos) AS allt FROM o),
+      |s AS (SELECT pos, array_to_string(list_slice(allt, pos + 1, len(allt)), chr(1)) AS suf
+      |      FROM o CROSS JOIN a),
+      |r AS (SELECT pos, row_number() OVER (ORDER BY suf) AS rnk FROM s),
+      |pr AS (SELECT ra.rnk AS rank, ra.pos AS a_pos, rb.pos AS b_pos
+      |       FROM r ra JOIN r rb ON rb.rnk = ra.rnk + 1),
+      |l AS (SELECT rank, a_pos, b_pos,
+      |        CAST(COALESCE(
+      |          NULLIF(list_position(list_transform(
+      |            list_zip(list_slice(allt, a_pos + 1, len(allt)),
+      |                     list_slice(allt, b_pos + 1, len(allt))),
+      |            p -> p[1] = p[2]), false), 0) - 1,
+      |          least(len(allt) - a_pos, len(allt) - b_pos)) AS BIGINT) AS lcp
+      |      FROM pr CROSS JOIN a)
+      |SELECT rank, a_pos, b_pos, lcp FROM l ORDER BY rank""".stripMargin
 
   private val q121Sql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -1066,6 +1125,7 @@ object Curation {
     QueryDef("q115_url_dedup", q115, Some(q115Sql)),
     QueryDef("q116_dup_spans", q116, Some(q116Sql)),
     QueryDef("q121_suffix_array", q121, Some(q121Sql)),
+    QueryDef("q123_lcp_array", q123, Some(q123Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),

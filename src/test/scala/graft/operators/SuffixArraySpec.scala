@@ -48,6 +48,36 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("LCP from the rank hierarchy matches brute-force adjacent LCP (property)") {
+    def bruteLcp(toks: Seq[String]): Map[Long, (Long, Long, Long)] = {
+      val ranks = reference(toks) // pos -> rank
+      val byRank = ranks.toSeq.map(_.swap).toMap // rank -> pos
+      (1L until toks.length.toLong).map { r =>
+        val a = byRank(r).toInt; val b = byRank(r + 1).toInt
+        val sa = toks.drop(a); val sb = toks.drop(b)
+        val l = sa.zip(sb).takeWhile { case (x, y) => x == y }.length
+        r -> (a.toLong, b.toLong, l.toLong)
+      }.toMap
+    }
+    def sparkLcp(toks: Seq[String]): Map[Long, (Long, Long, Long)] = {
+      val df = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
+      val path = SuffixArray.lcpPath(df)
+      try spark.read.parquet(path).as[(Long, Long, Long, Long)].collect()
+        .map { case (r, a, b, l) => r -> (a, b, l) }.toMap
+      finally Scratch.release(path)
+    }
+    val genSeq = for {
+      n <- Gen.choose(2, 30)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab"))
+    } yield ts
+    val cases = (0 until 4).flatMap { i =>
+      genSeq(Gen.Parameters.default, Seed(29L + i))
+    }.filter(_.size >= 2) :+ (Seq.fill(8)(Seq("x", "y")).flatten :+ "z")
+    for (ts <- cases)
+      assert(sparkLcp(ts) == bruteLcp(ts), s"LCP divergence on $ts")
+  }
+
   test("ranks are a 1..n permutation and repeated runs converge past round 0") {
     // a highly repetitive sequence forces many doubling rounds (equal
     // prefixes persist until the gap spans the period)
