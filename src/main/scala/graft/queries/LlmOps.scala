@@ -2024,6 +2024,82 @@ object LlmOps {
       |    / 10000.0 AS avg_logp
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q124 — the full CCNet perplexity gate: Jelinek–Mercer interpolated
+    * bigram LM score per document, then head/middle/tail TERCILES over
+    * the corpus — the classic "keep head+middle, drop tail" web-corpus
+    * filter. JM interpolation (λ·P_bi + (1−λ)·P_uni, λ=0.7) needs no
+    * add-1 smoothing: unseen bigrams fall back to the unigram arm — the
+    * modelling step up from q109's add-1. Scale shape: q109's
+    * token-linear pair stream and vocab-bounded models (the unigram
+    * relation and 1-row token total broadcast); per-pair 1e-4
+    * quantization then an exact integer mean ⇒ bit-stable; the tercile
+    * is GlobalOrder's range-partitioned rank (memoized, no
+    * single-partition window — q81's discipline) with DuckDB's ntile(3)
+    * as the oracle mirror. */
+  private val ppxRankCache =
+    new graft.operators.DatasetCache[(String, Long)](
+      "ppx-rank", { case (path, _) => Seq(path) })
+
+  def q124(s: SparkSession, d: String): DataFrame = {
+    val (path, total) = ppxRankCache.getOrCompute(d) { dir =>
+      val docs = Tables.documents(s, dir)
+      val pairs = docs
+        .select(col("doc_id"), NGramExplode(col("text"), 2).as(Seq("pos", "pr")))
+        .select(col("doc_id"), col("pr"),
+          substring_index(col("pr"), " ", 1).as("w1"),
+          substring_index(col("pr"), " ", -1).as("w2"))
+      val bigram = pairs.groupBy(col("pr")).agg(count(lit(1)).as("c12"))
+      val context = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val uni = docs.select(explode(split(col("text"), " ")).as("w2"))
+        .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+      val nt = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(count(lit(1)).as("ntok"))
+      val perDoc = pairs.join(bigram, "pr").join(context, "w1")
+        .join(broadcast(uni), "w2").crossJoin(broadcast(nt))
+        .select(col("doc_id"),
+          round(log(lit(0.7) * (col("c12").cast("double") / col("c1")) +
+                    lit(0.3) * (col("cu").cast("double") / col("ntok"))) *
+            10000, 0).cast("long").as("lq"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (round(sum(col("lq")) / count(lit(1)), 0) / 10000.0)
+            .as("interp_logp"))
+      graft.operators.GlobalOrder.rowNumberPath(perDoc, "rn",
+        col("interp_logp").desc, col("doc_id"))
+    }
+    s.read.parquet(path)
+      .withColumn("bucket",
+        graft.operators.GlobalOrder.ntileFromRank(col("rn"), total, 3))
+      .select(col("doc_id"), col("n_bigrams"), col("interp_logp"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q124Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS pr
+      |      FROM t WHERE len(toks) >= 2),
+      |pw AS (SELECT doc_id, pr, string_split(pr, ' ')[1] AS w1,
+      |         string_split(pr, ' ')[2] AS w2 FROM p),
+      |b AS (SELECT pr, count(*) AS c12 FROM pw GROUP BY pr),
+      |cx AS (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1),
+      |u AS (SELECT tok AS w2, count(*) AS cu
+      |      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+      |nt AS (SELECT count(*) AS ntok FROM (SELECT unnest(toks) AS tok FROM t)),
+      |sc AS (SELECT doc_id,
+      |         CAST(round(ln(0.7 * (c12 * 1.0 / c1) + 0.3 * (cu * 1.0 / ntok))
+      |           * 10000) AS BIGINT) AS lq
+      |       FROM pw JOIN b USING (pr) JOIN cx USING (w1) JOIN u USING (w2)
+      |            CROSS JOIN nt),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         round(sum(lq) * 1.0 / count(*), 0) / 10000.0 AS interp_logp
+      |       FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, interp_logp,
+      |       CAST(ntile(3) OVER (ORDER BY interp_logp DESC, doc_id) AS BIGINT)
+      |         AS bucket
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   /** q69 — training-sequence packing: lay documents out in a deterministic
     * pseudo-random order and greedily concatenate into fixed token-budget
     * sequences (budget 2048) — how training shards are materialized from a
@@ -3115,6 +3191,7 @@ object LlmOps {
     QueryDef("q119_mrl_eval", q119, Some(q119Sql)),
     QueryDef("q120_hard_negatives", q120, Some(q120Sql)),
     QueryDef("q122_containment", q122, Some(q122Sql)),
+    QueryDef("q124_ccnet_buckets", q124, Some(q124Sql)),
     QueryDef("q89_rrf_fusion", q89, Some(q89Sql)),
     QueryDef("q92_incremental_neardup", q92, Some(q92Sql)),
     QueryDef("q93_embedding_outliers", q93, Some(q93Sql)),

@@ -217,4 +217,24 @@ class LlmOpsSpec extends SparkSpec {
         "no symmetric containment pairs — both branches should fire")
     } finally out.unpersist()
   }
+
+  test("q124: terciles are balanced and ordered by interpolated LM score") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.q124(spark, sf0001).cache()
+    try {
+      val sizes = out.groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == Set(1, 2, 3), s"expected 3 buckets: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"ntile buckets must balance within 1: $sizes")
+      val means = out.groupBy("bucket").agg(avg(col("interp_logp")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(means(1) > means(3),
+        s"head bucket must outscore tail: $means")
+      // every doc with >= 2 tokens is scored exactly once
+      val expected = graft.Tables.documents(spark, sf0001)
+        .filter(size(split(col("text"), " ")) >= 2).count()
+      assert(out.count() == expected)
+    } finally out.unpersist()
+  }
 }
