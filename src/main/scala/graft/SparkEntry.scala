@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Curation, LlmOps, QueryDef, Relational, Scalars, Temporal}
+import graft.queries.{Analytics, Curation, LlmOps, Modeling, QueryDef, Relational, Scalars, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val all: Seq[QueryDef] =
     Relational.defs ++ Scalars.defs ++ Temporal.defs ++ LlmOps.defs ++
-      Analytics.defs ++ Curation.defs
+      Analytics.defs ++ Curation.defs ++ Modeling.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,448 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-model operators for the training-data pipeline: the learned
+  * quality classifier (q125), Kneser–Ney smoothing (q126), SymSpell fuzzy
+  * resolution (q127), weighted reservoir sampling (q128) and
+  * Johnson–Lindenstrauss projection (q129). All five are deterministic,
+  * integer-quantized where doubles appear, and fully DuckDB-oracled.
+  *
+  * Reference scope note: the reference engine (CsvLoader.java) has no
+  * model surface at all — this module is part of the north-star LLM
+  * pipeline extension (BASELINE.json north_star), same footing as
+  * LlmOps/Curation.
+  */
+object Modeling {
+
+  import LlmOps.lcgKey
+
+  // ---------------------------------------------------------------- q125
+
+  /** The planted class-signal vocabularies for q125 — two disjoint 4-word
+    * topics appended to each document (class = doc_id parity, rotation by
+    * doc_id) so the classifier has a learnable, deterministic signal in
+    * this synthetic corpus (the q77/q115/q122 enrich-then-prove pattern:
+    * real corpora carry real signals; the tests must manufacture one). */
+  private val HiSig = Seq("citation", "reference", "footnote", "archive")
+  private val LoSig = Seq("promo", "subscribe", "clickbait", "advert")
+
+  /** The enriched corpus shared by q125's train and score sides:
+    * (doc_id, cls, text2, is_train). 80/20 split by the portable LCG hash
+    * (q63's discipline — reproducible across runs and partitionings). */
+  private def nbCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 2).as("cls"),
+        expr(
+          s"""CASE WHEN doc_id % 2 = 0
+             |  THEN array(${HiSig.map(w => s"'$w'").mkString(",")})
+             |  ELSE array(${LoSig.map(w => s"'$w'").mkString(",")}) END"""
+            .stripMargin).as("sig"),
+        expr("(doc_id DIV 2) % 4").as("idx"), col("text"))
+      .select(col("doc_id"), col("cls"),
+        concat(col("text"), lit(" "),
+          expr("element_at(sig, CAST(idx AS INT) + 1)"), lit(" "),
+          expr("element_at(sig, CAST((idx + 1) % 4 AS INT) + 1)")).as("text2"),
+        (lcgKey(col("doc_id")) % 10 < 8).as("is_train"))
+
+  /** q125 — learned quality classifier (the fastText-style binary filter
+    * GPT-3/CCNet-class pipelines train to separate curated from raw text):
+    * multinomial Naive Bayes with Laplace smoothing, trained on the 80%
+    * hash-split fold, scoring the 20% held-out fold. Every log-likelihood
+    * is quantized to a 1e-4-grid BIGINT at MODEL BUILD time (the model is
+    * vocab-bounded, so the `ln` calls happen O(V·C) times, not per
+    * token), which makes the scoring pass pure integer arithmetic — exact
+    * under any partitioning, and the margin column is an exact integer.
+    *
+    * Scale shape: the model (V×2 log-liks + 2-row class info) BROADCASTS;
+    * the held-out token stream is map-side exploded, ×2 class-expanded
+    * (bounded factor: #classes), probed against the broadcast model, and
+    * collapses in ONE doc-keyed aggregation. Train-side counts are
+    * vocab-bounded hash aggregations. No corpus self-join, no window. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    val e = nbCorpus(s, d)
+    val ttok = e.filter(col("is_train"))
+      .select(col("cls"), explode(split(col("text2"), " ")).as("tok"))
+    val cw = ttok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cw"))
+    val ct = ttok.groupBy(col("cls")).agg(count(lit(1)).as("ct"))
+    val vv = ttok.agg(countDistinct(col("tok")).as("v"))
+    val nd = e.filter(col("is_train")).groupBy(col("cls"))
+      .agg(count(lit(1)).as("nc"))
+    val ndt = e.filter(col("is_train")).agg(count(lit(1)).as("n"))
+    val model = cw.join(ct, "cls").crossJoin(broadcast(vv))
+      .select(col("cls"), col("tok"),
+        round(log((col("cw") + 1).cast("double") / (col("ct") + col("v"))) *
+          10000, 0).cast("long").as("lq"))
+    val cinfo = ct.join(nd, "cls").crossJoin(broadcast(vv))
+      .crossJoin(broadcast(ndt))
+      .select(col("cls"),
+        round(log(lit(1.0) / (col("ct") + col("v"))) * 10000, 0)
+          .cast("long").as("lq0"),
+        round(log(col("nc").cast("double") / col("n")) * 10000, 0)
+          .cast("long").as("lp"))
+    val stok = e.filter(!col("is_train"))
+      .select(col("doc_id"), col("cls").as("actual"),
+        explode(split(col("text2"), " ")).as("tok"))
+    val sc = stok
+      .crossJoin(broadcast(cinfo))
+      .join(broadcast(model), Seq("cls", "tok"), "left")
+      .select(col("doc_id"), col("actual"), col("cls"), col("lp"),
+        coalesce(col("lq"), col("lq0")).as("q"))
+    val ds = sc.groupBy(col("doc_id"), col("actual"))
+      .agg(
+        (max(when(col("cls") === 0, col("lp"))) +
+          sum(when(col("cls") === 0, col("q")).otherwise(0L))).as("s0"),
+        (max(when(col("cls") === 1, col("lp"))) +
+          sum(when(col("cls") === 1, col("q")).otherwise(0L))).as("s1"))
+    ds.select(col("doc_id"), col("actual"),
+        when(col("s1") > col("s0"), 1L).otherwise(0L).as("pred"),
+        abs(col("s1") - col("s0")).as("margin"))
+      .withColumn("correct",
+        when(col("pred") === col("actual"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q125Sql = {
+    val hi = HiSig.map(w => s"'$w'").mkString(",")
+    val lo = LoSig.map(w => s"'$w'").mkString(",")
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % 2 AS cls,
+       |    CASE WHEN doc_id % 2 = 0 THEN [$hi] ELSE [$lo] END AS sig,
+       |    (doc_id // 2) % 4 AS idx, text
+       |  FROM documents),
+       |e AS (SELECT doc_id, cls,
+       |        text || ' ' || sig[CAST(idx AS INT) + 1] || ' ' ||
+       |          sig[CAST((idx + 1) % 4 AS INT) + 1] AS text2,
+       |        ((doc_id * 1103515245 + 12345) % 2147483648) % 10 < 8
+       |          AS is_train
+       |      FROM base),
+       |ttok AS (SELECT cls, unnest(string_split(text2, ' ')) AS tok
+       |         FROM e WHERE is_train),
+       |cw AS (SELECT cls, tok, count(*) AS cw FROM ttok GROUP BY 1, 2),
+       |ct AS (SELECT cls, count(*) AS ct FROM ttok GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+       |nd AS (SELECT cls, count(*) AS nc FROM e WHERE is_train GROUP BY 1),
+       |ndt AS (SELECT count(*) AS n FROM e WHERE is_train),
+       |model AS (SELECT cls, tok,
+       |            CAST(round(ln((cw + 1) * 1.0 / (ct + v)) * 10000)
+       |              AS BIGINT) AS lq
+       |          FROM cw JOIN ct USING (cls) CROSS JOIN vv),
+       |cinfo AS (SELECT cls,
+       |            CAST(round(ln(1.0 / (ct + v)) * 10000) AS BIGINT) AS lq0,
+       |            CAST(round(ln(nc * 1.0 / n) * 10000) AS BIGINT) AS lp
+       |          FROM ct JOIN nd USING (cls) CROSS JOIN vv CROSS JOIN ndt),
+       |stok AS (SELECT doc_id, cls AS actual,
+       |           unnest(string_split(text2, ' ')) AS tok
+       |         FROM e WHERE NOT is_train),
+       |sc AS (SELECT t.doc_id, t.actual, c.cls, c.lp,
+       |         COALESCE(m.lq, c.lq0) AS q
+       |       FROM stok t CROSS JOIN cinfo c
+       |       LEFT JOIN model m ON m.cls = c.cls AND m.tok = t.tok),
+       |ds AS (SELECT doc_id, actual,
+       |         max(CASE WHEN cls = 0 THEN lp END) +
+       |           sum(CASE WHEN cls = 0 THEN q ELSE 0 END) AS s0,
+       |         max(CASE WHEN cls = 1 THEN lp END) +
+       |           sum(CASE WHEN cls = 1 THEN q ELSE 0 END) AS s1
+       |       FROM sc GROUP BY 1, 2)
+       |SELECT doc_id, actual,
+       |  CAST(CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  CAST(abs(s1 - s0) AS BIGINT) AS margin,
+       |  CAST(CASE WHEN (CASE WHEN s1 > s0 THEN 1 ELSE 0 END) = actual
+       |       THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM ds ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q126
+
+  /** q126 — interpolated Kneser–Ney bigram LM (D = 0.75): the smoothing
+    * KenLM-class models (and therefore the real CCNet filter) actually
+    * use, completing the LM family (q68 unigram, q109 add-1, q124
+    * Jelinek–Mercer). KN's innovation is the CONTINUATION count: the
+    * backoff weight of a word is how many distinct contexts it follows
+    * (n1b), not how often it occurs — "francisco" is frequent but only
+    * ever follows "san", so its continuation probability is tiny.
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + D·n1f(w1)/c1 · n1b(w2)/B
+    *
+    * with n1f = distinct bigram types starting at w1, n1b = distinct
+    * types ending at w2, B = total bigram types. Scoring the corpus under
+    * its own model means every scored bigram has c12 ≥ 1, so the
+    * discounted term is already ≥ 0.25/c1 — no max(·,0) branch needed.
+    *
+    * Scale shape: q109's token-linear pair stream; the bigram-type
+    * relation shuffles on pr (corpus-bounded, same as q109's c12 join);
+    * the two continuation relations are VOCAB-bounded and broadcast; B is
+    * a 1-row broadcast. Per-pair 1e-4 log quantization then an exact
+    * integer mean (the q68 boundary discipline) ⇒ bit-stable. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = docs
+      .select(col("doc_id"),
+        graft.functions.NGramExplode(col("text"), 2).as(Seq("pos", "pr")))
+      .select(col("doc_id"), col("pr"),
+        substring_index(col("pr"), " ", 1).as("w1"),
+        substring_index(col("pr"), " ", -1).as("w2"))
+    val bigram = pairs.groupBy(col("pr")).agg(count(lit(1)).as("c12"))
+    val w1rel = pairs.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("pr")).as("n1f"))
+    val w2rel = pairs.groupBy(col("w2"))
+      .agg(countDistinct(col("pr")).as("n1b"))
+    val bt = bigram.agg(count(lit(1)).as("bt"))
+    pairs.join(bigram, "pr")
+      .join(broadcast(w1rel), "w1")
+      .join(broadcast(w2rel), "w2")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"),
+        log((col("c12") - lit(0.75)) / col("c1") +
+          lit(0.75) * (col("n1f").cast("double") / col("c1")) *
+            (col("n1b").cast("double") / col("bt"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum(round(col("logp") * 10000, 0).cast("long")) /
+          count(lit(1)), 0) / 10000.0).as("kn_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q126Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS pr
+      |      FROM t WHERE len(toks) >= 2),
+      |pw AS (SELECT doc_id, pr, string_split(pr, ' ')[1] AS w1,
+      |         string_split(pr, ' ')[2] AS w2 FROM p),
+      |b AS (SELECT pr, count(*) AS c12 FROM pw GROUP BY pr),
+      |w1r AS (SELECT w1, count(*) AS c1, count(DISTINCT pr) AS n1f
+      |        FROM pw GROUP BY w1),
+      |w2r AS (SELECT w2, count(DISTINCT pr) AS n1b FROM pw GROUP BY w2),
+      |btr AS (SELECT count(*) AS bt FROM b),
+      |sc AS (SELECT doc_id,
+      |         ln((c12 - 0.75) / c1 +
+      |            0.75 * (n1f * 1.0 / c1) * (n1b * 1.0 / bt)) AS logp
+      |       FROM pw JOIN b USING (pr) JOIN w1r USING (w1)
+      |            JOIN w2r USING (w2) CROSS JOIN btr)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(sum(CAST(round(logp * 10000) AS BIGINT)) * 1.0 / count(*), 0)
+      |    / 10000.0 AS kn_logp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+
+  /** q127 — SymSpell fuzzy resolution (deletion-neighborhood blocking):
+    * the spell-correction / vocabulary-folding normalization step, and
+    * the third blocking FAMILY in the near-dup toolbox (q35 rare
+    * shingles, q35d LSH bands, here: 1-char-deletion variants). Two
+    * strings are within Levenshtein distance 1 iff their deletion
+    * neighborhoods (each string plus its single-character deletions)
+    * intersect AND an exact verify passes — so the candidate join is a
+    * pure EQUI-join on the variant string, never a theta join, and the
+    * exact `levenshtein` runs only on blocked candidates (it also kills
+    * the distance-2 false positives the block admits, e.g. "ab"/"ba").
+    *
+    * Enrich-then-prove: each document's first token (len ≥ 3) is
+    * deterministically corrupted by deleting the (doc_id mod len)-th
+    * character; the query resolves every corrupted mention back to the
+    * corpus vocabulary, picking the most frequent candidate (ties lex).
+    * The true source word is always a candidate at distance 1, so
+    * coverage is 100% by construction (ModelingSpec proves it, plus
+    * majority-correct recovery).
+    *
+    * Scale shape: the vocabulary and its deletion index are VOCAB-bounded
+    * and broadcast; the mention stream is map-side (≤ len+1 variants per
+    * mention); the only corpus-keyed shuffle is the per-doc best-candidate
+    * window. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mentions = docs
+      .select(col("doc_id"), substring_index(col("text"), " ", 1).as("orig"))
+      .filter(length(col("orig")) >= 3)
+      .withColumn("p", (col("doc_id") % length(col("orig"))).cast("int") + 1)
+      .select(col("doc_id"), col("orig"),
+        concat(col("orig").substr(lit(1), col("p") - 1),
+          col("orig").substr(col("p") + 1, length(col("orig"))))
+          .as("mention"))
+    def del1(w: Column): Column =
+      array_union(
+        transform(sequence(lit(1), length(w)),
+          i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))),
+        array(w))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val vindex = vocab
+      .select(col("word"), col("freq"), explode(del1(col("word"))).as("variant"))
+    val mindex = mentions
+      .select(col("doc_id"), col("orig"), col("mention"),
+        explode(del1(col("mention"))).as("variant"))
+    val cand = mindex.join(broadcast(vindex), "variant")
+      .select(col("doc_id"), col("orig"), col("mention"), col("word"),
+        col("freq"))
+      .distinct()
+      .filter(levenshtein(col("mention"), col("word")) <= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq").desc, col("word"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("orig"), col("mention"),
+        col("word").as("corrected"), col("freq"),
+        when(col("word") === col("orig"), 1L).otherwise(0L).as("recovered"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q127Sql =
+    """WITH m0 AS (SELECT doc_id, string_split(text, ' ')[1] AS orig
+      |            FROM documents),
+      |m1 AS (SELECT doc_id, orig,
+      |         CAST(doc_id % length(orig) AS INT) + 1 AS p
+      |       FROM m0 WHERE length(orig) >= 3),
+      |men AS (SELECT doc_id, orig,
+      |          substr(orig, 1, p - 1) || substr(orig, p + 1) AS mention
+      |        FROM m1),
+      |voc AS (SELECT word, count(*) AS freq
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |              FROM documents) GROUP BY word),
+      |vind AS (SELECT word, freq, unnest(list_distinct(list_append(
+      |           list_transform(range(1, length(word) + 1),
+      |             i -> substr(word, 1, CAST(i AS INT) - 1) ||
+      |                  substr(word, CAST(i AS INT) + 1)), word)))
+      |           AS variant
+      |         FROM voc),
+      |mind AS (SELECT doc_id, orig, mention, unnest(list_distinct(
+      |           list_append(list_transform(range(1, length(mention) + 1),
+      |             i -> substr(mention, 1, CAST(i AS INT) - 1) ||
+      |                  substr(mention, CAST(i AS INT) + 1)), mention)))
+      |           AS variant
+      |         FROM men),
+      |cand AS (SELECT DISTINCT doc_id, orig, mention, word, freq
+      |         FROM mind JOIN vind USING (variant)
+      |         WHERE levenshtein(mention, word) <= 1),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY doc_id ORDER BY freq DESC, word) AS rn
+      |       FROM cand)
+      |SELECT doc_id, orig, mention, word AS corrected, freq,
+      |  CAST(CASE WHEN word = orig THEN 1 ELSE 0 END AS BIGINT) AS recovered
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+
+  /** q128 — weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res): the mixture-sampling primitive — draw k documents with
+    * probability proportional to weight (here n_chars, standing in for a
+    * quality or mixture weight) by ranking on key = ln(u)/w with u a
+    * per-doc deterministic uniform, taking the k largest. One map-side
+    * key computation + a TakeOrderedAndProject top-k: NO global sort, no
+    * shuffle of the corpus — the same plan shape at any scale, and the
+    * sample is reproducible across runs/partitionings because u comes
+    * from the portable LCG hash, not rand(). Keys quantized on a 1e-8
+    * grid (BIGINT) with doc_id tiebreak ⇒ a total, engine-stable order. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        round(log((lcgKey(col("doc_id")) % 1000000 + 1) / lit(1000001.0)) /
+          col("n_chars") * 100000000, 0).cast("long").as("kq"))
+      .orderBy(col("kq").desc, col("doc_id"))
+      .limit(100)
+      .orderBy(col("doc_id"))
+
+  private val q128Sql =
+    """WITH k AS (SELECT doc_id, n_chars,
+      |  CAST(round(ln((((doc_id * 1103515245 + 12345) % 2147483648)
+      |      % 1000000 + 1) / 1000001.0) / n_chars * 100000000) AS BIGINT)
+      |    AS kq
+      |  FROM documents)
+      |SELECT doc_id, n_chars, kq FROM k
+      |ORDER BY kq DESC, doc_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+
+  /** The 16×64 ±1 JL sign matrix, generated by the portable LCG on the
+    * flat index (high bits — the LCG's low bit alternates by parity, so
+    * bit 10 is the cheapest usable pseudo-random bit; both engines
+    * evaluate the same exact integer formula). Driver-held literal:
+    * 1 KB, the bounded-model discipline of the PQ codebooks. */
+  private val JlSigns: Seq[Seq[Long]] =
+    Seq.tabulate(16)(j => Seq.tabulate(64) { i =>
+      val k = (j * 64 + i).toLong
+      1L - 2L * (((k * 1103515245L + 12345L) % 2147483648L) / 1024L % 2L)
+    })
+
+  /** q129 — Johnson–Lindenstrauss random projection (64 → 16 dims, ±1
+    * signs): the cheap distance-sketch member of the ANN family (q34c
+    * sign-LSH keeps only the SIGN of each projection; this keeps the
+    * VALUE, so distances survive: E[‖R(a−b)‖²/k] = ‖a−b‖²). The query
+    * measures exactly that contract: for 25 adjacent probe pairs, the
+    * exact squared distance in the original 1e-4-quantized integer space
+    * vs the projected space, and their floor-div ratio in 1e-4 units —
+    * all BIGINT end to end (sign matmul of integers), so the oracle is
+    * exact. ModelingSpec gates the mean ratio inside the JL concentration
+    * band. Scale shape: the projection is pure map-side expression work
+    * (zip_with/aggregate folds, codegen'd) with a 1 KB broadcast-literal
+    * matrix — at corpus scale this is the embedding-compaction pass
+    * before an index build, shuffle-free. */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val a = q.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("va"), col("vq").as("vqa"))
+    val b = q.select(col("vec_id").as("vb"), col("vq").as("vqb"))
+    def dotLit(arr: Column, s: Seq[Long]): Column =
+      aggregate(zip_with(arr, lit(s.toArray), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    val dlt = a.join(b, col("va") + 1 === col("vb"))
+      .select(col("va"), col("vb"),
+        zip_with(col("vqa"), col("vqb"), (x, y) => x - y).as("d"))
+      .select(col("va"), col("vb"),
+        aggregate(transform(col("d"), x => x * x), lit(0L),
+          (acc, v) => acc + v).as("d2"),
+        JlSigns.map(sj => { val yd = dotLit(col("d"), sj); yd * yd })
+          .reduce(_ + _).as("dp2"))
+      .filter(col("d2") > 0)
+    dlt.select(col("va"), col("vb"), col("d2"), col("dp2"),
+        expr("(dp2 * 10000) DIV (16 * d2)").as("ratio_q"))
+      .orderBy(col("va"))
+  }
+
+  private val q129Sql =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS vq
+      |  FROM embeddings WHERE vec_id < 50),
+      |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.vq AS vqa, b.vq AS vqb
+      |       FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id
+      |       WHERE a.vec_id % 2 = 0),
+      |dl AS (SELECT va, vb,
+      |         list_transform(range(1, 65), i -> vqa[CAST(i AS INT)] -
+      |           vqb[CAST(i AS INT)]) AS d
+      |       FROM pr),
+      |dd AS (SELECT va, vb, d,
+      |         CAST(list_sum(list_transform(d, x -> x * x)) AS BIGINT) AS d2
+      |       FROM dl),
+      |sg AS (SELECT j, list_transform(range(0, 64),
+      |         i -> 1 - 2 * ((((j * 64 + i) * 1103515245 + 12345)
+      |                % 2147483648) // 1024 % 2)) AS s
+      |       FROM (SELECT unnest(range(0, 16)) AS j)),
+      |dj AS (SELECT va, vb, d2,
+      |         CAST(list_sum(list_transform(range(1, 65),
+      |           i -> d[CAST(i AS INT)] * s[CAST(i AS INT)])) AS BIGINT)
+      |           AS yd
+      |       FROM dd CROSS JOIN sg),
+      |ag AS (SELECT va, vb, d2, CAST(sum(yd * yd) AS BIGINT) AS dp2
+      |       FROM dj GROUP BY va, vb, d2)
+      |SELECT va, vb, d2, dp2, (dp2 * 10000) // (16 * d2) AS ratio_q
+      |FROM ag WHERE d2 > 0 ORDER BY va""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q125_nb_classifier", q125, Some(q125Sql)),
+    QueryDef("q126_kneser_ney", q126, Some(q126Sql)),
+    QueryDef("q127_symspell", q127, Some(q127Sql)),
+    QueryDef("q128_weighted_sample", q128, Some(q128Sql)),
+    QueryDef("q129_jl_projection", q129, Some(q129Sql)))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants of the statistical-model operators (q125–q129):
+  * classifier accuracy on the planted signal, Kneser–Ney probability
+  * bounds, SymSpell coverage/recovery, weighted-sample bias, and the JL
+  * distance-concentration contract. Determinism (the oracle's job) is
+  * NOT re-proven here — these gates check the semantics the hash compare
+  * can't see. */
+class ModelingSpec extends SparkSpec {
+
+  test("NB classifier (q125) recovers the planted class signal held-out") {
+    val out = Modeling.q125(spark, sf001).cache()
+    val n = out.count()
+    assert(n > 50, "held-out fold should be ~20% of 500 docs")
+    // both classes must appear in the held-out fold (non-vacuous)
+    assert(out.select("actual").distinct().count() == 2)
+    val acc = out.agg(sum("correct")).collect()(0).getLong(0).toDouble / n
+    assert(acc >= 0.9, s"planted 2-word signal must be learnable, acc=$acc")
+    // margins are exact integers > 0 for correctly classified docs
+    assert(out.filter(col("correct") === 1 && col("margin") <= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("Kneser-Ney (q126) log-probs are negative and discounting beats nothing") {
+    val out = Modeling.q126(spark, sf0001).cache()
+    assert(out.count() > 0)
+    // every mean log-prob is strictly negative (probabilities < 1)
+    assert(out.filter(col("kn_logp") >= 0).count() == 0)
+    // scored bigram totals conserve: sum n_bigrams == total corpus bigrams
+    val nb = out.agg(sum("n_bigrams")).collect()(0).getLong(0)
+    val docs = graft.Tables.documents(spark, sf0001)
+    val total = docs.select((size(split(col("text"), " ")) - 1).as("m"))
+      .filter(col("m") > 0).agg(sum("m")).collect()(0).getLong(0)
+    assert(nb == total)
+    out.unpersist()
+  }
+
+  test("Kneser-Ney (q126) per-pair probability stays in (0, 1]") {
+    // rebuild the model relations at tiny SF and check the probability
+    // mass argument: (c12-D)/c1 + D*n1f/c1*n1b/B must be in (0,1]
+    val docs = graft.Tables.documents(spark, sf0001)
+    val pairs = docs.select(col("doc_id"),
+        graft.functions.NGramExplode(col("text"), 2).as(Seq("pos", "pr")))
+      .select(col("pr"), substring_index(col("pr"), " ", 1).as("w1"),
+        substring_index(col("pr"), " ", -1).as("w2"))
+    val b = pairs.groupBy("pr").agg(count(lit(1)).as("c12"))
+    val w1r = pairs.groupBy("w1")
+      .agg(count(lit(1)).as("c1"), countDistinct("pr").as("n1f"))
+    val w2r = pairs.groupBy("w2").agg(countDistinct("pr").as("n1b"))
+    val bt = b.count()
+    val probs = pairs.join(b, "pr").join(w1r, "w1").join(w2r, "w2")
+      .select(((col("c12") - 0.75) / col("c1") +
+        lit(0.75) * (col("n1f").cast("double") / col("c1")) *
+          (col("n1b").cast("double") / lit(bt.toDouble))).as("p"))
+    assert(probs.filter(col("p") <= 0 || col("p") > 1).count() == 0)
+  }
+
+  test("SymSpell (q127) resolves every corrupted mention within distance 1") {
+    val out = Modeling.q127(spark, sf001).cache()
+    val docs = graft.Tables.documents(spark, sf001)
+    val eligible = docs
+      .select(substring_index(col("text"), " ", 1).as("o"))
+      .filter(length(col("o")) >= 3).count()
+    // coverage: the true source word is always a candidate, so every
+    // eligible doc resolves to exactly one correction
+    assert(out.count() == eligible)
+    // every correction is verifiably within Levenshtein distance 1
+    assert(out.filter(levenshtein(col("mention"), col("corrected")) > 1)
+      .count() == 0)
+    // the majority of mentions resolve back to their uncorrupted source
+    val rec = out.agg(sum("recovered")).collect()(0).getLong(0).toDouble
+    assert(rec / out.count() >= 0.5,
+      s"expected majority recovery, got ${rec / out.count()}")
+    out.unpersist()
+  }
+
+  test("weighted sample (q128) is size-k, deterministic, and biased to weight") {
+    val out = Modeling.q128(spark, sf001).cache()
+    assert(out.count() == 100)
+    // deterministic: a second run is bit-identical
+    val again = Modeling.q128(spark, sf001)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+    // weight bias: mean n_chars of the sample exceeds the corpus mean
+    val sMean = out.agg(avg("n_chars")).collect()(0).getDouble(0)
+    val cMean = graft.Tables.documents(spark, sf001)
+      .agg(avg("n_chars")).collect()(0).getDouble(0)
+    assert(sMean > cMean,
+      s"weighted sample mean $sMean must exceed corpus mean $cMean")
+    out.unpersist()
+  }
+
+  test("JL projection (q129) concentrates distances around the identity") {
+    val out = Modeling.q129(spark, sf001).cache()
+    val n = out.count()
+    assert(n > 0 && n <= 25)
+    // every ratio is positive and the mean sits in the JL concentration
+    // band — with k=16 the variance of the ratio is 2/k, so [0.4, 1.6]
+    // is ~3.4 sigma; a broken sign matrix or mismatched quantization
+    // lands far outside
+    assert(out.filter(col("ratio_q") <= 0).count() == 0)
+    val mean = out.agg(avg(col("ratio_q"))).collect()(0).getDouble(0) / 10000.0
+    assert(mean > 0.4 && mean < 1.6, s"mean JL ratio $mean outside band")
+    out.unpersist()
+  }
+}
