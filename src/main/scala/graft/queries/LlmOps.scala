@@ -3153,7 +3153,72 @@ object LlmOps {
       |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY chunk_hash""".stripMargin
 
+  /** q130 — k-NN GRAPH construction (the index behind graph-based dedup,
+    * NN-Descent seeding, and HNSW layer-0): every vector's top-3
+    * neighbors, not just a probe set's (q34d serves 10 probes; this
+    * serves the corpus). The all-pairs explosion is gated by the IVF
+    * cell as the blocking key — q34d's seed-centroid assignment reused
+    * verbatim, so the pairwise cost is Σ n_c² within cells (SemDeDup's
+    * bound, k ∝ corpus at scale) and the per-vector top-3 is a
+    * cell-partitioned window, never a global one. Cosines rounded at 4dp
+    * with vec-id tiebreaks (q34 family discipline). Recall caveat vs the
+    * exact graph is the standard IVF one — edges crossing a cell
+    * boundary are missed; ModelingSpec measures the within-cell
+    * exactness instead (every emitted neighbor IS the true cell-local
+    * rank). */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(CosineSimilarityExpr(col("embedding"), col("cemb")), 4)
+          .as("csim"))
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    val a = assign.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assign.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("va"), col("rn"))
+  }
+
+  private val q130Sql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+      |          WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, emb, centroid_id,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY round(list_cosine_similarity(emb, cemb), 4) DESC,
+      |              centroid_id) AS arn
+      |        FROM e CROSS JOIN cents),
+      |cell AS (SELECT vec_id, emb, centroid_id AS cell FROM asg
+      |         WHERE arn = 1),
+      |s AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |        round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+      |      FROM cell a JOIN cell b USING (cell)
+      |      WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT va, vb, sim,
+      |        row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |          AS rn
+      |      FROM s)
+      |SELECT va, vb, sim, rn FROM r WHERE rn <= 3 ORDER BY va, rn"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_knn_graph", q130, Some(q130Sql)),
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
     QueryDef("q34_similarity_topk", q34, Some(q34Sql)),

@@ -764,7 +764,127 @@ object Relational {
        |WHERE p_brand='Brand#4'
        |GROUP BY p_size ORDER BY p_size""".stripMargin
 
+  /** q131 — algebraic aggregate MAINTENANCE (the incremental-ETL
+    * primitive): a stored per-supplier aggregate built from the 90% base
+    * fold is combined with the aggregate of a 10% delta fold — without
+    * ever rescanning the base rows — and must equal the full recompute
+    * (which IS the oracle: the direct GROUP BY over all of lineitem).
+    * Works because count/sum/min/max form a commutative monoid over
+    * partial states — the same property Spark's own partial_* map-side
+    * aggregation exploits, lifted to cross-batch maintenance. At 100 TB
+    * the stored agg is key-bounded (suppliers), the delta is one batch:
+    * maintenance cost is O(delta) + a key-bounded merge join, not
+    * O(corpus). Sums/extrema on the 1e-4 integer grid (exactSum
+    * discipline) so base+delta == full bit-exactly. */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("fold",
+        LlmOps.lcgKey(col("l_orderkey") * 8 + col("l_linenumber")) % 10)
+    def partialAgg(rows: DataFrame, p: String): DataFrame =
+      rows.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as(s"${p}_n"),
+          sum(round(col("l_quantity") * 10000, 0).cast("long")).as(s"${p}_sq"),
+          min(round(col("l_extendedprice") * 10000, 0).cast("long"))
+            .as(s"${p}_minp"),
+          max(round(col("l_extendedprice") * 10000, 0).cast("long"))
+            .as(s"${p}_maxp"))
+    val base = partialAgg(li.filter(col("fold") < 9), "b")
+    val delta = partialAgg(li.filter(col("fold") === 9), "d")
+    base.join(delta, Seq("l_suppkey"), "full_outer")
+      .select(col("l_suppkey"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_items"),
+        ((coalesce(col("b_sq"), lit(0L)) + coalesce(col("d_sq"), lit(0L))) /
+          10000.0).as("sum_qty"),
+        (least(coalesce(col("b_minp"), lit(Long.MaxValue)),
+          coalesce(col("d_minp"), lit(Long.MaxValue))) / 10000.0)
+          .as("min_price"),
+        (greatest(coalesce(col("b_maxp"), lit(Long.MinValue)),
+          coalesce(col("d_maxp"), lit(Long.MinValue))) / 10000.0)
+          .as("max_price"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** The oracle is deliberately NOT incremental: the plain full GROUP BY.
+    * Equality proves the maintenance path is lossless. */
+  private val q131Sql =
+    """SELECT l_suppkey, count(*) AS n_items,
+      |  sum(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0 AS sum_qty,
+      |  min(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
+      |    AS min_price,
+      |  max(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
+      |    AS max_price
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** q132 — SCD Type-2 interval build: turn the per-user event log into
+    * validity intervals [valid_from, valid_to) with an open current row —
+    * the warehouse dimension-history shape (and the point-in-time-join
+    * complement of q10's as-of). One window per user partition
+    * (key-partitioned, never global); timestamps surfaced as epoch
+    * MICROSECONDS (BIGINT) because the engines' timestamp hash
+    * representations differ while epoch integers are exact. */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  private val q132Sql =
+    """SELECT user_id, event_id, event_type,
+      |  epoch_us(ts) AS valid_from_us,
+      |  epoch_us(lead(ts, 1) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+      |  CAST(CASE WHEN lead(ts, 1) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
+  /** q133 — extended aggregate surface: bitwise aggregates
+    * (bit_and/bit_or/bit_xor — bitmap/flag-mask accumulation),
+    * boolean quantifiers (bool_and/bool_or) and conditional counting
+    * (count_if), grouped by return flag. All are single-pass algebraic
+    * aggregates with map-side partials; booleans surface as BIGINT 0/1
+    * (engine boolean hash classes differ). */
+  def q133(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_linenumber")).cast("long").as("lines_and"),
+        bit_or(col("l_linenumber")).cast("long").as("lines_or"),
+        bit_xor(col("l_linenumber")).cast("long").as("lines_xor"),
+        expr("bool_and(l_quantity > 0)").as("all_pos_b"),
+        expr("bool_or(l_discount > 0.05)").as("any_disc_b"),
+        expr("count_if(l_tax > 0.03)").as("n_taxed"))
+      .select(col("l_returnflag"), col("lines_and"), col("lines_or"),
+        col("lines_xor"),
+        when(col("all_pos_b"), 1L).otherwise(0L).as("all_pos"),
+        when(col("any_disc_b"), 1L).otherwise(0L).as("any_disc"),
+        col("n_taxed"))
+      .orderBy(col("l_returnflag"))
+
+  private val q133Sql =
+    """SELECT l_returnflag,
+      |  CAST(bit_and(l_linenumber) AS BIGINT) AS lines_and,
+      |  CAST(bit_or(l_linenumber) AS BIGINT) AS lines_or,
+      |  CAST(bit_xor(l_linenumber) AS BIGINT) AS lines_xor,
+      |  CAST(CASE WHEN bool_and(l_quantity > 0) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS all_pos,
+      |  CAST(CASE WHEN bool_or(l_discount > 0.05) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS any_disc,
+      |  CAST(count_if(l_tax > 0.03) AS BIGINT) AS n_taxed
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_incremental_agg", q131, Some(q131Sql)),
+    QueryDef("q132_scd2", q132, Some(q132Sql)),
+    QueryDef("q133_agg_ext", q133, Some(q133Sql)),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_project", q02, Some(q02Sql)),
     QueryDef("q03_join_broadcast", q03, Some(q03Sql)),

