@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.UnigramLm
 
 /** Statistical-model operators for the training-data pipeline: the learned
   * quality classifier (q125), Kneser–Ney smoothing (q126), SymSpell fuzzy
@@ -437,6 +438,171 @@ object Modeling {
       |SELECT va, vb, d2, dp2, (dp2 * 10000) // (16 * d2) AS ratio_q
       |FROM ag WHERE d2 > 0 ORDER BY va""".stripMargin
 
+  // ---------------------------------------------------------- q134/q135
+
+  /** The (word, freq) vocabulary relation both tokenizer queries start
+    * from — the corpus collapses once (the BPE/q105 discipline). */
+  private def vocabWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** q134 — unigram-LM Viterbi segmentation (the SentencePiece/WordPiece
+    * inference step, operators/UnigramLm): segment every vocabulary word
+    * into the piece sequence maximizing Σ log P(piece) under the
+    * substring-seeded unigram model. The DP and its backtrack are each
+    * ONE codegen'd `aggregate` fold over the word — no unrolled plan, no
+    * UDF, vocab-bounded tables throughout; log-probs quantized to BIGINT
+    * at model build so the DP is exact integer arithmetic, mirrored by
+    * DuckDB `list_reduce` folds. Ties prefer the longer piece on both
+    * engines. */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val words = vocabWords(s, d)
+    val pc = UnigramLm.pieceCounts(words)
+    val md = UnigramLm.model(pc, pc)
+    UnigramLm.segment(UnigramLm.withPieceMap(words, md))
+      .orderBy(col("word"))
+  }
+
+  /** The shared oracle CTE prelude: vocabulary, substring universe,
+    * round-1 piece counts and model. MATERIALIZED where referenced more
+    * than once (the q117 DuckDB-inlining lesson). */
+  private val unigramPreludeSql =
+    """wd AS MATERIALIZED (
+      |  SELECT word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents) GROUP BY word),
+      |ps AS MATERIALIZED (
+      |  SELECT word, freq, s.i AS i, s.k AS k,
+      |    substr(word, CAST(s.i AS INT) + 1, CAST(s.k AS INT)) AS piece
+      |  FROM (SELECT word, freq, unnest(flatten(list_transform(
+      |          range(0, length(word)),
+      |          i -> list_transform(range(1,
+      |                 least(4, length(word) - i) + 1),
+      |               k -> {'i': i, 'k': k})))) AS s
+      |        FROM wd)),
+      |pc AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM ps GROUP BY piece),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS np
+      |        FROM pc),
+      |md AS (SELECT piece,
+      |         CAST(round(ln((cnt + 1) * 1.0 / (total + np)) * 10000)
+      |           AS BIGINT) AS lq
+      |       FROM pc CROSS JOIN tot),
+      |e0 AS (SELECT word, freq, length(word) AS len,
+      |         unnest(range(0, CAST(1 AS BIGINT) << (length(word) - 1)))
+      |           AS mask
+      |       FROM wd),
+      |e1 AS (SELECT word, freq, len, mask,
+      |         [CAST(0 AS BIGINT)] ||
+      |           list_filter(range(1, len),
+      |             p -> ((mask >> (p - 1)) & 1) = 1) ||
+      |           [CAST(len AS BIGINT)] AS cuts
+      |       FROM e0),
+      |enum AS MATERIALIZED (
+      |  SELECT word, freq, mask, cuts,
+      |    list_sort(cuts, 'DESC') AS cuts_rev,
+      |    list_transform(range(1, len(cuts)),
+      |      i -> substr(word, CAST(cuts[CAST(i AS INT)] AS INT) + 1,
+      |        CAST(cuts[CAST(i AS INT) + 1] -
+      |          cuts[CAST(i AS INT)] AS INT))) AS pieces
+      |  FROM e1
+      |  WHERE len(list_filter(range(1, len(cuts)),
+      |          i -> cuts[CAST(i AS INT) + 1] -
+      |               cuts[CAST(i AS INT)] > 4)) = 0)""".stripMargin
+
+  /** DuckDB mirror of one [[UnigramLm.segment]] pass, parameterized by
+    * CTE prefix and model CTE name (the lloydCteChain pattern — one
+    * string, interpolated per EM round). NOT a fold mirror: DuckDB
+    * 1.0's list_reduce silently corrupts accumulators under vectorized
+    * execution (struct-with-list state loses history; even flat-list
+    * state was non-deterministic across runs), so the oracle mirrors
+    * the DP SET-BASED — enumerate every cut mask of each word (words
+    * are bounded: the synthetic vocabulary tops out at 8 chars → ≤128
+    * masks), score each valid segmentation by joining the model, and
+    * select per word by (score DESC, reversed cut vector ASC). That
+    * tiebreak is PROVABLY the DP's backtrack choice: the DP's
+    * longest-piece rule minimizes the last cut, then (recursively on
+    * the optimal prefix) each earlier cut — exactly the lexicographic
+    * order on the reversed cut vector. */
+  private def unigramDpSql(p: String, modelCte: String): String =
+    s"""${p}sc AS (
+       |  SELECT word, mask, CAST(sum(lq) AS BIGINT) AS score
+       |  FROM (SELECT word, mask, unnest(pieces) AS piece FROM enum)
+       |  JOIN $modelCte USING (piece) GROUP BY word, mask),
+       |${p}seg AS MATERIALIZED (
+       |  SELECT word, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |    array_to_string(pieces, '|') AS seg, score AS scoreq
+       |  FROM (
+       |    SELECT e.word, e.freq, e.pieces, sc.score,
+       |      row_number() OVER (PARTITION BY e.word
+       |        ORDER BY sc.score DESC, e.cuts_rev ASC) AS rn
+       |    FROM enum e JOIN ${p}sc sc USING (word, mask))
+       |  WHERE rn = 1)""".stripMargin
+
+  private val q134Sql =
+    s"""WITH $unigramPreludeSql,
+       |${unigramDpSql("r1", "md")}
+       |SELECT word, freq, n_pieces, seg, scoreq FROM r1seg
+       |ORDER BY word""".stripMargin
+
+  /** Memoized round-1 segmentation (q135 references it twice: E-step
+    * counts AND the final report join — scratch-land it once, the
+    * SURVEY §7.4 double-reference discipline). */
+  private val unigramSegCache =
+    new graft.operators.DatasetCache[String]("unigram-seg1", p => Seq(p))
+
+  /** q135 — one full EM round of the SentencePiece unigram trainer:
+    * E-step = q134's Viterbi best-path piece counts (weighted by word
+    * frequency), M-step = re-estimated smoothed piece log-probs over the
+    * SAME substring universe (pieces off every best path keep a defined
+    * smoothed score — the pruning-loop convention), then re-segmentation
+    * under the new model. The corpus is touched zero times after the
+    * vocabulary collapse; each EM round is vocab-bounded aggregation +
+    * broadcast-model rebuild + the map-side DP fold. Oracled as TWO
+    * chained DP CTE blocks over MATERIALIZED intermediates. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val words = vocabWords(s, d)
+    val pc = UnigramLm.pieceCounts(words)
+    val md1 = UnigramLm.model(pc, pc)
+    val seg1Path = unigramSegCache.getOrCompute(d) { dir =>
+      val w = vocabWords(s, dir)
+      val p1 = UnigramLm.pieceCounts(w)
+      graft.operators.Scratch.materializePath(
+        UnigramLm.segment(
+          UnigramLm.withPieceMap(w, UnigramLm.model(p1, p1))),
+        "unigram-seg1")
+    }
+    val seg1 = s.read.parquet(seg1Path)
+    val md2 = UnigramLm.model(UnigramLm.segmentCounts(seg1), pc)
+    val seg2 = UnigramLm.segment(UnigramLm.withPieceMap(words, md2))
+    seg1.select(col("word"), col("freq"),
+        col("n_pieces").as("n_pieces_1"), col("seg").as("seg_1"))
+      .join(seg2.select(col("word"), col("n_pieces").as("n_pieces_2"),
+        col("seg").as("seg_2"), col("scoreq").as("score2q")), "word")
+      .orderBy(col("word"))
+  }
+
+  private val q135Sql =
+    s"""WITH $unigramPreludeSql,
+       |${unigramDpSql("r1", "md")},
+       |pc2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT freq, unnest(string_split(seg, '|')) AS piece
+       |              FROM r1seg) GROUP BY piece),
+       |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS np
+       |         FROM pc2),
+       |md2 AS (SELECT u.piece,
+       |          CAST(round(ln((COALESCE(c.cnt, 0) + 1) * 1.0 /
+       |            (total + np)) * 10000) AS BIGINT) AS lq
+       |        FROM (SELECT DISTINCT piece FROM pc) u
+       |        LEFT JOIN pc2 c ON u.piece = c.piece CROSS JOIN tot2),
+       |${unigramDpSql("r2", "md2")}
+       |SELECT a.word, a.freq, a.n_pieces AS n_pieces_1, a.seg AS seg_1,
+       |  b.n_pieces AS n_pieces_2, b.seg AS seg_2, b.scoreq AS score2q
+       |FROM r1seg a JOIN r2seg b USING (word)
+       |ORDER BY word""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val defs: Seq[QueryDef] = Seq(
@@ -444,5 +610,7 @@ object Modeling {
     QueryDef("q126_kneser_ney", q126, Some(q126Sql)),
     QueryDef("q127_symspell", q127, Some(q127Sql)),
     QueryDef("q128_weighted_sample", q128, Some(q128Sql)),
-    QueryDef("q129_jl_projection", q129, Some(q129Sql)))
+    QueryDef("q129_jl_projection", q129, Some(q129Sql)),
+    QueryDef("q134_unigram_segment", q134, Some(q134Sql)),
+    QueryDef("q135_unigram_em", q135, Some(q135Sql)))
 }

@@ -160,6 +160,23 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("unigram EM round (q135) keeps reconstruction and refines the model") {
+    val out = Modeling.q135(spark, sf001).cache()
+    val n = out.count()
+    assert(n > 0)
+    // both rounds' segmentations reconstruct the word
+    assert(out.filter(
+      regexp_replace(col("seg_1"), "\\|", "") =!= col("word")).count() == 0)
+    assert(out.filter(
+      regexp_replace(col("seg_2"), "\\|", "") =!= col("word")).count() == 0)
+    // E-step concentration: round-2 never segments into MORE pieces on
+    // average (mass concentrates on round-1's chosen pieces)
+    val m1 = out.agg(avg("n_pieces_1")).collect()(0).getDouble(0)
+    val m2 = out.agg(avg("n_pieces_2")).collect()(0).getDouble(0)
+    assert(m2 <= m1 + 1e-9, s"EM round must not fragment: $m1 -> $m2")
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
