@@ -280,7 +280,86 @@ object Analytics {
        |ORDER BY h2.node""".stripMargin
   }
 
+  /** q136 — triangle counting with degree-based edge ORIENTATION (the
+    * third graph-analytics operator after PageRank/HITS; triangles are
+    * the community-density signal behind clustering coefficients and
+    * spam/collusion detection). Graph: the supplier co-supply graph —
+    * an edge when two suppliers ship the same part (5% deterministic
+    * part sample keeps edge density constant across SFs). The naive
+    * triangle join is O(Σ deg²) wedges and explodes on hubs; orienting
+    * every edge from its (degree, id)-smaller endpoint bounds each
+    * out-degree by O(√m), making the wedge join O(m^1.5) — the standard
+    * distributed-triangle bound (Suri & Vassilvitskii's MapReduce
+    * formulation). Each triangle is then counted EXACTLY once, at its
+    * minimum-(degree,id) apex. The closure probe against the canonical
+    * edge set is a semi-join. The ORACLE is deliberately the NAIVE
+    * three-way join over canonical edges — equality proves the oriented
+    * algorithm loses and double-counts nothing. */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") % 20 === 0)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val a = li.select(col("l_partkey"), col("l_suppkey").as("s1"))
+    val b = li.select(col("l_partkey"), col("l_suppkey").as("s2"))
+    val edges = a.join(b, Seq("l_partkey"))
+      .filter(col("s1") < col("s2"))
+      .select(col("s1"), col("s2")).distinct()
+    val deg = edges.select(col("s1").as("n"))
+      .union(edges.select(col("s2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(broadcast(deg.select(col("n").as("s1"), col("deg").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("n").as("s2"), col("deg").as("d2"))), "s2")
+      .select(
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("s1") < col("s2")), col("s1"))
+          .otherwise(col("s2")).as("src"),
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("s1") < col("s2")), col("s2"))
+          .otherwise(col("s1")).as("dst"))
+    val w1 = oriented.select(col("src"), col("dst").as("b"))
+    val w2 = oriented.select(col("src"), col("dst").as("c"))
+    val wedges = w1.join(w2, Seq("src")).filter(col("b") < col("c"))
+    val closed = wedges.join(edges,
+      wedges("b") === edges("s1") && wedges("c") === edges("s2"),
+      "left_semi")
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nT = closed.agg(count(lit(1)).as("n_triangles"))
+    nE.crossJoin(nW).crossJoin(nT)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(n_triangles * 10000) DIV n_wedges").as("closure_q"))
+  }
+
+  private val q136Sql =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      |            WHERE l_partkey % 20 = 0),
+      |e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      |      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+      |      WHERE a.l_suppkey < b.l_suppkey),
+      |deg AS (SELECT n, count(*) AS deg FROM (
+      |          SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e)
+      |        GROUP BY n),
+      |o AS (SELECT CASE WHEN d1.deg < d2.deg OR
+      |               (d1.deg = d2.deg AND s1 < s2) THEN s1 ELSE s2 END
+      |               AS src,
+      |             CASE WHEN d1.deg < d2.deg OR
+      |               (d1.deg = d2.deg AND s1 < s2) THEN s2 ELSE s1 END
+      |               AS dst
+      |      FROM e JOIN deg d1 ON e.s1 = d1.n JOIN deg d2 ON e.s2 = d2.n),
+      |wg AS (SELECT w1.src, w1.dst AS b, w2.dst AS c
+      |       FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst),
+      |tri AS (SELECT count(*) AS n_triangles FROM (
+      |          SELECT DISTINCT x.s1 AS a, x.s2 AS b, y.s2 AS c
+      |          FROM e x JOIN e y ON x.s1 = y.s1 AND x.s2 < y.s2
+      |               JOIN e z ON z.s1 = x.s2 AND z.s2 = y.s2)),
+      |ne AS (SELECT count(*) AS n_edges FROM e),
+      |nw AS (SELECT count(*) AS n_wedges FROM wg)
+      |SELECT n_edges, n_wedges, n_triangles,
+      |  (n_triangles * 10000) // n_wedges AS closure_q
+      |FROM ne CROSS JOIN nw CROSS JOIN tri""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q136_triangles", q136, Some(q136Sql)),
     QueryDef("q58_gapfill", q58, Some(q58Sql)),
     QueryDef("q59_funnel", q59, Some(q59Sql)),
     QueryDef("q60_cohort", q60, Some(q60Sql)),

@@ -3217,8 +3217,189 @@ object LlmOps {
       |SELECT va, vb, sim, rn FROM r WHERE rn <= 3 ORDER BY va, rn"""
       .stripMargin
 
+  /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
+    * 2006 / PPJoin's candidate rule): the fourth blocking family in the
+    * near-dup toolbox (q35 rare shingles, q35d LSH bands, q127 deletion
+    * neighborhoods — this one is THRESHOLD-exact). Order every doc's
+    * shingle set by global rarity (df asc, shingle asc); for Jaccard ≥
+    * t, two sets MUST share a shingle within each one's first
+    * n − ⌈t·n⌉ + 1 rarest shingles (pigeonhole on the overlap bound
+    * |A∩B| ≥ t·|A|), so candidates = equi-join on PREFIX shingles only
+    * and the exact verify runs on that bounded set. Unlike the df-cap
+    * heuristic, prefix filtering is provably LOSSLESS at the threshold —
+    * which is exactly what the oracle checks: the DuckDB side is the
+    * NAIVE all-pairs join, so hash equality proves zero false negatives.
+    * Scale shape: prefixes are the RARE end of each set (short posting
+    * lists ⇒ small Σ freq² blow-up); the two windows (df, in-set rank)
+    * reuse the shingle/doc shuffles q35 already pays; the verify join is
+    * candidate-gated. t = 0.8. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("ngram")).distinct()
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("ngram"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+    val cand = prefix.select(col("doc_id").as("da"), col("ngram"))
+      .join(prefix.select(col("doc_id").as("db"), col("ngram")), "ngram")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("ngram")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("ngram")),
+        Seq("db", "ngram"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
+        expr("(inter * 10000) DIV (na + nb - inter)").as("jacq"))
+      .filter(col("jacq") >= 8000)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** The oracle is deliberately NAIVE (all-pairs over the shared-shingle
+    * join, no prefix): equality proves the prefix filter is lossless at
+    * the threshold. */
+  private val q137Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |           AS ngram
+      |       FROM t WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.ngram = b.ngram
+      |            AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT da, db, x.n AS na, y.n AS nb, inter,
+      |  (inter * 10000) // (x.n + y.n - inter) AS jacq
+      |FROM it JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      |WHERE (inter * 10000) // (x.n + y.n - inter) >= 8000
+      |ORDER BY da, db""".stripMargin
+
+  /** q138 — MMR diversified re-ranking (Carbonell & Goldstein 1998):
+    * the serving-side diversity pass every retrieval stack runs after
+    * ANN — greedily pick the result maximizing λ·relevance −
+    * (1−λ)·max-similarity-to-already-picked, so near-duplicate hits
+    * don't crowd the result list (the q130/q34 family's consumer).
+    * λ = 0.7, 3 rounds over each probe's top-10 cosine candidates.
+    * Integer-exact: with sims on the 1e-4 grid, MMR·10 = 7·relq −
+    * 3·maxsimq needs no floats, so three unrolled argmax rounds (window
+    * per probe, vec-id tiebreak) are fully DuckDB-oracled. Scale shape:
+    * candidates are probe-bounded (10 per probe) — every per-round join
+    * is on the tiny selected set, and the candidate fetch itself is the
+    * q34 broadcast-probe pass; round 1's diversity term is zero by the
+    * MMR definition. */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") >= 30 && col("vec_id") < 35)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val cand = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("pe"), col("vec_id").as("cid"),
+        col("embedding").as("ec"),
+        round(CosineSimilarityExpr(col("embedding"), col("pe")) * 10000, 0)
+          .cast("long").as("relq"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("relq").desc, col("cid"))))
+      .filter(col("rn") <= 10).drop("rn", "pe")
+    def simq(a: Column, b: Column): Column =
+      round(CosineSimilarityExpr(a, b) * 10000, 0).cast("long")
+    val sel1 = cand
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("relq").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("cid").as("s1"), col("ec").as("es1"),
+        (col("relq") * 7).as("mmr1"))
+    val r2 = cand.join(sel1, "pid").filter(col("cid") =!= col("s1"))
+      .select(col("pid"), col("cid"), col("ec"), col("s1"), col("es1"),
+        (col("relq") * 7 - simq(col("ec"), col("es1")) * 3).as("mmr10"))
+    val sel2 = r2
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("mmr10").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("cid").as("s2"), col("ec").as("es2"),
+        col("mmr10").as("mmr2"))
+    val r3 = cand.join(sel1.select(col("pid"), col("s1"), col("es1")), "pid")
+      .join(sel2.select(col("pid"), col("s2"), col("es2")), "pid")
+      .filter(col("cid") =!= col("s1") && col("cid") =!= col("s2"))
+      .select(col("pid"), col("cid"),
+        (col("relq") * 7 -
+          greatest(simq(col("ec"), col("es1")),
+            simq(col("ec"), col("es2"))) * 3).as("mmr10"))
+    val sel3 = r3
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("mmr10").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("cid").as("s3"), col("mmr10").as("mmr3"))
+    sel1.select(col("pid"), lit(1L).as("round"), col("s1").as("cid"),
+        col("mmr1").as("mmr10"))
+      .unionByName(sel2.select(col("pid"), lit(2L).as("round"),
+        col("s2").as("cid"), col("mmr2").as("mmr10")))
+      .unionByName(sel3.select(col("pid"), lit(3L).as("round"),
+        col("s3").as("cid"), col("mmr3").as("mmr10")))
+      .orderBy(col("pid"), col("round"))
+  }
+
+  private val q138Sql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS pid, emb AS pe FROM e
+      |      WHERE vec_id >= 30 AND vec_id < 35),
+      |c0 AS (SELECT pid, e.vec_id AS cid, e.emb AS ec,
+      |         CAST(round(list_cosine_similarity(e.emb, pe) * 10000)
+      |           AS BIGINT) AS relq,
+      |         row_number() OVER (PARTITION BY pid ORDER BY
+      |           CAST(round(list_cosine_similarity(e.emb, pe) * 10000)
+      |             AS BIGINT) DESC, e.vec_id) AS rn
+      |       FROM e CROSS JOIN p WHERE e.vec_id <> pid),
+      |cand AS MATERIALIZED (
+      |  SELECT pid, cid, ec, relq FROM c0 WHERE rn <= 10),
+      |s1 AS MATERIALIZED (
+      |  SELECT pid, cid AS s1, ec AS es1, relq * 7 AS mmr1 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY pid
+      |      ORDER BY relq DESC, cid) AS rn FROM cand) WHERE rn = 1),
+      |r2 AS (SELECT c.pid, c.cid, c.ec,
+      |         c.relq * 7 - CAST(round(list_cosine_similarity(c.ec, es1)
+      |           * 10000) AS BIGINT) * 3 AS mmr10
+      |       FROM cand c JOIN s1 USING (pid) WHERE c.cid <> s1),
+      |s2 AS MATERIALIZED (
+      |  SELECT pid, cid AS s2, ec AS es2, mmr10 AS mmr2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY pid
+      |      ORDER BY mmr10 DESC, cid) AS rn FROM r2) WHERE rn = 1),
+      |r3 AS (SELECT c.pid, c.cid,
+      |         c.relq * 7 - greatest(
+      |           CAST(round(list_cosine_similarity(c.ec, es1) * 10000)
+      |             AS BIGINT),
+      |           CAST(round(list_cosine_similarity(c.ec, es2) * 10000)
+      |             AS BIGINT)) * 3 AS mmr10
+      |       FROM cand c JOIN s1 USING (pid) JOIN s2 USING (pid)
+      |       WHERE c.cid <> s1 AND c.cid <> s2),
+      |s3 AS (SELECT pid, cid AS s3, mmr10 AS mmr3 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY pid
+      |      ORDER BY mmr10 DESC, cid) AS rn FROM r3) WHERE rn = 1)
+      |SELECT pid, CAST(1 AS BIGINT) AS round, s1 AS cid, mmr1 AS mmr10
+      |FROM s1
+      |UNION ALL
+      |SELECT pid, CAST(2 AS BIGINT), s2, mmr2 FROM s2
+      |UNION ALL
+      |SELECT pid, CAST(3 AS BIGINT), s3, mmr3 FROM s3
+      |ORDER BY pid, round""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q130_knn_graph", q130, Some(q130Sql)),
+    QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
+    QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
     QueryDef("q34_similarity_topk", q34, Some(q34Sql)),

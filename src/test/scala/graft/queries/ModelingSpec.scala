@@ -177,6 +177,51 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("triangles (q136) satisfy the combinatorial bounds") {
+    val r = Analytics.q136(spark, sf0001).collect()(0)
+    val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(e > 0 && w > 0)
+    // every triangle closes exactly one counted wedge
+    assert(t <= w)
+    // closure ratio in [0, 1] on the 1e-4 grid
+    val c = r.getAs[Long]("closure_q")
+    assert(c >= 0 && c <= 10000)
+  }
+
+  test("prefix-filter simjoin (q137) finds only above-threshold pairs") {
+    val out = LlmOps.q137(spark, sf001).cache()
+    assert(out.count() > 0, "the corpus must contain >=0.8-Jaccard pairs")
+    assert(out.filter(col("jacq") < 8000).count() == 0)
+    // pairs are canonical (da < db) and unique
+    assert(out.filter(col("da") >= col("db")).count() == 0)
+    assert(out.select("da", "db").distinct().count() == out.count())
+    // intersection never exceeds either set size
+    assert(out.filter(col("inter") > col("na") ||
+      col("inter") > col("nb")).count() == 0)
+    out.unpersist()
+  }
+
+  test("MMR rerank (q138) diversifies: 3 distinct picks, round-1 is argmax") {
+    val out = LlmOps.q138(spark, sf001).cache()
+    // 5 probes × 3 rounds
+    assert(out.count() == 15)
+    // per probe: three DISTINCT selections
+    val dup = out.groupBy("pid").agg(countDistinct("cid").as("k"))
+      .filter(col("k") =!= 3).count()
+    assert(dup == 0)
+    // round 3's penalty maximizes over a SUPERSET of round 2's, on a
+    // subset of candidates, so m3 ≤ m2 is a theorem (m2 ≤ m1 is NOT:
+    // a candidate anti-correlated with the first pick earns a positive
+    // diversity boost)
+    val bad = out.groupBy("pid")
+      .agg(max(when(col("round") === 2, col("mmr10"))).as("m2"),
+        max(when(col("round") === 3, col("mmr10"))).as("m3"))
+      .filter(col("m3") > col("m2")).count()
+    assert(bad == 0, "round-3 MMR objective can never exceed round-2's")
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
