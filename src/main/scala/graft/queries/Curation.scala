@@ -1108,7 +1108,52 @@ object Curation {
       |SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  /** q140 — Pareto-skyline data selection: the documents no other
+    * document dominates on (more distinct vocabulary, fewer chars) —
+    * the multi-criteria frontier a curation pipeline selects from when
+    * two quality axes trade off (information density vs budget). The
+    * naive skyline is an all-pairs dominance test; this plan exploits
+    * the 2-D structure: dominance only depends on the running max of
+    * the rival axis over smaller n_chars, so (1) the corpus aggregates
+    * ONCE into a per-n_chars max (the n_chars VALUE DOMAIN is bounded —
+    * hundreds of rows at any corpus size), (2) the running max runs on
+    * that tiny relation (a bounded single-partition window, the q81
+    * exception that's legitimate: value-domain-sized, not corpus-sized),
+    * (3) the verdict broadcasts back — the corpus itself never sorts and
+    * never self-joins. Tie rule: equal (n_chars, uniq) pairs do not
+    * dominate each other — both surface. The ORACLE is the naive
+    * NOT-EXISTS dominance test, so equality proves the running-max
+    * reformulation exact. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("uniq"))
+    val g = docs.groupBy(col("n_chars")).agg(max(col("uniq")).as("mx"))
+    val wRun = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gm = g.withColumn("m1", max(col("mx")).over(wRun))
+    docs.join(broadcast(gm), "n_chars")
+      .filter(!(coalesce(col("m1"), lit(-1L)) >= col("uniq") ||
+        col("mx") > col("uniq")))
+      .select(col("doc_id"), col("n_chars"), col("uniq"))
+      .orderBy(col("n_chars"), col("doc_id"))
+  }
+
+  private val q140Sql =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS uniq
+      |  FROM documents)
+      |SELECT doc_id, n_chars, uniq FROM d a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d b
+      |  WHERE b.n_chars <= a.n_chars AND b.uniq >= a.uniq
+      |    AND (b.n_chars < a.n_chars OR b.uniq > a.uniq))
+      |ORDER BY n_chars, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_skyline", q140, Some(q140Sql)),
     QueryDef("q76_span_dedup", q76, Some(q76Sql)),
     QueryDef("q77_normalize", q77, Some(q77Sql)),
     QueryDef("q78_domain_filter", q78, Some(q78Sql)),

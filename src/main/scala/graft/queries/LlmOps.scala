@@ -2162,6 +2162,16 @@ object LlmOps {
   /** BM25 (doc_id, score) for [[Bm25QueryTerms]] — the scored relation
     * behind q70 (top-10 dump) and q89 (RRF fusion input). */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bm25ScoredFor(s, d, Bm25QueryTerms.toDF("term"))
+  }
+
+  /** BM25 scoring parameterized by a (term) relation — the shape q139's
+    * expanded second round needs; the term set broadcasts as a semi-join
+    * gate on the posting stream (identical plan posture to the literal
+    * isin: map-side prune before the tf aggregation). */
+  private def bm25ScoredFor(
+      s: SparkSession, d: String, termsRel: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(s, d)
@@ -2171,7 +2181,7 @@ object LlmOps {
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term").isin(Bm25QueryTerms: _*))
+      .join(broadcast(termsRel), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
@@ -2192,23 +2202,35 @@ object LlmOps {
   /** DuckDB CTE chain producing `agg(doc_id, score)` — one definition
     * interpolated into the q70 and q89 oracles (the QualityCteSql
     * pattern: score parity lives in exactly one string). */
-  private val Bm25AggCteSql =
+  private val Bm25PreludeSql =
     """dl AS (SELECT doc_id,
       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       |            FROM documents),
       |st AS (SELECT count(*) AS ndocs, CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl
       |       FROM dl),
-      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-      |       WHERE term IN ('vector', 'filter', 'spill') GROUP BY 1, 2),
-      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT doc_id,
-      |         ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1)) /
-      |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS part
-      |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-      |agg AS (SELECT doc_id,
-      |          round(sum(CAST(round(part * 10000) AS BIGINT)) / 10000.0, 4) AS score
-      |        FROM sc GROUP BY doc_id)""".stripMargin
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)"""
+      .stripMargin
+
+  /** One BM25 scoring chain (tf→df→sc→agg) with CTE prefix `p` and a SQL
+    * predicate selecting the query terms — the single string both fixed
+    * (q70/q89) and expanded (q139 round 2) queries interpolate, so score
+    * parity still lives in exactly one place. */
+  private def bm25ChainSql(p: String, termPred: String): String =
+    s"""${p}tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE $termPred GROUP BY 1, 2),
+       |${p}df AS (SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1),
+       |${p}sc AS (SELECT doc_id,
+       |         ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1)) /
+       |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS part
+       |       FROM ${p}tf JOIN ${p}df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |${p}agg AS (SELECT doc_id,
+       |          round(sum(CAST(round(part * 10000) AS BIGINT)) / 10000.0, 4) AS score
+       |        FROM ${p}sc GROUP BY doc_id)""".stripMargin
+
+  private val Bm25AggCteSql =
+    s"""$Bm25PreludeSql,
+       |${bm25ChainSql("", "term IN ('vector', 'filter', 'spill')")}"""
+      .stripMargin
 
   private val q70Sql =
     s"""WITH $Bm25AggCteSql
@@ -3396,10 +3418,81 @@ object LlmOps {
       |SELECT pid, CAST(3 AS BIGINT), s3, mmr3 FROM s3
       |ORDER BY pid, round""".stripMargin
 
+  /** q139 — pseudo-relevance-feedback query expansion (Rocchio's
+    * blind-feedback shape): the fifth retrieval member (q70 BM25, q89
+    * RRF, q114 phrase, q118 prefix — this one closes the loop from
+    * results back into the query). Round 1: BM25 top-10 under the base
+    * terms = the feedback set. Expansion: the 3 terms (excluding the
+    * base) maximizing feedback-frequency × quantized-idf — an exact
+    * integer product, rarest-informative terms win. Round 2: the SAME
+    * BM25 chain re-runs under base ∪ expansion (the chain is
+    * parameterized by a term relation — score parity lives in one
+    * place on both engines). Output: the re-ranked top-10 with an
+    * in-feedback flag, the classic PRF recall-vs-drift report. Scale
+    * shape: both rounds are the q70 posture (term set broadcast-gates
+    * the posting stream before any aggregation); the feedback set is 10
+    * rows; expansion scoring is vocab-bounded. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Bm25QueryTerms.toDF("term")
+    val fb = bm25ScoredFor(s, d, base)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"))
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val nrel = docs.agg(count(lit(1)).as("n"))
+    val dfAll = tok.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("dfr"))
+    val cf = tok.join(broadcast(fb), "doc_id")
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val exp = cf.join(dfAll, "term").crossJoin(broadcast(nrel))
+      .join(broadcast(base), Seq("term"), "left_anti")
+      .select(col("term"),
+        (col("cf") *
+          round(log(col("n").cast("double") / col("dfr")) * 10000, 0)
+            .cast("long")).as("escore"))
+      .orderBy(col("escore").desc, col("term")).limit(3)
+    val expanded = base.unionByName(exp.select(col("term")))
+    bm25ScoredFor(s, d, expanded)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .join(broadcast(fb.withColumn("in_fb", lit(1L))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("in_fb"), lit(0L)).as("in_fb"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private val q139Sql =
+    s"""WITH $Bm25PreludeSql,
+       |bq AS (SELECT unnest(['vector', 'filter', 'spill']) AS term),
+       |${bm25ChainSql("", "term IN (SELECT term FROM bq)")},
+       |fb AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id LIMIT 10),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |dfall AS (SELECT term, count(DISTINCT doc_id) AS dfr FROM tok
+       |          GROUP BY term),
+       |cf AS (SELECT term, count(*) AS cf FROM tok JOIN fb USING (doc_id)
+       |       GROUP BY term),
+       |expn AS (SELECT term,
+       |           cf * CAST(round(ln(n * 1.0 / dfr) * 10000) AS BIGINT)
+       |             AS escore
+       |         FROM cf JOIN dfall USING (term) CROSS JOIN nn
+       |         WHERE term NOT IN (SELECT term FROM bq)
+       |         ORDER BY escore DESC, term LIMIT 3),
+       |eq AS (SELECT term FROM bq UNION ALL SELECT term FROM expn),
+       |${bm25ChainSql("e", "term IN (SELECT term FROM eq)")}
+       |SELECT a.doc_id, a.score,
+       |  CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_fb
+       |FROM (SELECT doc_id, score FROM eagg
+       |      ORDER BY score DESC, doc_id LIMIT 10) a
+       |LEFT JOIN fb f USING (doc_id)
+       |ORDER BY score DESC, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q130_knn_graph", q130, Some(q130Sql)),
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
+    QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
     QueryDef("q34_similarity_topk", q34, Some(q34Sql)),

@@ -222,6 +222,46 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PRF expansion (q139) keeps feedback overlap and grows the term set") {
+    val out = LlmOps.q139(spark, sf001).cache()
+    assert(out.count() == 10)
+    // some feedback docs survive re-ranking, some displacement happens —
+    // both regimes must be live (pure-overlap would mean the expansion
+    // was a no-op; zero overlap would mean total topic drift). Measured
+    // at sf0.01: 3/10 kept — expansion genuinely re-ranks.
+    val overlap = out.agg(sum("in_fb")).collect()(0).getLong(0)
+    assert(overlap >= 1 && overlap <= 9,
+      s"expected partial feedback overlap, got $overlap/10")
+    // only term-matching docs can appear, so every score is positive
+    assert(out.filter(col("score") <= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("skyline (q140) is mutually non-dominated and complete") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("uniq"))
+    val out = Curation.q140(spark, sf001).cache()
+    val n = out.count()
+    assert(n > 0)
+    // no pair inside the skyline dominates the other
+    val a = out.select(col("n_chars").as("ca"), col("uniq").as("ua"))
+    val b = out.select(col("n_chars").as("cb"), col("uniq").as("ub"))
+    val dominated = a.crossJoin(b).filter(
+      col("cb") <= col("ca") && col("ub") >= col("ua") &&
+        (col("cb") < col("ca") || col("ub") > col("ua"))).count()
+    assert(dominated == 0, "skyline members must not dominate each other")
+    // completeness: every non-skyline doc is dominated by some skyline doc
+    val rest = docs.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+    val sky = out.select(col("n_chars").as("cb"), col("uniq").as("ub"))
+    val uncovered = rest.join(broadcast(sky),
+        col("cb") <= col("n_chars") && col("ub") >= col("uniq") &&
+          (col("cb") < col("n_chars") || col("ub") > col("uniq")),
+        "left_anti").count()
+    assert(uncovered == 0, "every excluded doc must be dominated")
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
