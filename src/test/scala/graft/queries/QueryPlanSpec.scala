@@ -377,6 +377,57 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q125: NB model joins broadcast — no sort-merge join in train or score") {
+    val p = planString(Modeling.q125(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab-bounded model relations must never SMJ:\n$p")
+  }
+
+  test("q128: weighted sample plans as TakeOrderedAndProject, not global sort") {
+    val p = planString(Modeling.q128(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("q130: kNN graph blocks on cells — no cartesian, windows partitioned") {
+    val p = planString(LlmOps.q130(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cell join must be equi:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"windows must be cell/vec partitioned, never global:\n$p")
+  }
+
+  test("q134: unigram model joins broadcast; the DP adds no join or window") {
+    val p = planString(Modeling.q134(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"piece model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-scale join exists:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q136: triangle closure is a semi-join; degree lookups broadcast") {
+    val p = planString(Analytics.q136(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"closure must be a semi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"degree joins broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q137: prefix-filter candidates come from an equi-join — no cartesian") {
+    val p = planString(LlmOps.q137(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"blocking must be equi-join:\n$p")
+  }
+
+  test("q139: both BM25 rounds gate the posting stream with broadcast semi-joins") {
+    val p = planString(LlmOps.q139(spark, sf0001))
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(p).size >= 2,
+      s"term sets must broadcast-semi-gate both rounds:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q140: skyline verdict broadcasts back — the corpus never sorts pre-join") {
+    val p = planString(Curation.q140(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"verdict must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to join:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions (no fallback)") {
     // ParseFlexTimestamp / CosineSimilarityExpr implement doGenCode — the
     // stages containing them must be inside WholeStageCodegen (the `*(n)`
