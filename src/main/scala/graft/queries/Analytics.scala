@@ -296,7 +296,7 @@ object Analytics {
     * three-way join over canonical edges — equality proves the oriented
     * algorithm loses and double-counts nothing. */
   def q136(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).filter(col("l_partkey") % 20 === 0)
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") % 50 === 0)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val a = li.select(col("l_partkey"), col("l_suppkey").as("s1"))
     val b = li.select(col("l_partkey"), col("l_suppkey").as("s2"))
@@ -332,7 +332,7 @@ object Analytics {
 
   private val q136Sql =
     """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-      |            WHERE l_partkey % 20 = 0),
+      |            WHERE l_partkey % 50 = 0),
       |e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
       |      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
       |      WHERE a.l_suppkey < b.l_suppkey),

@@ -52,7 +52,16 @@ object ScaleStress {
     // (duplicated lines/spans multiply), like q35/q76 above.
     "q112_line_dedup", "q113_dsir_select", "q114_phrase_search",
     "q116_dup_spans", "q117_hits", "q118_prefix_search",
-    "q122_containment")
+    "q122_containment",
+    // r9 second half: the statistical-model/graph/simjoin family. The
+    // rotated siblings make q137 a deliberate super-linear stress (its
+    // high-Jaccard pair count multiplies); q134/q135 must stay ~FLAT
+    // (vocab-bounded — the corpus collapse is the whole point); q130's
+    // within-cell pairwise grows with cell occupancy (fixed 16 seed
+    // cells here — production uses k ∝ corpus).
+    "q125_nb_classifier", "q126_kneser_ney", "q130_knn_graph",
+    "q134_unigram_segment", "q136_triangles", "q137_simjoin_prefix",
+    "q139_prf_expand", "q140_skyline")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
