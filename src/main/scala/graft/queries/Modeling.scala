@@ -31,9 +31,10 @@ object Modeling {
   private val HiSig = Seq("citation", "reference", "footnote", "archive")
   private val LoSig = Seq("promo", "subscribe", "clickbait", "advert")
 
-  /** The enriched corpus shared by q125's train and score sides:
-    * (doc_id, cls, text2, is_train). 80/20 split by the portable LCG hash
-    * (q63's discipline — reproducible across runs and partitionings). */
+  /** The enriched corpus shared by the classifier queries: (doc_id, cls,
+    * text2, h) with h the 0-9 portable LCG hash bucket (q63's split
+    * discipline — reproducible across runs and partitionings). q125
+    * trains on h < 8; q141's 5 folds are h DIV 2. */
   private def nbCorpus(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), (col("doc_id") % 2).as("cls"),
@@ -47,7 +48,52 @@ object Modeling {
         concat(col("text"), lit(" "),
           expr("element_at(sig, CAST(idx AS INT) + 1)"), lit(" "),
           expr("element_at(sig, CAST((idx + 1) % 4 AS INT) + 1)")).as("text2"),
-        (lcgKey(col("doc_id")) % 10 < 8).as("is_train"))
+        (lcgKey(col("doc_id")) % 10).as("h"))
+
+  /** Train Laplace-smoothed multinomial NB on `isTrain` rows of the
+    * enriched corpus and score the complement: per held-out doc
+    * (doc_id, actual, pred, margin, correct), all exact integers (the
+    * model quantizes every log-lik to the 1e-4 BIGINT grid at build). */
+  private def nbScores(e: DataFrame, isTrain: Column): DataFrame = {
+    val ttok = e.filter(isTrain)
+      .select(col("cls"), explode(split(col("text2"), " ")).as("tok"))
+    val cw = ttok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cw"))
+    val ct = ttok.groupBy(col("cls")).agg(count(lit(1)).as("ct"))
+    val vv = ttok.agg(countDistinct(col("tok")).as("v"))
+    val nd = e.filter(isTrain).groupBy(col("cls"))
+      .agg(count(lit(1)).as("nc"))
+    val ndt = e.filter(isTrain).agg(count(lit(1)).as("n"))
+    val model = cw.join(ct, "cls").crossJoin(broadcast(vv))
+      .select(col("cls"), col("tok"),
+        round(log((col("cw") + 1).cast("double") / (col("ct") + col("v"))) *
+          10000, 0).cast("long").as("lq"))
+    val cinfo = ct.join(nd, "cls").crossJoin(broadcast(vv))
+      .crossJoin(broadcast(ndt))
+      .select(col("cls"),
+        round(log(lit(1.0) / (col("ct") + col("v"))) * 10000, 0)
+          .cast("long").as("lq0"),
+        round(log(col("nc").cast("double") / col("n")) * 10000, 0)
+          .cast("long").as("lp"))
+    val stok = e.filter(!isTrain)
+      .select(col("doc_id"), col("cls").as("actual"),
+        explode(split(col("text2"), " ")).as("tok"))
+    val sc = stok
+      .crossJoin(broadcast(cinfo))
+      .join(broadcast(model), Seq("cls", "tok"), "left")
+      .select(col("doc_id"), col("actual"), col("cls"), col("lp"),
+        coalesce(col("lq"), col("lq0")).as("q"))
+    sc.groupBy(col("doc_id"), col("actual"))
+      .agg(
+        (max(when(col("cls") === 0, col("lp"))) +
+          sum(when(col("cls") === 0, col("q")).otherwise(0L))).as("s0"),
+        (max(when(col("cls") === 1, col("lp"))) +
+          sum(when(col("cls") === 1, col("q")).otherwise(0L))).as("s1"))
+      .select(col("doc_id"), col("actual"),
+        when(col("s1") > col("s0"), 1L).otherwise(0L).as("pred"),
+        abs(col("s1") - col("s0")).as("margin"))
+      .withColumn("correct",
+        when(col("pred") === col("actual"), 1L).otherwise(0L))
+  }
 
   /** q125 — learned quality classifier (the fastText-style binary filter
     * GPT-3/CCNet-class pipelines train to separate curated from raw text):
@@ -63,98 +109,230 @@ object Modeling {
     * (bounded factor: #classes), probed against the broadcast model, and
     * collapses in ONE doc-keyed aggregation. Train-side counts are
     * vocab-bounded hash aggregations. No corpus self-join, no window. */
-  def q125(s: SparkSession, d: String): DataFrame = {
-    val e = nbCorpus(s, d)
-    val ttok = e.filter(col("is_train"))
-      .select(col("cls"), explode(split(col("text2"), " ")).as("tok"))
-    val cw = ttok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cw"))
-    val ct = ttok.groupBy(col("cls")).agg(count(lit(1)).as("ct"))
-    val vv = ttok.agg(countDistinct(col("tok")).as("v"))
-    val nd = e.filter(col("is_train")).groupBy(col("cls"))
-      .agg(count(lit(1)).as("nc"))
-    val ndt = e.filter(col("is_train")).agg(count(lit(1)).as("n"))
-    val model = cw.join(ct, "cls").crossJoin(broadcast(vv))
-      .select(col("cls"), col("tok"),
-        round(log((col("cw") + 1).cast("double") / (col("ct") + col("v"))) *
-          10000, 0).cast("long").as("lq"))
-    val cinfo = ct.join(nd, "cls").crossJoin(broadcast(vv))
-      .crossJoin(broadcast(ndt))
-      .select(col("cls"),
-        round(log(lit(1.0) / (col("ct") + col("v"))) * 10000, 0)
-          .cast("long").as("lq0"),
-        round(log(col("nc").cast("double") / col("n")) * 10000, 0)
-          .cast("long").as("lp"))
-    val stok = e.filter(!col("is_train"))
-      .select(col("doc_id"), col("cls").as("actual"),
-        explode(split(col("text2"), " ")).as("tok"))
-    val sc = stok
-      .crossJoin(broadcast(cinfo))
-      .join(broadcast(model), Seq("cls", "tok"), "left")
-      .select(col("doc_id"), col("actual"), col("cls"), col("lp"),
-        coalesce(col("lq"), col("lq0")).as("q"))
-    val ds = sc.groupBy(col("doc_id"), col("actual"))
-      .agg(
-        (max(when(col("cls") === 0, col("lp"))) +
-          sum(when(col("cls") === 0, col("q")).otherwise(0L))).as("s0"),
-        (max(when(col("cls") === 1, col("lp"))) +
-          sum(when(col("cls") === 1, col("q")).otherwise(0L))).as("s1"))
-    ds.select(col("doc_id"), col("actual"),
-        when(col("s1") > col("s0"), 1L).otherwise(0L).as("pred"),
-        abs(col("s1") - col("s0")).as("margin"))
-      .withColumn("correct",
-        when(col("pred") === col("actual"), 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
-  }
+  def q125(s: SparkSession, d: String): DataFrame =
+    nbScores(nbCorpus(s, d), col("h") < 8).orderBy(col("doc_id"))
 
-  private val q125Sql = {
+  /** The enrichment prelude shared by every classifier oracle. */
+  private val nbPreludeSql = {
     val hi = HiSig.map(w => s"'$w'").mkString(",")
     val lo = LoSig.map(w => s"'$w'").mkString(",")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, doc_id % 2 AS cls,
        |    CASE WHEN doc_id % 2 = 0 THEN [$hi] ELSE [$lo] END AS sig,
        |    (doc_id // 2) % 4 AS idx, text
        |  FROM documents),
-       |e AS (SELECT doc_id, cls,
+       |e AS MATERIALIZED (SELECT doc_id, cls,
        |        text || ' ' || sig[CAST(idx AS INT) + 1] || ' ' ||
        |          sig[CAST((idx + 1) % 4 AS INT) + 1] AS text2,
-       |        ((doc_id * 1103515245 + 12345) % 2147483648) % 10 < 8
-       |          AS is_train
-       |      FROM base),
-       |ttok AS (SELECT cls, unnest(string_split(text2, ' ')) AS tok
-       |         FROM e WHERE is_train),
-       |cw AS (SELECT cls, tok, count(*) AS cw FROM ttok GROUP BY 1, 2),
-       |ct AS (SELECT cls, count(*) AS ct FROM ttok GROUP BY 1),
-       |vv AS (SELECT count(DISTINCT tok) AS v FROM ttok),
-       |nd AS (SELECT cls, count(*) AS nc FROM e WHERE is_train GROUP BY 1),
-       |ndt AS (SELECT count(*) AS n FROM e WHERE is_train),
-       |model AS (SELECT cls, tok,
+       |        ((doc_id * 1103515245 + 12345) % 2147483648) % 10 AS h
+       |      FROM base)""".stripMargin
+  }
+
+  /** One NB train+score chain (→ `{p}res`: doc_id, actual, pred, margin,
+    * correct) with CTE prefix `p` and a SQL train predicate over `h` —
+    * the single string q125/q141/q142 interpolate (the bm25ChainSql
+    * pattern: score parity lives in exactly one place). */
+  private def nbChainSql(p: String, trainPred: String): String =
+    s"""${p}ttok AS (SELECT cls, unnest(string_split(text2, ' ')) AS tok
+       |         FROM e WHERE $trainPred),
+       |${p}cw AS (SELECT cls, tok, count(*) AS cw FROM ${p}ttok
+       |       GROUP BY 1, 2),
+       |${p}ct AS (SELECT cls, count(*) AS ct FROM ${p}ttok GROUP BY 1),
+       |${p}vv AS (SELECT count(DISTINCT tok) AS v FROM ${p}ttok),
+       |${p}nd AS (SELECT cls, count(*) AS nc FROM e WHERE $trainPred
+       |       GROUP BY 1),
+       |${p}ndt AS (SELECT count(*) AS n FROM e WHERE $trainPred),
+       |${p}model AS (SELECT cls, tok,
        |            CAST(round(ln((cw + 1) * 1.0 / (ct + v)) * 10000)
        |              AS BIGINT) AS lq
-       |          FROM cw JOIN ct USING (cls) CROSS JOIN vv),
-       |cinfo AS (SELECT cls,
+       |          FROM ${p}cw JOIN ${p}ct USING (cls) CROSS JOIN ${p}vv),
+       |${p}cinfo AS (SELECT cls,
        |            CAST(round(ln(1.0 / (ct + v)) * 10000) AS BIGINT) AS lq0,
        |            CAST(round(ln(nc * 1.0 / n) * 10000) AS BIGINT) AS lp
-       |          FROM ct JOIN nd USING (cls) CROSS JOIN vv CROSS JOIN ndt),
-       |stok AS (SELECT doc_id, cls AS actual,
+       |          FROM ${p}ct JOIN ${p}nd USING (cls) CROSS JOIN ${p}vv
+       |               CROSS JOIN ${p}ndt),
+       |${p}stok AS (SELECT doc_id, cls AS actual,
        |           unnest(string_split(text2, ' ')) AS tok
-       |         FROM e WHERE NOT is_train),
-       |sc AS (SELECT t.doc_id, t.actual, c.cls, c.lp,
+       |         FROM e WHERE NOT ($trainPred)),
+       |${p}sc AS (SELECT t.doc_id, t.actual, c.cls, c.lp,
        |         COALESCE(m.lq, c.lq0) AS q
-       |       FROM stok t CROSS JOIN cinfo c
-       |       LEFT JOIN model m ON m.cls = c.cls AND m.tok = t.tok),
-       |ds AS (SELECT doc_id, actual,
+       |       FROM ${p}stok t CROSS JOIN ${p}cinfo c
+       |       LEFT JOIN ${p}model m ON m.cls = c.cls AND m.tok = t.tok),
+       |${p}ds AS (SELECT doc_id, actual,
        |         max(CASE WHEN cls = 0 THEN lp END) +
        |           sum(CASE WHEN cls = 0 THEN q ELSE 0 END) AS s0,
        |         max(CASE WHEN cls = 1 THEN lp END) +
        |           sum(CASE WHEN cls = 1 THEN q ELSE 0 END) AS s1
-       |       FROM sc GROUP BY 1, 2)
-       |SELECT doc_id, actual,
+       |       FROM ${p}sc GROUP BY 1, 2),
+       |${p}res AS (SELECT doc_id, actual,
        |  CAST(CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
        |  CAST(abs(s1 - s0) AS BIGINT) AS margin,
        |  CAST(CASE WHEN (CASE WHEN s1 > s0 THEN 1 ELSE 0 END) = actual
        |       THEN 1 ELSE 0 END AS BIGINT) AS correct
-       |FROM ds ORDER BY doc_id""".stripMargin
+       |  FROM ${p}ds)""".stripMargin
+
+  private val q125Sql =
+    s"""WITH $nbPreludeSql,
+       |${nbChainSql("", "h < 8")}
+       |SELECT doc_id, actual, pred, margin, correct FROM res
+       |ORDER BY doc_id""".stripMargin
+
+  /** q141 — k-fold cross-validation of the NB classifier (k = 5): the
+    * model-SELECTION surface a production quality-filter pipeline runs
+    * before trusting a classifier (one held-out accuracy is one sample;
+    * the fold spread is the variance estimate). Folds are the h DIV 2
+    * buckets of the same portable hash, so fold membership is
+    * reproducible and disjoint; each fold trains on the other four and
+    * scores its own. Scale shape: k bounded (5), every fold is the q125
+    * posture (broadcast model, one doc aggregation) — total cost k ×
+    * one corpus pass, embarrassingly parallel across folds. */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    val e = nbCorpus(s, d)
+    val per = (0 until 5).map { i =>
+      nbScores(e, expr(s"h DIV 2 <> $i")).withColumn("fold", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    per.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"), sum(col("correct")).as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        expr("(n_correct * 10000) DIV n_test").as("acc_q"))
+      .orderBy(col("fold"))
   }
+
+  private val q141Sql = {
+    val chains = (0 until 5).map(i => nbChainSql(s"f$i", s"h // 2 <> $i"))
+    val union = (0 until 5)
+      .map(i => s"SELECT $i AS fold, correct FROM f${i}res")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $nbPreludeSql,
+       |${chains.mkString(",\n")}
+       |SELECT CAST(fold AS BIGINT) AS fold, count(*) AS n_test,
+       |  CAST(sum(correct) AS BIGINT) AS n_correct,
+       |  (CAST(sum(correct) AS BIGINT) * 10000) // count(*) AS acc_q
+       |FROM ($union)
+       |GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
+  /** q142 — classifier calibration report (the reliability diagram): the
+    * held-out predictions bucketed by margin (2.0-nat-wide buckets,
+    * capped at 10) with per-bucket accuracy — the evidence behind
+    * margin-thresholded filtering (only act on predictions whose bucket
+    * is reliable). One aggregation over q125's scored relation. */
+  def q142(s: SparkSession, d: String): DataFrame =
+    nbScores(nbCorpus(s, d), col("h") < 8)
+      .select(col("correct"),
+        least(expr("margin DIV 20000"), lit(9L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"))
+      .select(col("bucket"), col("n"), col("n_correct"),
+        expr("(n_correct * 10000) DIV n").as("acc_q"))
+      .orderBy(col("bucket"))
+
+  private val q142Sql =
+    s"""WITH $nbPreludeSql,
+       |${nbChainSql("", "h < 8")}
+       |SELECT least(margin // 20000, 9) AS bucket, count(*) AS n,
+       |  CAST(sum(correct) AS BIGINT) AS n_correct,
+       |  (CAST(sum(correct) AS BIGINT) * 10000) // count(*) AS acc_q
+       |FROM res GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q143 — distributed bootstrap confidence interval (B = 32 replicas)
+    * for the corpus mean document length: the uncertainty quantification
+    * a dataset card should carry next to every point estimate. Each
+    * replica resamples every doc with a deterministic pseudo-Poisson(1)
+    * weight from the portable LCG (the standard Poisson bootstrap — the
+    * ONLY bootstrap that works distributed, because each row draws its
+    * weight independently: no global multinomial coordination). Scale
+    * shape: the ×B expansion is map-side, one (replica)-keyed
+    * aggregation, and the CI rank runs on the B-row relation (bounded
+    * single-partition window — legitimate). */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val reps = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u", lcgKey(col("doc_id") * 37 + col("b")) % 1000000)
+      .withColumn("w",
+        when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+          .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+          .otherwise(4L))
+    val means = reps.groupBy(col("b"))
+      .agg((sum(col("w") * col("n_chars")) * 10000).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("b"), expr("num DIV greatest(den, 1)").as("mq"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mq"), col("b"))))
+    val point = docs.agg(
+      expr("(sum(n_chars) * 10000) DIV count(*)").as("mean_q"))
+    point
+      .crossJoin(broadcast(means.filter(col("rn") === 2)
+        .select(col("mq").as("ci_lo_q"))))
+      .crossJoin(broadcast(means.filter(col("rn") === 31)
+        .select(col("mq").as("ci_hi_q"))))
+      .withColumn("n_replicas", lit(32L))
+  }
+
+  private val q143Sql =
+    """WITH reps AS (
+      |  SELECT doc_id, n_chars, unnest(range(0, 32)) AS b FROM documents),
+      |w AS (SELECT n_chars, b,
+      |        ((doc_id * 37 + b) * 1103515245 + 12345) % 2147483648
+      |          % 1000000 AS u
+      |      FROM reps),
+      |ww AS (SELECT n_chars, b,
+      |         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+      |              ELSE 4 END AS wt
+      |       FROM w),
+      |mn AS (SELECT b,
+      |         (CAST(sum(wt * n_chars) AS BIGINT) * 10000) //
+      |           greatest(CAST(sum(wt) AS BIGINT), 1) AS mq
+      |       FROM ww GROUP BY b),
+      |rk AS (SELECT mq, row_number() OVER (ORDER BY mq, b) AS rn FROM mn),
+      |pt AS (SELECT (CAST(sum(n_chars) AS BIGINT) * 10000) // count(*)
+      |         AS mean_q FROM documents)
+      |SELECT mean_q,
+      |  (SELECT mq FROM rk WHERE rn = 2) AS ci_lo_q,
+      |  (SELECT mq FROM rk WHERE rn = 31) AS ci_hi_q,
+      |  CAST(32 AS BIGINT) AS n_replicas
+      |FROM pt""".stripMargin
+
+  /** q144 — temperature-scaled corpus mixture (the T5/mT5 α-sampling
+    * rule, α = 0.3): per-LANGUAGE sampling weights ∝ share^α, the standard
+    * fix for head-domination in multilingual/multi-source training
+    * mixes (rare languages up-weighted, never zeroed). One lang-keyed
+    * aggregation + a languages-sized normalization — both engines compute
+    * share^α as exp(α·ln(share)) (the SAME formula, so the only
+    * cross-engine surface is ln/exp parity, already load-bearing in the
+    * LM family), quantized to ppm. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = bySrc.agg(sum(col("n")).as("tot"))
+    val weighted = bySrc.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        expr("(n * 1000000) DIV tot").as("share_ppm"),
+        round(exp(lit(0.3) * log(col("n").cast("double") / col("tot"))) *
+          1000000, 0).cast("long").as("wq"))
+    val wtot = weighted.agg(sum(col("wq")).as("wtot"))
+    weighted.crossJoin(broadcast(wtot))
+      .select(col("lang"), col("n"), col("share_ppm"),
+        expr("(wq * 1000000) DIV wtot").as("alpha_share_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  private val q144Sql =
+    """WITH s AS (SELECT lang, count(*) AS n FROM documents
+      |           GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM s),
+      |w AS (SELECT lang, n, (n * 1000000) // tot AS share_ppm,
+      |        CAST(round(exp(0.3 * ln(n * 1.0 / tot)) * 1000000)
+      |          AS BIGINT) AS wq
+      |      FROM s CROSS JOIN t),
+      |wt AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w)
+      |SELECT lang, n, share_ppm,
+      |  (wq * 1000000) // wtot AS alpha_share_ppm
+      |FROM w CROSS JOIN wt ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q126
 
@@ -612,5 +790,9 @@ object Modeling {
     QueryDef("q128_weighted_sample", q128, Some(q128Sql)),
     QueryDef("q129_jl_projection", q129, Some(q129Sql)),
     QueryDef("q134_unigram_segment", q134, Some(q134Sql)),
-    QueryDef("q135_unigram_em", q135, Some(q135Sql)))
+    QueryDef("q135_unigram_em", q135, Some(q135Sql)),
+    QueryDef("q141_nb_crossval", q141, Some(q141Sql)),
+    QueryDef("q142_calibration", q142, Some(q142Sql)),
+    QueryDef("q143_bootstrap_ci", q143, Some(q143Sql)),
+    QueryDef("q144_alpha_mixture", q144, Some(q144Sql)))
 }

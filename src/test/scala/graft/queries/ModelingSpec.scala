@@ -262,6 +262,55 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("cross-validation (q141) covers every doc once across 5 disjoint folds") {
+    val out = Modeling.q141(spark, sf001).cache()
+    assert(out.count() == 5)
+    // fold test sets partition the corpus: sizes sum to 500
+    val total = out.agg(sum("n_test")).collect()(0).getLong(0)
+    assert(total == graft.Tables.documents(spark, sf001).count())
+    // the planted signal is learnable in every fold
+    assert(out.filter(col("acc_q") < 9000).count() == 0,
+      "every fold must stay above 90% accuracy")
+    out.unpersist()
+  }
+
+  test("calibration (q142) conserves the held-out docs and bounds accuracy") {
+    val out = Modeling.q142(spark, sf001).cache()
+    val scored = Modeling.q125(spark, sf001).count()
+    assert(out.agg(sum("n")).collect()(0).getLong(0) == scored)
+    assert(out.filter(col("acc_q") < 0 || col("acc_q") > 10000).count() == 0)
+    assert(out.filter(col("n_correct") > col("n")).count() == 0)
+    out.unpersist()
+  }
+
+  test("bootstrap CI (q143) brackets the point estimate") {
+    val r = Modeling.q143(spark, sf001).collect()(0)
+    val (m, lo, hi) = (r.getAs[Long]("mean_q"), r.getAs[Long]("ci_lo_q"),
+      r.getAs[Long]("ci_hi_q"))
+    assert(lo <= hi)
+    // the 94% interval must bracket the full-sample mean
+    assert(lo <= m && m <= hi, s"CI [$lo, $hi] must contain $m")
+    // and be non-degenerate but tight-ish (n=500 → a few percent wide)
+    assert(hi - lo > 0 && (hi - lo).toDouble / m < 0.2)
+  }
+
+  test("alpha mixture (q144) flattens the distribution without zeroing") {
+    val out = Modeling.q144(spark, sf001).cache()
+    assert(out.count() == 5) // de/en/es/fr/zh
+    // temperature scaling shrinks spread: the max/min ratio of alpha
+    // shares must be strictly smaller than that of the raw shares
+    val r = out.agg(
+      (max("share_ppm") / min("share_ppm")).as("raw"),
+      (max("alpha_share_ppm") / min("alpha_share_ppm")).as("alpha"))
+      .collect()(0)
+    assert(r.getDouble(1) < r.getDouble(0),
+      s"alpha-sampling must flatten: raw=${r.getDouble(0)} alpha=${r.getDouble(1)}")
+    // shares near-normalized (floor-div slack < 20 ppm per source)
+    val s = out.agg(sum("alpha_share_ppm")).collect()(0).getLong(0)
+    assert(s > 999600 && s <= 1000000)
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
