@@ -296,6 +296,13 @@ object Analytics {
     * three-way join over canonical edges — equality proves the oriented
     * algorithm loses and double-counts nothing. */
   def q136(s: SparkSession, d: String): DataFrame = {
+    // The edge relation is consumed three times (degrees, orientation,
+    // closure probe) but stays IN-PLAN deliberately: the three subtrees
+    // are byte-identical, so ReuseExchange computes the distinct once —
+    // measured 3.97s at sf0.1 in-plan vs 6.4s scratch-landed (the
+    // parquet round-trip loses the reused hashed exchange). The §7.4
+    // scratch discipline is for relations REUSED ACROSS queries or
+    // across iteration rounds, not within one plan.
     val li = Tables.lineitem(s, d).filter(col("l_partkey") % 50 === 0)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val a = li.select(col("l_partkey"), col("l_suppkey").as("s1"))
