@@ -3499,11 +3499,62 @@ object LlmOps {
        |LEFT JOIN fb f USING (doc_id)
        |ORDER BY score DESC, doc_id""".stripMargin
 
+  /** q146 — posting-list compression accounting (the Lucene/PISA index
+    * sizing decision): per term, the byte cost of the postings under
+    * delta + varint coding vs raw 64-bit ids, and the compression
+    * ratio. Doc-id deltas come from ONE posting-partitioned window
+    * (lag over doc_id within the term — bounded by the posting list,
+    * never global); varint width is the standard 7-bits-per-byte
+    * bucketing, pure integer CASE arithmetic. This is how an index
+    * builder decides block coding and how much an id-remap (q94's
+    * Z-order / clustering) would save — delta coding rewards locality.
+    */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    def vbytes(x: Column): Column =
+      lit(1L) + (x >= 128L).cast("long") + (x >= 16384L).cast("long") +
+        (x >= 2097152L).cast("long") + (x >= 268435456L).cast("long")
+    post
+      .withColumn("delta",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(vbytes(col("delta"))).as("delta_bytes"))
+      .select(col("term"), col("df"), col("delta_bytes"),
+        (col("df") * 8).as("raw_bytes"),
+        expr("(df * 8 * 10000) DIV delta_bytes").as("ratio_q"))
+      .orderBy(col("term"))
+  }
+
+  private val q146Sql =
+    """WITH post AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT term,
+      |         COALESCE(doc_id - lag(doc_id, 1) OVER
+      |           (PARTITION BY term ORDER BY doc_id), doc_id) AS delta
+      |       FROM post),
+      |ag AS (SELECT term, count(*) AS df,
+      |         CAST(sum(1 + CASE WHEN delta >= 128 THEN 1 ELSE 0 END
+      |           + CASE WHEN delta >= 16384 THEN 1 ELSE 0 END
+      |           + CASE WHEN delta >= 2097152 THEN 1 ELSE 0 END
+      |           + CASE WHEN delta >= 268435456 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS delta_bytes
+      |       FROM dl GROUP BY term)
+      |SELECT term, df, delta_bytes, df * 8 AS raw_bytes,
+      |  (df * 8 * 10000) // delta_bytes AS ratio_q
+      |FROM ag ORDER BY term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q130_knn_graph", q130, Some(q130Sql)),
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
+    QueryDef("q146_postings_size", q146, Some(q146Sql)),
     QueryDef("q23_dedup_exact", q23, Some(q23Sql)),
     QueryDef("q33_udtf_ngrams", q33, Some(q33Sql)),
     QueryDef("q34_similarity_topk", q34, Some(q34Sql)),

@@ -334,6 +334,51 @@ object Modeling {
       |  (wq * 1000000) // wtot AS alpha_share_ppm
       |FROM w CROSS JOIN wt ORDER BY lang""".stripMargin
 
+  /** q145 — distribution-drift monitor: per-language KL divergence of
+    * the unigram word distribution from the corpus-wide one — the
+    * statistic a production pipeline tracks per source/shard/day to
+    * catch corpus shift (a crawler gone wrong shows up here before any
+    * downstream metric moves). KL(P_l ‖ P_corpus) is exact for every
+    * in-language word (the corpus marginal dominates every language, so
+    * no zero-denominator smoothing is needed); per-word contributions
+    * quantize at 1e-6 then sum as integers (order-free). Scale shape:
+    * one (lang, word) aggregation — vocab × languages bounded — with
+    * the corpus vocabulary and 1-row totals broadcast. */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nt = tok.agg(count(lit(1)).as("nt"))
+    val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cl"))
+    val nl = tok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    lw.join(broadcast(cw), "w").join(broadcast(nl), "lang")
+      .crossJoin(broadcast(nt))
+      .select(col("lang"), col("nl"),
+        round((col("cl").cast("double") / col("nl")) *
+          log((col("cl") * col("nt")).cast("double") /
+            (col("nl") * col("cw"))) * 1000000, 0).cast("long").as("k"))
+      .groupBy(col("lang"))
+      .agg(max(col("nl")).as("n_tokens"), count(lit(1)).as("n_types"),
+        (sum(col("k")) / 1000000.0).as("kl"))
+      .orderBy(col("lang"))
+  }
+
+  private val q145Sql =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+      |nt AS (SELECT count(*) AS nt FROM tok),
+      |lw AS (SELECT lang, w, count(*) AS cl FROM tok GROUP BY 1, 2),
+      |nl AS (SELECT lang, count(*) AS nl FROM tok GROUP BY 1),
+      |k AS (SELECT lang, nl,
+      |        CAST(round((cl * 1.0 / nl) *
+      |          ln((cl * nt) * 1.0 / (nl * cw)) * 1000000) AS BIGINT) AS k
+      |      FROM lw JOIN cw USING (w) JOIN nl USING (lang) CROSS JOIN nt)
+      |SELECT lang, CAST(max(nl) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  CAST(sum(k) AS BIGINT) / 1000000.0 AS kl
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q126
 
   /** q126 — interpolated Kneser–Ney bigram LM (D = 0.75): the smoothing
@@ -794,5 +839,6 @@ object Modeling {
     QueryDef("q141_nb_crossval", q141, Some(q141Sql)),
     QueryDef("q142_calibration", q142, Some(q142Sql)),
     QueryDef("q143_bootstrap_ci", q143, Some(q143Sql)),
-    QueryDef("q144_alpha_mixture", q144, Some(q144Sql)))
+    QueryDef("q144_alpha_mixture", q144, Some(q144Sql)),
+    QueryDef("q145_kl_drift", q145, Some(q145Sql)))
 }

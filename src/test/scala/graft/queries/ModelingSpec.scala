@@ -311,6 +311,38 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("KL drift (q145) is a valid divergence: finite, near-zero here") {
+    val out = Modeling.q145(spark, sf001).cache()
+    assert(out.count() == 5)
+    // Gibbs: KL >= 0 up to per-term 1e-6 quantization slack (bounded by
+    // types * 0.5 ulp); languages share the generator so drift is small
+    out.collect().foreach { r =>
+      val kl = r.getAs[Double]("kl"); val types = r.getAs[Long]("n_types")
+      assert(kl >= -types * 5e-7, s"KL must be >= 0 (got $kl)")
+      assert(kl < 1.0, s"same-generator languages must not diverge: $kl")
+    }
+    // token conservation across languages
+    val tot = out.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val raw = graft.Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " "))).count()
+    assert(tot == raw)
+    out.unpersist()
+  }
+
+  test("postings size (q146) varint accounting is consistent") {
+    val out = LlmOps.q146(spark, sf001).cache()
+    assert(out.count() > 0)
+    // delta coding can never exceed raw 8-byte ids, and needs >= 1
+    // byte per posting
+    assert(out.filter(col("delta_bytes") > col("raw_bytes")).count() == 0)
+    assert(out.filter(col("delta_bytes") < col("df")).count() == 0)
+    // ratio consistent with its terms
+    assert(out.filter(
+      col("ratio_q") =!= expr("(raw_bytes * 10000) DIV delta_bytes"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
