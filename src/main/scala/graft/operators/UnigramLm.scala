@@ -60,9 +60,14 @@ object UnigramLm {
     * pruning loop). `universe` is the full piece relation (for the
     * smoothing denominator); `counts` carries this round's counts. */
   def model(counts: DataFrame, universe: DataFrame): DataFrame = {
-    val totals = counts.agg(sum(col("cnt")).as("total"),
-      count(lit(1)).as("np"))
-    universe.select(col("piece")).distinct()
+    val uni = universe.select(col("piece")).distinct()
+    // np = UNIVERSE size: add-1 mass is granted to every scoreable
+    // piece, so the denominator must count all of them or the smoothed
+    // "probabilities" sum past 1 (for round 1 counts == universe and
+    // the two coincide)
+    val totals = counts.agg(sum(col("cnt")).as("total"))
+      .crossJoin(uni.agg(count(lit(1)).as("np")))
+    uni
       .join(counts, Seq("piece"), "left")
       .crossJoin(broadcast(totals))
       .select(col("piece"),

@@ -284,7 +284,7 @@ object Analytics {
     * third graph-analytics operator after PageRank/HITS; triangles are
     * the community-density signal behind clustering coefficients and
     * spam/collusion detection). Graph: the supplier co-supply graph —
-    * an edge when two suppliers ship the same part (5% deterministic
+    * an edge when two suppliers ship the same part (2% deterministic
     * part sample keeps edge density constant across SFs). The naive
     * triangle join is O(Σ deg²) wedges and explodes on hubs; orienting
     * every edge from its (degree, id)-smaller endpoint bounds each

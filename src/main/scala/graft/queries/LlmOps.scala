@@ -3282,7 +3282,9 @@ object LlmOps {
       .join(prefix.select(col("doc_id").as("db"), col("ngram")), "ngram")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // set sizes ride along on the ranked relation (its doc window already
+    // computed them) instead of re-aggregating sh a second time
+    val sizes = ranked.select(col("doc_id"), col("n")).distinct()
     val inter = cand
       .join(sh.select(col("doc_id").as("da"), col("ngram")), "da")
       .join(sh.select(col("doc_id").as("db"), col("ngram")),
@@ -3443,12 +3445,24 @@ object LlmOps {
     * shape: both rounds are the q70 posture (term set broadcast-gates
     * the posting stream before any aggregation); the feedback set is 10
     * rows; expansion scoring is vocab-bounded. */
+  /** q139's round-1 feedback set is consumed twice (E-step term counts
+    * AND the final in-feedback flag) and costs a full corpus BM25 pass —
+    * scratch-landed + memoized per dataset (the §7.4 double-reference
+    * discipline; 10 rows on disk, one corpus pass saved per run). */
+  private val prfFeedbackCache =
+    new graft.operators.DatasetCache[String]("prf-feedback", Seq(_))
+
   def q139(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Bm25QueryTerms.toDF("term")
-    val fb = bm25ScoredFor(s, d, base)
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
-      .select(col("doc_id"))
+    val fbPath = prfFeedbackCache.getOrCompute(d) { dir =>
+      graft.operators.Scratch.materializePath(
+        bm25ScoredFor(s, dir, base)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .select(col("doc_id")),
+        "prf-feedback")
+    }
+    val fb = s.read.parquet(fbPath)
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
@@ -3477,7 +3491,8 @@ object LlmOps {
     s"""WITH $Bm25PreludeSql,
        |bq AS (SELECT unnest(['vector', 'filter', 'spill']) AS term),
        |${bm25ChainSql("", "term IN (SELECT term FROM bq)")},
-       |fb AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id LIMIT 10),
+       |fb AS MATERIALIZED (SELECT doc_id FROM agg
+       |      ORDER BY score DESC, doc_id LIMIT 10),
        |nn AS (SELECT count(*) AS n FROM documents),
        |dfall AS (SELECT term, count(DISTINCT doc_id) AS dfr FROM tok
        |          GROUP BY term),

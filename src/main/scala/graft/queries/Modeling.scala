@@ -577,9 +577,10 @@ object Modeling {
       |  CAST(round(ln((((doc_id * 1103515245 + 12345) % 2147483648)
       |      % 1000000 + 1) / 1000001.0) / n_chars * 100000000) AS BIGINT)
       |    AS kq
-      |  FROM documents)
-      |SELECT doc_id, n_chars, kq FROM k
-      |ORDER BY kq DESC, doc_id LIMIT 100""".stripMargin
+      |  FROM documents),
+      |top AS (SELECT doc_id, n_chars, kq FROM k
+      |        ORDER BY kq DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_chars, kq FROM top ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q129
 
@@ -788,7 +789,6 @@ object Modeling {
   def q135(s: SparkSession, d: String): DataFrame = {
     val words = vocabWords(s, d)
     val pc = UnigramLm.pieceCounts(words)
-    val md1 = UnigramLm.model(pc, pc)
     val seg1Path = unigramSegCache.getOrCompute(d) { dir =>
       val w = vocabWords(s, dir)
       val p1 = UnigramLm.pieceCounts(w)
@@ -813,8 +813,9 @@ object Modeling {
        |pc2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
        |        FROM (SELECT freq, unnest(string_split(seg, '|')) AS piece
        |              FROM r1seg) GROUP BY piece),
-       |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS np
-       |         FROM pc2),
+       |tot2 AS (SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM pc2) AS total,
+       |           (SELECT count(*) FROM (SELECT DISTINCT piece FROM pc))
+       |             AS np),
        |md2 AS (SELECT u.piece,
        |          CAST(round(ln((COALESCE(c.cnt, 0) + 1) * 1.0 /
        |            (total + np)) * 10000) AS BIGINT) AS lq

@@ -56,9 +56,10 @@ object ScaleStress {
     // r9 second half: the statistical-model/graph/simjoin family. The
     // rotated siblings make q137 a deliberate super-linear stress (its
     // high-Jaccard pair count multiplies); q134/q135 must stay ~FLAT
-    // (vocab-bounded — the corpus collapse is the whole point); q130's
-    // within-cell pairwise grows with cell occupancy (fixed 16 seed
-    // cells here — production uses k ∝ corpus).
+    // (vocab-bounded — the corpus collapse is the whole point); q130
+    // scales its cell count as sqrt(n/8), balancing assign vs
+    // within-cell cost at the single-level IVF optimum n^1.5
+    // (BASELINE.md).
     "q125_nb_classifier", "q126_kneser_ney", "q130_knn_graph",
     "q134_unigram_segment", "q136_triangles", "q137_simjoin_prefix",
     "q139_prf_expand", "q140_skyline")
