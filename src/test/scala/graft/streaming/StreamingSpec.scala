@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // duplicate id=1 dropped
   }
 
+  test("ST7: dedup state is TTL-bounded — a duplicate past the watermark re-admits") {
+    // the 100 TB contract behind dropDuplicatesWithinWatermark: dedup
+    // state is EVICTED once the watermark passes, so state size is
+    // bounded by the delay window, not the stream's lifetime — at the
+    // price that a duplicate arriving after eviction re-admits. This
+    // proves the eviction actually happens (ST7 above only proves the
+    // in-window drop).
+    val input = MemoryStream[Ev]
+    val q = StreamIngest.dedupStream(input.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Ev(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance event time far past id=1's state TTL (watermark → ~35 min)
+    input.addData(Ev(2, ts(40), 1, "view", 2.0))
+    q.processAllAvailable()
+    // same event_id, fresh in-watermark timestamp: state was evicted,
+    // so it must be re-admitted
+    input.addData(Ev(1, ts(41), 1, "click", 1.0))
+    q.processAllAvailable()
+    val n1 = spark.table("dedup_ttl_out")
+      .filter(col("event_id") === 1).count()
+    q.stop()
+    assert(n1 == 2, "expired dedup state must re-admit (bounded-state contract)")
+  }
+
   test("ST3/ST6: tumbling window finalizes after watermark passes; late data dropped") {
     val input = MemoryStream[Ev]
     val q = StreamIngest.tumblingCounts(input.toDF(), watermark = "10 minutes")
