@@ -4,12 +4,15 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Semantic invariants of the statistical-model operators (q125–q129):
-  * classifier accuracy on the planted signal, Kneser–Ney probability
-  * bounds, SymSpell coverage/recovery, weighted-sample bias, and the JL
-  * distance-concentration contract. Determinism (the oracle's job) is
-  * NOT re-proven here — these gates check the semantics the hash compare
-  * can't see. */
+/** Semantic invariants of the round-9 second-half operators
+  * (q125–q146): classifier accuracy/CV/calibration on the planted
+  * signal, Kneser–Ney probability bounds, SymSpell coverage/recovery,
+  * sampling bias/bootstrap bracketing, JL distance concentration, kNN
+  * ranking, incremental-agg equality, SCD2 timeline partition, triangle
+  * bounds, simjoin thresholds, MMR theorems, skyline domination, KL
+  * non-negativity and varint accounting. Determinism (the oracle's job)
+  * is NOT re-proven here — these gates check the semantics the hash
+  * compare can't see. */
 class ModelingSpec extends SparkSpec {
 
   test("NB classifier (q125) recovers the planted class signal held-out") {
