@@ -379,6 +379,38 @@ object Modeling {
       |  CAST(sum(k) AS BIGINT) / 1000000.0 AS kl
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q147 — exact-k stratified sample (k = 10 per language): the
+    * balanced-evaluation-set draw (fixed-size per stratum, vs q67's
+    * PROPORTIONAL hash gate and q128's corpus-level weighted draw —
+    * this completes the sampling family's third axis). Rank within each
+    * stratum by the portable LCG uniform (reproducible across runs and
+    * partitionings, like every split here) and keep the k smallest —
+    * one stratum-partitioned window that plans as WindowGroupLimit
+    * (rank ≤ k pushes the limit into the shuffle's map side). */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        lcgKey(col("doc_id")).as("u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q147Sql =
+    """WITH u AS (SELECT doc_id, lang,
+      |    (doc_id * 1103515245 + 12345) % 2147483648 AS u
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+      |          AS rk
+      |      FROM u)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   // ---------------------------------------------------------------- q126
 
   /** q126 — interpolated Kneser–Ney bigram LM (D = 0.75): the smoothing
@@ -841,5 +873,6 @@ object Modeling {
     QueryDef("q142_calibration", q142, Some(q142Sql)),
     QueryDef("q143_bootstrap_ci", q143, Some(q143Sql)),
     QueryDef("q144_alpha_mixture", q144, Some(q144Sql)),
-    QueryDef("q145_kl_drift", q145, Some(q145Sql)))
+    QueryDef("q145_kl_drift", q145, Some(q145Sql)),
+    QueryDef("q147_stratified_k", q147, Some(q147Sql)))
 }

@@ -346,6 +346,22 @@ class ModelingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("stratified exact-k (q147) draws exactly 10 per language, deterministically") {
+    val out = Modeling.q147(spark, sf001).cache()
+    // exactly k per stratum (every language has >= 10 docs here)
+    val bad = out.groupBy("lang").agg(count(lit(1)).as("k"))
+      .filter(col("k") =!= 10).count()
+    assert(bad == 0)
+    // no doc sampled twice; ranks are 1..10 in each stratum
+    assert(out.select("doc_id").distinct().count() == out.count())
+    assert(out.filter(col("rk") < 1 || col("rk") > 10).count() == 0)
+    // reproducible
+    val again = Modeling.q147(spark, sf001)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
   test("JL projection (q129) concentrates distances around the identity") {
     val out = Modeling.q129(spark, sf001).cache()
     val n = out.count()
