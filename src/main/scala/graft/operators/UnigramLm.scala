@@ -41,9 +41,13 @@ object UnigramLm {
     * (word, freq) relation — every occurrence position counts, weighted
     * by the word's corpus frequency. This is the seed model universe;
     * every substring of every word is present, so the DP never needs an
-    * out-of-vocabulary fallback. */
+    * out-of-vocabulary fallback. Zero-length words are dropped: Spark's
+    * `sequence(0, -1)` is a DESCENDING [0,-1] rather than empty, which
+    * would otherwise mint garbage ''-pieces (irregular-whitespace
+    * corpora produce such words). */
   def pieceCounts(words: DataFrame): DataFrame =
     words
+      .filter(length(col("word")) > 0)
       .select(col("word"), col("freq"),
         explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
       .select(col("word"), col("freq"), col("i"),
@@ -77,9 +81,11 @@ object UnigramLm {
 
   /** Attach to each word a map (i*8+k) → lq over all its substrings
     * (i = 0-based start, k = length ≤ MaxPiece). One vocab-bounded
-    * shuffle; the model side is broadcast. */
+    * shuffle; the model side is broadcast. Zero-length words dropped
+    * (same descending-`sequence` hazard as [[pieceCounts]]). */
   def withPieceMap(words: DataFrame, model: DataFrame): DataFrame = {
     val sub = words
+      .filter(length(col("word")) > 0)
       .select(col("word"), col("freq"),
         explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
       .select(col("word"), col("freq"), col("i"),

@@ -334,7 +334,8 @@ object Analytics {
     val nT = closed.agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(nW).crossJoin(nT)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("(n_triangles * 10000) DIV n_wedges").as("closure_q"))
+        expr("(n_triangles * 10000) DIV greatest(n_wedges, 1)")
+          .as("closure_q"))
   }
 
   private val q136Sql =
@@ -362,7 +363,7 @@ object Analytics {
       |ne AS (SELECT count(*) AS n_edges FROM e),
       |nw AS (SELECT count(*) AS n_wedges FROM wg)
       |SELECT n_edges, n_wedges, n_triangles,
-      |  (n_triangles * 10000) // n_wedges AS closure_q
+      |  (n_triangles * 10000) // greatest(n_wedges, 1) AS closure_q
       |FROM ne CROSS JOIN nw CROSS JOIN tri""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -701,6 +701,7 @@ object Modeling {
   private def vocabWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** q134 — unigram-LM Viterbi segmentation (the SentencePiece/WordPiece
@@ -727,7 +728,8 @@ object Modeling {
     """wd AS MATERIALIZED (
       |  SELECT word, count(*) AS freq
       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-      |        FROM documents) GROUP BY word),
+      |        FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
       |ps AS MATERIALIZED (
       |  SELECT word, freq, s.i AS i, s.k AS k,
       |    substr(word, CAST(s.i AS INT) + 1, CAST(s.k AS INT)) AS piece

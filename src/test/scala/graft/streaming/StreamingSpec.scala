@@ -95,13 +95,13 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // duplicate id=1 dropped
   }
 
-  test("ST7: dedup state is TTL-bounded — a duplicate past the watermark re-admits") {
+  test("ST7b: dedup state is TTL-bounded — a duplicate past the watermark re-admits") {
     // the 100 TB contract behind dropDuplicatesWithinWatermark: dedup
     // state is EVICTED once the watermark passes, so state size is
     // bounded by the delay window, not the stream's lifetime — at the
     // price that a duplicate arriving after eviction re-admits. This
-    // proves the eviction actually happens (ST7 above only proves the
-    // in-window drop).
+    // proves the eviction actually happens (the ST7 in-watermark test
+    // above only proves the in-window drop).
     val input = MemoryStream[Ev]
     val q = StreamIngest.dedupStream(input.toDF(), "5 minutes")
       .writeStream.format("memory").queryName("dedup_ttl_out")
