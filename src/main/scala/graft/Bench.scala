@@ -73,7 +73,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calStart,"calibration_end":$calEnd,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calStart,"calibration_end":$calEnd,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only a 2000-char tail of stdout, which truncates
+    // the per-query map once the registry is large — persist the full line
+    // so every BENCH_r{N} is readable end-to-end without a re-run
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -99,6 +99,17 @@ class RegistrySpec extends SparkSpec {
       s"README says ${m.group(1)} registered; SparkEntry has ${SparkEntry.queries.size}")
     assert(m.group(2).toInt == SparkEntry.oracleSql.size,
       s"README says ${m.group(2)} oracled; SparkEntry has ${SparkEntry.oracleSql.size}")
+    // SURVEY §8's header line drifted twice in r9 before fix-up commits —
+    // guard it the same way
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val spat = """(\d+) registered / (\d+) oracled""".r
+    val sm = spat.findFirstMatchIn(survey).getOrElse(
+      fail("SURVEY.md no longer states 'N registered / M oracled'"))
+    assert(sm.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${sm.group(1)} registered; SparkEntry has ${SparkEntry.queries.size}")
+    assert(sm.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${sm.group(2)} oracled; SparkEntry has ${SparkEntry.oracleSql.size}")
   }
 
   test("DatasetCache: invalidate during an in-flight build releases the build's scratch") {
