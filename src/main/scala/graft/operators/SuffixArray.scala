@@ -57,15 +57,25 @@ object SuffixArray {
     * at level p means "first p tokens equal", which is the primitive
     * [[lcpPath]] composes LCPs from. The last level is the final
     * (all-distinct) ranking. Caller releases every path (or the init
-    * via [[ranksPath]]). @return (levels ordered by prefixLen asc, n) */
-  def hierarchyPaths(toks0: DataFrame): (Seq[(Long, String)], Long) = {
+    * via [[ranksPath]]). `onRound` is a measurement hook (prefixLen,
+    * distinct groups, wall secs) fired after every landed round — the
+    * scale harness records per-round cost through it; the default is
+    * free. @return (levels ordered by prefixLen asc, n) */
+  def hierarchyPaths(toks0: DataFrame,
+      onRound: (Long, Long, Double) => Unit = (_, _, _) => ())
+      : (Seq[(Long, String)], Long) = {
     val spark = toks0.sparkSession
+    var t0 = System.nanoTime()
+    def lap(): Double = {
+      val t1 = System.nanoTime(); val s = (t1 - t0) / 1e9; t0 = t1; s
+    }
     // round 0: rank by the single leading token (the only string sort)
     val (p0, n) = GlobalOrder.rowNumberPath(
       toks0.select(col("pos"), col("tok")), "rn", col("tok"), col("pos"))
     var (rPath, groups) = groupMinPath(spark.read.parquet(p0), Seq("tok"))
     Scratch.release(p0)
     val levels = scala.collection.mutable.ArrayBuffer((1L, rPath))
+    onRound(1L, groups, lap())
 
     var gap = 1L
     while (groups < n && gap < n) {
@@ -84,6 +94,7 @@ object SuffixArray {
       groups = newGroups
       gap *= 2
       levels += ((gap, rPath))
+      onRound(gap, groups, lap())
     }
     (levels.toSeq, n)
   }

@@ -930,6 +930,159 @@ object Curation {
       |      FROM s)
       |SELECT pos, tok, sa_rank FROM r ORDER BY pos""".stripMargin
 
+  /** Minimum repeated-run length (tokens) the ExactSubstr pass cuts —
+    * Lee et al. 2022 use 50 BPE tokens on real corpora; the synthetic
+    * docs average ~54 words, so 10 keeps the gate meaningful. */
+  private val ExactSubstrMinRun = 10
+
+  private val exactSubstrCache =
+    new graft.operators.DatasetCache[String]("exactsubstr", Seq(_))
+
+  /** q148 — ExactSubstr deduplication END-TO-END (Lee et al. 2022): the
+    * composed pipeline q121/q123 are the index for. Suffix array + LCP
+    * array over the concatenated corpus find every repeated run ≥
+    * [[ExactSubstrMinRun]] tokens (an adjacent-LCP ≥ L pair proves BOTH
+    * its positions start a duplicated run); every occurrence's covered
+    * tokens are cut — the released deduplicate-text-datasets tool's
+    * remove-all semantic — and each document is reassembled from its
+    * surviving tokens. The span accounting goes through the same
+    * [[mergeSpans]] island merge as q116's gram-gate (n_spans = maximal
+    * removed extents per doc), tying the exact path and the streaming
+    * approximation to one span algebra.
+    *
+    * Corpus: the q121 8-doc oracle head (the DuckDB mirror re-sorts all
+    * suffixes as strings — head² chars), with doc 0's first 12 tokens
+    * APPENDED to doc 7 (the q77/q115/q123 enrich-then-prove pattern —
+    * the head's organic repeats are short, so the pipeline must cut a
+    * planted cross-doc duplicate INSIDE a real document, not just
+    * detect it). The OPERATOR is corpus-general: flat positions,
+    * doubling rounds, and LCP descent are the checkpointed
+    * [[graft.operators.SuffixArray]] machinery whose full-corpus cost
+    * is measured in BASELINE.md (tools/SaScale — 10× tokens = 1.75×
+    * wall); only the offsets collect (≤8 rows) is head-bounded, and the
+    * corpus-scale path replaces it with a GlobalOrder prefix-sum
+    * exactly as SaScale does. Memoized per dataset dir; output lands to
+    * scratch, all intermediates released. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val path = exactSubstrCache.getOrCompute(d) { dir =>
+      import s.implicits._
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val extra = base.filter(col("doc_id") === 0)
+        .select(slice(col("toks"), 1, 12).as("extra"))
+      val docs = base.crossJoin(broadcast(extra))
+        .select(col("doc_id"),
+          when(col("doc_id") === 7, concat(col("toks"), col("extra")))
+            .otherwise(col("toks")).as("toks"))
+      val toksRaw = docs.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      val counts = toksRaw.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val offs = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+        .toSeq.toDF("doc_id", "off")
+      val flat = toksRaw.join(broadcast(offs), "doc_id")
+        .select(col("doc_id"), col("p").cast("long").as("p"),
+          (col("off") + col("p")).cast("long").as("pos"), col("tok"))
+      val flatPath =
+        graft.operators.Scratch.materializePath(flat, "exactsubstr-toks")
+      val flatL = s.read.parquet(flatPath)
+      val lcpP = graft.operators.SuffixArray.lcpPath(
+        flatL.select(col("pos"), col("tok")))
+      try {
+        val lcp = s.read.parquet(lcpP)
+        // remove-all: both occurrences of every ≥L adjacent-LCP pair
+        val spans = lcp.filter(col("lcp") >= ExactSubstrMinRun)
+          .select(explode(array(
+            struct(col("a_pos").as("pos"), col("lcp")),
+            struct(col("b_pos").as("pos"), col("lcp")))).as("sp"))
+          .select(col("sp.pos").as("pos"), col("sp.lcp").as("lcp"))
+        val covered = spans
+          .select(explode(sequence(col("pos"),
+            col("pos") + col("lcp") - 1)).as("pos"))
+          .distinct()
+          .withColumn("cut", lit(true))
+        val marked = flatL.join(covered, Seq("pos"), "left")
+          .withColumn("cut", coalesce(col("cut"), lit(false)))
+        // maximal removed extents per doc — q116's island algebra
+        val nSpans = mergeSpans(
+            marked.filter(col("cut")).select(col("doc_id"), col("p").as("pos")), 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+        val out = marked
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
+            array_join(transform(
+              array_sort(collect_list(
+                when(!col("cut"), struct(col("p"), col("tok"))))),
+              x => x.getField("tok")), " ").as("clean_text"))
+          .join(nSpans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            col("clean_text"))
+        graft.operators.Scratch.materializePath(out, "exactsubstr-out")
+      } finally {
+        graft.operators.Scratch.release(lcpP)
+        graft.operators.Scratch.release(flatPath)
+      }
+    }
+    s.read.parquet(path).orderBy(col("doc_id"))
+  }
+
+  private val q148Sql =
+    """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents WHERE doc_id < 8),
+      |ap AS (SELECT toks[1:12] AS extra FROM d0 WHERE doc_id = 0),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN doc_id = 7 THEN list_concat(toks, extra)
+      |             ELSE toks END AS toks
+      |      FROM d0 CROSS JOIN ap),
+      |f AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS i, toks[i] AS tok
+      |      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |o AS (SELECT doc_id, i, tok,
+      |        row_number() OVER (ORDER BY doc_id, i) - 1 AS pos FROM f),
+      |a AS (SELECT list(tok ORDER BY pos) AS allt FROM o),
+      |s AS (SELECT pos, array_to_string(
+      |        list_slice(allt, pos + 1, len(allt)), chr(1)) AS suf
+      |      FROM o CROSS JOIN a),
+      |r AS (SELECT pos, row_number() OVER (ORDER BY suf) AS rnk FROM s),
+      |pr AS (SELECT ra.pos AS a_pos, rb.pos AS b_pos
+      |       FROM r ra JOIN r rb ON rb.rnk = ra.rnk + 1),
+      |l AS (SELECT a_pos, b_pos,
+      |        CAST(COALESCE(
+      |          NULLIF(list_position(list_transform(
+      |            list_zip(list_slice(allt, a_pos + 1, len(allt)),
+      |                     list_slice(allt, b_pos + 1, len(allt))),
+      |            p -> p[1] = p[2]), false), 0) - 1,
+      |          least(len(allt) - a_pos, len(allt) - b_pos)) AS BIGINT) AS lcp
+      |      FROM pr CROSS JOIN a),
+      |sp AS (SELECT a_pos AS pos, lcp FROM l WHERE lcp >= 10
+      |       UNION ALL
+      |       SELECT b_pos AS pos, lcp FROM l WHERE lcp >= 10),
+      |cov AS (SELECT DISTINCT CAST(pos + k AS BIGINT) AS pos
+      |        FROM sp, unnest(range(0, lcp)) AS u(k)),
+      |mk AS (SELECT o.doc_id, o.i, o.tok,
+      |         (cov.pos IS NOT NULL) AS cut
+      |       FROM o LEFT JOIN cov ON o.pos = cov.pos),
+      |isl AS (SELECT doc_id, i,
+      |          CASE WHEN i > COALESCE(max(i) OVER (
+      |            PARTITION BY doc_id ORDER BY i
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |          THEN 1 ELSE 0 END AS newi
+      |        FROM mk WHERE cut),
+      |spn AS (SELECT doc_id, CAST(sum(newi) AS BIGINT) AS n_spans
+      |        FROM isl GROUP BY doc_id)
+      |SELECT mk.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE cut) AS BIGINT) AS n_removed,
+      |  COALESCE(any_value(spn.n_spans), 0) AS n_spans,
+      |  COALESCE(array_to_string(
+      |    list(tok ORDER BY i) FILTER (WHERE NOT cut), ' '), '') AS clean_text
+      |FROM mk LEFT JOIN spn ON mk.doc_id = spn.doc_id
+      |GROUP BY mk.doc_id ORDER BY mk.doc_id""".stripMargin
+
   /** q86 — per-source top-k selection: the k highest-quality documents of
     * every source (rank ties broken by doc_id) — the "keep the best of
     * each provenance bucket" sampling step. rn <= k over a partitioned
@@ -1171,6 +1324,7 @@ object Curation {
     QueryDef("q116_dup_spans", q116, Some(q116Sql)),
     QueryDef("q121_suffix_array", q121, Some(q121Sql)),
     QueryDef("q123_lcp_array", q123, Some(q123Sql)),
+    QueryDef("q148_exactsubstr_dedup", q148, Some(q148Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),

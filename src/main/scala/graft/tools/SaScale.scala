@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{GlobalOrder, Scratch, SuffixArray}
+
+/** Dev-only scale evidence for [[graft.operators.SuffixArray]] — the r9
+  * verdict's "only operator with zero measured scale evidence". Builds
+  * the suffix array over the FULL documents table of a dir (not q121's
+  * 8-doc oracle head): the flat token stream's contiguous global
+  * positions come from a [[GlobalOrder]] range-partitioned rank over
+  * (doc_id, p) — the corpus-scale offsets path the q121 Scaladoc
+  * promises — then runs the prefix-doubling rounds, recording each
+  * round's wall clock and distinct-group count through the onRound hook.
+  *
+  * Prints one JSON line:
+  *   {"metric":"sa_scale","dir":…,"n":tokens,"rounds":R,"build_wall":S,
+  *    "rounds_detail":[{"prefix":p,"groups":g,"sec":s},…]}
+  *
+  * Usage: runMain graft.tools.SaScale [dir] — defaults to sf0.1.
+  */
+object SaScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.SparkEnv.local("sa-scale")
+    try {
+      val toksRaw = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      val (flatRankPath, nTok) = GlobalOrder.rowNumberPath(
+        toksRaw, "rn", col("doc_id"), col("p"))
+      val flat = spark.read.parquet(flatRankPath)
+        .select((col("rn") - 1).as("pos"), col("tok"))
+      val flatPath = Scratch.materializePath(flat, "sa-scale-toks")
+      Scratch.release(flatRankPath)
+
+      val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val t0 = System.nanoTime()
+      val (levels, n) = SuffixArray.hierarchyPaths(
+        spark.read.parquet(flatPath),
+        (prefix, groups, sec) => rounds += ((prefix, groups, sec)))
+      val wall = (System.nanoTime() - t0) / 1e9
+      levels.foreach { case (_, p) => Scratch.release(p) }
+      Scratch.release(flatPath)
+      require(n == nTok, s"token count drifted: rank=$nTok sa=$n")
+
+      val detail = rounds.map { case (p, g, s) =>
+        f"""{"prefix":$p,"groups":$g,"sec":$s%.2f}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"metric":"sa_scale","dir":"$dir","n":$n,""" +
+        f""""rounds":${rounds.size},"build_wall":$wall%.2f,""" +
+        s""""rounds_detail":$detail}""")
+    } finally spark.stop()
+  }
+}

@@ -341,4 +341,65 @@ class CurationSpec extends SparkSpec {
       assert(hmax == 1000L && amax == 1000L, "round max must normalize to Scale")
     } finally out.unpersist()
   }
+
+  test("q148: the SA/LCP path cuts the planted cross-doc repeat from BOTH " +
+      "occurrences, conserves tokens, and agrees with the q116 gram-gate " +
+      "on the planted region") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val planted = docs(0L).take(12)
+    val len7 = docs(7L).length
+
+    val out = Curation.q148(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.size == 8)
+    // remove-all semantics (the released ExactSubstr tool): BOTH
+    // occurrences of the planted 12-token run are cut
+    val (n0, rem0, spans0, clean0) = out(0L)
+    val (n7, rem7, spans7, clean7) = out(7L)
+    assert(n0 == docs(0L).length && n7 == len7 + 12,
+      "n_tokens must reflect the modified corpus")
+    assert(rem0 >= 12 && spans0 >= 1,
+      s"doc 0's head occurrence must be cut (removed $rem0)")
+    assert(rem7 >= 12 && spans7 >= 1,
+      s"doc 7's appended occurrence must be cut (removed $rem7)")
+    assert(!clean0.startsWith(planted.mkString(" ")),
+      "doc 0 still starts with the duplicated run")
+    assert(!clean7.contains(planted.mkString(" ")),
+      "doc 7 still contains the duplicated run")
+    // conservation on every doc: kept tokens = n_tokens - n_removed
+    for ((id, (n, rem, _, clean)) <- out) {
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept == n - rem, s"doc $id: kept $kept != $n - $rem")
+    }
+    // untouched docs reassemble verbatim
+    for ((id, (_, rem, nspans, clean)) <- out if rem == 0) {
+      assert(nspans == 0)
+      assert(clean == docs(id).mkString(" "), s"doc $id changed with 0 removed")
+    }
+    // the q116 gram-gate run over the SAME modified corpus marks the
+    // same planted regions — the exact index and the streaming
+    // approximation agree where both can see the repeat (12 >= both
+    // thresholds)
+    import spark.implicits._
+    val modified = docs.toSeq.map { case (id, toks) =>
+      val t = if (id == 7L) toks ++ planted else toks
+      (id, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val occ = modified.select(col("doc_id"),
+      graft.functions.NGramExplode(col("text"), 8).as(Seq("pos", "ng")))
+    val dup = occ.groupBy(col("ng")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("ng"))
+    val gramSpans = Curation.mergeSpans(
+        occ.join(dup, "ng").select(col("doc_id"), col("pos").cast("long").as("pos")), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(gramSpans.exists { case (id, s, e) => id == 0L && s <= 0 && e >= 11 },
+      "gram-gate missed the planted run's doc-0 occurrence")
+    assert(gramSpans.exists { case (id, s, e) =>
+        id == 7L && s <= len7 && e >= len7 + 11 },
+      "gram-gate missed the planted run's doc-7 occurrence")
+  }
 }
