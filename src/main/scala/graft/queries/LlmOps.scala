@@ -3241,6 +3241,95 @@ object LlmOps {
       |SELECT va, vb, sim, rn FROM r WHERE rn <= 3 ORDER BY va, rn"""
       .stripMargin
 
+  /** q149 — HIERARCHICAL (2-level) IVF ANN: the remaining log factor the
+    * q130 Scaladoc defers. Level 1: k₁=4 trained coarse cells (k-means,
+    * the q130/q34d discipline). Level 2: within each coarse cell, k₂
+    * trained sub-cells (k₂ = ⌈T/4⌉ where T = q130's √(n/8) total-cell
+    * target, so k₁·k₂ ≈ T effective cells). A probe finds its cell by
+    * comparing against k₁ + k₂ centroids instead of T — at T = √(n/8)
+    * that's the √T ≈ (n/8)^(1/4) centroid-scan saving per probed vector,
+    * the reason real IVF serving stacks (FAISS IMI, SPANN) quantize
+    * hierarchically. Search = rank within the winning sub-cell (probe's
+    * own assignment), q34d's exact discipline: 4dp-rounded cosine, id
+    * tiebreaks, top-3.
+    *
+    * Scale shape: both levels are map-side codegen'd argmins over
+    * driver-held centroid literals (no assignment shuffle at either
+    * level); the per-cell trainings are k₁ bounded recenter collects
+    * over disjoint corpus slices; the candidate join blocks on the
+    * sub-cell key, so the pairwise cost is Σ n_sc² over k₁·k₂ cells —
+    * strictly finer blocking than q130's single level. Oracle: the
+    * coarse Lloyd chain plus k₁ per-cell chains (the q104 multi-chain
+    * pattern), k₂ as a scalar subquery through the shared
+    * [[lloydCteChain]]. */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val vq = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val n = vq.count()
+    val totalCells = math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong)
+    val k1 = 4
+    val k2 = math.ceil(totalCells / 4.0).toInt
+    val coarse = graft.operators.KMeans.lloyd(vq, "vec_id", "vq", k1, iters = 2)
+      .select(col("vec_id"), col("embedding"), col("vq"),
+        col("cluster").as("coarse"))
+    val assign = (0 until k1).flatMap { c =>
+      val members = coarse.filter(col("coarse") === c)
+        .select(col("vec_id"), col("embedding"), col("vq"))
+      val kc = math.min(k2.toLong, members.count()).toInt
+      if (kc == 0) None
+      else Some(graft.operators.KMeans
+        .lloyd(members, "vec_id", "vq", kc, iters = 2)
+        .select(col("vec_id"), col("embedding"),
+          (lit(c.toLong) * k2 + col("cluster")).as("cell")))
+    }.reduce(_ unionByName _)
+    val probes = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
+    val cands = assign
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    cands.join(broadcast(probes), Seq("cell"))
+      .filter(col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private lazy val q149Sql = {
+    val k2Sub = "(SELECT k2 FROM nk)"
+    val subChains = (0 until 4).map { c =>
+      lloydCteChain(k2Sub,
+        s"SELECT vec_id, vq FROM c_b3 WHERE cluster = $c", s"u${c}_")
+    }.mkString(",\n")
+    val union = (0 until 4).map { c =>
+      s"SELECT vec_id, $c * $k2Sub + cluster AS cell FROM u${c}_b3"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH nk AS (SELECT CAST(ceil(greatest(16,
+      |    CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) / 4.0) AS BIGINT)
+      |    AS k2 FROM embeddings),
+      |${lloydCteChain("4", quantizedSrcSql, "c_")},
+      |$subChains,
+      |asg AS ($union),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |cell AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id)),
+      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM cell
+      |      WHERE vec_id >= 16 AND vec_id < 26),
+      |s AS (SELECT pid, c.vec_id AS cid,
+      |        round(list_cosine_similarity(pe, c.emb), 4) AS sim
+      |      FROM p JOIN cell c USING (cell) WHERE pid <> c.vec_id),
+      |r AS (SELECT pid, cid, sim,
+      |        row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
+      |      FROM s)
+      |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
+      .stripMargin
+  }
+
   /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
     * 2006 / PPJoin's candidate rule): the fourth blocking family in the
     * near-dup toolbox (q35 rare shingles, q35d LSH bands, q127 deletion
@@ -3558,6 +3647,7 @@ object LlmOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q130_knn_graph", q130, Some(q130Sql)),
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
+    QueryDef("q149_ivf2_ann", q149, Some(q149Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),

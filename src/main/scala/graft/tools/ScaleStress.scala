@@ -62,7 +62,9 @@ object ScaleStress {
     // (BASELINE.md).
     "q125_nb_classifier", "q126_kneser_ney", "q130_knn_graph",
     "q134_unigram_segment", "q136_triangles", "q137_simjoin_prefix",
-    "q139_prf_expand", "q140_skyline")
+    "q139_prf_expand", "q140_skyline",
+    // r10: trained hierarchical IVF — must hold at-or-below q130's ratio
+    "q149_ivf2_ann")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -83,4 +83,31 @@ class AnalyticsSpec extends SparkSpec {
     val dup = ivf.groupBy(r => (r.getLong(0), r.getLong(1))).exists(_._2.length > 1)
     assert(!dup)
   }
+
+  test("hierarchical IVF (q149) serves every probe from one sub-cell and " +
+      "its ranking is internally consistent") {
+    val out = LlmOps.q149(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byProbe = out.groupBy(_.getLong(0))
+    // probes 16..25 that share a sub-cell with >=1 other vector all appear
+    assert(byProbe.keySet.subsetOf((16L until 26L).toSet))
+    byProbe.values.foreach { g =>
+      val ranks = g.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to g.length).toSeq, "ranks must be 1..k dense")
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "similarity non-increasing in rank")
+      assert(g.length <= 3)
+    }
+    // the finer blocking must not OUTRANK the single-level IVF: every
+    // (probe, candidate) pair q149 emits that q34d also emits must carry
+    // the identical rounded cosine (both read the same embeddings)
+    val flat = LlmOps.q34d(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      flat.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(s == r.getDouble(2), "same pair, different cosine")
+      }
+    }
+  }
 }
