@@ -2040,7 +2040,9 @@ object LlmOps {
     new graft.operators.DatasetCache[(String, Long)](
       "ppx-rank", { case (path, _) => Seq(path) })
 
-  def q124(s: SparkSession, d: String): DataFrame = {
+  /** The memoized tercile relation behind q124, shared with the q150
+    * pipeline gate: (doc_id, n_bigrams, interp_logp, bucket), unordered. */
+  private[queries] def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
     val (path, total) = ppxRankCache.getOrCompute(d) { dir =>
       val docs = Tables.documents(s, dir)
       val pairs = docs
@@ -2072,11 +2074,16 @@ object LlmOps {
         graft.operators.GlobalOrder.ntileFromRank(col("rn"), total, 3))
       .select(col("doc_id"), col("n_bigrams"), col("interp_logp"),
         col("bucket"))
-      .orderBy(col("doc_id"))
   }
 
-  private val q124Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  def q124(s: SparkSession, d: String): DataFrame =
+    ccnetBuckets(s, d).orderBy(col("doc_id"))
+
+  /** q124's model/score CTEs without the final projection — shared with
+    * the q150 pipeline oracle (the nbChainSql pattern: parity in one
+    * place). Ends in `ppx(doc_id, n_bigrams, interp_logp, bucket)`. */
+  private[queries] val ccnetCtesSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
       |        i -> toks[i] || ' ' || toks[i+1])) AS pr
       |      FROM t WHERE len(toks) >= 2),
@@ -2094,11 +2101,16 @@ object LlmOps {
       |            CROSS JOIN nt),
       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |         round(sum(lq) * 1.0 / count(*), 0) / 10000.0 AS interp_logp
-      |       FROM sc GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams, interp_logp,
-      |       CAST(ntile(3) OVER (ORDER BY interp_logp DESC, doc_id) AS BIGINT)
-      |         AS bucket
-      |FROM pd ORDER BY doc_id""".stripMargin
+      |       FROM sc GROUP BY doc_id),
+      |ppx AS (SELECT doc_id, n_bigrams, interp_logp,
+      |          CAST(ntile(3) OVER (ORDER BY interp_logp DESC, doc_id)
+      |            AS BIGINT) AS bucket
+      |        FROM pd)""".stripMargin
+
+  private lazy val q124Sql =
+    s"""WITH $ccnetCtesSql
+      |SELECT doc_id, n_bigrams, interp_logp, bucket
+      |FROM ppx ORDER BY doc_id""".stripMargin
 
   /** q69 — training-sequence packing: lay documents out in a deterministic
     * pseudo-random order and greedily concatenate into fixed token-budget
@@ -2678,16 +2690,11 @@ object LlmOps {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY da, db""".stripMargin
 
-  /** q72 — the END-TO-END training-data pipeline, composed from the
-    * operators above as ONE declarative flow Catalyst plans globally:
-    * exact dedup (q23) → benchmark decontamination (q65) → repetition
-    * quality gate (q66, rep_ratio < 0.2; docs without trigrams drop) →
-    * deterministic 90% train split (q63) → per-shard sequence packing
-    * (q69). This is the "a user could switch" proof: the full corpus →
-    * training-shards path in one DataFrame expression, every stage either
-    * map-side, broadcast-gated, or keyed by doc_id. Oracle: one DuckDB
-    * CTE chain mirroring each stage. */
-  def q72(s: SparkSession, d: String): DataFrame = {
+  /** q72/q150's shared head: exact dedup (keep lowest doc_id per text) +
+    * benchmark decontamination (8-gram overlap with the doc_id%59 bench
+    * slice, broadcast semi-join). Returns the surviving (doc_id, …doc
+    * cols) relation. */
+  private def cleanCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isBench = col("doc_id") % 59 === 0
     val wDedup = Window.partitionBy(col("text")).orderBy(col("doc_id"))
@@ -2700,7 +2707,21 @@ object LlmOps {
       .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
       .select(col("doc_id")).distinct()
-    val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+    dedup.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** q72 — the END-TO-END training-data pipeline, composed from the
+    * operators above as ONE declarative flow Catalyst plans globally:
+    * exact dedup (q23) → benchmark decontamination (q65) → repetition
+    * quality gate (q66, rep_ratio < 0.2; docs without trigrams drop) →
+    * deterministic 90% train split (q63) → per-shard sequence packing
+    * (q69). This is the "a user could switch" proof: the full corpus →
+    * training-shards path in one DataFrame expression, every stage either
+    * map-side, broadcast-gated, or keyed by doc_id. Oracle: one DuckDB
+    * CTE chain mirroring each stage. */
+
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val clean = cleanCorpus(s, d)
     val quality = clean
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("cnt"))
@@ -2740,6 +2761,84 @@ object LlmOps {
       |              FROM per GROUP BY 1)
       |            WHERE 1.0 - n_distinct * 1.0 / n_grams < 0.2),
       |train AS (SELECT c.doc_id, c.text FROM clean c JOIN quality USING (doc_id)
+      |          WHERE ((c.doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90),
+      |d AS (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        ((doc_id * 1103515245 + 12345) % 2147483648) % 8 AS shard,
+      |        (doc_id * 48271) % 2147483647 AS pos
+      |      FROM train),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM d)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+      |  (cum - n_tokens) % 2048 AS offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The q150 classifier-confidence gate: keep docs predicted class 0
+    * (curated) with margin ≥ this (1e-4 log-units; the corpus's planted
+    * signal produces margins ~8–11×10⁴, so this keeps the confident
+    * half — a real pipeline tunes it on held-out precision). */
+  private val NbMarginGate = 90000L
+
+  /** q150 — the training-data pipeline, MODEL-GATED (v2 of q72): the
+    * quality stage a 2026 CCNet-class team actually runs. Exact dedup →
+    * benchmark decontamination (the shared [[cleanCorpus]] head) → CCNet
+    * perplexity gate (q124's Jelinek–Mercer bigram LM terciles, keep
+    * head+middle, drop tail) → learned-filter gate (q125's Naive Bayes
+    * model trained on the h<8 fold scoring EVERY doc; keep confident
+    * class-0 predictions, margin ≥ [[NbMarginGate]]) → deterministic 90%
+    * train split → per-shard sequence packing — replacing q72's
+    * repetition heuristic with the trained model ladder.
+    *
+    * Scale shape: the perplexity terciles come from q124's MEMOIZED
+    * GlobalOrder rank relation (a scratch-parquet read at query time —
+    * no second corpus scan for that model stage); the NB model is
+    * vocab-bounded and BROADCAST into the scoring stream (the corpus
+    * side is one exploded pass, one doc-keyed aggregation); both gate
+    * relations join `clean` on doc_id. Plan-guarded in QueryPlanSpec:
+    * model joins broadcast, no cartesian. Oracle: the q72 head CTEs +
+    * the shared [[ccnetCtesSql]] + Modeling's nbChainSql with score
+    * predicate TRUE, composed into one chain. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val clean = cleanCorpus(s, d)
+    val ppxKeep = ccnetBuckets(s, d)
+      .filter(col("bucket") <= 2).select(col("doc_id"))
+    val nbKeep = Modeling.nbMarginAll(s, d)
+      .filter(col("pred") === 0 && col("margin") >= NbMarginGate)
+      .select(col("doc_id"))
+    val train = clean
+      .join(ppxKeep, Seq("doc_id"), "left_semi")
+      .join(nbKeep, Seq("doc_id"), "left_semi")
+      .filter(lcgKey(col("doc_id")) % 100 < 90)
+    packSequences(train)
+  }
+
+  private lazy val q150Sql =
+    s"""WITH dd AS (SELECT doc_id, text FROM (
+      |             SELECT doc_id, text,
+      |               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |             FROM documents)
+      |           WHERE rn = 1 AND doc_id % 59 <> 0),
+      |t8 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |              toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |              toks[i+6] || ' ' || toks[i+7])) AS ngram
+      |       FROM t8 WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT ngram FROM g8 WHERE doc_id % 59 = 0),
+      |contaminated AS (SELECT DISTINCT d.doc_id FROM dd d JOIN g8 USING (doc_id)
+      |                 WHERE g8.ngram IN (SELECT ngram FROM bench)),
+      |clean AS (SELECT doc_id, text FROM dd
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |$ccnetCtesSql,
+      |${Modeling.nbPreludeSql},
+      |${Modeling.nbChainSql("n_", "h < 8", "TRUE")},
+      |train AS (SELECT c.doc_id, c.text FROM clean c
+      |          JOIN ppx ON ppx.doc_id = c.doc_id AND ppx.bucket <= 2
+      |          JOIN n_res r ON r.doc_id = c.doc_id AND r.pred = 0
+      |            AND r.margin >= $NbMarginGate
       |          WHERE ((c.doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90),
       |d AS (SELECT doc_id,
       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -3648,6 +3747,7 @@ object LlmOps {
     QueryDef("q130_knn_graph", q130, Some(q130Sql)),
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
     QueryDef("q149_ivf2_ann", q149, Some(q149Sql)),
+    QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),

@@ -51,10 +51,13 @@ object Modeling {
         (lcgKey(col("doc_id")) % 10).as("h"))
 
   /** Train Laplace-smoothed multinomial NB on `isTrain` rows of the
-    * enriched corpus and score the complement: per held-out doc
-    * (doc_id, actual, pred, margin, correct), all exact integers (the
-    * model quantizes every log-lik to the 1e-4 BIGINT grid at build). */
-  private def nbScores(e: DataFrame, isTrain: Column): DataFrame = {
+    * enriched corpus and score the complement (or, with `scoreAll`, the
+    * WHOLE corpus — the q150 pipeline-gate posture: a trained filter
+    * scores every document): per scored doc (doc_id, actual, pred,
+    * margin, correct), all exact integers (the model quantizes every
+    * log-lik to the 1e-4 BIGINT grid at build). */
+  private def nbScores(e: DataFrame, isTrain: Column,
+      scoreAll: Boolean = false): DataFrame = {
     val ttok = e.filter(isTrain)
       .select(col("cls"), explode(split(col("text2"), " ")).as("tok"))
     val cw = ttok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cw"))
@@ -74,7 +77,7 @@ object Modeling {
           .cast("long").as("lq0"),
         round(log(col("nc").cast("double") / col("n")) * 10000, 0)
           .cast("long").as("lp"))
-    val stok = e.filter(!isTrain)
+    val stok = e.filter(if (scoreAll) lit(true) else !isTrain)
       .select(col("doc_id"), col("cls").as("actual"),
         explode(split(col("text2"), " ")).as("tok"))
     val sc = stok
@@ -112,8 +115,15 @@ object Modeling {
   def q125(s: SparkSession, d: String): DataFrame =
     nbScores(nbCorpus(s, d), col("h") < 8).orderBy(col("doc_id"))
 
-  /** The enrichment prelude shared by every classifier oracle. */
-  private val nbPreludeSql = {
+  /** The q150 pipeline's classifier gate: the q125 model (trained on the
+    * h < 8 fold) scoring EVERY document — (doc_id, pred, margin). */
+  private[queries] def nbMarginAll(s: SparkSession, d: String): DataFrame =
+    nbScores(nbCorpus(s, d), col("h") < 8, scoreAll = true)
+      .select(col("doc_id"), col("pred"), col("margin"))
+
+  /** The enrichment prelude shared by every classifier oracle (and the
+    * q150 pipeline oracle in LlmOps). */
+  private[queries] val nbPreludeSql = {
     val hi = HiSig.map(w => s"'$w'").mkString(",")
     val lo = LoSig.map(w => s"'$w'").mkString(",")
     s"""base AS (
@@ -129,10 +139,14 @@ object Modeling {
   }
 
   /** One NB train+score chain (→ `{p}res`: doc_id, actual, pred, margin,
-    * correct) with CTE prefix `p` and a SQL train predicate over `h` —
-    * the single string q125/q141/q142 interpolate (the bm25ChainSql
-    * pattern: score parity lives in exactly one place). */
-  private def nbChainSql(p: String, trainPred: String): String =
+    * correct) with CTE prefix `p`, a SQL train predicate over `h`, and a
+    * score predicate (default: the train complement; the q150 pipeline
+    * passes TRUE to score every doc) — the single string
+    * q125/q141/q142/q150 interpolate (the bm25ChainSql pattern: score
+    * parity lives in exactly one place). */
+  private[queries] def nbChainSql(p: String, trainPred: String,
+      scorePred: String = null): String = {
+    val sp = Option(scorePred).getOrElse(s"NOT ($trainPred)")
     s"""${p}ttok AS (SELECT cls, unnest(string_split(text2, ' ')) AS tok
        |         FROM e WHERE $trainPred),
        |${p}cw AS (SELECT cls, tok, count(*) AS cw FROM ${p}ttok
@@ -153,7 +167,7 @@ object Modeling {
        |               CROSS JOIN ${p}ndt),
        |${p}stok AS (SELECT doc_id, cls AS actual,
        |           unnest(string_split(text2, ' ')) AS tok
-       |         FROM e WHERE NOT ($trainPred)),
+       |         FROM e WHERE $sp),
        |${p}sc AS (SELECT t.doc_id, t.actual, c.cls, c.lp,
        |         COALESCE(m.lq, c.lq0) AS q
        |       FROM ${p}stok t CROSS JOIN ${p}cinfo c
@@ -170,6 +184,7 @@ object Modeling {
        |  CAST(CASE WHEN (CASE WHEN s1 > s0 THEN 1 ELSE 0 END) = actual
        |       THEN 1 ELSE 0 END AS BIGINT) AS correct
        |  FROM ${p}ds)""".stripMargin
+  }
 
   private val q125Sql =
     s"""WITH $nbPreludeSql,

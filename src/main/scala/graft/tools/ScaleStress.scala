@@ -64,7 +64,9 @@ object ScaleStress {
     "q134_unigram_segment", "q136_triangles", "q137_simjoin_prefix",
     "q139_prf_expand", "q140_skyline",
     // r10: trained hierarchical IVF — must hold at-or-below q130's ratio
-    "q149_ivf2_ann")
+    "q149_ivf2_ann",
+    // r10: the model-gated pipeline — must stay near q72's e2e ratio
+    "q150_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

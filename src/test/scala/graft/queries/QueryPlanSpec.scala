@@ -447,4 +447,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(codegenStages(LlmOps.q34(spark, sf0001)) >= 1, "q34 lost codegen")
     assert(codegenStages(Relational.q94(spark, sf0001)) >= 1, "q94 lost codegen")
   }
+
+  test("q150: model gates broadcast; the perplexity stage reads the memoized " +
+      "rank, not a second corpus scan; no cartesian") {
+    val p = planString(LlmOps.q150(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"NB model / gate joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the tercile gate must come from q124's memoized scratch relation
+    // (the GlobalOrder-ranked parquet), not a rebuilt LM pipeline: the
+    // scan Location shows the global-rank-out dir
+    assert(p.contains("global-rank-out"),
+      s"perplexity gate must read the memoized rank relation:\n$p")
+  }
 }
