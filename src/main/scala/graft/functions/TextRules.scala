@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level curation rules shared between the batch queries and the
+  * streaming admission path — parity lives in one expression. */
+object TextRules {
+
+  /** URL canonicalization (the q115 / crawl-frontier rule): lowercase,
+    * strip fragment, strip utm_* tracking params, drop the `www.` host
+    * prefix and an explicit `:443` default port, trim the trailing
+    * slash. Pure regexp chain — codegen'd, map-side, usable on a
+    * streaming column. Mirrored verbatim by the q115 DuckDB oracle
+    * (graft.queries.Curation). */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(url), "#.*$", ""),
+      "[?&]utm_[a-z]+=[a-z0-9]*", ""),
+      "://www\\.", "://"), ":443/", "/"), "/$", "")
+}

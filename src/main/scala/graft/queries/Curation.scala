@@ -697,10 +697,7 @@ object Curation {
       .otherwise(
         concat(lit("https://"), host, path,
           lit("?utm_source=feed&utm_campaign=x#frag")))
-    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(lower(col("url")), "#.*$", ""),
-      "[?&]utm_[a-z]+=[a-z0-9]*", ""),
-      "://www\\.", "://"), ":443/", "/"), "/$", "")
+    val canon = graft.functions.TextRules.canonicalUrl(col("url"))
     val c = Tables.documents(s, d)
       .select(col("doc_id"), url.as("url"))
       .withColumn("canon_url", canon)

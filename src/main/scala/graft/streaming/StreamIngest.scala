@@ -166,4 +166,86 @@ object StreamIngest {
       .transformWithState(new RunningDistinctProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Streaming URL-canonical admission (the q115 rule on the crawl
+    * frontier): incoming (doc_id, url, ts) docs are keyed by the
+    * CANONICAL url ([[graft.functions.TextRules.canonicalUrl]] — the
+    * exact batch expression), and a resubmission whose surface form
+    * differs but canonicalizes the same is dropped across micro-batches.
+    * `dropDuplicatesWithinWatermark` keeps the per-canon-url state
+    * TTL-BOUNDED (the ST7b contract): state is evicted once the
+    * watermark passes, so a crawl frontier's dedup memory is the delay
+    * window, not the stream's lifetime — re-crawls past the window
+    * re-admit by design (production re-crawl cadence). */
+  def urlDedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("canon_url",
+        graft.functions.TextRules.canonicalUrl(col("url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+
+  /** Streaming line-level boilerplate rule (the q112 line rule on the
+    * admission path): incoming (doc_id, text, ts) docs split into
+    * [[LineLen]]-token lines MAP-SIDE (the q112 chunking, declarative so
+    * the event-time watermark column survives to the stateful operator),
+    * keyed by the raw line (at 100 TB: its 128-bit digest). Per-line
+    * state is (first_doc, flagged): a line arriving from a SECOND
+    * distinct doc flags — and stays flagged — so later occurrences are
+    * marked boilerplate on arrival; the admission layer drops or trims
+    * flagged lines. State is TTL-BOUNDED via EVENT-TIME timeout (the
+    * ST7b contract, data-driven — no busy re-trigger loop): a line key
+    * whose last occurrence falls `ttlMs` behind the watermark is
+    * REMOVED, so state size tracks the recently-seen line set, not the
+    * stream's lifetime; a recurrence after eviction re-admits as fresh.
+    * The batch q112 remains the exact retroactive rule — it also removes
+    * the FIRST occurrence, which a stream cannot retract. Output:
+    * (doc_id, line, is_boiler). */
+  def lineDedupStream(
+      spark: SparkSession,
+      docs: DataFrame, // (doc_id, text, ts)
+      ttlMs: Long): Dataset[(Long, String, Boolean)] = {
+    import spark.implicits._
+    val toks = split(col("text"), " ")
+    val ng = ceil(size(toks) / lit(LineLen.toDouble)).cast("int")
+    val lines = docs
+      .select(col("doc_id"), col("ts"),
+        explode(transform(sequence(lit(0), ng - 1),
+          i => concat_ws(" ", slice(toks, i * LineLen + 1, lit(LineLen)))))
+          .as("line"))
+      .withWatermark("ts", s"$ttlMs milliseconds")
+      .select(col("doc_id"), col("line"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+    lines.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Boolean), (Long, String, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (line, rows, state: GroupState[(Long, Boolean)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // TTL eviction — bounded state
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
+            var maxTs = Long.MinValue
+            rows.foreach { case (doc, _, ts) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              state.getOption match {
+                case None =>
+                  state.update((doc, false))
+                  out += ((doc, line, false))
+                case Some((first, flagged)) =>
+                  val boiler = flagged || doc != first
+                  if (boiler && !flagged) state.update((first, true))
+                  out += ((doc, line, boiler))
+              }
+            }
+            // evict once the watermark passes lastSeen + TTL (must stay
+            // ahead of the current watermark — late rows clamp forward)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** q112's line width, shared with [[lineDedupStream]]. */
+  private val LineLen = 5
 }

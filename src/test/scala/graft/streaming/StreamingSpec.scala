@@ -17,6 +17,8 @@ import graft.SparkSpec
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class CrawlDoc(doc_id: Long, url: String, ts: Timestamp)
+
 /** Structured Streaming semantics (SURVEY.md §2.8 ST1-ST8): micro-batch
   * ingest → HTTP sink e2e, watermarked dedup, tumbling windows with
   * late-data drop, stateful running distinct. Deterministic via
@@ -119,6 +121,82 @@ class StreamingSpec extends SparkSpec {
       .filter(col("event_id") === 1).count()
     q.stop()
     assert(n1 == 2, "expired dedup state must re-admit (bounded-state contract)")
+  }
+
+  test("streaming URL-canonical admission: a resubmission under a different " +
+      "surface form is rejected across micro-batches; TTL evicts") {
+    // the q115 rule on the crawl frontier — four surface forms of the
+    // same canonical url, arriving in separate micro-batches
+    val input = MemoryStream[CrawlDoc]
+    val q = StreamIngest.urlDedupStream(input.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("url_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(CrawlDoc(1, "https://site1.example.com/doc/9", ts(0)))
+    q.processAllAvailable()
+    // batch 2: same canonical url, three different surface forms + one
+    // genuinely new url
+    input.addData(
+      CrawlDoc(2, "HTTPS://WWW.SITE1.EXAMPLE.COM/DOC/9", ts(1)),
+      CrawlDoc(3, "https://site1.example.com:443/doc/9/", ts(1)),
+      CrawlDoc(4, "https://site1.example.com/doc/9?utm_source=feed#frag", ts(1)),
+      CrawlDoc(5, "https://site2.example.com/doc/7", ts(1)))
+    q.processAllAvailable()
+    val admitted1 = spark.table("url_dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted1 == Seq(1L, 5L),
+      s"resubmissions must be rejected across batches: $admitted1")
+    // TTL: advance event time far past the watermark, then resubmit the
+    // same canonical url — state evicted, re-admits (the ST7b contract:
+    // frontier memory = the delay window, re-crawls re-admit)
+    input.addData(CrawlDoc(6, "https://other.example.com/x", ts(40)))
+    q.processAllAvailable()
+    input.addData(CrawlDoc(7, "https://www.site1.example.com/doc/9", ts(41)))
+    q.processAllAvailable()
+    val admitted2 = spark.table("url_dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(admitted2.contains(7L),
+      s"expired canon-url state must re-admit: $admitted2")
+  }
+
+  test("streaming line-dedup: a line recurring across distinct docs flags " +
+      "from its second doc on; TTL evicts line state") {
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamIngest.lineDedupStream(spark,
+      input.toDF().toDF("doc_id", "text", "ts"), ttlMs = 5 * 60 * 1000L)
+    val q = out.toDF("doc_id", "line", "is_boiler")
+      .writeStream.format("memory").queryName("line_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    // doc 1: two 5-token lines (the second will become boilerplate)
+    input.addData((1L, "alpha beta gamma delta eps cookie banner click accept now", ts(0)))
+    q.processAllAvailable()
+    // doc 2 repeats the cookie-banner line + adds a unique one
+    input.addData((2L, "cookie banner click accept now fresh unique words here two", ts(1)))
+    q.processAllAvailable()
+    // doc 3 repeats it again — still flagged (state persists within TTL)
+    input.addData((3L, "cookie banner click accept now", ts(2)))
+    q.processAllAvailable()
+    val banner = "cookie banner click accept now"
+    val rows1 = spark.table("line_dedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows1.filter(_._2 == banner).toSeq.sortBy(_._1).map(x => (x._1, x._3))
+        == Seq((1L, false), (2L, true), (3L, true)),
+      s"line must flag from its second distinct doc on: ${rows1.toSeq}")
+    assert(rows1.filter(_._1 == 1L).filterNot(_._2 == banner).forall(!_._3),
+      "doc 1's unique lines must not flag")
+    assert(rows1.filter(_._2.startsWith("fresh unique")).forall(!_._3),
+      "doc 2's unique line must not flag")
+    // TTL eviction: advance the watermark far past lastSeen + TTL, then
+    // resubmit — state was removed, so the banner re-admits as FRESH
+    input.addData((4L, "unrelated words to move watermark on", ts(45)))
+    q.processAllAvailable()
+    input.addData((5L, banner, ts(46)))
+    q.processAllAvailable()
+    val rows2 = spark.table("line_dedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    q.stop()
+    assert(rows2.exists(r => r._1 == 5L && r._2 == banner && !r._3),
+      s"expired line state must re-admit as fresh: ${rows2.toSeq}")
   }
 
   test("ST3/ST6: tumbling window finalizes after watermark passes; late data dropped") {
