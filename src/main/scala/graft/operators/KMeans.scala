@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SquaredDistanceExpr
@@ -84,11 +85,93 @@ object KMeans {
     cents
   }
 
-  // internal names for the per-row validated vector and the winning
-  // (dist2, cluster) struct — never visible in the output schema, and
-  // unique enough not to collide with caller columns
+  /** PARTITIONED Lloyd — one independent k-means per value of `partCol`
+    * (0..parts-1), executed as ONE combined job per step (the Pq.train
+    * discipline: m semantically-independent trainings must not cost m
+    * scan+collect rounds). Bit-identical to running [[lloyd]] on each
+    * partition's rows separately (same k-lowest-id init, same integer
+    * recenter, same lowest-id tiebreak — KMeansSpec proves equality):
+    *
+    *   - init: per-partition k-lowest-id rows via one partitioned
+    *     row_number window, collected once (≤ parts×k×dims longs);
+    *     partitions with fewer than k rows train with every row as its
+    *     own centroid (k_c = min(k, n_c)).
+    *   - assign: the per-partition codebook enters as one nested
+    *     array literal, indexed by partCol — `element_at` picks the
+    *     row's own codebook and a `transform` HOF computes its k_c
+    *     distances in a codegen'd loop (constant code size — the Pq
+    *     encode lesson); argmin = array_position of the array_min
+    *     (first match ⇒ lowest cluster id on ties).
+    *   - recenter: ONE groupBy (part, cluster, dim) aggregation updates
+    *     every partition's centroids; empty clusters keep their
+    *     previous centroid.
+    *
+    * Output: input columns + `cluster` (long, 0..k_c-1 WITHIN the row's
+    * partition). Driver state: parts × k × dims longs. */
+  def lloydPartitioned(vecs: DataFrame, partCol: String, idCol: String,
+      vecCol: String, parts: Int, k: Int, iters: Int): DataFrame = {
+    require(!vecs.columns.contains("cluster"),
+      "lloydPartitioned adds output column 'cluster' — drop it first")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+    val initRows = vecs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(partCol), col("__rk"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getSeq[Long](2).toArray))
+    var books: Vector[Vector[Array[Long]]] = Vector.tabulate(parts) { p =>
+      initRows.filter(_._1 == p).sortBy(_._2).map(_._3).toVector
+    }
+    require(books.forall(_.nonEmpty),
+      s"lloydPartitioned: every $partCol value in 0..${parts - 1} needs ≥1 row")
+    val dims = books.head.head.length
+
+    def assignExpr(bs: Vector[Vector[Array[Long]]]): DataFrame = {
+      val bigLit = typedlit(bs.map(_.map(_.toSeq).toSeq))
+      val vchk = when(col(vecCol).isNotNull && size(col(vecCol)) === dims,
+        col(vecCol)).otherwise(raise_error(
+          lit(s"lloydPartitioned: '$vecCol' must be non-null array<long> of length $dims")))
+      vecs
+        .withColumn(VecChk, vchk)
+        .withColumn(DistCol, transform(
+          element_at(bigLit, col(partCol).cast("int") + 1),
+          c => SquaredDistanceExpr(col(VecChk), c)))
+        .withColumn("cluster",
+          (array_position(col(DistCol), array_min(col(DistCol))) - 1)
+            .cast("long"))
+        .drop(VecChk, DistCol)
+    }
+
+    var it = 0
+    while (it < iters) {
+      val updated = assignExpr(books)
+        .select(col(partCol).as("__p"), col("cluster"),
+          posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("__p"), col("cluster"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("__p"), col("cluster"), col("dim"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("c"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getInt(2)) -> r.getLong(3))
+        .toMap
+      books = Vector.tabulate(parts) { p =>
+        Vector.tabulate(books(p).length) { cid =>
+          if (!updated.contains((p, cid, 0))) books(p)(cid)
+          else Array.tabulate(dims)(dIdx => updated((p, cid, dIdx)))
+        }
+      }
+      it += 1
+    }
+    assignExpr(books)
+  }
+
+  // internal names for the per-row validated vector, its per-centroid
+  // distance array, and the winning (dist2, cluster) struct — never
+  // visible in the output schema, and unique enough not to collide with
+  // caller columns
   private val VecChk = "__graft_kmeans_vec"
   private val BestCol = "__graft_kmeans_best"
+  private val DistCol = "__graft_kmeans_dist"
 
   /** Map-side argmin over the k centroid literals: min over an array of
     * (dist, cid) structs — struct ordering is lexicographic, so the min

@@ -93,27 +93,41 @@ object Pq {
     Codebooks(dims, m, k, books)
   }
 
-  // internal single-eval slot for each sub-vector slice (the KMeans
-  // single-evaluation discipline: bind the slice once, argmin over it)
+  // internal single-eval slots for each sub-vector slice and its
+  // per-centroid distance array (the KMeans single-evaluation
+  // discipline: bind once, consume twice)
   private def subCol(j: Int) = s"__graft_pq_sub_$j"
+  private def distCol(j: Int) = s"__graft_pq_dist_$j"
 
   /** Input + `code_0..code_{m-1}` (long, 0..k-1): per-subspace nearest
-    * centroid, ties to the lowest id. Map-side only. */
+    * centroid, ties to the lowest id. Map-side only.
+    *
+    * The codebook enters as ONE array<array<long>> literal per subspace
+    * and the k distances come from a `transform` HOF — a codegen'd LOOP
+    * over the literal, constant code size in k. The previous shape (k
+    * separate `SquaredDistanceExpr(slice, typedlit)` struct candidates
+    * per subspace) inlined m×k distance expressions into one projection;
+    * at m=8, k=64 the generated processNext() blew past Janino's method
+    * limit and the whole encode stage fell back to interpreted — the
+    * one codegen failure in the registry (r9 verify logs). Argmin =
+    * array_position of the array_min (first match ⇒ lowest centroid id
+    * on ties — the same tiebreak as the struct-min form, which the q104
+    * per-chain oracles verify bit-for-bit). */
   def encode(vecs: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
     val codeCols = (0 until cb.m).map(j => s"code_$j")
     require(!vecs.columns.exists(codeCols.contains),
       s"Pq.encode adds ${codeCols.mkString(",")}; input already has one")
     var out = vecs
     for (j <- 0 until cb.m) {
-      val dcand = array(cb.books(j).zipWithIndex.map { case (c, i) =>
-        struct(
-          SquaredDistanceExpr(col(subCol(j)), typedlit(c)).as("d"),
-          lit(i.toLong).as("i"))
-      }: _*)
+      val bookLit = typedlit(cb.books(j).map(_.toSeq))
       out = out
         .withColumn(subCol(j), slice(col(vecCol), j * cb.sub + 1, cb.sub))
-        .withColumn(s"code_$j", array_min(dcand).getField("i"))
-        .drop(subCol(j))
+        .withColumn(distCol(j),
+          transform(bookLit, c => SquaredDistanceExpr(col(subCol(j)), c)))
+        .withColumn(s"code_$j",
+          (array_position(col(distCol(j)), array_min(col(distCol(j)))) - 1)
+            .cast("long"))
+        .drop(subCol(j), distCol(j))
     }
     out
   }

@@ -185,4 +185,30 @@ class KMeansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"k-means assignment must not shuffle the corpus:\n$plan")
   }
+
+  test("lloydPartitioned equals an independent lloyd per partition, bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 partitions with uneven sizes, incl. one smaller than k
+    val rows = (0 until 60).map { i =>
+      val p = if (i < 30) 0L else if (i < 58) 1L else 2L
+      (p, i.toLong, Seq.fill(4)(rnd.nextInt(2000).toLong - 1000))
+    }
+    val df = rows.toDF("part", "vec_id", "vq")
+    for ((k, iters) <- Seq((4, 2), (3, 1), (5, 2))) {
+      val combined = KMeans
+        .lloydPartitioned(df, "part", "vec_id", "vq", parts = 3, k = k, iters = iters)
+        .select("part", "vec_id", "cluster").as[(Long, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val perPart = (0 until 3).flatMap { p =>
+        val sub = df.filter(col("part") === p.toLong)
+        val kc = math.min(k.toLong, sub.count()).toInt
+        KMeans.lloyd(sub, "vec_id", "vq", kc, iters)
+          .select("part", "vec_id", "cluster").as[(Long, Long, Long)]
+          .collect().map(r => (r._1, r._2) -> r._3)
+      }.toMap
+      assert(combined == perPart,
+        s"k=$k iters=$iters: combined != per-partition lloyd")
+    }
+  }
 }
