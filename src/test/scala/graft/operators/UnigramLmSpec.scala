@@ -73,4 +73,21 @@ class UnigramLmSpec extends SparkSpec {
     assert(maxPiece <= UnigramLm.MaxPiece)
     out.unpersist()
   }
+
+  test("zero-length words (irregular whitespace) are dropped, never minting ''-pieces") {
+    // Spark's sequence(0, -1) is a DESCENDING [0,-1], not empty — an
+    // empty word (from double/leading spaces) would mint garbage
+    // ''-pieces and a broken DP row without the operator-level guard
+    import spark.implicits._
+    val words = Seq(("", 5L), ("ab", 2L)).toDF("word", "freq")
+    val pc = UnigramLm.pieceCounts(words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pc == Map("a" -> 2L, "b" -> 2L, "ab" -> 2L),
+      s"empty word must contribute no pieces: $pc")
+    val pcDf = UnigramLm.pieceCounts(words)
+    val seg = UnigramLm.segment(
+      UnigramLm.withPieceMap(words, UnigramLm.model(pcDf, pcDf))).collect()
+    assert(seg.map(_.getString(0)).toSeq == Seq("ab"),
+      "the empty word must never reach the DP")
+  }
 }
