@@ -42,14 +42,24 @@ object SaScale {
         (prefix, groups, sec) => rounds += ((prefix, groups, sec)))
       val wall = (System.nanoTime() - t0) / 1e9
       levels.foreach { case (_, p) => Scratch.release(p) }
-      Scratch.release(flatPath)
       require(n == nTok, s"token count drifted: rank=$nTok sa=$n")
+
+      // the LCP descent (q123/q148's core op): rebuilds the hierarchy
+      // internally, so its wall INCLUDES a second build — report both so
+      // the descent-only cost is the difference
+      val t1 = System.nanoTime()
+      val lcpP = SuffixArray.lcpPath(spark.read.parquet(flatPath))
+      val lcpWall = (System.nanoTime() - t1) / 1e9
+      val lcpRows = spark.read.parquet(lcpP).count()
+      Scratch.release(lcpP)
+      Scratch.release(flatPath)
 
       val detail = rounds.map { case (p, g, s) =>
         f"""{"prefix":$p,"groups":$g,"sec":$s%.2f}"""
       }.mkString("[", ",", "]")
       println(f"""{"metric":"sa_scale","dir":"$dir","n":$n,""" +
         f""""rounds":${rounds.size},"build_wall":$wall%.2f,""" +
+        f""""lcp_wall_incl_rebuild":$lcpWall%.2f,"lcp_rows":$lcpRows,""" +
         s""""rounds_detail":$detail}""")
     } finally spark.stop()
   }
