@@ -606,6 +606,65 @@ object LlmOps {
       |FROM cl LEFT JOIN pr ON cl.vec_id = pr.vec_id
       |ORDER BY cl.vec_id""".stripMargin
 
+  /** q151 — SEMANTIC decontamination: the embedding-space sibling of
+    * q65's n-gram benchmark overlap (2025-era eval hygiene: paraphrased
+    * benchmark items evade lexical n-gram gates, so pipelines also
+    * screen against the eval set in embedding space). Bench set =
+    * vec_id % 59 == 0 (the q65/q72 bench convention); a corpus vector is
+    * CONTAMINATED when its best cosine against a bench member ≥
+    * [[CosineNearDupThreshold]]. Blocking: the q96 trained k-means cells
+    * (learned blocking, the q99 SemDeDup discipline) — only bench
+    * members sharing the vector's cell are compared, so the cost is
+    * Σ n_c·b_c (cell occupancy × bench occupancy), never corpus×bench;
+    * the standard blocked-recall caveat (a cross-cell paraphrase is
+    * missed) is the same trade q99 documents, with k ∝ corpus at scale.
+    * Emits the full audit relation (vec_id, cell, max_sim_bench
+    * nullable, contaminated) so a pipeline can threshold differently —
+    * the q99 output shape. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val vq = e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val clusters = graft.operators.KMeans.lloyd(vq, "vec_id", "vq", k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+    val withC = e.join(clusters, "vec_id")
+    val isBench = col("vec_id") % 59 === 0
+    val corpus = withC.filter(!isBench)
+      .select(col("cluster"), col("vec_id"), col("embedding").as("ec"))
+    val bench = withC.filter(isBench)
+      .select(col("cluster"), col("vec_id").as("bid"), col("embedding").as("eb"))
+    val best = corpus.join(bench, Seq("cluster"))
+      .select(col("vec_id"),
+        round(CosineSimilarityExpr(col("ec"), col("eb")), 4).as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("max_sim_bench"))
+    clusters.filter(!isBench)
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("max_sim_bench"),
+        coalesce(col("max_sim_bench") >= CosineNearDupThreshold, lit(false))
+          .as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q151Sql =
+    s"""WITH $kmeansCtes,
+      |cl AS (SELECT vec_id, cluster FROM b3),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |      FROM embeddings),
+      |pr AS (SELECT c.vec_id,
+      |         max(round(list_cosine_similarity(ec.emb, eb.emb), 4)) AS max_sim_bench
+      |       FROM cl c JOIN cl b ON c.cluster = b.cluster
+      |         AND c.vec_id % 59 <> 0 AND b.vec_id % 59 = 0
+      |       JOIN e ec ON ec.vec_id = c.vec_id
+      |       JOIN e eb ON eb.vec_id = b.vec_id
+      |       GROUP BY c.vec_id)
+      |SELECT cl.vec_id, cl.cluster, pr.max_sim_bench,
+      |       coalesce(pr.max_sim_bench >= $CosineNearDupThreshold, FALSE)
+      |         AS contaminated
+      |FROM cl LEFT JOIN pr ON cl.vec_id = pr.vec_id
+      |WHERE cl.vec_id % 59 <> 0
+      |ORDER BY cl.vec_id""".stripMargin
+
   /** q100 — distributed embedding Gram matrix (Xᵀ X upper triangle):
     * the corpus-scale reduction behind embedding-space PCA, drift
     * detection, and whitening. One typed-Aggregator pass
@@ -3756,6 +3815,7 @@ object LlmOps {
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
     QueryDef("q149_ivf2_ann", q149, Some(q149Sql)),
     QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),
+    QueryDef("q151_semantic_decontam", q151, Some(q151Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),

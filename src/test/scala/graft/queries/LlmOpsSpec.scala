@@ -237,4 +237,22 @@ class LlmOpsSpec extends SparkSpec {
       assert(out.count() == expected)
     } finally out.unpersist()
   }
+
+  test("q151: bench members never appear; contamination fires and respects " +
+      "the threshold; cell-blocked sims are genuine cosines") {
+    val out = LlmOps.q151(spark, sf0001).cache()
+    try {
+      assert(out.filter(col("vec_id") % 59 === 0).count() == 0,
+        "bench vectors must not be screened against themselves")
+      val n = out.count()
+      val contaminated = out.filter(col("contaminated")).count()
+      assert(contaminated > 0 && contaminated < n,
+        s"threshold must discriminate: $contaminated of $n flagged")
+      // flag ⟺ max_sim_bench ≥ threshold (audit-relation consistency)
+      assert(out.filter(col("contaminated") =!=
+        (coalesce(col("max_sim_bench"), lit(-2.0)) >= 0.35)).count() == 0)
+      assert(out.filter(col("max_sim_bench") > 1.0001 ||
+        col("max_sim_bench") < -1.0001).count() == 0)
+    } finally out.unpersist()
+  }
 }
