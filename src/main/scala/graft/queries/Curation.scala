@@ -524,6 +524,134 @@ object Curation {
       |  CAST(len(list_filter(masked, x -> x)) AS INT) AS n_masked
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** q152 — SFT/chat-data preparation with LOSS MASKING: the
+    * supervised-fine-tuning prep stage every 2026 post-training pipeline
+    * runs. The corpus has no conversation table, so turns derive
+    * deterministically from documents (10-token segments, roles
+    * alternating user→assistant — the q111/q112 positional-chunking
+    * convention); per conversation the op renders the chat-template
+    * string (`<|user|>`/`<|assistant|>` tags) and computes the loss
+    * accounting a trainer needs: total tokens vs ASSISTANT-turn tokens
+    * (the only ones that take loss under response-masking). Scale shape:
+    * pure map-side HOFs (one posexplode + one doc-keyed aggregation);
+    * the render is collect_list + array_sort + transform, per-doc
+    * bounded; no joins. Oracle: list_transform with the same
+    * alternating-tag lambda. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ng = ceil(size(toks) / lit(SpanWords.toDouble)).cast("int")
+    val turns = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), ng - 1),
+          i => concat_ws(" ", slice(toks, i * SpanWords + 1, lit(SpanWords))))))
+      .withColumnRenamed("pos", "ti").withColumnRenamed("col", "turn")
+      .withColumn("n_tok", size(split(col("turn"), " ")).cast("long"))
+    turns.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_tok")).as("n_tokens"),
+        coalesce(sum(when(col("ti") % 2 === 1, col("n_tok"))), lit(0L))
+          .as("n_loss_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ti"), col("turn")))),
+          x => concat(
+            when(x.getField("ti") % 2 === 0, lit("<|user|>"))
+              .otherwise(lit("<|assistant|>")),
+            x.getField("turn"))), "").as("rendered"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q152Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |seg AS (SELECT doc_id,
+      |          list_transform(range(0,
+      |            CAST(ceil(len(toks) / ${SpanWords}.0) AS BIGINT)),
+      |            i -> array_to_string(
+      |              toks[(i * $SpanWords + 1):((i + 1) * $SpanWords)], ' '))
+      |            AS turns
+      |        FROM t),
+      |u AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS ti, turns[i] AS turn
+      |      FROM seg, unnest(range(1, len(turns) + 1)) AS r(i))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_turns,
+      |  CAST(sum(len(string_split(turn, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(sum(CASE WHEN ti % 2 = 1
+      |    THEN len(string_split(turn, ' ')) END), 0) AS BIGINT)
+      |    AS n_loss_tokens,
+      |  string_agg(CASE WHEN ti % 2 = 0 THEN '<|user|>' || turn
+      |                  ELSE '<|assistant|>' || turn END, '' ORDER BY ti)
+      |    AS rendered
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q153 — corpus SNAPSHOT DIFF: the crawl-to-crawl changelog an
+    * operations team reads before retraining ("what changed since the
+    * last snapshot, and how much"). Snapshot B derives deterministically
+    * from the documents table (the q87 synthetic-increment convention):
+    * doc_id % 31 == 0 dropped, doc_id % 17 == 0 re-crawled with changed
+    * text, doc_id % 23 == 1 re-listed under a fresh id (disjoint
+    * doc_id*10+3 namespace), the rest carried verbatim. The diff keys on
+    * doc_id and
+    * classifies by content hash: `removed` (in A only), `modified`
+    * (both, hash differs), `unchanged` (both, hash equal) — with the
+    * size delta per doc. Scale shape: ONE full-outer equi-join on
+    * doc_id (both sides hash-partitioned once); hashes computed
+    * map-side so the join carries 16-byte digests, not text; the
+    * summary a dashboard wants is one further aggregation over this
+    * relation. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("ha"),
+        length(col("text")).cast("long").as("ca"))
+    val docs = Tables.documents(s, d)
+    val b = docs
+      .filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" recrawled"))).otherwise(col("text"))
+          .as("text"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 1)
+        .select((col("doc_id") * 10 + 3).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("hb"),
+        length(col("text")).cast("long").as("cb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("hb").isNull, lit("removed"))
+          .when(col("ha").isNull, lit("added"))
+          .when(col("ha") =!= col("hb"), lit("modified"))
+          .otherwise(lit("unchanged")).as("change"),
+        (coalesce(col("cb"), lit(0L)) - coalesce(col("ca"), lit(0L)))
+          .as("delta_chars"))
+      .filter(col("change") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q153Sql =
+    """WITH a AS (SELECT doc_id, md5(text) AS ha,
+      |        CAST(length(text) AS BIGINT) AS ca FROM documents),
+      |b0 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 0 THEN text || ' recrawled'
+      |              ELSE text END AS text
+      |       FROM documents WHERE doc_id % 31 <> 0
+      |       UNION ALL
+      |       SELECT doc_id * 10 + 3 AS doc_id, text FROM documents
+      |       WHERE doc_id % 23 = 1),
+      |b AS (SELECT doc_id, md5(text) AS hb,
+      |        CAST(length(text) AS BIGINT) AS cb FROM b0),
+      |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, ha, hb, ca, cb
+      |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN hb IS NULL THEN 'removed'
+      |       WHEN ha IS NULL THEN 'added'
+      |       WHEN ha <> hb THEN 'modified'
+      |       ELSE 'unchanged' END AS change,
+      |  coalesce(cb, 0) - coalesce(ca, 0) AS delta_chars
+      |FROM j
+      |WHERE (CASE WHEN hb IS NULL THEN 'removed'
+      |            WHEN ha IS NULL THEN 'added'
+      |            WHEN ha <> hb THEN 'modified'
+      |            ELSE 'unchanged' END) <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   private val LineLen = 5
 
   /** q112 — line-level boilerplate dedup (the CCNet/RedPajama line rule):
@@ -1322,6 +1450,8 @@ object Curation {
     QueryDef("q121_suffix_array", q121, Some(q121Sql)),
     QueryDef("q123_lcp_array", q123, Some(q123Sql)),
     QueryDef("q148_exactsubstr_dedup", q148, Some(q148Sql)),
+    QueryDef("q152_sft_mask_pack", q152, Some(q152Sql)),
+    QueryDef("q153_snapshot_diff", q153, Some(q153Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
     QueryDef("q88_packing_stats", q88, Some(q88Sql)),
