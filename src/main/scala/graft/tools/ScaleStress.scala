@@ -66,7 +66,10 @@ object ScaleStress {
     // r10: trained hierarchical IVF — must hold at-or-below q130's ratio
     "q149_ivf2_ann",
     // r10: the model-gated pipeline — must stay near q72's e2e ratio
-    "q150_pipeline_v2")
+    "q150_pipeline_v2",
+    // r10 second half: cell-blocked bench screening, map-side SFT prep,
+    // and the snapshot-diff full-outer join
+    "q151_semantic_decontam", "q152_sft_mask_pack", "q153_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
