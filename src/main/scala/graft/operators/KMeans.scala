@@ -109,7 +109,15 @@ object KMeans {
     * Output: input columns + `cluster` (long, 0..k_c-1 WITHIN the row's
     * partition). Driver state: parts × k × dims longs. */
   def lloydPartitioned(vecs: DataFrame, partCol: String, idCol: String,
-      vecCol: String, parts: Int, k: Int, iters: Int): DataFrame = {
+      vecCol: String, parts: Int, k: Int, iters: Int): DataFrame =
+    lloydPartitionedWithBooks(vecs, partCol, idCol, vecCol, parts, k, iters)._1
+
+  /** [[lloydPartitioned]] plus the trained per-partition codebooks —
+    * callers that LAND the quantizer for serving/append (the q149/q154
+    * index lifecycle) need the centroids, not just the assignment. */
+  def lloydPartitionedWithBooks(vecs: DataFrame, partCol: String, idCol: String,
+      vecCol: String, parts: Int, k: Int, iters: Int)
+      : (DataFrame, Vector[Vector[Array[Long]]]) = {
     require(!vecs.columns.contains("cluster"),
       "lloydPartitioned adds output column 'cluster' — drop it first")
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
@@ -162,8 +170,16 @@ object KMeans {
       }
       it += 1
     }
-    assignExpr(books)
+    (assignExpr(books), books)
   }
+
+  /** The map-side argmin assignment against a given centroid matrix —
+    * public for callers that serve from LANDED centroids (the q154
+    * index-append path: new vectors join an already-trained quantizer
+    * without retraining; [[lloyd]] is trainCentroids + this). */
+  def assignWith(vecs: DataFrame, vecCol: String,
+      cents: Array[Array[Long]]): DataFrame =
+    assign(vecs, vecCol, cents)
 
   // internal names for the per-row validated vector, its per-centroid
   // distance array, and the winning (dist2, cluster) struct — never

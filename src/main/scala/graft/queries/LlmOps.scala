@@ -3427,28 +3427,49 @@ object LlmOps {
     * shared [[lloydCteChain]]. */
   private val Ivf2K1 = 4
 
+  /** (assignment path, trained-quantizer path): the landed IVF2 index.
+    * The quantizer relation is (coarse, cid, cent) — coarse = -1 rows
+    * are the level-1 centroids, coarse ≥ 0 rows that cell's sub-cell
+    * codebook; k₂ is recoverable as max(cid)+1 over the sub rows. */
   private val ivf2Cache =
-    new graft.operators.DatasetCache[String]("ivf2-assign", Seq(_))
+    new graft.operators.DatasetCache[(String, String)]("ivf2-assign",
+      { case (a, c) => Seq(a, c) })
+
+  /** The q149/q154 shared index build: train both quantizer levels,
+    * land the (vec_id, cell, embedding) serving layout AND the
+    * centroid relation (serve + append without retrain). */
+  private def ivf2Build(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val vq = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
+    val n = vq.count()
+    val totalCells = math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong)
+    val k2 = math.ceil(totalCells / 4.0).toInt
+    val coarseCents = graft.operators.KMeans
+      .trainCentroids(vq, "vec_id", "vq", Ivf2K1, iters = 2)
+    val coarse = graft.operators.KMeans.assignWith(vq, "vq", coarseCents)
+      .select(col("vec_id"), col("embedding"), col("vq"),
+        col("cluster").as("coarse"))
+    val (assigned, books) = graft.operators.KMeans
+      .lloydPartitionedWithBooks(coarse, "coarse", "vec_id", "vq",
+        parts = Ivf2K1, k = k2, iters = 2)
+    val assign = assigned.select(col("vec_id"), col("embedding"),
+      (col("coarse") * k2 + col("cluster")).as("cell"))
+    val centRows =
+      coarseCents.zipWithIndex.map { case (c, i) =>
+        (-1L, i.toLong, c.toSeq) } ++
+      books.zipWithIndex.flatMap { case (bs, p) =>
+        bs.zipWithIndex.map { case (c, i) => (p.toLong, i.toLong, c.toSeq) } }
+    val centsDf = centRows.toSeq.toDF("coarse", "cid", "cent")
+    (graft.operators.Scratch.materializePath(assign, "ivf2-assign"),
+      graft.operators.Scratch.materializePath(
+        centsDf.repartition(1), "ivf2-cents"))
+  }
 
   def q149(s: SparkSession, d: String): DataFrame = {
-    val path = ivf2Cache.getOrCompute(d) { dir =>
-      val vq = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          transform(col("embedding"),
-            v => round(v.cast("double") * 10000, 0).cast("long")).as("vq"))
-      val n = vq.count()
-      val totalCells = math.max(16L, math.ceil(math.sqrt(n / 8.0)).toLong)
-      val k2 = math.ceil(totalCells / 4.0).toInt
-      val coarse = graft.operators.KMeans.lloyd(vq, "vec_id", "vq", Ivf2K1, iters = 2)
-        .select(col("vec_id"), col("embedding"), col("vq"),
-          col("cluster").as("coarse"))
-      val assign = graft.operators.KMeans
-        .lloydPartitioned(coarse, "coarse", "vec_id", "vq",
-          parts = Ivf2K1, k = k2, iters = 2)
-        .select(col("vec_id"), col("embedding"),
-          (col("coarse") * k2 + col("cluster")).as("cell"))
-      graft.operators.Scratch.materializePath(assign, "ivf2-assign")
-    }
+    val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val assign = s.read.parquet(path)
     val probes = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
@@ -3465,20 +3486,27 @@ object LlmOps {
       .orderBy(col("pid"), col("rn"))
   }
 
-  private lazy val q149Sql = {
-    val k2Sub = "(SELECT k2 FROM nk)"
+  private val ivf2K2Sub = "(SELECT k2 FROM nk)"
+
+  /** The IVF2 oracle's shared training prelude (q149 + q154): the k₂
+    * scalar, the coarse Lloyd chain, and the 4 per-cell sub-chains. */
+  private lazy val ivf2ChainsSql = {
     val subChains = (0 until 4).map { c =>
-      lloydCteChain(k2Sub,
+      lloydCteChain(ivf2K2Sub,
         s"SELECT vec_id, vq FROM c_b3 WHERE cluster = $c", s"u${c}_")
     }.mkString(",\n")
-    val union = (0 until 4).map { c =>
-      s"SELECT vec_id, $c * $k2Sub + cluster AS cell FROM u${c}_b3"
-    }.mkString("\n       UNION ALL ")
-    s"""WITH nk AS (SELECT CAST(ceil(greatest(16,
+    s"""nk AS (SELECT CAST(ceil(greatest(16,
       |    CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) / 4.0) AS BIGINT)
       |    AS k2 FROM embeddings),
       |${lloydCteChain("4", quantizedSrcSql, "c_")},
-      |$subChains,
+      |$subChains""".stripMargin
+  }
+
+  private lazy val q149Sql = {
+    val union = (0 until 4).map { c =>
+      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH $ivf2ChainsSql,
       |asg AS ($union),
       |e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -3494,6 +3522,75 @@ object LlmOps {
       |      FROM s)
       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
       .stripMargin
+  }
+
+  /** q154 — IVF2 index APPEND: the third leg of the index lifecycle
+    * (q149 builds and serves; this folds an incoming vector batch into
+    * the LANDED quantizer WITHOUT retraining — how a production ANN
+    * index absorbs a crawl increment between scheduled retrains). The
+    * batch derives from embeddings (vec_id % 13 == 2, components
+    * shifted by +7 on the quantized grid, fresh ids in the disjoint
+    * vec_id·10+4 namespace — the q87 increment convention); each new
+    * vector runs the SAME two-level map-side argmin the index was built
+    * with, against the centroid relation landed by [[ivf2Build]] — a
+    * bounded driver collect (4 + 4·k₂ rows), then pure codegen'd
+    * projection, zero shuffles, zero retraining. Output: (new_id,
+    * coarse, cell). Oracle: the shared [[ivf2ChainsSql]] recomputes
+    * both quantizer levels and assigns the derived batch via windowed
+    * argmins with the same (distance, id) tiebreak. */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val (_, centsPath) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+    val cents = s.read.parquet(centsPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val coarseCents = cents.filter(_._1 == -1L).sortBy(_._2).map(_._3)
+    val books = (0 until Ivf2K1).map { p =>
+      cents.filter(_._1 == p.toLong).sortBy(_._2).map(_._3).toVector
+    }.toVector
+    val k2 = books.map(_.length).max
+    val batch = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 13 === 2)
+      .select((col("vec_id") * 10 + 4).as("new_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long") + 7).as("vq"))
+    val withCoarse = graft.operators.KMeans.assignWith(batch, "vq", coarseCents)
+      .select(col("new_id"), col("vq"), col("cluster").as("coarse"))
+    val bigLit = typedlit(books.map(_.map(_.toSeq)))
+    val dists = transform(
+      element_at(bigLit, col("coarse").cast("int") + 1),
+      c => graft.functions.SquaredDistanceExpr(col("vq"), c))
+    withCoarse
+      .withColumn("__d", dists)
+      .select(col("new_id"), col("coarse"),
+        (col("coarse") * k2 +
+          (array_position(col("__d"), array_min(col("__d"))) - 1))
+          .cast("long").as("cell"))
+      .orderBy(col("new_id"))
+  }
+
+  private lazy val q154Sql = {
+    val subUnion = (0 until 4).map { c =>
+      s"SELECT $c AS coarse, cid, cent FROM u${c}_c2"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH $ivf2ChainsSql,
+      |newb AS (SELECT vec_id * 10 + 4 AS nid,
+      |           list_transform(vq, x -> x + 7) AS vq
+      |         FROM c_q WHERE vec_id % 13 = 2),
+      |ca AS (SELECT nid, cid, rn FROM (
+      |         SELECT n.nid, c.cid,
+      |           row_number() OVER (PARTITION BY n.nid
+      |             ORDER BY ${sqDistSql("n.vq", "c.cent")}, c.cid) AS rn
+      |         FROM newb n, c_c2 c)),
+      |cw AS (SELECT nid, cid AS coarse FROM ca WHERE rn = 1),
+      |subs AS ($subUnion),
+      |sa AS (SELECT nid, coarse, cid, rn FROM (
+      |         SELECT n.nid, w.coarse, s.cid,
+      |           row_number() OVER (PARTITION BY n.nid
+      |             ORDER BY ${sqDistSql("n.vq", "s.cent")}, s.cid) AS rn
+      |         FROM newb n JOIN cw w ON w.nid = n.nid
+      |              JOIN subs s ON s.coarse = w.coarse))
+      |SELECT nid AS new_id, CAST(coarse AS BIGINT) AS coarse,
+      |  CAST(coarse * $ivf2K2Sub + cid AS BIGINT) AS cell
+      |FROM sa WHERE rn = 1 ORDER BY new_id""".stripMargin
   }
 
   /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
@@ -3816,6 +3913,7 @@ object LlmOps {
     QueryDef("q149_ivf2_ann", q149, Some(q149Sql)),
     QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),
     QueryDef("q151_semantic_decontam", q151, Some(q151Sql)),
+    QueryDef("q154_ivf2_append", q154, Some(q154Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),
