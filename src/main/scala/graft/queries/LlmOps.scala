@@ -2243,17 +2243,26 @@ object LlmOps {
     * isin: map-side prune before the tf aggregation). */
   private def bm25ScoredFor(
       s: SparkSession, d: String, termsRel: DataFrame): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
     val docs = Tables.documents(s, d)
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("ndocs"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .join(broadcast(termsRel), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25ScoreRelations(tf, dl)
+  }
+
+  /** The BM25 scoring kernel over ALREADY-BUILT (doc_id, term, tf) and
+    * (doc_id, dl) relations — corpus statistics (ndocs, avgdl, df)
+    * derive from the relations themselves, which is what makes segments
+    * MERGEABLE: score(union of disjoint segments) ≡ score(monolith),
+    * the q155 exactness claim (its oracle IS q70's monolithic chain). */
+  private def bm25ScoreRelations(tf: DataFrame, dl: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val stats = dl.agg(count(lit(1)).as("ndocs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), "term")
@@ -2269,6 +2278,57 @@ object LlmOps {
   }
 
   private val Bm25QueryTerms = Seq("vector", "filter", "spill")
+
+  /** (full postings path, doc-length path) of the MAIN segment — the
+    * landed inverted index q155 serves from. Postings are repartitioned
+    * and sorted by term so the query-time term gate prunes row groups. */
+  private val bm25SegCache =
+    new graft.operators.DatasetCache[(String, String)]("bm25-main-seg",
+      { case (a, b) => Seq(a, b) })
+
+  /** q155 — SEGMENT-MERGED BM25 (the Lucene/NRT index shape): the main
+    * segment is a LANDED full inverted index (term-sorted postings +
+    * doc lengths, built once per dataset); the delta segment — the
+    * unindexed crawl tail (doc_id % 13 == 2, the q154 increment
+    * convention) — is scored fresh at query time; corpus statistics
+    * (ndocs, avgdl, df) derive from the MERGED relations. Exactness
+    * claim: because the segments partition the corpus, merged-segment
+    * scoring is IDENTICAL to a monolithic rebuild — the oracle is
+    * literally q70's full-corpus chain, so hash equality proves the
+    * merge loses nothing. Scale shape: the landed postings are the
+    * only big artifact (built once); query-time work is the broadcast
+    * term gate over main postings + a delta-only scan + the same
+    * bounded scoring joins as q70; a production system runs exactly
+    * this merge-on-read until the next segment compaction. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val isDelta = col("doc_id") % 13 === 2
+    val (postPath, dlPath) = bm25SegCache.getOrCompute(d) { dir =>
+      val main = Tables.documents(s, dir).filter(!(col("doc_id") % 13 === 2))
+      val posts = main
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .repartition(col("term")).sortWithinPartitions(col("term"))
+      val dl = main.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      (graft.operators.Scratch.materializePath(posts, "bm25-seg-postings"),
+        graft.operators.Scratch.materializePath(dl, "bm25-seg-dl"))
+    }
+    val termsRel = Bm25QueryTerms.toDF("term")
+    val mainTf = s.read.parquet(postPath)
+      .join(broadcast(termsRel), Seq("term"), "left_semi")
+    val delta = Tables.documents(s, d).filter(isDelta)
+    val deltaTf = delta
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(termsRel), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dl = s.read.parquet(dlPath).unionByName(
+      delta.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl")))
+    bm25ScoreRelations(mainTf.unionByName(deltaTf), dl)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("score"))
+  }
 
   /** DuckDB CTE chain producing `agg(doc_id, score)` — one definition
     * interpolated into the q70 and q89 oracles (the QualityCteSql
@@ -3914,6 +3974,9 @@ object LlmOps {
     QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),
     QueryDef("q151_semantic_decontam", q151, Some(q151Sql)),
     QueryDef("q154_ivf2_append", q154, Some(q154Sql)),
+    // q155's oracle IS the monolithic q70 chain — hash equality proves
+    // the segment merge exact
+    QueryDef("q155_segment_bm25", q155, Some(q70Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),
