@@ -1855,6 +1855,66 @@ object LlmOps {
       |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q156 — SPLIT-LEAKAGE detection: near-duplicate pairs that STRADDLE
+    * the q63 train/val/test boundary — the contamination mode a random
+    * split cannot avoid (a near-copy of a test doc sitting in train
+    * inflates eval; the reason production pipelines split by CLUSTER,
+    * not by doc). Composes two relations the repo already trusts: the
+    * memoized q35 blocked Jaccard pair graph (≥ 0.8, the q61 dedup
+    * threshold) and q63's deterministic LCG split rule; a pair leaks
+    * when its endpoints land in different splits. Scale shape: the
+    * pair relation is the already-bounded blocked output (read from its
+    * scratch memo); the split columns are map-side hash arithmetic — no
+    * join against the corpus at all. Output: every leaking pair with
+    * both splits, plus its jaccard — the relation a split-repair step
+    * (move the whole cluster to one side) consumes. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val b = lcgKey(id) % 100
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    jaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.8)
+      .withColumn("split_a", splitOf(col("da")))
+      .withColumn("split_b", splitOf(col("db")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("da"), col("db"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val q156Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      |       FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
+      |       FROM (SELECT doc_id, ngram,
+      |               count(*) OVER (PARTITION BY ngram) AS df
+      |             FROM sh0) WHERE df <= $MaxShingleDocFreq),
+      |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, a.nsh AS na, b.nsh AS nb,
+      |         count(*) AS inter
+      |       FROM sh a JOIN sh b
+      |         ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |jc AS (SELECT da, db,
+      |         round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0
+      |           AS jaccard
+      |       FROM pr),
+      |sp AS (SELECT da, db, jaccard,
+      |         CASE WHEN ((da * 1103515245 + 12345) % 2147483648) % 100 < 90
+      |              THEN 'train'
+      |              WHEN ((da * 1103515245 + 12345) % 2147483648) % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split_a,
+      |         CASE WHEN ((db * 1103515245 + 12345) % 2147483648) % 100 < 90
+      |              THEN 'train'
+      |              WHEN ((db * 1103515245 + 12345) % 2147483648) % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split_b
+      |       FROM jc WHERE jaccard >= 0.8)
+      |SELECT da, db, jaccard, split_a, split_b
+      |FROM sp WHERE split_a <> split_b ORDER BY da, db""".stripMargin
+
   /** q64 — weighted corpus interleave: mix sources at different sampling
     * ratios (src0-src4 ×2 epochs, rest ×1) and lay the result out in a
     * deterministic pseudo-random order by a hash shuffle key — how training
@@ -3977,6 +4037,7 @@ object LlmOps {
     // q155's oracle IS the monolithic q70 chain — hash equality proves
     // the segment merge exact
     QueryDef("q155_segment_bm25", q155, Some(q70Sql)),
+    QueryDef("q156_split_leakage", q156, Some(q156Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),

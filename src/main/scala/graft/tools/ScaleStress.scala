@@ -69,7 +69,9 @@ object ScaleStress {
     "q150_pipeline_v2",
     // r10 second half: cell-blocked bench screening, map-side SFT prep,
     // and the snapshot-diff full-outer join
-    "q151_semantic_decontam", "q152_sft_mask_pack", "q153_snapshot_diff")
+    "q151_semantic_decontam", "q152_sft_mask_pack", "q153_snapshot_diff",
+    // r10: the index-lifecycle legs and the split-leakage report
+    "q154_ivf2_append", "q155_segment_bm25", "q156_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
