@@ -1727,6 +1727,21 @@ object LlmOps {
   private val q61LabelsCache =
     new graft.operators.DatasetCache[String]("q61-cc-labels", Seq(_))
 
+  /** The memoized (doc_id, lbl) near-dup cluster labels behind q61,
+    * shared with the q157 split repair. */
+  private def q61Labels(s: SparkSession, d: String): DataFrame = {
+    val labelsPath = q61LabelsCache.getOrCompute(d) { dir =>
+      val pairsPath = graft.operators.Scratch.materializePath(
+        jaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
+          .select(col("da"), col("db")),
+        "q61-pairs")
+      try graft.operators.ConnectedComponents.minLabelPropagationPath(
+        s.read.parquet(pairsPath))
+      finally graft.operators.Scratch.release(pairsPath)
+    }
+    s.read.parquet(labelsPath)
+  }
+
   def q61(s: SparkSession, d: String): DataFrame = {
     // the (expensive) pair generation is materialized to scratch parquet
     // ONCE — the CC loop rescans it several times per round, and a storage
@@ -1738,25 +1753,17 @@ object LlmOps {
     // consumers, so that dir is released as soon as the loop ends
     // (finally: also on a non-convergence throw — a driver that catches
     // and retries must not accumulate one orphaned pairs dir per attempt)
-    val labelsPath = q61LabelsCache.getOrCompute(d) { dir =>
-      val pairsPath = graft.operators.Scratch.materializePath(
-        jaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
-          .select(col("da"), col("db")),
-        "q61-pairs")
-      try graft.operators.ConnectedComponents.minLabelPropagationPath(
-        s.read.parquet(pairsPath))
-      finally graft.operators.Scratch.release(pairsPath)
-    }
-    val labels = s.read.parquet(labelsPath)
+    val labels = q61Labels(s, d)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
-  private[queries] val q61Sql =
-    s"""WITH RECURSIVE
-      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The recursive near-dup cluster-label CTE chain (→ `lab(doc_id,
+    * cluster_id)`) shared by the q61 and q157 oracles. */
+  private[queries] val ccLabelCtesSql =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
@@ -1778,10 +1785,59 @@ object LlmOps {
       |  SELECT doc_id, doc_id FROM nodes
       |  UNION
       |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b),
-      |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+      |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private[queries] val q61Sql =
+    s"""WITH RECURSIVE
+      |$ccLabelCtesSql,
       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
       |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.doc_id""".stripMargin
+
+  /** q157 — cluster-aware SPLIT REPAIR: the fix for the leakage q156
+    * detects. Every near-dup cluster (the memoized q61 labels) moves
+    * WHOLE into the split of its canonical member (min-label propagation
+    * makes the label the cluster's min doc_id, so the canonical split is
+    * just splitOf(cluster_id) — no extra lookup). By construction no
+    * ≥0.8 near-dup pair straddles a split boundary afterwards (both
+    * endpoints share a cluster ⇒ share the repaired split — the theorem
+    * LlmOpsSpec states against q156's pair set). Docs outside any
+    * cluster are unaffected and not emitted. Scale shape: one map-side
+    * projection over the landed label relation; zero joins. */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val b = lcgKey(id) % 100
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    q61Labels(s, d)
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        splitOf(col("doc_id")).as("orig_split"),
+        splitOf(col("lbl")).as("repaired_split"))
+      .withColumn("moved", col("orig_split") =!= col("repaired_split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q157Sql =
+    s"""WITH RECURSIVE
+      |$ccLabelCtesSql
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+      |       THEN 'train'
+      |       WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 95
+      |       THEN 'val' ELSE 'test' END AS orig_split,
+      |  CASE WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+      |       THEN 'train'
+      |       WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 100 < 95
+      |       THEN 'val' ELSE 'test' END AS repaired_split,
+      |  (CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+      |        THEN 'train'
+      |        WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 95
+      |        THEN 'val' ELSE 'test' END) <>
+      |  (CASE WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+      |        THEN 'train'
+      |        WHEN ((cluster_id * 1103515245 + 12345) % 2147483648) % 100 < 95
+      |        THEN 'val' ELSE 'test' END) AS moved
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   /** q62 — TF-IDF top terms per document: the text-analysis scoring shape
     * (term importance for filtering/near-dup features). Two aggregations
@@ -4038,6 +4094,7 @@ object LlmOps {
     // the segment merge exact
     QueryDef("q155_segment_bm25", q155, Some(q70Sql)),
     QueryDef("q156_split_leakage", q156, Some(q156Sql)),
+    QueryDef("q157_split_repair", q157, Some(q157Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),
     QueryDef("q139_prf_expand", q139, Some(q139Sql)),
     QueryDef("q146_postings_size", q146, Some(q146Sql)),

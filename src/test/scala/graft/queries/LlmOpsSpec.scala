@@ -255,4 +255,24 @@ class LlmOpsSpec extends SparkSpec {
         col("max_sim_bench") < -1.0001).count() == 0)
     } finally out.unpersist()
   }
+
+  test("q157 repairs every q156 leak: no near-dup pair straddles the " +
+      "repaired split boundary") {
+    val repair = LlmOps.q157(spark, sf0001)
+      .select(col("doc_id"), col("repaired_split"))
+    val leaks = LlmOps.q156(spark, sf0001)
+    // the theorem: both endpoints of every >=0.8 pair share a cluster,
+    // hence the repaired split — zero cross-split pairs remain
+    val remaining = leaks
+      .join(repair.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("repaired_split", "ra"), Seq("da"))
+      .join(repair.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("repaired_split", "rb"), Seq("db"))
+      .filter(col("ra") =!= col("rb")).count()
+    assert(remaining == 0, s"$remaining pairs still leak after repair")
+    // and the repair is non-vacuous on this corpus: q156 found leaks,
+    // and the repair moved at least one doc
+    assert(leaks.count() > 0, "no leaks at this SF — vacuous theorem")
+    assert(LlmOps.q157(spark, sf0001).filter(col("moved")).count() > 0)
+  }
 }
