@@ -876,6 +876,129 @@ object Modeling {
        |FROM r1seg a JOIN r2seg b USING (word)
        |ORDER BY word""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+
+  /** q158 — BRADLEY–TERRY strength ranking from pairwise contests (the
+    * arena-style model-ranking infrastructure of the RLHF era: pairwise
+    * preferences in, a maximum-likelihood strength per player out). The
+    * corpus has no preference table, so contests derive
+    * deterministically: docs pair up by doc_id DIV 2, the longer text
+    * wins (ties to the even side), players are the docs' sources, and
+    * same-source contests drop (self-play carries no signal). Three
+    * unrolled MM fixed-point rounds (Hunter 2004:
+    * γ_i ← W_i / Σ_j n_ij/(γ_i+γ_j)) on the 1e-4 integer grid — every
+    * per-pair term quantizes to a BIGINT before the (exact, integer)
+    * denominator sum, so an ITERATIVE MLE is engine-exact under the
+    * hash gate, the Lloyd-chain discipline. Scale shape: the contest
+    * derivation is one corpus pass; everything after lives on
+    * players²-bounded relations (20 sources here; models/policies in
+    * production) — the iteration joins are broadcast-sized by
+    * construction. */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id DIV 2").as("pk"),
+        col("source").as("sa"), col("nc").as("na"))
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id DIV 2").as("pk"),
+        col("source").as("sb"), col("nc").as("nb"))
+    val contests = a.join(b, "pk").filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"), (col("na") >= col("nb")).as("a_wins"))
+    val wins = contests
+      .select(when(col("a_wins"), col("sa")).otherwise(col("sb")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("wins"))
+    val nij = contests
+      .select(least(col("sa"), col("sb")).as("si"),
+        greatest(col("sa"), col("sb")).as("sj"))
+      .groupBy(col("si"), col("sj")).agg(count(lit(1)).as("n"))
+    val players = contests.select(col("sa").as("source"))
+      .unionByName(contests.select(col("sb").as("source"))).distinct()
+
+    def step(g: DataFrame): DataFrame = {
+      val gi = g.select(col("source").as("si"), col("gq").as("gi"))
+      val gj = g.select(col("source").as("sj"), col("gq").as("gj"))
+      val terms = nij.join(broadcast(gi), "si").join(broadcast(gj), "sj")
+        .select(col("si"), col("sj"),
+          round(lit(1e10) * col("n") /
+            greatest(col("gi") + col("gj"), lit(1L)), 0)
+            .cast("long").as("tq"))
+      val denom = terms.select(col("si").as("source"), col("tq"))
+        .unionByName(terms.select(col("sj").as("source"), col("tq")))
+        .groupBy(col("source")).agg(sum(col("tq")).as("den"))
+      g.join(broadcast(wins), Seq("source"), "left")
+        .join(broadcast(denom), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(
+            round(lit(1e10) * coalesce(col("wins"), lit(0L)) /
+              greatest(col("den"), lit(1L)), 0).cast("long"),
+            lit(0L)).as("gq"))
+    }
+
+    val g0 = players.withColumn("gq", lit(10000L))
+    val g3 = step(step(step(g0)))
+    val ncont = contests.select(col("sa").as("source"))
+      .unionByName(contests.select(col("sb").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contests"))
+    players.join(ncont, "source")
+      .join(wins, Seq("source"), "left")
+      .join(g3, "source")
+      .select(col("source"), col("n_contests"),
+        coalesce(col("wins"), lit(0L)).as("wins"), col("gq").as("btq"))
+      .orderBy(col("source"))
+  }
+
+  private val q158Sql = {
+    def stepCte(n: Int, prev: String): String =
+      s"""t$n AS (SELECT si, sj,
+         |         CAST(round(1e10 * n / greatest(gi.gq + gj.gq, 1))
+         |           AS BIGINT) AS tq
+         |       FROM nij JOIN $prev gi ON gi.source = nij.si
+         |            JOIN $prev gj ON gj.source = nij.sj),
+         |d$n AS (SELECT source, CAST(sum(tq) AS BIGINT) AS den
+         |       FROM (SELECT si AS source, tq FROM t$n
+         |             UNION ALL SELECT sj AS source, tq FROM t$n)
+         |       GROUP BY source),
+         |g$n AS (SELECT p.source,
+         |         coalesce(CAST(round(1e10 * coalesce(w.wins, 0) /
+         |           greatest(d.den, 1)) AS BIGINT), 0) AS gq
+         |       FROM players p LEFT JOIN wins w ON w.source = p.source
+         |            LEFT JOIN d$n d ON d.source = p.source)"""
+        .stripMargin
+    s"""WITH dd AS (SELECT doc_id, source,
+      |         CAST(length(text) AS BIGINT) AS nc FROM documents),
+      |co AS (SELECT a.source AS sa, b.source AS sb,
+      |         a.nc >= b.nc AS a_wins
+      |       FROM (SELECT doc_id // 2 AS pk, source, nc FROM dd
+      |             WHERE doc_id % 2 = 0) a
+      |       JOIN (SELECT doc_id // 2 AS pk, source, nc FROM dd
+      |             WHERE doc_id % 2 = 1) b USING (pk)
+      |       WHERE a.source <> b.source),
+      |wins AS (SELECT CASE WHEN a_wins THEN sa ELSE sb END AS source,
+      |           count(*) AS wins
+      |         FROM co GROUP BY 1),
+      |nij AS (SELECT least(sa, sb) AS si, greatest(sa, sb) AS sj,
+      |          count(*) AS n
+      |        FROM co GROUP BY 1, 2),
+      |players AS (SELECT DISTINCT source FROM (
+      |              SELECT sa AS source FROM co
+      |              UNION ALL SELECT sb FROM co)),
+      |g0 AS (SELECT source, CAST(10000 AS BIGINT) AS gq FROM players),
+      |${stepCte(1, "g0")},
+      |${stepCte(2, "g1")},
+      |${stepCte(3, "g2")},
+      |nc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contests
+      |       FROM (SELECT sa AS source FROM co
+      |             UNION ALL SELECT sb FROM co) GROUP BY source)
+      |SELECT p.source, nc.n_contests,
+      |  CAST(coalesce(w.wins, 0) AS BIGINT) AS wins, g3.gq AS btq
+      |FROM players p JOIN nc ON nc.source = p.source
+      |     LEFT JOIN wins w ON w.source = p.source
+      |     JOIN g3 ON g3.source = p.source
+      |ORDER BY p.source""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Seq[QueryDef] = Seq(
@@ -891,5 +1014,6 @@ object Modeling {
     QueryDef("q143_bootstrap_ci", q143, Some(q143Sql)),
     QueryDef("q144_alpha_mixture", q144, Some(q144Sql)),
     QueryDef("q145_kl_drift", q145, Some(q145Sql)),
-    QueryDef("q147_stratified_k", q147, Some(q147Sql)))
+    QueryDef("q147_stratified_k", q147, Some(q147Sql)),
+    QueryDef("q158_bradley_terry", q158, Some(q158Sql)))
 }

@@ -375,4 +375,46 @@ class ModelingSpec extends SparkSpec {
     assert(mean > 0.4 && mean < 1.6, s"mean JL ratio $mean outside band")
     out.unpersist()
   }
+
+  test("q158 equals a local reference Bradley-Terry MM, and accounting holds") {
+    val out = Modeling.q158(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent contest derivation (imperative, shares no Spark code)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2).length.toLong)).toMap
+    val contests = docs.keys.filter(k => k % 2 == 0 && docs.contains(k + 1))
+      .toSeq.flatMap { k =>
+        val (sa, na) = docs(k); val (sb, nb) = docs(k + 1)
+        if (sa == sb) None
+        else Some((sa, sb, na >= nb))
+      }
+    val wins = contests.groupBy { case (sa, sb, aw) => if (aw) sa else sb }
+      .map { case (s, g) => s -> g.size.toLong }
+    val nij = contests.groupBy { case (sa, sb, _) =>
+      (Seq(sa, sb).min, Seq(sa, sb).max) }
+      .map { case (p, g) => p -> g.size.toLong }
+    val players = contests.flatMap(c => Seq(c._1, c._2)).distinct
+    var gq = players.map(_ -> 10000L).toMap
+    for (_ <- 1 to 3) {
+      val den = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (((si, sj), n) <- nij) {
+        val tq = math.round(1e10 * n / math.max(gq(si) + gq(sj), 1L))
+        den(si) += tq; den(sj) += tq
+      }
+      gq = players.map(p => p -> math.round(
+        1e10 * wins.getOrElse(p, 0L) / math.max(den(p), 1L))).toMap
+    }
+    assert(out.keySet == players.toSet)
+    for (p <- players) {
+      val (nc, w, btq) = out(p)
+      assert(btq == gq(p), s"$p: spark btq $btq != reference ${gq(p)}")
+      assert(w == wins.getOrElse(p, 0L))
+    }
+    // each contest produces exactly one win
+    assert(out.values.map(_._2).sum == contests.size)
+    // the MM actually discriminates on this corpus
+    assert(out.values.map(_._3).toSet.size > 5, "degenerate strengths")
+  }
 }
