@@ -77,9 +77,17 @@ object Bench {
     println(line)
     // the driver captures only a 2000-char tail of stdout, which truncates
     // the per-query map once the registry is large — persist the full line
-    // so every BENCH_r{N} is readable end-to-end without a re-run
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    // so every BENCH_r{N} is readable end-to-end without a re-run. Path is
+    // env-overridable (cwd is the repo root under the driver, but a
+    // spark-submit/CI launch may sit elsewhere or be read-only — in that
+    // case warn rather than fail the bench itself)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -130,9 +130,14 @@ object KMeans {
     var books: Vector[Vector[Array[Long]]] = Vector.tabulate(parts) { p =>
       initRows.filter(_._1 == p).sortBy(_._2).map(_._3).toVector
     }
-    require(books.forall(_.nonEmpty),
-      s"lloydPartitioned: every $partCol value in 0..${parts - 1} needs ≥1 row")
-    val dims = books.head.head.length
+    // an EMPTY partition value is legal — no row carries it (the coarse
+    // k-means upstream may legitimately empty a cell; KMeans.lloyd
+    // itself permits empty clusters), so its empty codebook is simply
+    // never referenced by assignExpr; callers that route NEW data (the
+    // q154 append) must check book emptiness themselves
+    require(books.exists(_.nonEmpty),
+      s"lloydPartitioned: no $partCol value in 0..${parts - 1} has any row")
+    val dims = books.find(_.nonEmpty).get.head.length
 
     def assignExpr(bs: Vector[Vector[Array[Long]]]): DataFrame = {
       val bigLit = typedlit(bs.map(_.map(_.toSeq).toSeq))

@@ -588,9 +588,11 @@ object Curation {
     * last snapshot, and how much"). Snapshot B derives deterministically
     * from the documents table (the q87 synthetic-increment convention):
     * doc_id % 31 == 0 dropped, doc_id % 17 == 0 re-crawled with changed
-    * text, doc_id % 23 == 1 re-listed under a fresh id (disjoint
-    * doc_id*10+3 namespace), the rest carried verbatim. The diff keys on
-    * doc_id and
+    * text, doc_id % 23 == 1 re-listed under a fresh id (the NEGATIVE
+    * namespace -(doc_id+1) — disjoint from the non-negative live ids at
+    * ANY corpus size, where a doc_id*10+k scheme collides with live ids
+    * once the corpus passes the multiplier), the rest carried verbatim.
+    * The diff keys on doc_id and
     * classifies by content hash: `removed` (in A only), `modified`
     * (both, hash differs), `unchanged` (both, hash equal) — with the
     * size delta per doc. Scale shape: ONE full-outer equi-join on
@@ -610,7 +612,7 @@ object Curation {
           concat(col("text"), lit(" recrawled"))).otherwise(col("text"))
           .as("text"))
       .unionByName(docs.filter(col("doc_id") % 23 === 1)
-        .select((col("doc_id") * 10 + 3).as("doc_id"), col("text")))
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
       .select(col("doc_id"), md5(col("text")).as("hb"),
         length(col("text")).cast("long").as("cb"))
     a.join(b, Seq("doc_id"), "full_outer")
@@ -633,7 +635,7 @@ object Curation {
       |              ELSE text END AS text
       |       FROM documents WHERE doc_id % 31 <> 0
       |       UNION ALL
-      |       SELECT doc_id * 10 + 3 AS doc_id, text FROM documents
+      |       SELECT -doc_id - 1 AS doc_id, text FROM documents
       |       WHERE doc_id % 23 = 1),
       |b AS (SELECT doc_id, md5(text) AS hb,
       |        CAST(length(text) AS BIGINT) AS cb FROM b0),

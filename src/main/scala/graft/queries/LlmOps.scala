@@ -388,8 +388,13 @@ object LlmOps {
   def q35(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, d).orderBy(col("da"), col("db"))
 
-  private val q35Sql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The rare-shingle blocked Jaccard pair chain (→ `jc(da, db,
+    * jaccard)`) — ONE oracle string for the q35 pair dump, the q61/q157
+    * cluster closure, and the q156 leakage screen (parity-in-one-place:
+    * the df cap, the ≥2-intersection gate, and the 1e-4 rounding must
+    * never drift between them). */
+  private[queries] val jaccardCtesSql =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
@@ -401,10 +406,15 @@ object LlmOps {
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
-      |SELECT da, db,
-      |  round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0 AS jaccard
-      |FROM inter ORDER BY da, db""".stripMargin
+      |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |jc AS (SELECT da, db,
+      |         round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0
+      |           AS jaccard
+      |       FROM inter)""".stripMargin
+
+  private lazy val q35Sql =
+    s"""WITH $jaccardCtesSql
+      |SELECT da, db, jaccard FROM jc ORDER BY da, db""".stripMargin
 
   /** q93 — embedding-space outlier scoring: per-label centroids, each
     * vector's cosine to its label centroid, and a bottom-decile outlier
@@ -1762,22 +1772,9 @@ object LlmOps {
 
   /** The recursive near-dup cluster-label CTE chain (→ `lab(doc_id,
     * cluster_id)`) shared by the q61 and q157 oracles. */
-  private[queries] val ccLabelCtesSql =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh0 AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(toks) - 1),
-      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
-      |       FROM t WHERE len(toks) >= 3),
-      |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
-      |       FROM (SELECT doc_id, ngram,
-      |               count(*) OVER (PARTITION BY ngram) AS df
-      |             FROM sh0) WHERE df <= $MaxShingleDocFreq),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
-      |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
-      |pairs AS (SELECT da, db FROM inter
-      |          WHERE round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0 >= 0.8),
+  private[queries] lazy val ccLabelCtesSql =
+    s"""$jaccardCtesSql,
+      |pairs AS (SELECT da, db FROM jc WHERE jaccard >= 0.8),
       |edges AS (SELECT da AS a, db AS b FROM pairs
       |          UNION ALL SELECT db AS a, da AS b FROM pairs),
       |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
@@ -1939,25 +1936,8 @@ object LlmOps {
       .orderBy(col("da"), col("db"))
   }
 
-  private val q156Sql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh0 AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(toks) - 1),
-      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
-      |       FROM t WHERE len(toks) >= 3),
-      |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
-      |       FROM (SELECT doc_id, ngram,
-      |               count(*) OVER (PARTITION BY ngram) AS df
-      |             FROM sh0) WHERE df <= $MaxShingleDocFreq),
-      |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, a.nsh AS na, b.nsh AS nb,
-      |         count(*) AS inter
-      |       FROM sh a JOIN sh b
-      |         ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
-      |jc AS (SELECT da, db,
-      |         round(inter * 10000.0 / (na + nb - inter), 0) / 10000.0
-      |           AS jaccard
-      |       FROM pr),
+  private lazy val q156Sql =
+    s"""WITH $jaccardCtesSql,
       |sp AS (SELECT da, db, jaccard,
       |         CASE WHEN ((da * 1103515245 + 12345) % 2147483648) % 100 < 90
       |              THEN 'train'
@@ -3604,9 +3584,13 @@ object LlmOps {
   private val Ivf2K1 = 4
 
   /** (assignment path, trained-quantizer path): the landed IVF2 index.
-    * The quantizer relation is (coarse, cid, cent) — coarse = -1 rows
-    * are the level-1 centroids, coarse ≥ 0 rows that cell's sub-cell
-    * codebook; k₂ is recoverable as max(cid)+1 over the sub rows. */
+    * The quantizer relation is (coarse, cid, cent, k2) — coarse = -1
+    * rows are the level-1 centroids, coarse ≥ 0 rows that cell's
+    * sub-cell codebook. k₂ (the build-time cell-id stride) rides along
+    * EXPLICITLY on every row: recovering it from the landed books (e.g.
+    * max cid + 1) under-estimates whenever every coarse cell trained
+    * fewer than k₂ sub-cells, which would silently desynchronize append
+    * cell ids from the served layout. */
   private val ivf2Cache =
     new graft.operators.DatasetCache[(String, String)]("ivf2-assign",
       { case (a, c) => Seq(a, c) })
@@ -3635,10 +3619,11 @@ object LlmOps {
       (col("coarse") * k2 + col("cluster")).as("cell"))
     val centRows =
       coarseCents.zipWithIndex.map { case (c, i) =>
-        (-1L, i.toLong, c.toSeq) } ++
+        (-1L, i.toLong, c.toSeq, k2.toLong) } ++
       books.zipWithIndex.flatMap { case (bs, p) =>
-        bs.zipWithIndex.map { case (c, i) => (p.toLong, i.toLong, c.toSeq) } }
-    val centsDf = centRows.toSeq.toDF("coarse", "cid", "cent")
+        bs.zipWithIndex.map { case (c, i) =>
+          (p.toLong, i.toLong, c.toSeq, k2.toLong) } }
+    val centsDf = centRows.toSeq.toDF("coarse", "cid", "cent", "k2")
     (graft.operators.Scratch.materializePath(assign, "ivf2-assign"),
       graft.operators.Scratch.materializePath(
         centsDf.repartition(1), "ivf2-cents"))
@@ -3705,8 +3690,9 @@ object LlmOps {
     * the LANDED quantizer WITHOUT retraining — how a production ANN
     * index absorbs a crawl increment between scheduled retrains). The
     * batch derives from embeddings (vec_id % 13 == 2, components
-    * shifted by +7 on the quantized grid, fresh ids in the disjoint
-    * vec_id·10+4 namespace — the q87 increment convention); each new
+    * shifted by +7 on the quantized grid, fresh ids in the NEGATIVE
+    * -(vec_id+1) namespace — disjoint from live ids at any corpus
+    * size); each new
     * vector runs the SAME two-level map-side argmin the index was built
     * with, against the centroid relation landed by [[ivf2Build]] — a
     * bounded driver collect (4 + 4·k₂ rows), then pure codegen'd
@@ -3717,15 +3703,18 @@ object LlmOps {
   def q154(s: SparkSession, d: String): DataFrame = {
     val (_, centsPath) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val cents = s.read.parquet(centsPath)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3)))
     val coarseCents = cents.filter(_._1 == -1L).sortBy(_._2).map(_._3)
     val books = (0 until Ivf2K1).map { p =>
       cents.filter(_._1 == p.toLong).sortBy(_._2).map(_._3).toVector
     }.toVector
-    val k2 = books.map(_.length).max
+    // the build-time cell-id stride, landed explicitly — NOT derivable
+    // from book lengths (all cells may train fewer than k2 sub-cells)
+    val k2 = cents.head._4
     val batch = Tables.embeddings(s, d)
       .filter(col("vec_id") % 13 === 2)
-      .select((col("vec_id") * 10 + 4).as("new_id"),
+      .select((-col("vec_id") - 1).as("new_id"),
         transform(col("embedding"),
           v => round(v.cast("double") * 10000, 0).cast("long") + 7).as("vq"))
     val withCoarse = graft.operators.KMeans.assignWith(batch, "vq", coarseCents)
@@ -3736,6 +3725,10 @@ object LlmOps {
       c => graft.functions.SquaredDistanceExpr(col("vq"), c))
     withCoarse
       .withColumn("__d", dists)
+      // a coarse cell that trained NO sub-cells (emptied during the
+      // build) cannot receive appends — drop, matching the oracle's
+      // inner join against the sub-centroid union
+      .filter(size(col("__d")) > 0)
       .select(col("new_id"), col("coarse"),
         (col("coarse") * k2 +
           (array_position(col("__d"), array_min(col("__d"))) - 1))
@@ -3748,7 +3741,7 @@ object LlmOps {
       s"SELECT $c AS coarse, cid, cent FROM u${c}_c2"
     }.mkString("\n        UNION ALL ")
     s"""WITH $ivf2ChainsSql,
-      |newb AS (SELECT vec_id * 10 + 4 AS nid,
+      |newb AS (SELECT -vec_id - 1 AS nid,
       |           list_transform(vq, x -> x + 7) AS vq
       |         FROM c_q WHERE vec_id % 13 = 2),
       |ca AS (SELECT nid, cid, rn FROM (

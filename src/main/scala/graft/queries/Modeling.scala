@@ -889,12 +889,13 @@ object Modeling {
     * γ_i ← W_i / Σ_j n_ij/(γ_i+γ_j)) on the 1e-4 integer grid — every
     * per-pair term quantizes to a BIGINT before the (exact, integer)
     * denominator sum, so an ITERATIVE MLE is engine-exact under the
-    * hash gate, the Lloyd-chain discipline. Scale shape: the contest
-    * derivation is one corpus pass; everything after lives on
-    * players²-bounded relations (20 sources here; models/policies in
-    * production) — the iteration joins are broadcast-sized by
-    * construction. */
+    * hash gate, the Lloyd-chain discipline. Scale shape: ONE corpus
+    * pass collapses the contest stream to the players²-bounded count
+    * matrix; the MM rounds run on that driver-held matrix (the KMeans
+    * centroid discipline — 20 sources here; models/policies in
+    * production are similarly few even when contests are billions). */
   def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("nc"))
@@ -904,48 +905,39 @@ object Modeling {
     val b = docs.filter(col("doc_id") % 2 === 1)
       .select(expr("doc_id DIV 2").as("pk"),
         col("source").as("sb"), col("nc").as("nb"))
-    val contests = a.join(b, "pk").filter(col("sa") =!= col("sb"))
-      .select(col("sa"), col("sb"), (col("na") >= col("nb")).as("a_wins"))
-    val wins = contests
-      .select(when(col("a_wins"), col("sa")).otherwise(col("sb")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("wins"))
-    val nij = contests
-      .select(least(col("sa"), col("sb")).as("si"),
-        greatest(col("sa"), col("sb")).as("sj"))
-      .groupBy(col("si"), col("sj")).agg(count(lit(1)).as("n"))
-    val players = contests.select(col("sa").as("source"))
-      .unionByName(contests.select(col("sb").as("source"))).distinct()
+    // ONE corpus pass: the contest stream collapses to the bounded
+    // (sa, sb, a_wins) count matrix (≤ players² × 2 rows) and every
+    // downstream relation — wins, n_ij, contest counts, the three MM
+    // rounds — derives driver-side from it (the KMeans centroid
+    // discipline; re-deriving each from the contest stream would
+    // re-execute the corpus join per consumer)
+    val cc = a.join(b, "pk").filter(col("sa") =!= col("sb"))
+      .groupBy(col("sa"), col("sb"), (col("na") >= col("nb")).as("a_wins"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    val wins = cc.groupBy { case (sa, sb, aw, _) => if (aw) sa else sb }
+      .map { case (p, g) => p -> g.map(_._4).sum }
+    val nij = cc.groupBy { case (sa, sb, _, _) =>
+      (Seq(sa, sb).min, Seq(sa, sb).max) }
+      .map { case (p, g) => p -> g.map(_._4).sum }
+    val ncont = cc.flatMap { case (sa, sb, _, c) => Seq(sa -> c, sb -> c) }
+      .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val players = cc.flatMap(c => Seq(c._1, c._2)).distinct.sorted
 
-    def step(g: DataFrame): DataFrame = {
-      val gi = g.select(col("source").as("si"), col("gq").as("gi"))
-      val gj = g.select(col("source").as("sj"), col("gq").as("gj"))
-      val terms = nij.join(broadcast(gi), "si").join(broadcast(gj), "sj")
-        .select(col("si"), col("sj"),
-          round(lit(1e10) * col("n") /
-            greatest(col("gi") + col("gj"), lit(1L)), 0)
-            .cast("long").as("tq"))
-      val denom = terms.select(col("si").as("source"), col("tq"))
-        .unionByName(terms.select(col("sj").as("source"), col("tq")))
-        .groupBy(col("source")).agg(sum(col("tq")).as("den"))
-      g.join(broadcast(wins), Seq("source"), "left")
-        .join(broadcast(denom), Seq("source"), "left")
-        .select(col("source"),
-          coalesce(
-            round(lit(1e10) * coalesce(col("wins"), lit(0L)) /
-              greatest(col("den"), lit(1L)), 0).cast("long"),
-            lit(0L)).as("gq"))
+    var gq = players.map(_ -> 10000L).toMap
+    for (_ <- 1 to 3) {
+      val den = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (((si, sj), n) <- nij) {
+        val tq = math.round(1e10 * n / math.max(gq(si) + gq(sj), 1L))
+        den(si) += tq; den(sj) += tq
+      }
+      gq = players.map(p => p -> math.round(
+        1e10 * wins.getOrElse(p, 0L) / math.max(den(p), 1L))).toMap
     }
-
-    val g0 = players.withColumn("gq", lit(10000L))
-    val g3 = step(step(step(g0)))
-    val ncont = contests.select(col("sa").as("source"))
-      .unionByName(contests.select(col("sb").as("source")))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_contests"))
-    players.join(ncont, "source")
-      .join(wins, Seq("source"), "left")
-      .join(g3, "source")
-      .select(col("source"), col("n_contests"),
-        coalesce(col("wins"), lit(0L)).as("wins"), col("gq").as("btq"))
+    players.map(p =>
+        (p, ncont(p), wins.getOrElse(p, 0L), gq(p)))
+      .toSeq.toDF("source", "n_contests", "wins", "btq")
       .orderBy(col("source"))
   }
 

@@ -225,7 +225,12 @@ object StreamIngest {
           } else {
             val out = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
             var maxTs = Long.MinValue
-            rows.foreach { case (doc, _, ts) =>
+            // the group iterator's order after the shuffle is unspecified:
+            // sort by (ts, doc_id) so WHICH occurrence counts as "first"
+            // (and therefore which later rows flag) is deterministic when
+            // several docs share a line within one micro-batch
+            rows.toSeq.sortBy { case (doc, _, ts) => (ts.getTime, doc) }
+              .foreach { case (doc, _, ts) =>
               maxTs = math.max(maxTs, ts.getTime)
               state.getOption match {
                 case None =>

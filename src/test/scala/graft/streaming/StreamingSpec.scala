@@ -186,6 +186,18 @@ class StreamingSpec extends SparkSpec {
       "doc 1's unique lines must not flag")
     assert(rows1.filter(_._2.startsWith("fresh unique")).forall(!_._3),
       "doc 2's unique line must not flag")
+    // in-batch determinism: two docs sharing a line arrive in ONE
+    // micro-batch — the (ts, doc_id)-sorted fold makes the lower ts the
+    // unflagged "first" and flags the later one, on every run
+    input.addData(
+      (10L, "same batch shared line here", ts(3)),
+      (11L, "same batch shared line here", ts(4)))
+    q.processAllAvailable()
+    val batchRows = spark.table("line_dedup_out")
+      .filter(col("line") === "same batch shared line here")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sorted.toSeq
+    assert(batchRows == Seq((10L, false), (11L, true)),
+      s"in-batch first/flag split must be (ts, doc_id)-deterministic: $batchRows")
     // TTL eviction: advance the watermark far past lastSeen + TTL, then
     // resubmit — state was removed, so the banner re-admits as FRESH
     input.addData((4L, "unrelated words to move watermark on", ts(45)))
