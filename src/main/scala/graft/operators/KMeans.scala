@@ -124,7 +124,9 @@ object KMeans {
     val initRows = vecs
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .select(col(partCol), col("__rk"), col(vecCol))
+      // cast: the contract is "integer partition id", not LongType
+      // specifically — getLong on an IntegerType column would throw
+      .select(col(partCol).cast("long"), col("__rk"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getInt(1), r.getSeq[Long](2).toArray))
     var books: Vector[Vector[Array[Long]]] = Vector.tabulate(parts) { p =>
@@ -144,10 +146,18 @@ object KMeans {
       val vchk = when(col(vecCol).isNotNull && size(col(vecCol)) === dims,
         col(vecCol)).otherwise(raise_error(
           lit(s"lloydPartitioned: '$vecCol' must be non-null array<long> of length $dims")))
+      // partCol range-checked map-side with the same raise_error pattern as
+      // the vector check: element_at past the literal array would silently
+      // yield cluster = null (>= parts) or an opaque "array index starts at
+      // 1" error (negative) — contract violations must fail fast instead
+      val pchk = when(col(partCol).cast("long").between(0, parts - 1),
+        col(partCol).cast("int")).otherwise(raise_error(
+          lit(s"lloydPartitioned: '$partCol' must be a non-null integer in 0..${parts - 1}"))
+          .cast("int"))
       vecs
         .withColumn(VecChk, vchk)
         .withColumn(DistCol, transform(
-          element_at(bigLit, col(partCol).cast("int") + 1),
+          element_at(bigLit, pchk + 1),
           c => SquaredDistanceExpr(col(VecChk), c)))
         .withColumn("cluster",
           (array_position(col(DistCol), array_min(col(DistCol))) - 1)
@@ -158,7 +168,7 @@ object KMeans {
     var it = 0
     while (it < iters) {
       val updated = assignExpr(books)
-        .select(col(partCol).as("__p"), col("cluster"),
+        .select(col(partCol).cast("long").as("__p"), col("cluster"),
           posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy(col("__p"), col("cluster"), col("dim"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))

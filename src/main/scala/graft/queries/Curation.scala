@@ -818,15 +818,28 @@ object Curation {
     val host = concat(lit("site"), (base % 16).cast("string"),
       lit(".example.com"))
     val path = concat(lit("/doc/"), base.cast("string"))
+    // two group shapes so every canonicalization rule stays non-vacuous:
+    // ODD bases keep the original path-form decorations (www, ':443/',
+    // trailing slash, utm-only query); EVEN bases are a pathless
+    // query-form group exercising the round-11 rules — ':443' directly
+    // before '?' and a surviving param orphaned behind a stripped
+    // leading utm param ('?utm_…&page=N' → '&page=N' → '?page=N')
+    val even = base % 2 === 0
+    val q = concat(lit("?page="), base.cast("string"))
     val url = when(col("doc_id") % 4 === 0,
-        concat(lit("https://"), host, path))
+        when(even, concat(lit("https://"), host, q))
+          .otherwise(concat(lit("https://"), host, path)))
       .when(col("doc_id") % 4 === 1,
-        concat(upper(concat(lit("https://www."), host)), path))
+        when(even, upper(concat(lit("https://www."), host, q)))
+          .otherwise(concat(upper(concat(lit("https://www."), host)), path)))
       .when(col("doc_id") % 4 === 2,
-        concat(lit("https://"), host, lit(":443"), path, lit("/")))
+        when(even, concat(lit("https://"), host, lit(":443"), q))
+          .otherwise(concat(lit("https://"), host, lit(":443"), path, lit("/"))))
       .otherwise(
-        concat(lit("https://"), host, path,
-          lit("?utm_source=feed&utm_campaign=x#frag")))
+        when(even, concat(lit("https://"), host, lit("?utm_source=feed&page="),
+            base.cast("string"), lit("#frag")))
+          .otherwise(concat(lit("https://"), host, path,
+            lit("?utm_source=feed&utm_campaign=x#frag"))))
     val canon = graft.functions.TextRules.canonicalUrl(col("url"))
     val c = Tables.documents(s, d)
       .select(col("doc_id"), url.as("url"))
@@ -841,20 +854,33 @@ object Curation {
   private val q115Sql =
     """WITH u AS (SELECT doc_id,
       |    CASE doc_id % 4
-      |      WHEN 0 THEN 'https://site' || (doc_id // 4 % 16)
-      |        || '.example.com/doc/' || (doc_id // 4)
-      |      WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id // 4 % 16)
-      |        || '.EXAMPLE.COM' || '/doc/' || (doc_id // 4)
-      |      WHEN 2 THEN 'https://site' || (doc_id // 4 % 16)
-      |        || '.example.com:443/doc/' || (doc_id // 4) || '/'
-      |      ELSE 'https://site' || (doc_id // 4 % 16) || '.example.com/doc/'
-      |        || (doc_id // 4) || '?utm_source=feed&utm_campaign=x#frag'
+      |      WHEN 0 THEN CASE WHEN (doc_id // 4) % 2 = 0
+      |        THEN 'https://site' || (doc_id // 4 % 16)
+      |          || '.example.com?page=' || (doc_id // 4)
+      |        ELSE 'https://site' || (doc_id // 4 % 16)
+      |          || '.example.com/doc/' || (doc_id // 4) END
+      |      WHEN 1 THEN CASE WHEN (doc_id // 4) % 2 = 0
+      |        THEN upper('https://www.site' || (doc_id // 4 % 16)
+      |          || '.example.com?page=' || (doc_id // 4))
+      |        ELSE 'HTTPS://WWW.SITE' || (doc_id // 4 % 16)
+      |          || '.EXAMPLE.COM' || '/doc/' || (doc_id // 4) END
+      |      WHEN 2 THEN CASE WHEN (doc_id // 4) % 2 = 0
+      |        THEN 'https://site' || (doc_id // 4 % 16)
+      |          || '.example.com:443?page=' || (doc_id // 4)
+      |        ELSE 'https://site' || (doc_id // 4 % 16)
+      |          || '.example.com:443/doc/' || (doc_id // 4) || '/' END
+      |      ELSE CASE WHEN (doc_id // 4) % 2 = 0
+      |        THEN 'https://site' || (doc_id // 4 % 16)
+      |          || '.example.com?utm_source=feed&page=' || (doc_id // 4) || '#frag'
+      |        ELSE 'https://site' || (doc_id // 4 % 16) || '.example.com/doc/'
+      |          || (doc_id // 4) || '?utm_source=feed&utm_campaign=x#frag' END
       |    END AS url FROM documents),
       |c AS (SELECT doc_id, url,
-      |    regexp_replace(replace(replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_replace(regexp_replace(lower(url), '#.*$', ''),
       |                     '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
-      |      '://www.', '://'), ':443/', '/'), '/$', '') AS canon_url
+      |      '^([^?&]*)&', '\1?'),
+      |      '://www\.', '://'), ':443([/?]|$)', '\1'), '/$', '') AS canon_url
       |  FROM u),
       |g AS (SELECT canon_url, min(doc_id) AS survivor_id FROM c GROUP BY canon_url)
       |SELECT doc_id, url, c.canon_url, survivor_id,
