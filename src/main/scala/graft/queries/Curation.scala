@@ -1127,7 +1127,16 @@ object Curation {
         .select(col("doc_id"),
           when(col("doc_id") === 7, concat(col("toks"), col("extra")))
             .otherwise(col("toks")).as("toks"))
-      val toksRaw = docs.select(col("doc_id"),
+      // per-doc sentinel terminator (r11): a token unique to each doc, so
+      // no LCP run can straddle a document boundary and cut tokens forming
+      // a "repeat" no single document contains — the reference ExactSubstr
+      // tool's separator convention. chr(1) sorts below every word char,
+      // so the oracle's separator-joined string suffix order still mirrors
+      // token-wise order exactly.
+      val docsS = docs.select(col("doc_id"),
+        concat(col("toks"), array(concat(lit("\u0001"),
+          col("doc_id").cast("string")))).as("toks"))
+      val toksRaw = docsS.select(col("doc_id"),
         posexplode(col("toks")).as(Seq("p", "tok")))
       val counts = toksRaw.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("cnt"))
@@ -1157,7 +1166,11 @@ object Curation {
             col("pos") + col("lcp") - 1)).as("pos"))
           .distinct()
           .withColumn("cut", lit(true))
-        val marked = flatL.join(covered, Seq("pos"), "left")
+        // sentinels live in the SA stream but not in the accounting: they
+        // are never covered (each occurs once), and clean_text/n_tokens
+        // count only real tokens
+        val marked = flatL.filter(!col("tok").startsWith("\u0001"))
+          .join(covered, Seq("pos"), "left")
           .withColumn("cut", coalesce(col("cut"), lit(false)))
         // maximal removed extents per doc — q116's island algebra
         val nSpans = mergeSpans(
@@ -1192,8 +1205,10 @@ object Curation {
       |        CASE WHEN doc_id = 7 THEN list_concat(toks, extra)
       |             ELSE toks END AS toks
       |      FROM d0 CROSS JOIN ap),
+      |ds AS (SELECT doc_id, list_append(toks, chr(1) || doc_id) AS toks
+      |       FROM d),
       |f AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS i, toks[i] AS tok
-      |      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |      FROM ds, unnest(range(1, len(toks) + 1)) AS u(i)),
       |o AS (SELECT doc_id, i, tok,
       |        row_number() OVER (ORDER BY doc_id, i) - 1 AS pos FROM f),
       |a AS (SELECT list(tok ORDER BY pos) AS allt FROM o),
@@ -1218,7 +1233,153 @@ object Curation {
       |        FROM sp, unnest(range(0, lcp)) AS u(k)),
       |mk AS (SELECT o.doc_id, o.i, o.tok,
       |         (cov.pos IS NOT NULL) AS cut
-      |       FROM o LEFT JOIN cov ON o.pos = cov.pos),
+      |       FROM o LEFT JOIN cov ON o.pos = cov.pos
+      |       WHERE substr(o.tok, 1, 1) <> chr(1)),
+      |isl AS (SELECT doc_id, i,
+      |          CASE WHEN i > COALESCE(max(i) OVER (
+      |            PARTITION BY doc_id ORDER BY i
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |          THEN 1 ELSE 0 END AS newi
+      |        FROM mk WHERE cut),
+      |spn AS (SELECT doc_id, CAST(sum(newi) AS BIGINT) AS n_spans
+      |        FROM isl GROUP BY doc_id)
+      |SELECT mk.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE cut) AS BIGINT) AS n_removed,
+      |  COALESCE(any_value(spn.n_spans), 0) AS n_spans,
+      |  COALESCE(array_to_string(
+      |    list(tok ORDER BY i) FILTER (WHERE NOT cut), ' '), '') AS clean_text
+      |FROM mk LEFT JOIN spn ON mk.doc_id = spn.doc_id
+      |GROUP BY mk.doc_id ORDER BY mk.doc_id""".stripMargin
+
+  private val corpusSubstrCache =
+    new graft.operators.DatasetCache[String]("exactsubstr-corpus", Seq(_))
+
+  /** q159 — ExactSubstr deduplication at CORPUS scale (the r10 verdict's
+    * top ask): the q148 remove-all pipeline promoted from the 8-doc
+    * oracle head to ALL documents, with every head-bounded step replaced
+    * by its corpus-scale form. Flat positions come from a
+    * [[graft.operators.GlobalOrder]] range-partitioned rank over
+    * (doc_id, p) — no per-doc driver collect anywhere — and the suffix
+    * array + LCP descent are the checkpointed
+    * [[graft.operators.SuffixArray]] machinery (built ONCE via
+    * `hierarchyPaths` + `lcpFromLevels`; log₂(n) bounded passes, measured
+    * in BASELINE.md). Each document is terminated by a unique sentinel
+    * token, so no LCP run straddles a document boundary (the reference
+    * ExactSubstr tool's separator convention). Doc 0's first 12 tokens
+    * are appended to the LAST document (enrich-then-prove): the pipeline
+    * must cut a planted cross-doc duplicate from both occurrences, not
+    * just survive the organic corpus.
+    *
+    * The DuckDB oracle does NOT mirror the suffix sort (head² chars —
+    * the reason q148 was head-bounded). It computes the same covered set
+    * through the duplicated-L-gram identity: the union of [a, a+lcp)
+    * over adjacent-LCP pairs with lcp ≥ L equals the union of [q, q+L)
+    * over positions q whose exact L-token gram occurs ≥ 2 times in the
+    * corpus. (⊆: every offset d ≤ lcp−L gives a duplicated L-gram at
+    * a+d, which covers [a+d, a+d+L); ∪ over d rebuilds [a, a+lcp).
+    * ⊇: a duplicated gram's SA interval has ≥ 2 members, so q is
+    * adjacent to a same-gram suffix with LCP ≥ L and [q, q+L) is
+    * covered. Sentinels occur once each, so no gram and no LCP run
+    * crosses a boundary on either side.) Hash equality between the two
+    * formulations is therefore a theorem check on the whole SA+LCP
+    * stack at corpus scale, not a re-run of the same algorithm.
+    * Memoized per dataset dir; all intermediates released. */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    val path = corpusSubstrCache.getOrCompute(d) { dir =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val mx = base.agg(max(col("doc_id")).as("__mx"))
+      val extra = base.filter(col("doc_id") === 0)
+        .select(slice(col("toks"), 1, 12).as("__extra"))
+      val docs = base.crossJoin(broadcast(mx)).crossJoin(broadcast(extra))
+        .select(col("doc_id"),
+          when(col("doc_id") === col("__mx"),
+            concat(col("toks"), col("__extra")))
+            .otherwise(col("toks")).as("toks"))
+      val withSent = docs.select(col("doc_id"),
+        concat(col("toks"), array(concat(lit("\u0001"),
+          col("doc_id").cast("string")))).as("toks"))
+      val toksRaw = withSent.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      val (rnPath, _) = graft.operators.GlobalOrder.rowNumberPath(
+        toksRaw, "rn", col("doc_id"), col("p"))
+      val flat = s.read.parquet(rnPath)
+        .select(col("doc_id"), col("p").cast("long").as("p"),
+          (col("rn") - 1).cast("long").as("pos"), col("tok"))
+      val flatPath = graft.operators.Scratch.materializePath(
+        flat, "exactsubstr-corpus-toks")
+      graft.operators.Scratch.release(rnPath)
+      val flatL = s.read.parquet(flatPath)
+      val (levels, _) = graft.operators.SuffixArray.hierarchyPaths(
+        flatL.select(col("pos"), col("tok")))
+      val lcpP =
+        try graft.operators.SuffixArray.lcpFromLevels(s, levels)
+        finally levels.foreach { case (_, p) =>
+          graft.operators.Scratch.release(p)
+        }
+      try {
+        val lcp = s.read.parquet(lcpP)
+        // remove-all: both occurrences of every ≥L adjacent-LCP pair
+        val spans = lcp.filter(col("lcp") >= ExactSubstrMinRun)
+          .select(explode(array(
+            struct(col("a_pos").as("pos"), col("lcp")),
+            struct(col("b_pos").as("pos"), col("lcp")))).as("sp"))
+          .select(col("sp.pos").as("pos"), col("sp.lcp").as("lcp"))
+        val covered = spans
+          .select(explode(sequence(col("pos"),
+            col("pos") + col("lcp") - 1)).as("pos"))
+          .distinct()
+          .withColumn("cut", lit(true))
+        val real = flatL.filter(!col("tok").startsWith("\u0001"))
+        val marked = real.join(covered, Seq("pos"), "left")
+          .withColumn("cut", coalesce(col("cut"), lit(false)))
+        val nSpans = mergeSpans(
+            marked.filter(col("cut"))
+              .select(col("doc_id"), col("p").as("pos")), 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+        val out = marked
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
+            array_join(transform(
+              array_sort(collect_list(
+                when(!col("cut"), struct(col("p"), col("tok"))))),
+              x => x.getField("tok")), " ").as("clean_text"))
+          .join(nSpans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            col("clean_text"))
+        graft.operators.Scratch.materializePath(out, "exactsubstr-corpus-out")
+      } finally {
+        graft.operators.Scratch.release(lcpP)
+        graft.operators.Scratch.release(flatPath)
+      }
+    }
+    s.read.parquet(path).orderBy(col("doc_id"))
+  }
+
+  private val q159Sql =
+    """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents),
+      |mx AS (SELECT max(doc_id) AS m FROM d0),
+      |ap AS (SELECT toks[1:12] AS extra FROM d0 WHERE doc_id = 0),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN doc_id = mx.m THEN list_concat(toks, extra)
+      |             ELSE toks END AS toks
+      |      FROM d0 CROSS JOIN mx CROSS JOIN ap),
+      |f AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS i, toks[i] AS tok
+      |      FROM d, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,
+      |        array_to_string(toks[i:i+9], chr(1)) AS gram
+      |      FROM d, unnest(range(1, len(toks) - 8)) AS u(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |hits AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+      |cov AS (SELECT DISTINCT doc_id, p + k AS i
+      |        FROM hits, unnest(range(0, 10)) AS u(k)),
+      |mk AS (SELECT f.doc_id, f.i, f.tok, (cov.i IS NOT NULL) AS cut
+      |       FROM f LEFT JOIN cov
+      |         ON f.doc_id = cov.doc_id AND f.i = cov.i),
       |isl AS (SELECT doc_id, i,
       |          CASE WHEN i > COALESCE(max(i) OVER (
       |            PARTITION BY doc_id ORDER BY i
@@ -1478,6 +1639,7 @@ object Curation {
     QueryDef("q121_suffix_array", q121, Some(q121Sql)),
     QueryDef("q123_lcp_array", q123, Some(q123Sql)),
     QueryDef("q148_exactsubstr_dedup", q148, Some(q148Sql)),
+    QueryDef("q159_exactsubstr_corpus", q159, Some(q159Sql)),
     QueryDef("q152_sft_mask_pack", q152, Some(q152Sql)),
     QueryDef("q153_snapshot_diff", q153, Some(q153Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),

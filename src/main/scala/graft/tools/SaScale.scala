@@ -41,17 +41,16 @@ object SaScale {
         spark.read.parquet(flatPath),
         (prefix, groups, sec) => rounds += ((prefix, groups, sec)))
       val wall = (System.nanoTime() - t0) / 1e9
-      levels.foreach { case (_, p) => Scratch.release(p) }
       require(n == nTok, s"token count drifted: rank=$nTok sa=$n")
 
-      // the LCP descent (q123/q148's core op): rebuilds the hierarchy
-      // internally, so its wall INCLUDES a second build — report both so
-      // the descent-only cost is the difference
+      // the LCP descent (q123/q148/q159's core op) from the hierarchy just
+      // built — descent-only wall, no rebuild (lcpFromLevels, r11)
       val t1 = System.nanoTime()
-      val lcpP = SuffixArray.lcpPath(spark.read.parquet(flatPath))
+      val lcpP = SuffixArray.lcpFromLevels(spark, levels)
       val lcpWall = (System.nanoTime() - t1) / 1e9
       val lcpRows = spark.read.parquet(lcpP).count()
       Scratch.release(lcpP)
+      levels.foreach { case (_, p) => Scratch.release(p) }
       Scratch.release(flatPath)
 
       val detail = rounds.map { case (p, g, s) =>
@@ -59,7 +58,7 @@ object SaScale {
       }.mkString("[", ",", "]")
       println(f"""{"metric":"sa_scale","dir":"$dir","n":$n,""" +
         f""""rounds":${rounds.size},"build_wall":$wall%.2f,""" +
-        f""""lcp_wall_incl_rebuild":$lcpWall%.2f,"lcp_rows":$lcpRows,""" +
+        f""""lcp_descent_wall":$lcpWall%.2f,"lcp_rows":$lcpRows,""" +
         s""""rounds_detail":$detail}""")
     } finally spark.stop()
   }

@@ -71,7 +71,11 @@ object ScaleStress {
     // and the snapshot-diff full-outer join
     "q151_semantic_decontam", "q152_sft_mask_pack", "q153_snapshot_diff",
     // r10: the index-lifecycle legs and the split-leakage report
-    "q154_ivf2_append", "q155_segment_bm25", "q156_split_leakage")
+    "q154_ivf2_append", "q155_segment_bm25", "q156_split_leakage",
+    // r11: corpus-scale ExactSubstr — the SA build + LCP descent over the
+    // full token stream; cold is the honest build cost, warm reads the
+    // memoized remove-all accounting
+    "q159_exactsubstr_corpus")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

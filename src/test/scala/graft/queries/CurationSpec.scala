@@ -402,4 +402,40 @@ class CurationSpec extends SparkSpec {
         id == 7L && s <= len7 && e >= len7 + 11 },
       "gram-gate missed the planted run's doc-7 occurrence")
   }
+
+  test("q159: corpus-scale ExactSubstr cuts the planted cross-doc repeat, " +
+      "conserves tokens, and leaks no sentinel into the output") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val maxId = docs.keys.max
+    val planted = docs(0L).take(12)
+
+    val out = Curation.q159(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.size == docs.size, "one output row per document")
+    // remove-all: BOTH occurrences of the planted 12-token run are cut
+    val (n0, rem0, spans0, clean0) = out(0L)
+    val (nM, remM, spansM, cleanM) = out(maxId)
+    assert(n0 == docs(0L).length && nM == docs(maxId).length + 12,
+      "n_tokens must count real tokens only (no sentinel, planted +12)")
+    assert(rem0 >= 12 && spans0 >= 1,
+      s"doc 0's head occurrence must be cut (removed $rem0)")
+    assert(remM >= 12 && spansM >= 1,
+      s"doc $maxId's appended occurrence must be cut (removed $remM)")
+    assert(!clean0.startsWith(planted.mkString(" ")))
+    assert(!cleanM.contains(planted.mkString(" ")))
+    // conservation + sentinel hygiene on every doc
+    for ((id, (n, rem, _, clean)) <- out) {
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept == n - rem, s"doc $id: kept $kept != $n - $rem")
+      assert(!clean.contains("\u0001"), s"doc $id leaked a sentinel token")
+    }
+    // untouched docs reassemble verbatim
+    for ((id, (_, rem, nspans, clean)) <- out if rem == 0 && id != maxId) {
+      assert(nspans == 0)
+      assert(clean == docs(id).mkString(" "), s"doc $id changed with 0 removed")
+    }
+  }
 }
