@@ -2396,11 +2396,12 @@ object LlmOps {
     * term gate over main postings + a delta-only scan + the same
     * bounded scoring joins as q70; a production system runs exactly
     * this merge-on-read until the next segment compaction. */
-  def q155(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val isDelta = col("doc_id") % 13 === 2
-    val (postPath, dlPath) = bm25SegCache.getOrCompute(d) { dir =>
-      val main = Tables.documents(s, dir).filter(!(col("doc_id") % 13 === 2))
+  /** Build-or-serve the landed MAIN segment (term-sorted postings + doc
+    * lengths over the non-delta corpus) — shared by q155 (merge-on-read)
+    * and q161 (compaction input). */
+  private def bm25MainSeg(s: SparkSession, dir: String): (String, String) =
+    bm25SegCache.getOrCompute(dir) { dd =>
+      val main = Tables.documents(s, dd).filter(!(col("doc_id") % 13 === 2))
       val posts = main
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -2410,6 +2411,11 @@ object LlmOps {
       (graft.operators.Scratch.materializePath(posts, "bm25-seg-postings"),
         graft.operators.Scratch.materializePath(dl, "bm25-seg-dl"))
     }
+
+  def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val isDelta = col("doc_id") % 13 === 2
+    val (postPath, dlPath) = bm25MainSeg(s, d)
     val termsRel = Bm25QueryTerms.toDF("term")
     val mainTf = s.read.parquet(postPath)
       .join(broadcast(termsRel), Seq("term"), "left_semi")
@@ -2422,6 +2428,48 @@ object LlmOps {
       delta.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl")))
     bm25ScoreRelations(mainTf.unionByName(deltaTf), dl)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** The compacted single-segment index — [[q161]]'s landed artifact. */
+  private val bm25CompactCache =
+    new graft.operators.DatasetCache[(String, String)]("bm25-compacted-seg",
+      { case (a, b) => Seq(a, b) })
+
+  /** q161 — BM25 segment COMPACTION (the Lucene merge): fold q155's
+    * delta segment into the main segment, landing ONE term-sorted
+    * postings segment + merged doc lengths, then serve query-time from
+    * the compacted segment alone — no delta scan, no merge-on-read.
+    * The compaction job reads the LANDED main postings (never re-scans
+    * main documents — the same I/O contract as a Lucene segment merge),
+    * unions the delta's postings, and pays one repartition-by-term
+    * shuffle to restore the sorted layout. Exactness claim, same proof
+    * shape as q155: the compacted segment covers exactly the whole
+    * corpus, so its scores are IDENTICAL to a monolithic rebuild — the
+    * oracle is again literally q70's full-corpus chain, and hash
+    * equality proves compaction loses nothing (and, with q155 sharing
+    * the oracle, that compact-then-serve ≡ merge-on-read). */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cPostPath, cDlPath) = bm25CompactCache.getOrCompute(d) { dir =>
+      val (postPath, dlPath) = bm25MainSeg(s, dir)
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 13 === 2)
+      val deltaPosts = delta
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val merged = s.read.parquet(postPath).unionByName(deltaPosts)
+        .repartition(col("term")).sortWithinPartitions(col("term"))
+      val dl = s.read.parquet(dlPath).unionByName(
+        delta.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl")))
+      (graft.operators.Scratch.materializePath(merged, "bm25-compact-postings"),
+        graft.operators.Scratch.materializePath(dl, "bm25-compact-dl"))
+    }
+    val termsRel = Bm25QueryTerms.toDF("term")
+    val tf = s.read.parquet(cPostPath)
+      .join(broadcast(termsRel), Seq("term"), "left_semi")
+    bm25ScoreRelations(tf, s.read.parquet(cDlPath))
       .orderBy(col("score").desc, col("doc_id")).limit(10)
       .select(col("doc_id"), col("score"))
   }
@@ -3762,6 +3810,75 @@ object LlmOps {
       |FROM sa WHERE rn = 1 ORDER BY new_id""".stripMargin
   }
 
+  /** The tombstoned ("live") IVF2 serving layout — [[q160]]'s landed
+    * artifact: the build-time assignment minus deleted ids, landed once
+    * per dataset so serving reads a compacted layout, not a filter. */
+  private val ivf2LiveCache =
+    new graft.operators.DatasetCache[String]("ivf2-live", Seq(_))
+
+  /** q160 — IVF2 index DELETE: the fourth leg of the index lifecycle
+    * (q149 builds/serves, q154 appends, this retires). A tombstone batch
+    * — vec_id % 31 == 0, the q153 snapshot-diff `removed` class — drops
+    * vectors from the LANDED (vec_id, cell, embedding) layout without
+    * retraining: one broadcast anti-join against the bounded tombstone
+    * id set, landed once as the live layout (cells and centroids are
+    * untouched — exactly how production ANN indexes take deletes between
+    * scheduled retrains: FAISS `remove_ids`, Lucene liveDocs). Serving
+    * is then q149's probe query verbatim against the live layout; a
+    * deleted vector that sat in a probe's top-3 must be replaced by the
+    * next-nearest SURVIVOR from the same cell (non-vacuous at the gate
+    * SF: probes 16 and 18 lose tombstoned neighbors 124 and 31).
+    * Oracle: q149's training chains with the tombstone filter applied
+    * post-assignment — deletes don't move centroids there either. */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val livePath = ivf2LiveCache.getOrCompute(d) { dir =>
+      val (path, _) = ivf2Cache.getOrCompute(dir)(ivf2Build(s, _))
+      val tomb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 31 === 0).select(col("vec_id"))
+      graft.operators.Scratch.materializePath(
+        s.read.parquet(path)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+        "ivf2-live")
+    }
+    val live = s.read.parquet(livePath)
+    val probes = live.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
+    val cands = live
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    cands.join(broadcast(probes), Seq("cell"))
+      .filter(col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private lazy val q160Sql = {
+    val union = (0 until 4).map { c =>
+      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH $ivf2ChainsSql,
+      |asg AS ($union),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |cell AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id)),
+      |live AS (SELECT * FROM cell WHERE vec_id % 31 <> 0),
+      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM live
+      |      WHERE vec_id >= 16 AND vec_id < 26),
+      |s AS (SELECT pid, c.vec_id AS cid,
+      |        round(list_cosine_similarity(pe, c.emb), 4) AS sim
+      |      FROM p JOIN live c USING (cell) WHERE pid <> c.vec_id),
+      |r AS (SELECT pid, cid, sim,
+      |        row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
+      |      FROM s)
+      |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
+      .stripMargin
+  }
+
   /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
     * 2006 / PPJoin's candidate rule): the fourth blocking family in the
     * near-dup toolbox (q35 rare shingles, q35d LSH bands, q127 deletion
@@ -4083,9 +4200,12 @@ object LlmOps {
     QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),
     QueryDef("q151_semantic_decontam", q151, Some(q151Sql)),
     QueryDef("q154_ivf2_append", q154, Some(q154Sql)),
+    QueryDef("q160_ivf2_delete", q160, Some(q160Sql)),
     // q155's oracle IS the monolithic q70 chain — hash equality proves
     // the segment merge exact
     QueryDef("q155_segment_bm25", q155, Some(q70Sql)),
+    // q161 shares it too: compact-then-serve must ALSO equal the monolith
+    QueryDef("q161_segment_compaction", q161, Some(q70Sql)),
     QueryDef("q156_split_leakage", q156, Some(q156Sql)),
     QueryDef("q157_split_repair", q157, Some(q157Sql)),
     QueryDef("q138_mmr_rerank", q138, Some(q138Sql)),

@@ -75,7 +75,9 @@ object ScaleStress {
     // r11: corpus-scale ExactSubstr — the SA build + LCP descent over the
     // full token stream; cold is the honest build cost, warm reads the
     // memoized remove-all accounting
-    "q159_exactsubstr_corpus")
+    "q159_exactsubstr_corpus",
+    // r11: the delete + compaction lifecycle legs
+    "q160_ivf2_delete", "q161_segment_compaction")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -275,4 +275,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(leaks.count() > 0, "no leaks at this SF — vacuous theorem")
     assert(LlmOps.q157(spark, sf0001).filter(col("moved")).count() > 0)
   }
+
+  test("q160: the tombstoned index serves no deleted vector, and every " +
+      "probe that lost a neighbor got the next survivor promoted") {
+    val before = LlmOps.q149(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val after = LlmOps.q160(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // no tombstoned id (vec_id % 31 == 0, the q153 removed class) serves
+    assert(after.forall { case (_, cid) => cid % 31 != 0 },
+      "a deleted vector appeared in served results")
+    // ranks stay dense 1..k per probe (promotion, not a hole)
+    val byPid = LlmOps.q160(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+    for ((pid, rows) <- byPid)
+      assert(rows.map(_.getInt(3).toLong).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"probe $pid has a rank hole")
+    // survivors' relative order is preserved: dropping tombstoned rows
+    // from the BEFORE list must give a prefix of the AFTER list per probe
+    val beforeSurvivors = before.filter(_._2 % 31 != 0).groupBy(_._1)
+    val afterByPid = after.groupBy(_._1)
+    for ((pid, rows) <- beforeSurvivors) {
+      val kept = rows.map(_._2)
+      val now = afterByPid.getOrElse(pid, Seq.empty).map(_._2)
+      assert(now.take(kept.length) == kept,
+        s"probe $pid: surviving order changed ($kept -> $now)")
+    }
+  }
+
+  test("q161: compact-then-serve equals merge-on-read row for row " +
+      "(the compaction loses nothing)") {
+    val onRead = LlmOps.q155(spark, sf0001).collect().map(_.toSeq).toSeq
+    val compacted = LlmOps.q161(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(onRead.nonEmpty, "BM25 returned nothing at this SF — vacuous")
+    assert(compacted == onRead,
+      "compacted-segment scores diverge from merge-on-read")
+  }
 }
