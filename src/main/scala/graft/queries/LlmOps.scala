@@ -3748,8 +3748,17 @@ object LlmOps {
     * coarse, cell). Oracle: the shared [[ivf2ChainsSql]] recomputes
     * both quantizer levels and assigns the derived batch via windowed
     * argmins with the same (distance, id) tiebreak. */
-  def q154(s: SparkSession, d: String): DataFrame = {
-    val (_, centsPath) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+  /** The BOUNDED IVF2 serve state — (coarse centroids, per-coarse
+    * sub-cell codebooks, cell-id stride k₂): 4 + 4·k₂ rows collected
+    * once from the landed quantizer. The stride is landed explicitly —
+    * NOT derivable from book lengths (all cells may train fewer than k₂
+    * sub-cells). This is what q154's append and the streaming semantic
+    * admission ([[graft.streaming.StreamIngest.semanticDedupStream]])
+    * route new vectors with: serve state is centroids, never the
+    * corpus. */
+  def ivf2ServeState(s: SparkSession, dir: String)
+      : (Array[Array[Long]], Vector[Vector[Array[Long]]], Long) = {
+    val (_, centsPath) = ivf2Cache.getOrCompute(dir)(ivf2Build(s, _))
     val cents = s.read.parquet(centsPath)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3)))
@@ -3757,30 +3766,44 @@ object LlmOps {
     val books = (0 until Ivf2K1).map { p =>
       cents.filter(_._1 == p.toLong).sortBy(_._2).map(_._3).toVector
     }.toVector
-    // the build-time cell-id stride, landed explicitly — NOT derivable
-    // from book lengths (all cells may train fewer than k2 sub-cells)
-    val k2 = cents.head._4
-    val batch = Tables.embeddings(s, d)
-      .filter(col("vec_id") % 13 === 2)
-      .select((-col("vec_id") - 1).as("new_id"),
-        transform(col("embedding"),
-          v => round(v.cast("double") * 10000, 0).cast("long") + 7).as("vq"))
-    val withCoarse = graft.operators.KMeans.assignWith(batch, "vq", coarseCents)
-      .select(col("new_id"), col("vq"), col("cluster").as("coarse"))
+    (coarseCents, books, cents.head._4)
+  }
+
+  /** Map-side IVF2 cell assignment of a (…, vq: array<long>) relation
+    * against the bounded serve state: coarse argmin, then sub-cell
+    * argmin against the winning coarse cell's codebook — pure codegen'd
+    * projection, zero shuffles. Adds `coarse` and `cell`; rows routed to
+    * a coarse cell that trained NO sub-cells (emptied during the build)
+    * are dropped — they cannot be served. */
+  def ivf2AssignCells(df: DataFrame,
+      state: (Array[Array[Long]], Vector[Vector[Array[Long]]], Long))
+      : DataFrame = {
+    val (coarseCents, books, k2) = state
+    val withCoarse = graft.operators.KMeans.assignWith(df, "vq", coarseCents)
+      .withColumnRenamed("cluster", "coarse")
     val bigLit = typedlit(books.map(_.map(_.toSeq)))
     val dists = transform(
       element_at(bigLit, col("coarse").cast("int") + 1),
       c => graft.functions.SquaredDistanceExpr(col("vq"), c))
     withCoarse
       .withColumn("__d", dists)
-      // a coarse cell that trained NO sub-cells (emptied during the
-      // build) cannot receive appends — drop, matching the oracle's
-      // inner join against the sub-centroid union
       .filter(size(col("__d")) > 0)
-      .select(col("new_id"), col("coarse"),
+      .withColumn("cell",
         (col("coarse") * k2 +
           (array_position(col("__d"), array_min(col("__d"))) - 1))
-          .cast("long").as("cell"))
+          .cast("long"))
+      .drop("__d")
+  }
+
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val state = ivf2ServeState(s, d)
+    val batch = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 13 === 2)
+      .select((-col("vec_id") - 1).as("new_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long") + 7).as("vq"))
+    ivf2AssignCells(batch, state)
+      .select(col("new_id"), col("coarse"), col("cell"))
       .orderBy(col("new_id"))
   }
 

@@ -253,4 +253,80 @@ object StreamIngest {
 
   /** q112's line width, shared with [[lineDedupStream]]. */
   private val LineLen = 5
+
+  /** Streaming SEMANTIC near-dup admission — the embedding-path member
+    * of the admission family (urlDedupStream canon keys, lineDedupStream
+    * boilerplate lines, [[NearDupAdmission]] shingle blocking; this one
+    * is cosine over embeddings). Incoming (vec_id, embedding, ts)
+    * vectors route to their IVF2 cell MAP-SIDE using the landed
+    * quantizer's bounded serve state
+    * ([[graft.queries.LlmOps.ivf2ServeState]] — 4 + 4·k₂ centroid rows
+    * collected once, never the corpus), and within each cell a
+    * TTL-bounded state of recently ADMITTED embeddings rejects any
+    * arrival whose cosine against one of them is ≥ `threshold`,
+    * across micro-batches. Cell blocking is the SemDeDup argument on
+    * the admission path: an arrival compares against its own cell's
+    * recent admissions only, so per-arrival work is the cell's TTL-window
+    * admission count, never the stream's. State is evicted by
+    * EVENT-TIME timeout and per-entry pruning (the ST7b contract): a
+    * near-dup arriving past the TTL re-admits by design — the batch
+    * q99/q151 semantic dedup remains the exact retroactive rule.
+    * Output: (vec_id, cell, admitted). */
+  def semanticDedupStream(
+      spark: SparkSession,
+      vecs: DataFrame, // (vec_id, embedding: array<float>, ts)
+      corpusDir: String,
+      threshold: Double,
+      ttlMs: Long): Dataset[(Long, Long, Boolean)] = {
+    import spark.implicits._
+    val serveState = graft.queries.LlmOps.ivf2ServeState(spark, corpusDir)
+    val routed = graft.queries.LlmOps.ivf2AssignCells(
+        vecs.withColumn("vq", transform(col("embedding"),
+          v => round(v.cast("double") * 10000, 0).cast("long"))), serveState)
+      .withWatermark("ts", s"$ttlMs milliseconds")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("ts"))
+      .as[(Long, Long, Array[Float], java.sql.Timestamp)]
+    routed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float], Long)],
+        (Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (cell, rows, st: GroupState[List[(Long, Array[Float], Long)]]) =>
+          if (st.hasTimedOut) {
+            st.remove() // TTL eviction — bounded state
+            Iterator.empty
+          } else {
+            def cosine(a: Array[Float], b: Array[Float]): Double = {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < a.length) {
+                dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+                nb += b(i).toDouble * b(i); i += 1
+              }
+              if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+            }
+            // prune entries whose lastSeen fell TTL behind the watermark —
+            // state tracks the recent-admission window even while the cell
+            // key itself stays hot
+            var recent = st.getOption.getOrElse(Nil)
+              .filter(_._3 >= st.getCurrentWatermarkMs() - ttlMs)
+            val out =
+              scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+            var maxTs = Long.MinValue
+            // group-iterator order after the shuffle is unspecified: sort
+            // by (ts, vec_id) so in-batch admission order is deterministic
+            rows.toSeq.sortBy { case (_, id, _, ts) => (ts.getTime, id) }
+              .foreach { case (_, id, emb, ts) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                val dup = recent.exists {
+                  case (_, e, _) => cosine(e, emb) >= threshold
+                }
+                if (!dup) recent = (id, emb, ts.getTime) :: recent
+                out += ((id, cell, !dup))
+              }
+            st.update(recent)
+            st.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, st.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }

@@ -650,4 +650,65 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
+
+  test("streaming semantic admission: a near-identical embedding is " +
+      "rejected across micro-batches (cell-blocked state); TTL evicts") {
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val corp = graft.Tables.embeddings(spark, sf0001)
+      .orderBy(col("vec_id")).limit(30)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val v = corp(5L)
+    // deterministic far companions (corpus mutual cosines are < 0.35)
+    val b = corp(7L); val c = corp(11L)
+    assert(math.abs(cosine(v, b)) < 0.8 && math.abs(cosine(v, c)) < 0.8
+      && math.abs(cosine(b, c)) < 0.8, "fixture vectors not mutually far")
+    val jit = v.clone(); jit(0) = jit(0) + 1e-4f
+    assert(cosine(v, jit) >= 0.999, "jitter fixture not near-identical")
+
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val out = StreamIngest.semanticDedupStream(spark,
+      input.toDF().toDF("vec_id", "embedding", "ts"), sf0001,
+      threshold = 0.95, ttlMs = 5 * 60 * 1000L)
+    val q = out.toDF("vec_id", "cell", "admitted")
+      .writeStream.format("memory").queryName("sem_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1000L, v, ts(0)))
+    q.processAllAvailable()
+    // batch 2: a near-identical resubmission + an unrelated vector
+    input.addData((1001L, jit, ts(1)), (1002L, b, ts(1)))
+    q.processAllAvailable()
+    val rows1 = spark.table("sem_dedup_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows1(1000L), "first arrival must admit")
+    assert(!rows1(1001L),
+      "near-identical resubmission must be rejected across micro-batches")
+    assert(rows1(1002L), "an unrelated vector must admit")
+    // in-batch determinism: two identical vectors in ONE micro-batch —
+    // the (ts, vec_id)-sorted fold admits the lower id, rejects the other
+    input.addData((1010L, c, ts(2)), (1011L, c, ts(2)))
+    q.processAllAvailable()
+    val rows2 = spark.table("sem_dedup_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows2(1010L) && !rows2(1011L),
+      s"in-batch admission must be (ts, id)-deterministic: $rows2")
+    // TTL: advance event time far past the watermark, then resubmit the
+    // near-identical vector — state evicted/pruned, re-admits (the ST7b
+    // contract: admission memory = the TTL window; the batch q99/q151
+    // semantic dedup remains the exact retroactive rule)
+    input.addData((1020L, b, ts(40)))
+    q.processAllAvailable()
+    input.addData((1021L, jit, ts(41)))
+    q.processAllAvailable()
+    val rows3 = spark.table("sem_dedup_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    q.stop()
+    assert(rows3(1021L), s"expired semantic state must re-admit: $rows3")
+  }
 }
