@@ -38,15 +38,16 @@ object LlmOps {
 
   private def hotShinglesRel(s: SparkSession, d: String): DataFrame = {
     val path = hotShingleCache.getOrCompute(d) { dir =>
+      val cap = maxShingleDocFreq(s, dir)
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
         .select(col("doc_id"), col("ngram"))
       val candidates = occ.groupBy(col("ngram"))
-        .agg(count(lit(1)).as("occ")).filter(col("occ") > MaxShingleDocFreq)
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
         .select(col("ngram"))
       val hot = occ.join(broadcast(candidates), Seq("ngram"), "left_semi")
         .distinct().groupBy(col("ngram"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDocFreq)
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
         .select(col("ngram"))
       graft.operators.Scratch.materializePath(hot, "hot-shingles")
     }
@@ -54,7 +55,7 @@ object LlmOps {
   }
 
   /** (doc_id, ngram) shingle occurrences over the RARE-shingle universe
-    * (df <= [[MaxShingleDocFreq]]) — shared by the MinHash variants, so
+    * (df <= [[maxShingleDocFreq]]) — shared by the MinHash variants, so
     * q35 (exact), q35b/d (MinHash-LSH) and the q35d-vs-q35 recall gate
     * all measure similarity over the same universe at every scale.
     * No distinct: min/collect_set are duplicate-insensitive, so
@@ -123,6 +124,18 @@ object LlmOps {
   private def bandHashSql(mhs: Seq[String]): String =
     mhs.foldLeft("CAST(0 AS BIGINT)")((acc, c) => s"(($acc) * 31 + $c) % $MinhashP")
 
+  /** The oracle-side mirror of [[deriveRareCap]]: CTEs deriving the rare
+    * cap from a `(ngram, df)` relation — the df histogram (`caph`), its
+    * cumulative walk, and `capc(rare)` = max(16, exact p99). The same
+    * arithmetic as the Scala side, so the cap agrees between engines at
+    * EVERY corpus shape, not just where the 16 floor binds. */
+  private def capCteSql(dfRelName: String): String =
+    s"""caph AS (SELECT df, count(*) AS cnt FROM $dfRelName GROUP BY df),
+       |capc AS (SELECT coalesce(greatest(16, min(df)), 16) AS rare FROM (
+       |           SELECT df, sum(cnt) OVER (ORDER BY df) AS c,
+       |                  (SELECT sum(cnt) FROM caph) AS tot FROM caph)
+       |         WHERE c >= ceil(0.99 * tot))""".stripMargin
+
   /** DuckDB mirror of [[minhashSigRel]] as WITH-clause CTEs ending in
     * `sig(doc_id, mh0..mh15)`; the rare-shingle universe mirrors
     * [[hotShinglesRel]] (df counted over distinct (doc, ngram)). */
@@ -135,8 +148,10 @@ object LlmOps {
        |         unnest(list_transform(range(1, len(toks) - 1),
        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
        |       FROM t WHERE len(toks) >= 3),
-       |hot AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM sh0 GROUP BY 1)
-       |        WHERE df > $MaxShingleDocFreq),
+       |dfh AS (SELECT ngram, count(*) AS df FROM sh0 GROUP BY 1),
+       |${capCteSql("dfh")},
+       |hot AS (SELECT ngram FROM dfh
+       |        WHERE df > 16 * (SELECT rare FROM capc)),
        |sh AS (SELECT doc_id, ngram FROM sh0 WHERE ngram NOT IN (SELECT ngram FROM hot)),
        |k AS (SELECT doc_id,
        |    ${polyFoldSql("ngram", 31L, 1000000007L)} AS k1,
@@ -309,17 +324,68 @@ object LlmOps {
        |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
   }
 
+  /** Derived blocking cap over a (…, df: long) relation: max(16, exact
+    * p99 of df) — the smallest df value v such that at least 99% of keys
+    * have df ≤ v, floored at 16 (the r10 constant, now the measured
+    * fixed point: at the gate SFs the corpus p99 is 4–6, so the floor
+    * binds and every oracle value is unchanged). Computed from the df
+    * HISTOGRAM — one bounded aggregation whose driver payload is one row
+    * per DISTINCT df value (≤ max df rows at any corpus size), never
+    * data — and mirrored arithmetically by the `capc` CTE in every
+    * oracle that thresholds on it, so the cap stays engine-agnostic at
+    * every SF, not just where the floor binds. */
+  private[queries] def deriveRareCap(dfRel: DataFrame): Long = {
+    val hist = dfRel.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("df")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    if (total == 0L) 16L
+    else {
+      val target = math.ceil(0.99 * total).toLong
+      var cum = 0L
+      var res = -1L
+      val it = hist.iterator
+      while (it.hasNext && res < 0L) {
+        val (dfv, c) = it.next(); cum += c
+        if (cum >= target) res = math.max(16L, dfv)
+      }
+      if (res < 0L) 16L else res
+    }
+  }
+
+  private val rareCapCache =
+    new graft.operators.DatasetCache[Long]("blocking-cap", _ => Seq.empty)
+
+  /** The corpus's rare-shingle cap (q122's ×1 threshold), memoized per
+    * dataset dir: [[deriveRareCap]] over the distinct trigram
+    * doc-frequency distribution. Replaces the r10 hardcoded 16 — at
+    * denser corpus shapes (the ScaleStress rotated siblings reach p99 =
+    * 177 at 10×) a fixed cap silently drops most of the shingle universe
+    * and collapses recall; deriving it keeps the blocked fraction of the
+    * universe constant by construction. */
+  private[queries] def rareShingleCap(s: SparkSession, d: String): Long =
+    rareCapCache.getOrCompute(d) { dir =>
+      deriveRareCap(Tables.documents(s, dir)
+        .select(col("doc_id"),
+          NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+        .select(col("doc_id"), col("ngram")).distinct()
+        .groupBy(col("ngram")).agg(count(lit(1)).as("df")))
+    }
+
   /** Doc-frequency cap for the exact shingle path: a shingle present in
     * more than this many documents is dropped from BOTH intersection and
     * union before the self-join (standard near-dup practice — a corpus-
     * common "stopword" trigram carries no dedup signal, but its equi-join
     * bucket is freq² work, i.e. quadratic at 100 TB). The cap bounds the
-    * worst bucket at MaxShingleDocFreq² regardless of corpus size.
-    * Mirrored in the q35/q61 oracle SQL. */
-  private[queries] val MaxShingleDocFreq = 256
+    * worst bucket at cap² regardless of corpus size. Since r11 the cap is
+    * 16 × [[rareShingleCap]] — 256 at the gate SFs (the r10 constant as
+    * the measured fixed point), scaling with the corpus df distribution
+    * elsewhere. Mirrored by the capc CTE in the q35/q61/q92/minhash
+    * oracle SQL. */
+  private[queries] def maxShingleDocFreq(s: SparkSession, d: String): Long =
+    16L * rareShingleCap(s, d)
 
   /** (da, db, jaccard) near-dup candidate pairs: docs sharing ≥2 rare
-    * (df ≤ [[MaxShingleDocFreq]]) trigram shingles, with exact set-Jaccard
+    * (df ≤ [[maxShingleDocFreq]]) trigram shingles, with exact set-Jaccard
     * (4dp) over the rare-shingle universe. Shared by q35 (pair listing)
     * and q61 (cluster closure) via [[jaccardPairs]]'s per-dataset
     * memoized scratch materialization — this is the declarative subtree.
@@ -341,7 +407,7 @@ object LlmOps {
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram")).distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
-      .filter(col("df") <= MaxShingleDocFreq)
+      .filter(col("df") <= maxShingleDocFreq(s, d))
       .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("ngram"), col("nsh"))
     sh.alias("a")
@@ -383,7 +449,7 @@ object LlmOps {
   /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 rare
     * trigram shingles, with exact set-Jaccard. The shingle equi-join IS
     * the blocking step — pair cardinality is Σ_shingle freq², never n² —
-    * and the [[MaxShingleDocFreq]] cap bounds the worst freq² bucket, the
+    * and the [[maxShingleDocFreq]] cap bounds the worst freq² bucket, the
     * guard that keeps this path alive at 100× corpus scale. */
   def q35(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, d).orderBy(col("da"), col("db"))
@@ -399,10 +465,12 @@ object LlmOps {
       |         unnest(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
       |       FROM t WHERE len(toks) >= 3),
+      |dfh AS (SELECT ngram, count(*) AS df FROM sh0 GROUP BY 1),
+      |${capCteSql("dfh")},
       |sh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS nsh
       |       FROM (SELECT doc_id, ngram,
       |               count(*) OVER (PARTITION BY ngram) AS df
-      |             FROM sh0) WHERE df <= $MaxShingleDocFreq),
+      |             FROM sh0) WHERE df <= 16 * (SELECT rare FROM capc)),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |            a.nsh AS na, b.nsh AS nb, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
@@ -945,7 +1013,7 @@ object LlmOps {
   /** q92 — incremental-batch NEAR-dup: the q87 daily-ingest shape at
     * near-dup strength. An incoming crawl increment is blocked against
     * the EXISTING corpus on shared rare shingles (df ≤
-    * [[MaxShingleDocFreq]] computed over the existing corpus — in
+    * [[maxShingleDocFreq]] computed over the existing corpus — in
     * production that df index is a persisted stage output, here the
     * memoized [[hotShinglesRel]]), exact set-Jaccard verifies the
     * candidates, and every incoming doc gets a verdict: its best match
@@ -1062,8 +1130,10 @@ object LlmOps {
       |           unnest(list_transform(range(1, len(toks) - 1),
       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
       |          FROM t WHERE len(toks) >= 3),
-      |hot AS (SELECT ngram FROM (SELECT ngram, count(*) AS df FROM exsh0 GROUP BY 1)
-      |        WHERE df > $MaxShingleDocFreq),
+      |dfh AS (SELECT ngram, count(*) AS df FROM exsh0 GROUP BY 1),
+      |${capCteSql("dfh")},
+      |hot AS (SELECT ngram FROM dfh
+      |        WHERE df > 16 * (SELECT rare FROM capc)),
       |exsh AS (SELECT doc_id, ngram, count(*) OVER (PARTITION BY doc_id) AS n_ex
       |         FROM exsh0 WHERE ngram NOT IN (SELECT ngram FROM hot)),
       |nt AS (SELECT new_id, string_split(text, ' ') AS toks FROM inc),
@@ -2799,8 +2869,12 @@ object LlmOps {
     val g = base.unionByName(frag)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("p", "ng")))
       .select(col("doc_id"), col("ng")).distinct()
-    val hot = g.groupBy(col("ng")).agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") > 16).select(col("ng"))
+    // derived ×1 rare cap over THIS query's own (base + fragment)
+    // universe — 16 at the gate SFs (the floor binds), scaling with the
+    // df distribution on denser corpora (BlockingCapsSpec)
+    val dfcRel = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val capQ122 = deriveRareCap(dfcRel)
+    val hot = dfcRel.filter(col("df") > capQ122).select(col("ng"))
     val gr = g.join(broadcast(hot), Seq("ng"), "left_anti")
     val sz = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = gr.select(col("doc_id").as("a_id"), col("ng"))
@@ -2819,7 +2893,7 @@ object LlmOps {
   }
 
   private val q122Sql =
-    """WITH base AS (SELECT doc_id, text FROM documents),
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
       |frag AS (SELECT doc_id + 1000000 AS doc_id,
       |           array_to_string(string_split(text, ' ')[1:CAST(
       |             ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)],
@@ -2829,7 +2903,9 @@ object LlmOps {
       |      FROM (SELECT * FROM base UNION ALL SELECT * FROM frag)),
       |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:(i+2)], ' ') AS ng
       |      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
-      |hot AS (SELECT ng FROM g GROUP BY ng HAVING count(*) > 16),
+      |dfh AS (SELECT ng, count(*) AS df FROM g GROUP BY ng),
+      |${capCteSql("dfh")},
+      |hot AS (SELECT ng FROM dfh WHERE df > (SELECT rare FROM capc)),
       |gr AS (SELECT g.doc_id, g.ng FROM g ANTI JOIN hot USING (ng)),
       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gr GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,

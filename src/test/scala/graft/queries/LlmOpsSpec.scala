@@ -311,4 +311,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(compacted == onRead,
       "compacted-segment scores diverge from merge-on-read")
   }
+
+  test("blocking caps derive from the corpus df distribution: the r10 " +
+      "constants are the gate-SF fixed point, and the cap scales on a " +
+      "densified corpus") {
+    import spark.implicits._
+    // exact p99 arithmetic on synthetic df histograms
+    assert(LlmOps.deriveRareCap(
+      (Seq.fill(99)(1L) ++ Seq(5L)).toDF("df")) == 16L,
+      "floor must bind when p99 df is small")
+    assert(LlmOps.deriveRareCap(
+      (Seq.fill(90)(1L) ++ Seq.fill(10)(100L)).toDF("df")) == 100L,
+      "p99 must be the smallest df covering 99% of keys")
+    // the gate-SF fixed point: the derived cap must equal the r10
+    // hardcoded 16 (so every oracle value is unchanged at the gates)
+    assert(LlmOps.rareShingleCap(spark, sf0001) == 16L,
+      "gate-SF derived cap drifted from the r10 fixed point")
+    // densified fixture: 40 rotations of one text share ~all trigrams,
+    // so trigram df ~ 40 and the derived cap must scale past the floor
+    val words = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 40).map { r =>
+      (r.toLong, (words.drop(r % 30) ++ words.take(r % 30)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dense = java.nio.file.Files
+      .createTempDirectory("graft-dense-fixture").toString
+    docs.write.mode("overwrite").parquet(s"$dense/documents.parquet")
+    val cap = LlmOps.rareShingleCap(spark, dense)
+    assert(cap > 16L && cap <= 40L,
+      s"densified corpus must raise the derived cap past the floor: $cap")
+  }
 }
