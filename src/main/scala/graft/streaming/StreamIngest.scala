@@ -104,35 +104,22 @@ object StreamIngest {
       .select(col("session_window.start").as("ss"),
         col("session_window.end").as("se"), col("user_id"), col("n_events"))
 
-  /** ST8 — stateful running exact-distinct per key: the streaming version
-    * of the reference's HashSet distinct (CsvLoader.java:105-106, 147-148),
-    * with state partitioned per key across executors instead of one
-    * unbounded driver-side set. Emits (key, runningDistinct) per batch.
-    * At 100 TB the exact set becomes an HLL sketch — same shape, bounded
-    * state (SURVEY.md §4.3). */
-  def runningDistinct(
-      spark: SparkSession,
-      pings: Dataset[(String, Long)]): Dataset[(String, Long)] = {
-    import spark.implicits._
-    pings.groupByKey(_._1)
-      .mapGroupsWithState[Set[Long], (String, Long)](
-        GroupStateTimeout.NoTimeout()) {
-        case (key, values, state: GroupState[Set[Long]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[Long]) ++ values.map(_._2)
-          state.update(seen)
-          (key, seen.size.toLong)
-      }
-  }
-
   /** Convenience: run an AvailableNow foreachBatch query to completion. */
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
   }
 
-  /** ST8 on the Spark 4 `transformWithState` API: running distinct per key
-    * with `MapState` (per-element state-store keys — unlike the
-    * mapGroupsWithState `Set` blob, adding one element doesn't rewrite the
-    * whole set, and TTLConfig can bound state lifetime at 100 TB). */
+  /** ST8 — stateful running exact-distinct per key on the Spark 4
+    * `transformWithState` API (the supported stateful operator; the
+    * mapGroupsWithState form this replaced in r11 is the legacy API):
+    * the streaming version of the reference's HashSet distinct
+    * (CsvLoader.java:105-106, 147-148), with state partitioned per key
+    * across executors instead of one unbounded driver-side set, held in
+    * `MapState` (per-element state-store keys — adding one element never
+    * rewrites a whole `Set` blob, and TTLConfig can bound state lifetime
+    * at 100 TB). Emits (key, runningDistinct) per batch; at 100 TB the
+    * exact set becomes an HLL sketch — same shape, bounded state
+    * (SURVEY.md §4.3). */
   class RunningDistinctProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long)] {
     import org.apache.spark.sql.streaming.{MapState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
@@ -200,11 +187,75 @@ object StreamIngest {
     * The batch q112 remains the exact retroactive rule — it also removes
     * the FIRST occurrence, which a stream cannot retract. Output:
     * (doc_id, line, is_boiler). */
+  /** The per-line state machine behind [[lineDedupStream]], on the Spark
+    * 4 `transformWithState` API (r11 migration off the legacy
+    * flatMapGroupsWithState): ValueState (first_doc, flagged, lastSeenMs)
+    * per line key, TTL via an EVENT-TIME timer registered at
+    * lastSeen + ttl (clamped ahead of the watermark — late rows clamp
+    * forward). Timers ACCUMULATE on this API (no replace-on-set like the
+    * legacy timeout), so an expired timer only clears state whose
+    * lastSeen really is TTL behind the expiry — a stale timer racing a
+    * fresh resubmission in the same micro-batch is a no-op. */
+  class LineDedupProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (Long, String, java.sql.Timestamp), (Long, String, Boolean)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[(Long, Boolean, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Boolean, Long)](
+        "lineState", Encoders.product[(Long, Boolean, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        line: String,
+        rows: Iterator[(Long, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, String, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
+      var maxTs = Long.MinValue
+      // the group iterator's order after the shuffle is unspecified:
+      // sort by (ts, doc_id) so WHICH occurrence counts as "first"
+      // (and therefore which later rows flag) is deterministic when
+      // several docs share a line within one micro-batch
+      rows.toSeq.sortBy { case (doc, _, ts) => (ts.getTime, doc) }
+        .foreach { case (doc, _, ts) =>
+          maxTs = math.max(maxTs, ts.getTime)
+          if (!st.exists()) {
+            st.update((doc, false, maxTs))
+            out += ((doc, line, false))
+          } else {
+            val (first, flagged, _) = st.get()
+            val boiler = flagged || doc != first
+            st.update((first, flagged || boiler, maxTs))
+            out += ((doc, line, boiler))
+          }
+        }
+      getHandle.registerTimer(
+        math.max(maxTs + ttlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        line: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, String, Boolean)] = {
+      // clear only if the state is really stale at this expiry — a newer
+      // arrival registered its own (later) timer
+      if (st.exists()) {
+        val (_, _, lastSeen) = st.get()
+        if (lastSeen + ttlMs <= expiredTimerInfo.getExpiryTimeInMs)
+          st.clear() // TTL eviction — bounded state
+      }
+      Iterator.empty
+    }
+  }
+
   def lineDedupStream(
       spark: SparkSession,
       docs: DataFrame, // (doc_id, text, ts)
       ttlMs: Long): Dataset[(Long, String, Boolean)] = {
     import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
     val toks = split(col("text"), " ")
     val ng = ceil(size(toks) / lit(LineLen.toDouble)).cast("int")
     val lines = docs
@@ -216,39 +267,8 @@ object StreamIngest {
       .select(col("doc_id"), col("line"), col("ts"))
       .as[(Long, String, java.sql.Timestamp)]
     lines.groupByKey(_._2)
-      .flatMapGroupsWithState[(Long, Boolean), (Long, String, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (line, rows, state: GroupState[(Long, Boolean)]) =>
-          if (state.hasTimedOut) {
-            state.remove() // TTL eviction — bounded state
-            Iterator.empty
-          } else {
-            val out = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
-            var maxTs = Long.MinValue
-            // the group iterator's order after the shuffle is unspecified:
-            // sort by (ts, doc_id) so WHICH occurrence counts as "first"
-            // (and therefore which later rows flag) is deterministic when
-            // several docs share a line within one micro-batch
-            rows.toSeq.sortBy { case (doc, _, ts) => (ts.getTime, doc) }
-              .foreach { case (doc, _, ts) =>
-              maxTs = math.max(maxTs, ts.getTime)
-              state.getOption match {
-                case None =>
-                  state.update((doc, false))
-                  out += ((doc, line, false))
-                case Some((first, flagged)) =>
-                  val boiler = flagged || doc != first
-                  if (boiler && !flagged) state.update((first, true))
-                  out += ((doc, line, boiler))
-              }
-            }
-            // evict once the watermark passes lastSeen + TTL (must stay
-            // ahead of the current watermark — late rows clamp forward)
-            state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
-      }
+      .transformWithState(new LineDedupProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** q112's line width, shared with [[lineDedupStream]]. */
@@ -287,46 +307,87 @@ object StreamIngest {
       .select(col("cell"), col("vec_id"), col("embedding"), col("ts"))
       .as[(Long, Long, Array[Float], java.sql.Timestamp)]
     routed.groupByKey(_._1)
-      .flatMapGroupsWithState[List[(Long, Array[Float], Long)],
-        (Long, Long, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (cell, rows, st: GroupState[List[(Long, Array[Float], Long)]]) =>
-          if (st.hasTimedOut) {
-            st.remove() // TTL eviction — bounded state
-            Iterator.empty
-          } else {
-            def cosine(a: Array[Float], b: Array[Float]): Double = {
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-              while (i < a.length) {
-                dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-                nb += b(i).toDouble * b(i); i += 1
-              }
-              if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-            }
-            // prune entries whose lastSeen fell TTL behind the watermark —
-            // state tracks the recent-admission window even while the cell
-            // key itself stays hot
-            var recent = st.getOption.getOrElse(Nil)
-              .filter(_._3 >= st.getCurrentWatermarkMs() - ttlMs)
-            val out =
-              scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
-            var maxTs = Long.MinValue
-            // group-iterator order after the shuffle is unspecified: sort
-            // by (ts, vec_id) so in-batch admission order is deterministic
-            rows.toSeq.sortBy { case (_, id, _, ts) => (ts.getTime, id) }
-              .foreach { case (_, id, emb, ts) =>
-                maxTs = math.max(maxTs, ts.getTime)
-                val dup = recent.exists {
-                  case (_, e, _) => cosine(e, emb) >= threshold
-                }
-                if (!dup) recent = (id, emb, ts.getTime) :: recent
-                out += ((id, cell, !dup))
-              }
-            st.update(recent)
-            st.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, st.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
+      .transformWithState(new SemanticDedupProcessor(threshold, ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The per-cell state machine behind [[semanticDedupStream]], on the
+    * Spark 4 `transformWithState` API: `ListState` of recently admitted
+    * (vec_id, embedding, tsMs) entries — per-entry state-store rows, so
+    * admitting one vector APPENDS one row instead of rewriting a whole
+    * list blob (the reason the new API exists; the list is only
+    * rewritten when stale entries are pruned). TTL: per-entry pruning
+    * against watermark − ttl on every invocation, plus an EVENT-TIME
+    * timer that clears a cell whose newest entry fell TTL behind the
+    * expiry (timers accumulate on this API, so the newest-entry guard
+    * makes stale timers no-ops — the ST7b bounded-state contract). */
+  class SemanticDedupProcessor(threshold: Double, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Array[Float], java.sql.Timestamp),
+        (Long, Long, Boolean)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var recent: ListState[(Long, Array[Float], Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Array[Float], Long)](
+        "recent", Encoders.product[(Long, Array[Float], Long)], TTLConfig.NONE)
+
+    private def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
       }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+
+    override def handleInputRows(
+        cell: Long,
+        rows: Iterator[(Long, Long, Array[Float], java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
+      val held = if (recent.exists()) recent.get().toList else Nil
+      // prune entries whose lastSeen fell TTL behind the watermark —
+      // state tracks the recent-admission window even while the cell
+      // key itself stays hot
+      val cutoff = timerValues.getCurrentWatermarkInMs() - ttlMs
+      var live = held.filter(_._3 >= cutoff)
+      val pruned = live.size != held.size
+      val fresh =
+        scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Long)]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+      var maxTs = Long.MinValue
+      // group-iterator order after the shuffle is unspecified: sort
+      // by (ts, vec_id) so in-batch admission order is deterministic
+      rows.toSeq.sortBy { case (_, id, _, ts) => (ts.getTime, id) }
+        .foreach { case (_, id, emb, ts) =>
+          maxTs = math.max(maxTs, ts.getTime)
+          val dup = live.exists { case (_, e, _) => cosine(e, emb) >= threshold }
+          if (!dup) {
+            val entry = (id, emb, ts.getTime)
+            live = entry :: live
+            fresh += entry
+          }
+          out += ((id, cell, !dup))
+        }
+      if (pruned) recent.put(live.toArray) // rewrite only when pruning
+      else fresh.foreach(recent.appendValue) // the common append-only path
+      getHandle.registerTimer(
+        math.max(maxTs + ttlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        cell: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Boolean)] = {
+      if (recent.exists()) {
+        val newest = recent.get().map(_._3).foldLeft(Long.MinValue)(math.max)
+        if (newest + ttlMs <= expiredTimerInfo.getExpiryTimeInMs)
+          recent.clear() // TTL eviction — bounded state
+      }
+      Iterator.empty
+    }
   }
 }

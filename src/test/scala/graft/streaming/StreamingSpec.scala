@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  /** transformWithState needs the RocksDB provider (multiple column
+    * families) — also the right state store at 100 TB (spillable,
+    * changelog-checkpointed), vs the default in-memory HDFS-backed one.
+    * Changelog checkpointing on: commits upload the delta, not a full
+    * snapshot — the setting a large-state production cluster runs with.
+    * Unset even on failure: a leaked provider conf would silently switch
+    * the state store under every later streaming test in this JVM. */
+  private def withRocksDbStateStore[T](body: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("ST1/ST2 e2e: csv file stream → transform → foreachBatch http sink") {
     val dir = Files.createTempDirectory("graft-stream")
     Files.write(dir.resolve("part1.csv"),
@@ -161,6 +182,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming line-dedup: a line recurring across distinct docs flags " +
       "from its second doc on; TTL evicts line state") {
+    withRocksDbStateStore {
     val input = MemoryStream[(Long, String, Timestamp)]
     val out = StreamIngest.lineDedupStream(spark,
       input.toDF().toDF("doc_id", "text", "ts"), ttlMs = 5 * 60 * 1000L)
@@ -209,6 +231,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows2.exists(r => r._1 == 5L && r._2 == banner && !r._3),
       s"expired line state must re-admit as fresh: ${rows2.toSeq}")
+    }
   }
 
   test("ST3/ST6: tumbling window finalizes after watermark passes; late data dropped") {
@@ -332,18 +355,8 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("ST8 via transformWithState: MapState-backed running distinct") {
-    // transformWithState needs the RocksDB provider (multiple column
-    // families) — also the right state store at 100 TB (spillable,
-    // changelog-checkpointed), vs the default in-memory HDFS-backed one.
-    // Changelog checkpointing on: commits upload the delta, not a full
-    // snapshot — the setting a large-state production cluster runs with
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-      "true")
-    try {
+  test("ST8: MapState-backed running distinct (transformWithState — the ST8 path since r11)") {
+    withRocksDbStateStore {
       val input = MemoryStream[(String, Long)]
       val q = StreamIngest.runningDistinctTws(spark, input.toDS())
         .toDF("key", "n_distinct")
@@ -359,12 +372,6 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
       assert(last == Map("a" -> 3L, "b" -> 1L))
-    } finally {
-      // unset even on failure: a leaked provider conf would silently switch
-      // the state store under every later streaming test in this JVM
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.unset(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     }
   }
 
@@ -634,25 +641,9 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(8001L, 8002L), s"post-refresh near-dup was admitted: $ids")
   }
 
-  test("ST8: stateful running distinct per key (streaming HashSet analog)") {
-    val input = MemoryStream[(String, Long)]
-    val q = StreamIngest.runningDistinct(spark, input.toDS())
-      .toDF("key", "n_distinct")
-      .writeStream.format("memory").queryName("rd_out")
-      .outputMode(OutputMode.Update()).start()
-    input.addData(("a", 1L), ("a", 2L), ("b", 1L))
-    q.processAllAvailable()
-    input.addData(("a", 2L), ("a", 3L))
-    q.processAllAvailable()
-    val last = spark.table("rd_out").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
-    q.stop()
-    assert(last == Map("a" -> 3L, "b" -> 1L))
-  }
-
   test("streaming semantic admission: a near-identical embedding is " +
       "rejected across micro-batches (cell-blocked state); TTL evicts") {
+    withRocksDbStateStore {
     def cosine(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -710,5 +701,6 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     q.stop()
     assert(rows3(1021L), s"expired semantic state must re-admit: $rows3")
+    }
   }
 }
