@@ -583,6 +583,96 @@ object Curation {
       |    AS rendered
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q162 — DPO preference-PAIR preparation (the direct-preference-
+    * optimization data stage that follows q152's SFT prep and feeds
+    * q158's ranking infrastructure): per prompt, a (chosen, rejected)
+    * response pair rendered with the chat template plus the token
+    * accounting a DPO trainer needs — prompt tokens (masked in BOTH
+    * sequences) and per-response loss tokens. The corpus has no
+    * preference table, so pairs derive deterministically: docs pair up
+    * by doc_id DIV 2 (the q158 contest convention), the shared prompt
+    * is the EVEN doc's first [[SpanWords]] tokens, the two candidate
+    * responses are each doc's remaining tokens, and the longer response
+    * wins (ties to the even side — q158's rule, so the preference
+    * signal and the ranking stage agree by construction). Rendered
+    * strings use q152's `<|user|>`/`<|assistant|>` tags. Scale shape:
+    * ONE equi-join on the pair key over two map-side parity filters of
+    * one corpus scan; everything else is per-row HOF arithmetic — no
+    * windows, no driver state. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id DIV 2").as("pk"),
+        concat_ws(" ", slice(col("toks"), 1, SpanWords)).as("prompt"),
+        concat_ws(" ", slice(col("toks"), lit(SpanWords + 1),
+          greatest(size(col("toks")) - SpanWords, lit(0)))).as("ra"))
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id DIV 2").as("pk"),
+        concat_ws(" ", slice(col("toks"), lit(SpanWords + 1),
+          greatest(size(col("toks")) - SpanWords, lit(0)))).as("rb"))
+    def nw(c: Column): Column =
+      when(length(c) === 0, 0L).otherwise(size(split(c, " ")).cast("long"))
+    a.join(b, "pk")
+      .withColumn("a_wins", nw(col("ra")) >= nw(col("rb")))
+      .select(col("pk"), col("prompt"),
+        when(col("a_wins"), col("ra")).otherwise(col("rb")).as("chosen"),
+        when(col("a_wins"), col("rb")).otherwise(col("ra")).as("rejected"))
+      .select(col("pk"),
+        concat(lit("<|user|>"), col("prompt"),
+          lit("<|assistant|>"), col("chosen")).as("chosen_text"),
+        concat(lit("<|user|>"), col("prompt"),
+          lit("<|assistant|>"), col("rejected")).as("rejected_text"),
+        nw(col("prompt")).as("n_prompt_tokens"),
+        nw(col("chosen")).as("n_chosen_tokens"),
+        nw(col("rejected")).as("n_rejected_tokens"),
+        (nw(col("chosen")) - nw(col("rejected"))).as("margin"))
+      .orderBy(col("pk"))
+  }
+
+  private val q162Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |a AS (SELECT doc_id // 2 AS pk,
+      |        array_to_string(toks[1:$SpanWords], ' ') AS prompt,
+      |        -- array_to_string of an EMPTY slice is NULL in DuckDB — a
+      |        -- <= $SpanWords-token doc must yield '' like the Spark side
+      |        coalesce(array_to_string(
+      |          toks[${SpanWords + 1}:len(toks)], ' '), '') AS ra
+      |      FROM t WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id // 2 AS pk,
+      |        coalesce(array_to_string(
+      |          toks[${SpanWords + 1}:len(toks)], ' '), '') AS rb
+      |      FROM t WHERE doc_id % 2 = 1),
+      |j AS (SELECT pk, prompt, ra, rb,
+      |        (CASE WHEN length(ra) = 0 THEN 0
+      |              ELSE len(string_split(ra, ' ')) END) >=
+      |        (CASE WHEN length(rb) = 0 THEN 0
+      |              ELSE len(string_split(rb, ' ')) END) AS a_wins
+      |      FROM a JOIN b USING (pk)),
+      |p AS (SELECT pk, prompt,
+      |        CASE WHEN a_wins THEN ra ELSE rb END AS chosen,
+      |        CASE WHEN a_wins THEN rb ELSE ra END AS rejected
+      |      FROM j)
+      |SELECT pk,
+      |  '<|user|>' || prompt || '<|assistant|>' || chosen AS chosen_text,
+      |  '<|user|>' || prompt || '<|assistant|>' || rejected AS rejected_text,
+      |  CAST(CASE WHEN length(prompt) = 0 THEN 0
+      |       ELSE len(string_split(prompt, ' ')) END AS BIGINT)
+      |    AS n_prompt_tokens,
+      |  CAST(CASE WHEN length(chosen) = 0 THEN 0
+      |       ELSE len(string_split(chosen, ' ')) END AS BIGINT)
+      |    AS n_chosen_tokens,
+      |  CAST(CASE WHEN length(rejected) = 0 THEN 0
+      |       ELSE len(string_split(rejected, ' ')) END AS BIGINT)
+      |    AS n_rejected_tokens,
+      |  CAST((CASE WHEN length(chosen) = 0 THEN 0
+      |        ELSE len(string_split(chosen, ' ')) END) -
+      |       (CASE WHEN length(rejected) = 0 THEN 0
+      |        ELSE len(string_split(rejected, ' ')) END) AS BIGINT) AS margin
+      |FROM p ORDER BY pk""".stripMargin
+
   /** q153 — corpus SNAPSHOT DIFF: the crawl-to-crawl changelog an
     * operations team reads before retraining ("what changed since the
     * last snapshot, and how much"). Snapshot B derives deterministically
@@ -1110,12 +1200,13 @@ object Curation {
     * planted cross-doc duplicate INSIDE a real document, not just
     * detect it). The OPERATOR is corpus-general: flat positions,
     * doubling rounds, and LCP descent are the checkpointed
-    * [[graft.operators.SuffixArray]] machinery whose full-corpus cost
-    * is measured in BASELINE.md (tools/SaScale — 10× tokens = 1.75×
-    * wall); only the offsets collect (≤8 rows) is head-bounded, and the
-    * corpus-scale path replaces it with a GlobalOrder prefix-sum
-    * exactly as SaScale does. Memoized per dataset dir; output lands to
-    * scratch, all intermediates released. */
+    * [[graft.operators.SuffixArray]] machinery; only the offsets
+    * collect (≤8 rows) is head-bounded, and since r11 the CORPUS-SCALE
+    * registration is [[q159]] — ALL documents, GlobalOrder flat
+    * positions, a linear gram-identity oracle instead of this string
+    * mirror (full-corpus cost measured in BASELINE.md). Memoized per
+    * dataset dir; output lands to scratch, all intermediates
+    * released. */
   def q148(s: SparkSession, d: String): DataFrame = {
     val path = exactSubstrCache.getOrCompute(d) { dir =>
       import s.implicits._
@@ -1641,6 +1732,7 @@ object Curation {
     QueryDef("q148_exactsubstr_dedup", q148, Some(q148Sql)),
     QueryDef("q159_exactsubstr_corpus", q159, Some(q159Sql)),
     QueryDef("q152_sft_mask_pack", q152, Some(q152Sql)),
+    QueryDef("q162_dpo_pairs", q162, Some(q162Sql)),
     QueryDef("q153_snapshot_diff", q153, Some(q153Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
