@@ -673,6 +673,82 @@ object Curation {
       |        ELSE len(string_split(rejected, ' ')) END) AS BIGINT) AS margin
       |FROM p ORDER BY pk""".stripMargin
 
+  /** q163 — PII REDACTION (the data-governance pass every shipped
+    * training corpus runs before release): regex-class detection and
+    * masking of emails, phone numbers, and IPv4 addresses, with the
+    * per-document, per-class counts an audit log wants. The corpus
+    * carries no PII, so each class is PLANTED deterministically
+    * (enrich-then-prove, the q77/q115/q122 pattern): doc_id % 7 == 1
+    * docs gain an email, % 9 == 2 a phone, % 11 == 3 an IP — some docs
+    * several classes, most none, all decidable per row. Patterns avoid
+    * engine-specific syntax (no lookarounds), so Java regex and RE2
+    * agree; counts are taken BEFORE masking and emails mask first so a
+    * digit-bearing domain can never double-count as an IP. Scale shape:
+    * pure map-side codegen'd regexp chain — zero shuffles besides the
+    * output order; this composes in front of any ingest path (the same
+    * expression is streaming-safe, like [[graft.functions.TextRules]]). */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val enriched = Tables.documents(s, d)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 1,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 2,
+          concat(lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 3,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 250 + 1).cast("string"),
+            lit(" logged"))).otherwise(lit(""))).as("text"))
+    enriched.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
+        length(col("text")).cast("long").as("n_chars_before"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+      .withColumn("n_chars_after", length(col("redacted")).cast("long"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("n_chars_before"), col("n_chars_after"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q163Sql =
+    """WITH e AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 1
+      |      THEN ' contact user' || doc_id || '@example.com now'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 2
+      |      THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |        || ' today'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 3
+      |      THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 250 + 1)
+      |        || ' logged'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+      |      AS n_ips,
+      |    CAST(length(text) AS BIGINT) AS n_chars_before,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM e)
+      |SELECT doc_id, n_emails, n_phones, n_ips, n_chars_before,
+      |  CAST(length(redacted) AS BIGINT) AS n_chars_after, redacted
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q153 — corpus SNAPSHOT DIFF: the crawl-to-crawl changelog an
     * operations team reads before retraining ("what changed since the
     * last snapshot, and how much"). Snapshot B derives deterministically
@@ -1733,6 +1809,7 @@ object Curation {
     QueryDef("q159_exactsubstr_corpus", q159, Some(q159Sql)),
     QueryDef("q152_sft_mask_pack", q152, Some(q152Sql)),
     QueryDef("q162_dpo_pairs", q162, Some(q162Sql)),
+    QueryDef("q163_pii_redact", q163, Some(q163Sql)),
     QueryDef("q153_snapshot_diff", q153, Some(q153Sql)),
     QueryDef("q86_source_topk", q86, Some(q86Sql)),
     QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),

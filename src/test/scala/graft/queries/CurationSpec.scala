@@ -438,4 +438,23 @@ class CurationSpec extends SparkSpec {
       assert(clean == docs(id).mkString(" "), s"doc $id changed with 0 removed")
     }
   }
+
+  test("q163: every planted PII class is counted and masked, and no raw " +
+      "PII survives redaction") {
+    val out = Curation.q163(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6))).toMap
+    assert(out.nonEmpty)
+    for ((id, (ne, np, ni, red)) <- out) {
+      assert((ne >= 1) == (id % 7 == 1), s"doc $id email count $ne")
+      assert((np >= 1) == (id % 9 == 2), s"doc $id phone count $np")
+      assert((ni >= 1) == (id % 11 == 3), s"doc $id ip count $ni")
+      if (id % 7 == 1) assert(red.contains("<EMAIL>") && !red.contains("@"),
+        s"doc $id email not fully masked")
+      if (id % 9 == 2) assert(red.contains("<PHONE>") && !red.contains("555-123-"),
+        s"doc $id phone not fully masked")
+      if (id % 11 == 3) assert(red.contains("<IP>") && !red.contains("10.0."),
+        s"doc $id ip not fully masked")
+    }
+  }
 }
