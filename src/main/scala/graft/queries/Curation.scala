@@ -1044,8 +1044,8 @@ object Curation {
       |c AS (SELECT doc_id, url,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_replace(regexp_replace(lower(url), '#.*$', ''),
-      |                     '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
-      |      '^([^?&]*)&', '\1?'),
+      |                     '\?(utm_[a-z]+=[a-z0-9]*&)+', '?'),
+      |      '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
       |      '://www\.', '://'), ':443([/?]|$)', '\1'), '/$', '') AS canon_url
       |  FROM u),
       |g AS (SELECT canon_url, min(doc_id) AS survivor_id FROM c GROUP BY canon_url)
@@ -1317,51 +1317,71 @@ object Curation {
           (col("off") + col("p")).cast("long").as("pos"), col("tok"))
       val flatPath =
         graft.operators.Scratch.materializePath(flat, "exactsubstr-toks")
-      val flatL = s.read.parquet(flatPath)
-      val lcpP = graft.operators.SuffixArray.lcpPath(
-        flatL.select(col("pos"), col("tok")))
-      try {
-        val lcp = s.read.parquet(lcpP)
-        // remove-all: both occurrences of every ≥L adjacent-LCP pair
-        val spans = lcp.filter(col("lcp") >= ExactSubstrMinRun)
-          .select(explode(array(
-            struct(col("a_pos").as("pos"), col("lcp")),
-            struct(col("b_pos").as("pos"), col("lcp")))).as("sp"))
-          .select(col("sp.pos").as("pos"), col("sp.lcp").as("lcp"))
-        val covered = spans
-          .select(explode(sequence(col("pos"),
-            col("pos") + col("lcp") - 1)).as("pos"))
-          .distinct()
-          .withColumn("cut", lit(true))
-        // sentinels live in the SA stream but not in the accounting: they
-        // are never covered (each occurs once), and clean_text/n_tokens
-        // count only real tokens
-        val marked = flatL.filter(!col("tok").startsWith("\u0001"))
-          .join(covered, Seq("pos"), "left")
-          .withColumn("cut", coalesce(col("cut"), lit(false)))
-        // maximal removed extents per doc — q116's island algebra
-        val nSpans = mergeSpans(
-            marked.filter(col("cut")).select(col("doc_id"), col("p").as("pos")), 1)
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-        val out = marked
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
-            array_join(transform(
-              array_sort(collect_list(
-                when(!col("cut"), struct(col("p"), col("tok"))))),
-              x => x.getField("tok")), " ").as("clean_text"))
-          .join(nSpans, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-            col("clean_text"))
-        graft.operators.Scratch.materializePath(out, "exactsubstr-out")
-      } finally {
-        graft.operators.Scratch.release(lcpP)
-        graft.operators.Scratch.release(flatPath)
-      }
+      try exactSubstrOutPath(s, flatPath, "exactsubstr-out")
+      finally graft.operators.Scratch.release(flatPath)
     }
     s.read.parquet(path).orderBy(col("doc_id"))
+  }
+
+  /** The shared ExactSubstr remove-all ENGINE behind [[q148]] (8-doc
+    * oracle head) and [[q159]] (full corpus) — one copy, so the gate
+    * path and the scale path can never desynchronize (the r11 review
+    * catch). Input: a LANDED flat stream (doc_id, p, pos, tok) with
+    * per-doc sentinel terminators in-stream; pos contiguous 0..n−1.
+    * Builds the doubling hierarchy ONCE, descends it for the LCP array
+    * ([[graft.operators.SuffixArray.lcpFromLevels]]), cuts BOTH
+    * occurrences of every adjacent-LCP run ≥ [[ExactSubstrMinRun]],
+    * excludes sentinels from the accounting, reassembles each doc from
+    * surviving tokens, and lands (doc_id, n_tokens, n_removed, n_spans,
+    * clean_text). Caller owns (and releases) `flatPath`; every internal
+    * artifact is released here. */
+  private def exactSubstrOutPath(
+      s: SparkSession, flatPath: String, scratchName: String): String = {
+    val flatL = s.read.parquet(flatPath)
+    val (levels, _) = graft.operators.SuffixArray.hierarchyPaths(
+      flatL.select(col("pos"), col("tok")))
+    val lcpP =
+      try graft.operators.SuffixArray.lcpFromLevels(s, levels)
+      finally levels.foreach { case (_, p) =>
+        graft.operators.Scratch.release(p)
+      }
+    try {
+      val lcp = s.read.parquet(lcpP)
+      // remove-all: both occurrences of every ≥L adjacent-LCP pair
+      val spans = lcp.filter(col("lcp") >= ExactSubstrMinRun)
+        .select(explode(array(
+          struct(col("a_pos").as("pos"), col("lcp")),
+          struct(col("b_pos").as("pos"), col("lcp")))).as("sp"))
+        .select(col("sp.pos").as("pos"), col("sp.lcp").as("lcp"))
+      val covered = spans
+        .select(explode(sequence(col("pos"),
+          col("pos") + col("lcp") - 1)).as("pos"))
+        .distinct()
+        .withColumn("cut", lit(true))
+      // sentinels live in the SA stream but not in the accounting: they
+      // are never covered (each occurs once), and clean_text/n_tokens
+      // count only real tokens
+      val marked = flatL.filter(!col("tok").startsWith("\u0001"))
+        .join(covered, Seq("pos"), "left")
+        .withColumn("cut", coalesce(col("cut"), lit(false)))
+      // maximal removed extents per doc — q116's island algebra
+      val nSpans = mergeSpans(
+          marked.filter(col("cut")).select(col("doc_id"), col("p").as("pos")), 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      val out = marked
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(!col("cut"), struct(col("p"), col("tok"))))),
+            x => x.getField("tok")), " ").as("clean_text"))
+        .join(nSpans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          col("clean_text"))
+      graft.operators.Scratch.materializePath(out, scratchName)
+    } finally graft.operators.Scratch.release(lcpP)
   }
 
   private val q148Sql =
@@ -1477,51 +1497,8 @@ object Curation {
       val flatPath = graft.operators.Scratch.materializePath(
         flat, "exactsubstr-corpus-toks")
       graft.operators.Scratch.release(rnPath)
-      val flatL = s.read.parquet(flatPath)
-      val (levels, _) = graft.operators.SuffixArray.hierarchyPaths(
-        flatL.select(col("pos"), col("tok")))
-      val lcpP =
-        try graft.operators.SuffixArray.lcpFromLevels(s, levels)
-        finally levels.foreach { case (_, p) =>
-          graft.operators.Scratch.release(p)
-        }
-      try {
-        val lcp = s.read.parquet(lcpP)
-        // remove-all: both occurrences of every ≥L adjacent-LCP pair
-        val spans = lcp.filter(col("lcp") >= ExactSubstrMinRun)
-          .select(explode(array(
-            struct(col("a_pos").as("pos"), col("lcp")),
-            struct(col("b_pos").as("pos"), col("lcp")))).as("sp"))
-          .select(col("sp.pos").as("pos"), col("sp.lcp").as("lcp"))
-        val covered = spans
-          .select(explode(sequence(col("pos"),
-            col("pos") + col("lcp") - 1)).as("pos"))
-          .distinct()
-          .withColumn("cut", lit(true))
-        val real = flatL.filter(!col("tok").startsWith("\u0001"))
-        val marked = real.join(covered, Seq("pos"), "left")
-          .withColumn("cut", coalesce(col("cut"), lit(false)))
-        val nSpans = mergeSpans(
-            marked.filter(col("cut"))
-              .select(col("doc_id"), col("p").as("pos")), 1)
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-        val out = marked
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
-            array_join(transform(
-              array_sort(collect_list(
-                when(!col("cut"), struct(col("p"), col("tok"))))),
-              x => x.getField("tok")), " ").as("clean_text"))
-          .join(nSpans, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-            col("clean_text"))
-        graft.operators.Scratch.materializePath(out, "exactsubstr-corpus-out")
-      } finally {
-        graft.operators.Scratch.release(lcpP)
-        graft.operators.Scratch.release(flatPath)
-      }
+      try exactSubstrOutPath(s, flatPath, "exactsubstr-corpus-out")
+      finally graft.operators.Scratch.release(flatPath)
     }
     s.read.parquet(path).orderBy(col("doc_id"))
   }

@@ -21,34 +21,46 @@ object LlmOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  // The landed corpus trigram doc-frequency relation (ngram, df) — ONE
+  // corpus-wide distinct aggregation per dataset, memoized to scratch
+  // parquet, from which the near-dup family derives BOTH its blocking
+  // caps (deriveRareCap histogram) and the hot-shingle list. Until r11
+  // the hot list used an occurrence-count prefilter to AVOID the full
+  // distinct df aggregation; the derived caps need exactly that
+  // aggregation, so sharing the landed relation replaces two corpus
+  // scans (cap histogram + prefiltered verify) with one (the r11 review
+  // catch). In production this is the persisted df-index stage output
+  // the q92 Scaladoc describes.
+  private val shingleDfCache =
+    new graft.operators.DatasetCache[String]("shingle-df", Seq(_))
+
+  private def shingleDfPath(s: SparkSession, dir: String): String =
+    shingleDfCache.getOrCompute(dir) { dd =>
+      graft.operators.Scratch.materializePath(
+        Tables.documents(s, dd)
+          .select(col("doc_id"),
+            NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
+          .select(col("doc_id"), col("ngram")).distinct()
+          .groupBy(col("ngram")).agg(count(lit(1)).as("df")),
+        "shingle-df")
+    }
+
   // Hot-shingle relation, memoized per dataset path (inputs are immutable
   // for a run — the memo would go stale if a path were rewritten in-JVM):
-  // the detection job runs ONCE per corpus and scratch-materializes its
-  // (ngram) output, so every near-dup query broadcast-anti-joins a tiny
+  // derived from the landed df relation ONCE per corpus and scratch-
+  // materialized, so every near-dup query broadcast-anti-joins a tiny
   // parquet instead of re-deriving detection per consumer — and the set
   // never lives on the driver or in a plan literal (it GROWS with corpus
   // size; at 100 TB it can reach millions of entries, fine to broadcast,
-  // wrong to inline or collect). Candidate-verify keeps the job cheap:
-  // occurrence count > cap is NECESSARY for df > cap (each doc
-  // contributes >=1 occurrence), so a combiner-friendly count finds
-  // candidates and the exact distinct-doc verify runs only on that tiny
-  // set — no corpus-wide distinct.
+  // wrong to inline or collect).
   private val hotShingleCache =
     new graft.operators.DatasetCache[String]("hot-shingles", Seq(_))
 
   private def hotShinglesRel(s: SparkSession, d: String): DataFrame = {
     val path = hotShingleCache.getOrCompute(d) { dir =>
       val cap = maxShingleDocFreq(s, dir)
-      val occ = Tables.documents(s, dir)
-        .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-        .select(col("doc_id"), col("ngram"))
-      val candidates = occ.groupBy(col("ngram"))
-        .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
-        .select(col("ngram"))
-      val hot = occ.join(broadcast(candidates), Seq("ngram"), "left_semi")
-        .distinct().groupBy(col("ngram"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        .select(col("ngram"))
+      val hot = s.read.parquet(shingleDfPath(s, dir))
+        .filter(col("df") > cap).select(col("ngram"))
       graft.operators.Scratch.materializePath(hot, "hot-shingles")
     }
     s.read.parquet(path)
@@ -355,6 +367,12 @@ object LlmOps {
   private val rareCapCache =
     new graft.operators.DatasetCache[Long]("blocking-cap", _ => Seq.empty)
 
+  /** q122's own-universe cap (base + synthesized fragments — a different
+    * df distribution than the corpus one), memoized like every other cap
+    * site. */
+  private val q122CapCache =
+    new graft.operators.DatasetCache[Long]("q122-cap", _ => Seq.empty)
+
   /** The corpus's rare-shingle cap (q122's ×1 threshold), memoized per
     * dataset dir: [[deriveRareCap]] over the distinct trigram
     * doc-frequency distribution. Replaces the r10 hardcoded 16 — at
@@ -364,11 +382,7 @@ object LlmOps {
     * universe constant by construction. */
   private[queries] def rareShingleCap(s: SparkSession, d: String): Long =
     rareCapCache.getOrCompute(d) { dir =>
-      deriveRareCap(Tables.documents(s, dir)
-        .select(col("doc_id"),
-          NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-        .select(col("doc_id"), col("ngram")).distinct()
-        .groupBy(col("ngram")).agg(count(lit(1)).as("df")))
+      deriveRareCap(s.read.parquet(shingleDfPath(s, dir)))
     }
 
   /** Doc-frequency cap for the exact shingle path: a shingle present in
@@ -2871,9 +2885,10 @@ object LlmOps {
       .select(col("doc_id"), col("ng")).distinct()
     // derived ×1 rare cap over THIS query's own (base + fragment)
     // universe — 16 at the gate SFs (the floor binds), scaling with the
-    // df distribution on denser corpora (BlockingCapsSpec)
+    // df distribution on denser corpora; memoized per dataset so the
+    // bench's repeated passes don't re-pay the histogram job
     val dfcRel = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
-    val capQ122 = deriveRareCap(dfcRel)
+    val capQ122 = q122CapCache.getOrCompute(d)(_ => deriveRareCap(dfcRel))
     val hot = dfcRel.filter(col("df") > capQ122).select(col("ng"))
     val gr = g.join(broadcast(hot), Seq("ng"), "left_anti")
     val sz = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -3848,12 +3863,18 @@ object LlmOps {
   /** Map-side IVF2 cell assignment of a (…, vq: array<long>) relation
     * against the bounded serve state: coarse argmin, then sub-cell
     * argmin against the winning coarse cell's codebook — pure codegen'd
-    * projection, zero shuffles. Adds `coarse` and `cell`; rows routed to
-    * a coarse cell that trained NO sub-cells (emptied during the build)
-    * are dropped — they cannot be served. */
+    * projection, zero shuffles. Adds `coarse` and `cell`. Rows routed to
+    * a coarse cell that trained NO sub-cells (emptied during the build):
+    * with `dropEmptyCells` (the q154 append contract, matching its
+    * oracle's inner join) they are DROPPED — they cannot be served from
+    * a sub-cell; without it they take the fallback cell −(coarse+1)
+    * (disjoint from every real cell id ≥ 0), so a consumer that owes
+    * every row a verdict — the streaming admission path — still groups
+    * and answers them instead of silently losing them (the r11 review
+    * catch). */
   def ivf2AssignCells(df: DataFrame,
-      state: (Array[Array[Long]], Vector[Vector[Array[Long]]], Long))
-      : DataFrame = {
+      state: (Array[Array[Long]], Vector[Vector[Array[Long]]], Long),
+      dropEmptyCells: Boolean = true): DataFrame = {
     val (coarseCents, books, k2) = state
     val withCoarse = graft.operators.KMeans.assignWith(df, "vq", coarseCents)
       .withColumnRenamed("cluster", "coarse")
@@ -3861,12 +3882,16 @@ object LlmOps {
     val dists = transform(
       element_at(bigLit, col("coarse").cast("int") + 1),
       c => graft.functions.SquaredDistanceExpr(col("vq"), c))
-    withCoarse
-      .withColumn("__d", dists)
-      .filter(size(col("__d")) > 0)
+    val withD = withCoarse.withColumn("__d", dists)
+    val gated =
+      if (dropEmptyCells) withD.filter(size(col("__d")) > 0)
+      else withD
+    gated
       .withColumn("cell",
-        (col("coarse") * k2 +
-          (array_position(col("__d"), array_min(col("__d"))) - 1))
+        when(size(col("__d")) > 0,
+          col("coarse") * k2 +
+            (array_position(col("__d"), array_min(col("__d"))) - 1))
+          .otherwise(-col("coarse") - 1)
           .cast("long"))
       .drop("__d")
   }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   * a `StreamingQueryListener` on micro-batch progress: per-batch input
   * rows, cumulative total, and processing rate, without any driver-side
   * per-record state (the distinct counts live in the stateful operators —
-  * see StreamIngest.runningDistinct — not in a driver HashSet that OOMs at
+  * see StreamIngest.runningDistinctTws — not in a driver HashSet that OOMs at
   * 100 TB).
   *
   * Attach with `spark.streams.addListener(new ProgressLog)`.

@@ -300,9 +300,13 @@ object StreamIngest {
       ttlMs: Long): Dataset[(Long, Long, Boolean)] = {
     import spark.implicits._
     val serveState = graft.queries.LlmOps.ivf2ServeState(spark, corpusDir)
+    // dropEmptyCells = false: an admission stream owes EVERY arrival a
+    // verdict — vectors routed to a sub-cell-less coarse cell take the
+    // −(coarse+1) fallback cell and dedup among themselves there
     val routed = graft.queries.LlmOps.ivf2AssignCells(
         vecs.withColumn("vq", transform(col("embedding"),
-          v => round(v.cast("double") * 10000, 0).cast("long"))), serveState)
+          v => round(v.cast("double") * 10000, 0).cast("long"))), serveState,
+        dropEmptyCells = false)
       .withWatermark("ts", s"$ttlMs milliseconds")
       .select(col("cell"), col("vec_id"), col("embedding"), col("ts"))
       .as[(Long, Long, Array[Float], java.sql.Timestamp)]
