@@ -4003,6 +4003,118 @@ object LlmOps {
       .stripMargin
   }
 
+  /** q164 — margin-based BITEXT MINING (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix pipeline that mines parallel translation pairs from
+    * comparable corpora): for every English document, its
+    * nearest-neighbor Spanish document in embedding space, scored by the
+    * RATIO MARGIN — cos(x,y) normalized by the mean of both sides'
+    * top-k neighborhoods — which suppresses hub vectors that plain
+    * cosine thresholds mis-mine. Candidates are CELL-BLOCKED on the
+    * landed IVF2 assignment (the q149/q160 serving layout — exactly how
+    * the production pipelines shard mining through a FAISS index), so
+    * pair volume is Σ_cell n_en·n_es, never |en|·|es|; the margin's
+    * neighborhood means use the same blocked candidate set, keeping the
+    * operator self-consistent at any scale. Arithmetic is
+    * integer-exact: cosines land on the 1e-4 grid, and the margin is
+    * ONE integer division — margin10k = 2·cos10k·10⁴·n_f·n_b div
+    * (fwdS·n_b + bwdS·n_f) over the top-≤4 neighborhood SUMS — so the
+    * full rational is engine-exact under the hash gate (the q122 `div`
+    * convention; pairs with non-positive NN cosine or denominator are
+    * dropped, which also keeps every division operand positive — Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, and they
+    * only agree on positives). Output: every English doc's in-cell NN
+    * with cos10k, margin10k, `mutual` (reverse NN agrees) and `mined`
+    * (margin ≥ 1.05 AND mutual — the mutual-margin criterion the paper
+    * recommends). Oracle: the shared [[ivf2ChainsSql]] re-derives the
+    * cells; windows mirror the top-k sums and both NN directions. */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+    val assign = s.read.parquet(path)
+      .select(col("vec_id"), col("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("e"))
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    def side(lang: String, idc: String, ec: String) =
+      assign.join(langs.filter(col("lang") === lang),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as(idc), col("cell"), col("e").as(ec))
+    val en = side("en", "en_id", "ea")
+    val es = side("es", "es_id", "eb")
+    val pairs = en.join(es, "cell")
+      .select(col("en_id"), col("es_id"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")) * 10000, 0)
+          .cast("long").as("cos10k"))
+    val wf = Window.partitionBy(col("en_id"))
+      .orderBy(col("cos10k").desc, col("es_id"))
+    val wb = Window.partitionBy(col("es_id"))
+      .orderBy(col("cos10k").desc, col("en_id"))
+    val ranked = pairs
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    val fwd = ranked.filter(col("rf") <= 4)
+      .groupBy(col("en_id"))
+      .agg(sum(col("cos10k")).as("fwdS"), count(lit(1)).as("nf"))
+    val bwd = ranked.filter(col("rb") <= 4)
+      .groupBy(col("es_id"))
+      .agg(sum(col("cos10k")).as("bwdS"), count(lit(1)).as("nb"))
+    val revBest = ranked.filter(col("rb") === 1)
+      .select(col("es_id"), col("en_id").as("rev_en"))
+    ranked.filter(col("rf") === 1 && col("cos10k") > 0)
+      .join(fwd, "en_id").join(bwd, "es_id").join(revBest, "es_id")
+      .filter(expr("fwdS * nb + bwdS * nf") > 0)
+      .select(col("en_id"), col("es_id"), col("cos10k"),
+        expr("(2 * cos10k * 10000 * nf * nb) div (fwdS * nb + bwdS * nf)")
+          .as("margin10k"),
+        (col("rev_en") === col("en_id")).as("mutual"))
+      .withColumn("mined", col("margin10k") >= 10500 && col("mutual"))
+      .orderBy(col("en_id"))
+  }
+
+  private lazy val q164Sql = {
+    val union = (0 until 4).map { c =>
+      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH $ivf2ChainsSql,
+      |asg AS ($union),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |cellv AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id)),
+      |en AS (SELECT c.vec_id AS en_id, c.cell, c.emb AS ea
+      |       FROM cellv c JOIN documents d ON d.doc_id = c.vec_id
+      |       WHERE d.lang = 'en'),
+      |es AS (SELECT c.vec_id AS es_id, c.cell, c.emb AS eb
+      |       FROM cellv c JOIN documents d ON d.doc_id = c.vec_id
+      |       WHERE d.lang = 'es'),
+      |p AS (SELECT en_id, es_id,
+      |        CAST(round(list_cosine_similarity(ea, eb) * 10000) AS BIGINT)
+      |          AS cos10k
+      |      FROM en JOIN es USING (cell)),
+      |r AS (SELECT en_id, es_id, cos10k,
+      |        row_number() OVER (PARTITION BY en_id
+      |          ORDER BY cos10k DESC, es_id) AS rf,
+      |        row_number() OVER (PARTITION BY es_id
+      |          ORDER BY cos10k DESC, en_id) AS rb
+      |      FROM p),
+      |fwd AS (SELECT en_id, CAST(sum(cos10k) AS BIGINT) AS fwdS,
+      |          CAST(count(*) AS BIGINT) AS nf
+      |        FROM r WHERE rf <= 4 GROUP BY en_id),
+      |bwd AS (SELECT es_id, CAST(sum(cos10k) AS BIGINT) AS bwdS,
+      |          CAST(count(*) AS BIGINT) AS nb
+      |        FROM r WHERE rb <= 4 GROUP BY es_id),
+      |rev AS (SELECT es_id, en_id AS rev_en FROM r WHERE rb = 1),
+      |nn AS (SELECT r.en_id, r.es_id, r.cos10k,
+      |         CAST((2 * cos10k * 10000 * nf * nb) //
+      |           (fwdS * nb + bwdS * nf) AS BIGINT) AS margin10k,
+      |         (rev.rev_en = r.en_id) AS mutual,
+      |         fwdS * nb + bwdS * nf AS den
+      |       FROM r JOIN fwd USING (en_id) JOIN bwd USING (es_id)
+      |            JOIN rev USING (es_id)
+      |       WHERE rf = 1 AND cos10k > 0 AND fwdS * nb + bwdS * nf > 0)
+      |SELECT en_id, es_id, cos10k, margin10k, mutual,
+      |  (margin10k >= 10500 AND mutual) AS mined
+      |FROM nn ORDER BY en_id""".stripMargin
+  }
+
   /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
     * 2006 / PPJoin's candidate rule): the fourth blocking family in the
     * near-dup toolbox (q35 rare shingles, q35d LSH bands, q127 deletion
@@ -4325,6 +4437,7 @@ object LlmOps {
     QueryDef("q151_semantic_decontam", q151, Some(q151Sql)),
     QueryDef("q154_ivf2_append", q154, Some(q154Sql)),
     QueryDef("q160_ivf2_delete", q160, Some(q160Sql)),
+    QueryDef("q164_bitext_mine", q164, Some(q164Sql)),
     // q155's oracle IS the monolithic q70 chain — hash equality proves
     // the segment merge exact
     QueryDef("q155_segment_bm25", q155, Some(q70Sql)),

@@ -76,8 +76,9 @@ object ScaleStress {
     // full token stream; cold is the honest build cost, warm reads the
     // memoized remove-all accounting
     "q159_exactsubstr_corpus",
-    // r11: the delete + compaction lifecycle legs
-    "q160_ivf2_delete", "q161_segment_compaction")
+    // r11: the delete + compaction lifecycle legs and cell-blocked
+    // bitext mining
+    "q160_ivf2_delete", "q161_segment_compaction", "q164_bitext_mine")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
