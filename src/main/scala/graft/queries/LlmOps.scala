@@ -3788,6 +3788,22 @@ object LlmOps {
 
   private val ivf2K2Sub = "(SELECT k2 FROM nk)"
 
+  /** The oracle-side assignment CTEs shared by q149/q160/q164: the
+    * 4-chain cell union and the double-cast embedding join — one copy,
+    * so a cell-id-convention change cannot silently diverge the three
+    * oracles. Yields `asg(vec_id, cell)` and `cellv(vec_id, emb, cell)`. */
+  private lazy val ivf2AsgCtesSql = {
+    val union = (0 until 4).map { c =>
+      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
+    }.mkString("\n       UNION ALL ")
+    s"""asg AS ($union),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |cellv AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id))"""
+      .stripMargin
+  }
+
   /** The IVF2 oracle's shared training prelude (q149 + q154): the k₂
     * scalar, the coarse Lloyd chain, and the 4 per-cell sub-chains. */
   private lazy val ivf2ChainsSql = {
@@ -3802,27 +3818,19 @@ object LlmOps {
       |$subChains""".stripMargin
   }
 
-  private lazy val q149Sql = {
-    val union = (0 until 4).map { c =>
-      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
-    }.mkString("\n       UNION ALL ")
+  private lazy val q149Sql =
     s"""WITH $ivf2ChainsSql,
-      |asg AS ($union),
-      |e AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      |  FROM embeddings),
-      |cell AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id)),
-      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM cell
+      |$ivf2AsgCtesSql,
+      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM cellv
       |      WHERE vec_id >= 16 AND vec_id < 26),
       |s AS (SELECT pid, c.vec_id AS cid,
       |        round(list_cosine_similarity(pe, c.emb), 4) AS sim
-      |      FROM p JOIN cell c USING (cell) WHERE pid <> c.vec_id),
+      |      FROM p JOIN cellv c USING (cell) WHERE pid <> c.vec_id),
       |r AS (SELECT pid, cid, sim,
       |        row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
       |      FROM s)
       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
       .stripMargin
-  }
 
   /** q154 — IVF2 index APPEND: the third leg of the index lifecycle
     * (q149 builds and serves; this folds an incoming vector batch into
@@ -3980,17 +3988,10 @@ object LlmOps {
       .orderBy(col("pid"), col("rn"))
   }
 
-  private lazy val q160Sql = {
-    val union = (0 until 4).map { c =>
-      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
-    }.mkString("\n       UNION ALL ")
+  private lazy val q160Sql =
     s"""WITH $ivf2ChainsSql,
-      |asg AS ($union),
-      |e AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      |  FROM embeddings),
-      |cell AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id)),
-      |live AS (SELECT * FROM cell WHERE vec_id % 31 <> 0),
+      |$ivf2AsgCtesSql,
+      |live AS (SELECT * FROM cellv WHERE vec_id % 31 <> 0),
       |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM live
       |      WHERE vec_id >= 16 AND vec_id < 26),
       |s AS (SELECT pid, c.vec_id AS cid,
@@ -4001,7 +4002,6 @@ object LlmOps {
       |      FROM s)
       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
       .stripMargin
-  }
 
   /** q164 — margin-based BITEXT MINING (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix pipeline that mines parallel translation pairs from
@@ -4047,19 +4047,22 @@ object LlmOps {
       .orderBy(col("cos10k").desc, col("es_id"))
     val wb = Window.partitionBy(col("es_id"))
       .orderBy(col("cos10k").desc, col("en_id"))
-    val ranked = pairs
+    // ONE pass over the pair relation: the neighborhood sums and the
+    // reverse-NN id are windowed conditional aggregates over the SAME
+    // partitions the rank windows already shuffled on — no groupBy-join
+    // branches re-deriving the (expensive) cell-blocked join per
+    // consumer (the r11 review catch)
+    val wEn = Window.partitionBy(col("en_id"))
+    val wEs = Window.partitionBy(col("es_id"))
+    pairs
       .withColumn("rf", row_number().over(wf))
       .withColumn("rb", row_number().over(wb))
-    val fwd = ranked.filter(col("rf") <= 4)
-      .groupBy(col("en_id"))
-      .agg(sum(col("cos10k")).as("fwdS"), count(lit(1)).as("nf"))
-    val bwd = ranked.filter(col("rb") <= 4)
-      .groupBy(col("es_id"))
-      .agg(sum(col("cos10k")).as("bwdS"), count(lit(1)).as("nb"))
-    val revBest = ranked.filter(col("rb") === 1)
-      .select(col("es_id"), col("en_id").as("rev_en"))
-    ranked.filter(col("rf") === 1 && col("cos10k") > 0)
-      .join(fwd, "en_id").join(bwd, "es_id").join(revBest, "es_id")
+      .withColumn("fwdS", sum(when(col("rf") <= 4, col("cos10k"))).over(wEn))
+      .withColumn("nf", sum(when(col("rf") <= 4, 1L)).over(wEn))
+      .withColumn("bwdS", sum(when(col("rb") <= 4, col("cos10k"))).over(wEs))
+      .withColumn("nb", sum(when(col("rb") <= 4, 1L)).over(wEs))
+      .withColumn("rev_en", max(when(col("rb") === 1, col("en_id"))).over(wEs))
+      .filter(col("rf") === 1 && col("cos10k") > 0)
       .filter(expr("fwdS * nb + bwdS * nf") > 0)
       .select(col("en_id"), col("es_id"), col("cos10k"),
         expr("(2 * cos10k * 10000 * nf * nb) div (fwdS * nb + bwdS * nf)")
@@ -4069,16 +4072,9 @@ object LlmOps {
       .orderBy(col("en_id"))
   }
 
-  private lazy val q164Sql = {
-    val union = (0 until 4).map { c =>
-      s"SELECT vec_id, $c * $ivf2K2Sub + cluster AS cell FROM u${c}_b3"
-    }.mkString("\n       UNION ALL ")
+  private lazy val q164Sql =
     s"""WITH $ivf2ChainsSql,
-      |asg AS ($union),
-      |e AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      |  FROM embeddings),
-      |cellv AS (SELECT e.vec_id, emb, asg.cell FROM e JOIN asg USING (vec_id)),
+      |$ivf2AsgCtesSql,
       |en AS (SELECT c.vec_id AS en_id, c.cell, c.emb AS ea
       |       FROM cellv c JOIN documents d ON d.doc_id = c.vec_id
       |       WHERE d.lang = 'en'),
@@ -4105,15 +4101,14 @@ object LlmOps {
       |nn AS (SELECT r.en_id, r.es_id, r.cos10k,
       |         CAST((2 * cos10k * 10000 * nf * nb) //
       |           (fwdS * nb + bwdS * nf) AS BIGINT) AS margin10k,
-      |         (rev.rev_en = r.en_id) AS mutual,
-      |         fwdS * nb + bwdS * nf AS den
+      |         (rev.rev_en = r.en_id) AS mutual
       |       FROM r JOIN fwd USING (en_id) JOIN bwd USING (es_id)
       |            JOIN rev USING (es_id)
       |       WHERE rf = 1 AND cos10k > 0 AND fwdS * nb + bwdS * nf > 0)
       |SELECT en_id, es_id, cos10k, margin10k, mutual,
       |  (margin10k >= 10500 AND mutual) AS mined
-      |FROM nn ORDER BY en_id""".stripMargin
-  }
+      |FROM nn ORDER BY en_id"""
+      .stripMargin
 
   /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
     * 2006 / PPJoin's candidate rule): the fourth blocking family in the

@@ -340,4 +340,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(cap > 16L && cap <= 40L,
       s"densified corpus must raise the derived cap past the floor: $cap")
   }
+
+  test("q164: bitext mining is non-vacuous at the gate SF and its " +
+      "verdict columns satisfy the mutual-margin invariants") {
+    val rows = LlmOps.q164(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty, "no en doc found an in-cell es neighbor — vacuous")
+    val langs = graft.Tables.documents(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((en, es, cos, margin, mutual, mined) <- rows) {
+      assert(langs(en) == "en" && langs(es) == "es",
+        s"pair ($en,$es) crosses the wrong language sides")
+      assert(cos > 0 && margin > 0, s"non-positive score for ($en,$es)")
+      assert(mined == (margin >= 10500L && mutual),
+        s"mined flag inconsistent for ($en,$es)")
+    }
+    assert(rows.exists(_._6), "nothing mined at the gate SF — vacuous")
+    assert(rows.exists(r => !r._6), "everything mined — threshold vacuous")
+    // forward-NN uniqueness: one verdict per English doc
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }
