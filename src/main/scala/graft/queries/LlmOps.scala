@@ -1854,6 +1854,43 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q165 — SOFT DEDUP (duplicate-aware downweighting — the
+    * DataComp-LM/FineWeb alternative to removal): instead of keeping one
+    * survivor per near-dup cluster (q61/q84's hard rule), every document
+    * stays in the corpus with sampling weight 1/cluster_size, so a
+    * cluster of k near-dups contributes ONE document's worth of
+    * expected tokens while preserving intra-cluster variation for the
+    * sampler to draw from. Weights are exact integers on the 1e-4 grid
+    * (10000 div size — positive operands, engine-exact); docs outside
+    * any cluster weigh 1.0. Composes the memoized q61 label relation
+    * (the jaccard-pair CC closure builds once per dataset) — the query
+    * itself is one bounded size aggregation plus one left join on
+    * doc_id, so the corpus never reshuffles. The output feeds q128's
+    * A-Res weighted sampler directly (its weight column contract). */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    val labels = q61Labels(s, d)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
+    val clustered = labels.join(sizes, "lbl").select(col("doc_id"), col("cs"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cs"), lit(1L)).as("cluster_size"),
+        expr("10000 div coalesce(cs, 1)").as("weight10k"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q165Sql =
+    s"""WITH RECURSIVE
+      |$ccLabelCtesSql,
+      |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+      |       FROM lab GROUP BY cluster_id),
+      |w AS (SELECT d.doc_id, coalesce(sz.cs, 1) AS cluster_size,
+      |        CAST(10000 // coalesce(sz.cs, 1) AS BIGINT) AS weight10k
+      |      FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+      |        LEFT JOIN sz ON sz.cluster_id = lab.cluster_id)
+      |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size, weight10k
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** The recursive near-dup cluster-label CTE chain (→ `lab(doc_id,
     * cluster_id)`) shared by the q61 and q157 oracles. */
   private[queries] lazy val ccLabelCtesSql =
@@ -4466,6 +4503,7 @@ object LlmOps {
     QueryDef("q54_vocab_encode", q54, Some(q54Sql)),
     QueryDef("q55_geo_hops", q55, Some(q55Sql)),
     QueryDef("q61_dedup_clusters", q61, Some(q61Sql)),
+    QueryDef("q165_soft_dedup", q165, Some(q165Sql)),
     QueryDef("q62_tfidf", q62, Some(q62Sql)),
     QueryDef("q63_split_assign", q63, Some(q63Sql)),
     QueryDef("q64_interleave", q64, Some(q64Sql)),
