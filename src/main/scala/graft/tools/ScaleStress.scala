@@ -78,7 +78,9 @@ object ScaleStress {
     "q159_exactsubstr_corpus",
     // r11: the delete + compaction lifecycle legs and cell-blocked
     // bitext mining
-    "q160_ivf2_delete", "q161_segment_compaction", "q164_bitext_mine")
+    "q160_ivf2_delete", "q161_segment_compaction", "q164_bitext_mine",
+    // r11 second half: governance + soft-dedup weights
+    "q163_pii_redact", "q165_soft_dedup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
