@@ -55,6 +55,23 @@ object Scratch {
   def materialize(df: DataFrame, name: String): DataFrame =
     df.sparkSession.read.parquet(materializePath(df, name))
 
+  /** Reserve a scratch dir WITHOUT writing — for append-accumulated
+    * relations ([[appendPath]]) where rounds of an iterative operator
+    * each land a delta into one stable dir (e.g. the suffix-array
+    * finals). The caller seeds the schema (an empty overwrite write)
+    * before the first read. */
+  def allocPath(name: String): String =
+    root.resolve(s"$name-${counter.incrementAndGet()}").toString
+
+  /** Append `df` into an existing scratch dir (same schema) — the
+    * delta-accumulation write for [[allocPath]] dirs. Each append adds
+    * immutable files; readers see the union. */
+  def appendPath(df: DataFrame, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path).normalize()
+    require(p.startsWith(root), s"refusing to append to non-scratch path $path")
+    df.write.mode("append").parquet(path)
+  }
+
   /** Like [[materialize]] but returns the path — for callers that memoize
     * the materialization across query invocations. */
   def materializePath(df: DataFrame, name: String): String = {
