@@ -27,17 +27,42 @@ object Bench {
     * DumpPlans convention); a detached-HEAD .git/HEAD file read is the
     * no-git-binary fallback, then "unknown". */
   private def gitHead: String = {
+    // anchor every resolver to THIS repo: the dir holding the built
+    // classes (…/target/scala-2.13/classes → repo root three up), not the
+    // process CWD — a bench launched from elsewhere must not stamp some
+    // other repo's HEAD. Falls back to CWD only if the classes aren't
+    // on a filesystem path (e.g. run from an assembly jar).
+    val repoRoot: java.io.File = {
+      val fromClasses =
+        try {
+          var d = new java.io.File(getClass.getProtectionDomain.getCodeSource
+            .getLocation.toURI).getAbsoluteFile
+          if (d.isFile) d = d.getParentFile // jar file → its dir
+          var found: Option[java.io.File] = None
+          var cur = d
+          while (found.isEmpty && cur != null) {
+            if (new java.io.File(cur, ".git").exists()) found = Some(cur)
+            cur = cur.getParentFile
+          }
+          found
+        } catch { case scala.util.control.NonFatal(_) => None }
+      fromClasses.getOrElse(new java.io.File(".").getAbsoluteFile)
+    }
     def exec: Option[String] =
       try {
-        val out = new String(java.lang.Runtime.getRuntime
-          .exec(Array("git", "rev-parse", "HEAD")).getInputStream
-          .readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-        if (out.matches("[0-9a-f]{40}")) Some(out) else None
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .directory(repoRoot).redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val exited = p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        if (exited && p.exitValue == 0 && out.matches("[0-9a-f]{40}"))
+          Some(out)
+        else { if (!exited) p.destroyForcibly(); None }
       } catch { case scala.util.control.NonFatal(_) => None }
     def headFile: Option[String] =
       try {
         val head = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(".git/HEAD")),
+          new java.io.File(repoRoot, ".git/HEAD").toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim
         if (head.matches("[0-9a-f]{40}")) Some(head) else None
       } catch { case scala.util.control.NonFatal(_) => None }

@@ -185,7 +185,11 @@ object SuffixArray {
       df: DataFrame, keys: Seq[String]): (String, Long, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the conf may hold a non-numeric value (e.g. "auto" under some AQE
+    // setups) — fall back rather than throw
+    val parts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .getOrElse(32)
     val sortCols = keys.map(col) :+ col("pos")
     val rows = df
       .repartitionByRange(parts, sortCols: _*)

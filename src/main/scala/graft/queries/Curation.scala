@@ -1017,6 +1017,10 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // Every regexp_replace in the mirror carries the 'g' flag: Spark's
+  // regexp_replace is always global, DuckDB's defaults to first-match-only,
+  // and a URL with a repeated ':443/' run or utm train would diverge even
+  // though the generated corpus happens to contain single occurrences.
   private val q115Sql =
     """WITH u AS (SELECT doc_id,
       |    CASE doc_id % 4
@@ -1043,10 +1047,11 @@ object Curation {
       |    END AS url FROM documents),
       |c AS (SELECT doc_id, url,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |      regexp_replace(regexp_replace(lower(url), '#.*$', ''),
-      |                     '\?(utm_[a-z]+=[a-z0-9]*&)+', '?'),
+      |      regexp_replace(regexp_replace(lower(url), '#.*$', '', 'g'),
+      |                     '\?(utm_[a-z]+=[a-z0-9]*&)+', '?', 'g'),
       |      '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
-      |      '://www\.', '://'), ':443([/?]|$)', '\1'), '/$', '') AS canon_url
+      |      '://www\.', '://', 'g'), ':443([/?]|$)', '\1', 'g'),
+      |      '/$', '', 'g') AS canon_url
       |  FROM u),
       |g AS (SELECT canon_url, min(doc_id) AS survivor_id FROM c GROUP BY canon_url)
       |SELECT doc_id, url, c.canon_url, survivor_id,

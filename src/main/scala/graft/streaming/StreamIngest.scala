@@ -321,11 +321,35 @@ object StreamIngest {
     * (vec_id, embedding, tsMs) entries — per-entry state-store rows, so
     * admitting one vector APPENDS one row instead of rewriting a whole
     * list blob (the reason the new API exists; the list is only
-    * rewritten when stale entries are pruned). TTL: per-entry pruning
-    * against watermark − ttl on every invocation, plus an EVENT-TIME
-    * timer that clears a cell whose newest entry fell TTL behind the
+    * rewritten when stale entries are pruned). TTL: stale entries are
+    * EXCLUDED from dup-checks on every invocation (a filter over the
+    * materialized list), but the state rewrite that physically drops
+    * them is LAZY — it only happens when stale rows exceed
+    * [[SemanticDedupProcessor.PruneSlack]] of the list, so a
+    * steady-state cell pays the cheap append path almost always and the
+    * O(window) rewrite amortizes to O(1)/arrival. An EVENT-TIME timer
+    * additionally clears a cell whose newest entry fell TTL behind the
     * expiry (timers accumulate on this API, so the newest-entry guard
-    * makes stale timers no-ops — the ST7b bounded-state contract). */
+    * makes stale timers no-ops — the ST7b bounded-state contract).
+    *
+    * COST MODEL (documented, deliberate): each micro-batch invocation
+    * materializes the cell's ListState once — O(live window) — and each
+    * arrival then runs one cosine against every live entry, so a batch
+    * of b arrivals into a cell holding w live vectors costs O(w + b·w)
+    * flops. That per-arrival O(w) scan is inherent to exact-threshold
+    * semantic dedup (every admit must be certified against the whole
+    * admitted window); the bound that keeps it viable at 100 TB is w
+    * itself — the IVF2 cell routing upstream splits the corpus across
+    * cells and the TTL caps each cell's window, so w is
+    * (arrival-rate × TTL) / cells, not corpus size. */
+  object SemanticDedupProcessor {
+    /** Lazy-prune trigger: rewrite the ListState only when stale entries
+      * reach this fraction of it. 1/4 keeps the wasted state ≤ 33% above
+      * the live window while making the O(window) rewrite amortized-O(1)
+      * per arrival. */
+    val PruneSlack: Double = 0.25
+  }
+
   class SemanticDedupProcessor(threshold: Double, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Array[Float], java.sql.Timestamp),
@@ -353,12 +377,15 @@ object StreamIngest {
         rows: Iterator[(Long, Long, Array[Float], java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
       val held = if (recent.exists()) recent.get().toList else Nil
-      // prune entries whose lastSeen fell TTL behind the watermark —
-      // state tracks the recent-admission window even while the cell
-      // key itself stays hot
+      // entries whose lastSeen fell TTL behind the watermark are dead:
+      // always EXCLUDED from dup-checks, but only physically pruned
+      // (full list rewrite) once they exceed PruneSlack of the list —
+      // the lazy-prune contract documented on the class
       val cutoff = timerValues.getCurrentWatermarkInMs() - ttlMs
       var live = held.filter(_._3 >= cutoff)
-      val pruned = live.size != held.size
+      val stale = held.size - live.size
+      val prune = stale > 0 &&
+        (stale >= held.size * SemanticDedupProcessor.PruneSlack)
       val fresh =
         scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Long)]()
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
@@ -376,7 +403,7 @@ object StreamIngest {
           }
           out += ((id, cell, !dup))
         }
-      if (pruned) recent.put(live.toArray) // rewrite only when pruning
+      if (prune) recent.put(live.toArray) // amortized rewrite drops stale rows
       else fresh.foreach(recent.appendValue) // the common append-only path
       getHandle.registerTimer(
         math.max(maxTs + ttlMs, timerValues.getCurrentWatermarkInMs() + 1))
