@@ -58,17 +58,24 @@ object Scratch {
   /** Reserve a scratch dir WITHOUT writing — for append-accumulated
     * relations ([[appendPath]]) where rounds of an iterative operator
     * each land a delta into one stable dir (e.g. the suffix-array
-    * finals). The caller seeds the schema (an empty overwrite write)
-    * before the first read. */
-  def allocPath(name: String): String =
+    * finals). The first [[appendPath]] creates the dir (Spark's append
+    * mode creates missing paths); callers must not READ the dir before
+    * at least one non-empty append has landed. */
+  def allocPath(name: String): String = {
+    require(!name.exists(c => c == '/' || c == '\\') && name != ".." &&
+      name.nonEmpty, s"invalid scratch name '$name'")
     root.resolve(s"$name-${counter.incrementAndGet()}").toString
+  }
 
-  /** Append `df` into an existing scratch dir (same schema) — the
-    * delta-accumulation write for [[allocPath]] dirs. Each append adds
-    * immutable files; readers see the union. */
+  /** Append `df` into an [[allocPath]]'d scratch dir (same schema) —
+    * the delta-accumulation write. Each append adds immutable files;
+    * readers see the union. Refuses the scratch ROOT itself (part
+    * files there would mix with scratch dirs and skew
+    * [[liveDirCount]]). */
   def appendPath(df: DataFrame, path: String): Unit = {
     val p = java.nio.file.Paths.get(path).normalize()
-    require(p.startsWith(root), s"refusing to append to non-scratch path $path")
+    require(p.startsWith(root) && p != root && p.getParent == root,
+      s"refusing to append to non-scratch path $path")
     df.write.mode("append").parquet(path)
   }
 

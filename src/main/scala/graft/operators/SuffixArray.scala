@@ -13,90 +13,300 @@ import org.apache.spark.storage.StorageLevel
   * k+1 ranks by the pair (rank[pos], rank[pos+2^k]) — a sort on two
   * integers, never a string comparison past round 0.
   *
-  * Round shape (all standard relational ops):
-  *   1. pair join: rank relation joined to itself shifted by the gap —
-  *      a PURE EQUI-join on pos (the shift is precomputed map-side);
-  *      suffixes running past the end take rank 0, which sorts before
-  *      every real rank ≥ 1 (shorter suffix first — the suffix-order
-  *      tiebreak).
-  *   2. re-rank: [[rankByKeyPath]] — a FUSED equality-preserving rank
-  *      (every row takes the minimum global row_number of its key
-  *      group). One range-partition shuffle, a per-partition stats pass
-  *      (32 tiny rows to the driver), and one emit pass that lands the
-  *      round's only materialization; the distinct-group count falls
-  *      out of the stats for free. This replaces the r10 chain
-  *      (GlobalOrder snapshot + rank land + group-min land + join land
-  *      + count job — ~6 jobs, 4 scratch writes per round) whose FIXED
-  *      job-scheduling cost dominated the build at every measured SF
-  *      (BASELINE.md: 2.3–6.2 s/round regardless of data volume).
-  *   3. convergence: all ranks distinct ⟺ the round's key-group count
-  *      equals n (a byproduct of the stats pass; max(rank)==n would NOT
-  *      do — it only proves the LAST group is a singleton). Suffixes
-  *      are pairwise distinct, so convergence always arrives by gap ≥ n.
+  * TWO ROUND REGIMES, switched automatically:
+  *
+  * 1. GLOBAL rounds (the skew-safe opener): the full n-row rank
+  *    relation is re-ranked by [[rankByKeyPath]] — a range-partitioned
+  *    fused global rank whose per-partition stats stitch handles
+  *    key groups of ANY size (a group may straddle partitions). Used
+  *    while some rank group is still larger than [[MaxLocalGroup]]
+  *    rows — early rounds of a natural-language corpus, where the most
+  *    common 1-/2-token prefixes can cover percents of the stream.
+  *
+  * 2. ACTIVE-SET rounds (the asymptotic win, r11 verdict ask #1): a
+  *    suffix whose rank is already UNIQUE (singleton group) is FINAL —
+  *    later rounds can never change it (groups only subdivide, and the
+  *    count of suffixes ordered before a resolved one is fixed once its
+  *    prefix is unique). Measured at the 100× design point, 99.6% of
+  *    positions resolve by prefix 128 yet the all-n regime kept
+  *    re-sorting them for 12 more rounds. So once every group fits a
+  *    task, resolved rows are APPENDED to a shared finals dir
+  *    ([[Scratch.allocPath]]/[[Scratch.appendPath]] — one immutable
+  *    delta per round, (pos, rank, lvl)) and each subsequent round
+  *    re-ranks ONLY the unresolved tail:
+  *      - pair lookup: rank[pos+gap] comes from the full level relation
+  *        (finals ∪ active — resolved ranks stay valid lookups); when
+  *        the active set is under [[BroadcastActiveMax]] the join
+  *        BROADCASTS the active side, so the n-row side is a map-side
+  *        parquet scan with zero shuffle;
+  *      - re-rank: the KEY property making refinement local is that an
+  *        unresolved group's members all share rank r1 = the group's
+  *        min global row number, the group occupies the contiguous
+  *        global interval [r1, r1+size-1], and NO resolved row shares
+  *        r1. Hash-partitioning the pairs by r1 therefore co-locates
+  *        every group whole, and a per-partition linear scan over
+  *        (r1, r2, pos) order assigns the exact global rank
+  *        r1 + offset-of-(r2)-run — no global sort, no boundary stitch;
+  *      - convergence: active count hits zero (every suffix appended).
+  *
+  * Level relations stay reconstructable for the LCP descent: level p =
+  * that round's landed rows ∪ finals rows with lvl < p (a resolved
+  * row's rank is unique at every level ≥ its resolution level, so rank
+  * equality still certifies prefix-p equality — see [[SaHierarchy]]).
   *
   * Execution regime: CHECKPOINTED-ONLY, like [[Hits]] — each round
   * lands its rank relation to scratch parquet ([[ConnectedComponents]]
   * discipline), so plan size and lineage are constant per round and a
-  * 100 TB corpus pays log₂(n) bounded passes (each: one equi-join
-  * shuffle + one range-partitioned two-pass rank). Driver state is one
-  * stats row per range partition per round, never data.
+  * 100 TB corpus pays log₂(n) bounded passes, each touching only the
+  * unresolved tail once the switch fires. Driver state is one stats
+  * row per range partition per round, never data.
   */
 object SuffixArray {
 
-  /** Token-wise lexicographic suffix ranks over `toks0`: (pos: Long —
-    * 0-based, CONTIGUOUS 0..n-1 — and tok: String). Runs eagerly;
-    * returns the scratch DIR of the final (pos, rank) relation (rank is
-    * the 1-based position of suffix `pos` in sorted suffix order — the
-    * inverse suffix array; sort by rank to read the SA itself). The
-    * caller reads it and [[Scratch.release]]s when done, or memoizes
-    * per dataset (the q61/q117 pattern). */
-  def ranksPath(toks0: DataFrame): String = {
-    val (levels, _) = hierarchyPaths(toks0)
-    levels.init.foreach { case (_, p) => Scratch.release(p) }
-    levels.last._2
+  /** Largest rank-group the ACTIVE-SET regime may co-locate in one task
+    * (the switch criterion, checked EXACTLY via the global regime's
+    * per-partition run stats — groups only shrink, so once every group
+    * is under this the property holds for all later rounds). 4M rows of
+    * (r1, r2, pos) is a ~100 MB in-task sort — well inside executor
+    * memory at any sane partition sizing. */
+  private[operators] val DefaultMaxLocalGroup: Long = 1L << 22
+
+  /** Active sets at or under this row count are BROADCAST to the pair
+    * lookup join — the n-row lookup side then never shuffles (map-side
+    * scan + broadcast hash probe). ~1M × 3 longs ≈ 40 MB serialized. */
+  private[operators] val BroadcastActiveMax: Long = 1L << 20
+
+  /** One landed doubling round. `path` holds (pos, rank, solo); for a
+    * FULL level it covers all n positions, for an active level only the
+    * rows still unresolved when the round started. `resolvedBefore` =
+    * rows already in the finals dir with lvl < prefixLen. */
+  final case class SaLevel(
+      prefixLen: Long, path: String, full: Boolean, resolvedBefore: Long)
+
+  /** The doubling-rank hierarchy: every round's landed relation tagged
+    * with its prefix length — round k's ranks order suffixes by their
+    * first 2^k tokens, and rank EQUALITY at level p certifies "first p
+    * tokens equal", which is the primitive [[lcpFromLevels]] composes
+    * LCPs from. That certificate survives the active-set split because
+    * a row resolved at level q ≤ p keeps a rank no other suffix carries
+    * at any level ≥ q (its group is a singleton forever after), while
+    * rows resolved at q > p are still in level p's active relation —
+    * so level p = active(p) ∪ finals(lvl < p) is exactly n rows with
+    * the full-relation equality semantics. */
+  final case class SaHierarchy(
+      levels: Seq[SaLevel], finalsPath: Option[String], n: Long) {
+
+    /** Full n-row (pos, rank) relation at level index `i`. The finals
+      * side prunes on the per-append-file lvl min/max (each append is
+      * one constant-lvl delta, so parquet file skipping applies). */
+    def levelDf(spark: SparkSession, i: Int): DataFrame = {
+      val l = levels(i)
+      val own = spark.read.parquet(l.path).select(col("pos"), col("rank"))
+      if (l.full || l.resolvedBefore == 0L) own
+      else own.unionByName(spark.read.parquet(finalsPath.get)
+        .filter(col("lvl") < l.prefixLen).select(col("pos"), col("rank")))
+    }
+
+    /** The converged all-distinct ranking — (pos, rank), all n rows. */
+    def finalRanksDf(spark: SparkSession): DataFrame =
+      if (levels.last.full)
+        spark.read.parquet(levels.last.path).select(col("pos"), col("rank"))
+      else spark.read.parquet(finalsPath.get).select(col("pos"), col("rank"))
+
+    def release(): Unit = {
+      levels.foreach(l => Scratch.release(l.path))
+      finalsPath.foreach(Scratch.release)
+    }
   }
 
-  /** The full doubling-rank HIERARCHY: every round's landed (pos, rank)
-    * relation tagged with its prefix length (1, 2, 4, …) — round k's
-    * ranks order suffixes by their first 2^k tokens, and rank EQUALITY
-    * at level p means "first p tokens equal", which is the primitive
-    * [[lcpFromLevels]] composes LCPs from. The last level is the final
-    * (all-distinct) ranking. Caller releases every path (or the init
-    * via [[ranksPath]]). `onRound` is a measurement hook (prefixLen,
-    * distinct groups, wall secs) fired after every landed round — the
-    * scale harness records per-round cost through it; the default is
-    * free. @return (levels ordered by prefixLen asc, n) */
-  def hierarchyPaths(toks0: DataFrame,
-      onRound: (Long, Long, Double) => Unit = (_, _, _) => ())
-      : (Seq[(Long, String)], Long) = {
+  /** Token-wise lexicographic suffix ranks over `toks0`: (pos: Long —
+    * 0-based, CONTIGUOUS 0..n-1 — and tok: String). Runs eagerly;
+    * returns the scratch DIR of the final rank relation (columns
+    * INCLUDE pos and rank — select them; rank is the 1-based position
+    * of suffix `pos` in sorted suffix order — the inverse suffix array;
+    * sort by rank to read the SA itself). The caller reads it and
+    * [[Scratch.release]]s when done, or memoizes per dataset (the
+    * q61/q117 pattern). */
+  def ranksPath(toks0: DataFrame): String = {
+    val h = hierarchy(toks0)
+    h.finalsPath match {
+      case Some(fp) =>
+        h.levels.foreach(l => Scratch.release(l.path))
+        fp
+      case None =>
+        h.levels.init.foreach(l => Scratch.release(l.path))
+        h.levels.last.path
+    }
+  }
+
+  /** Builds the full doubling hierarchy. `onRound` is a measurement
+    * hook (prefixLen, distinct groups, wall secs) fired after every
+    * landed round — the scale harness records per-round cost through
+    * it; the default is free. `maxLocalGroup` overrides the
+    * global→active switch threshold (tests force either regime with
+    * it). Caller releases via [[SaHierarchy.release]]. */
+  def hierarchy(toks0: DataFrame,
+      onRound: (Long, Long, Double) => Unit = (_, _, _) => (),
+      maxLocalGroup: Long = DefaultMaxLocalGroup): SaHierarchy = {
     val spark = toks0.sparkSession
+    import spark.implicits._
     var t0 = System.nanoTime()
     def lap(): Double = {
       val t1 = System.nanoTime(); val s = (t1 - t0) / 1e9; t0 = t1; s
     }
     // round 0: rank by the single leading token (the only string sort)
-    var (rPath, groups, n) =
-      rankByKeyPath(toks0.select(col("tok"), col("pos")), Seq("tok"))
-    val levels = scala.collection.mutable.ArrayBuffer((1L, rPath))
+    val r0 = rankByKeyPath(toks0.select(col("tok"), col("pos")), Seq("tok"))
+    val n = r0.n
+    val levels =
+      scala.collection.mutable.ArrayBuffer(SaLevel(1L, r0.path, true, 0L))
+    var groups = r0.groups
+    var maxGroup = r0.maxGroup
     onRound(1L, groups, lap())
 
-    var gap = 1L
-    while (groups < n && gap < n) {
-      val r = spark.read.parquet(rPath)
-      val shifted = r.select((col("pos") - gap).as("pos"),
-        col("rank").as("r2"))
-      val pairs = r.select(col("pos"), col("rank").as("r1"))
-        .join(shifted, Seq("pos"), "left")
-        .select(col("pos"), col("r1"), coalesce(col("r2"), lit(0L)).as("r2"))
-      val (newPath, newGroups, _) = rankByKeyPath(pairs, Seq("r1", "r2"))
-      rPath = newPath
-      groups = newGroups
-      gap *= 2
-      levels += ((gap, rPath))
-      onRound(gap, groups, lap())
+    var fullMode = true
+    var finalsPath: Option[String] = None
+    var resolved = 0L          // rows appended to finals so far
+    var done = groups == n
+    var gap = 1L               // prefix length of the LAST landed level
+
+    // global→active switch: split the last (full) level's singleton
+    // groups into the finals dir; everything else becomes the active set
+    def maybeSwitch(): Unit =
+      if (fullMode && !done && maxGroup <= maxLocalGroup) {
+        val fp = Scratch.allocPath("sa-finals")
+        val cur = spark.read.parquet(levels.last.path)
+        val solos = cur.filter(col("solo"))
+          .select(col("pos"), col("rank"), lit(gap).as("lvl"))
+        resolved = solos.count()
+        if (resolved > 0) Scratch.appendPath(solos, fp)
+        finalsPath = Some(fp)
+        fullMode = false
+      }
+    maybeSwitch()
+
+    while (!done && gap < n) {
+      if (fullMode) {
+        // GLOBAL round: re-rank all n positions by (rank, rank+gap)
+        val r = spark.read.parquet(levels.last.path)
+        val shifted = r.select((col("pos") - gap).as("pos"),
+          col("rank").as("r2"))
+        val pairs = r.select(col("pos"), col("rank").as("r1"))
+          .join(shifted, Seq("pos"), "left")
+          .select(col("pos"), col("r1"),
+            coalesce(col("r2"), lit(0L)).as("r2"))
+        val rk = rankByKeyPath(pairs, Seq("r1", "r2"))
+        groups = rk.groups
+        maxGroup = rk.maxGroup
+        gap *= 2
+        levels += SaLevel(gap, rk.path, true, 0L)
+        done = groups == n
+        onRound(gap, groups, lap())
+        maybeSwitch()
+      } else {
+        // ACTIVE round: re-rank only the unresolved tail
+        val last = levels.last
+        val lastIdx = levels.size - 1
+        val activeIn = spark.read.parquet(last.path)
+          .filter(!col("solo")).select(col("pos"), col("rank"))
+        val activeCnt = n - resolved
+        // pair lookup against the FULL level relation: pos+gap < n
+        // always hits (the level covers every position), so no outer
+        // join — past-the-end suffixes take r2 = 0 (sorts before every
+        // real rank ≥ 1: the shorter-suffix-first tiebreak)
+        val lookup = levelDfOf(spark, levels(lastIdx), finalsPath)
+          .select(col("pos").as("need"), col("rank").as("r2"))
+        val needing = activeIn
+          .select(col("pos"), col("rank").as("r1"),
+            (col("pos") + gap).as("need"))
+          .filter(col("need") < n)
+        val joined =
+          if (activeCnt <= BroadcastActiveMax)
+            lookup.join(broadcast(needing), Seq("need"))
+          else needing.join(lookup, Seq("need"))
+        val pastEnd = activeIn.filter(col("pos") + gap >= n)
+          .select(col("pos"), col("rank").as("r1"), lit(0L).as("r2"))
+        val pairs = joined.select(col("pos"), col("r1"), col("r2"))
+          .unionByName(pastEnd)
+
+        val parts = shufflePartitions(spark)
+        // hash by r1 co-locates each unresolved group WHOLE (no
+        // resolved row shares an active r1, and the group is ≤
+        // maxLocalGroup rows by the switch invariant), so the scan
+        // below needs no cross-partition stitch: global rank of a
+        // (r1, r2)-run = r1 + its row offset within the r1 group
+        // (the group owns the contiguous global interval
+        // [r1, r1 + size - 1], and refinement reorders only inside it)
+        val refined = pairs
+          .repartition(parts, col("r1"))
+          .sortWithinPartitions(col("r1"), col("r2"), col("pos"))
+          .select(col("pos"), col("r1"), col("r2"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it0 =>
+            val it = it0.buffered
+            new Iterator[(Long, Long, Boolean)] {
+              private var curR1 = Long.MinValue
+              private var curR2 = Long.MinValue
+              private var started = false
+              private var groupStart = 0L // local idx where r1 group began
+              private var idx = -1L
+              private var rank = 0L
+              private var firstOfSub = false
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Boolean) = {
+                idx += 1
+                val (pos, r1, r2) = it.next()
+                if (!started || r1 != curR1) {
+                  started = true; curR1 = r1; curR2 = r2
+                  groupStart = idx; rank = r1; firstOfSub = true
+                } else if (r2 != curR2) {
+                  curR2 = r2; rank = r1 + (idx - groupStart)
+                  firstOfSub = true
+                } else firstOfSub = false
+                val lastOfSub = !it.hasNext || {
+                  val h = it.head; h._2 != r1 || h._3 != r2
+                }
+                (pos, rank, firstOfSub && lastOfSub)
+              }
+            }
+          }
+          .toDF("pos", "rank", "solo")
+        val landed = Scratch.materializePath(refined, "sa-active")
+        val st = spark.read.parquet(landed)
+          .agg(sum(col("solo").cast("long")).as("s"),
+            countDistinct(col("rank")).as("g"))
+          .first()
+        val soloCnt = st.getLong(0)
+        val grpCnt = st.getLong(1)
+        gap *= 2
+        if (soloCnt > 0)
+          Scratch.appendPath(spark.read.parquet(landed)
+            .filter(col("solo"))
+            .select(col("pos"), col("rank"), lit(gap).as("lvl")),
+            finalsPath.get)
+        levels += SaLevel(gap, landed, false, resolved)
+        groups = resolved + grpCnt
+        resolved += soloCnt
+        done = resolved == n
+        onRound(gap, groups, lap())
+      }
     }
-    (levels.toSeq, n)
+    SaHierarchy(levels.toSeq, finalsPath, n)
   }
+
+  // standalone twin of SaHierarchy.levelDf for use mid-build (before
+  // the hierarchy object exists)
+  private def levelDfOf(spark: SparkSession, l: SaLevel,
+      finalsPath: Option[String]): DataFrame = {
+    val own = spark.read.parquet(l.path).select(col("pos"), col("rank"))
+    if (l.full || l.resolvedBefore == 0L) own
+    else own.unionByName(spark.read.parquet(finalsPath.get)
+      .filter(col("lvl") < l.prefixLen).select(col("pos"), col("rank")))
+  }
+
+  private def shufflePartitions(spark: SparkSession): Int =
+    scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .getOrElse(32)
 
   /** Adjacent-suffix LCP array over `toks0` — builds the hierarchy
     * internally and releases it. Callers that already hold a hierarchy
@@ -105,9 +315,9 @@ object SuffixArray {
     * (rank, a_pos, b_pos, lcp) for rank 1..n-1 (pair = SA[rank],
     * SA[rank+1]). */
   def lcpPath(toks0: DataFrame): String = {
-    val (levels, _) = hierarchyPaths(toks0)
-    try lcpFromLevels(toks0.sparkSession, levels)
-    finally levels.foreach { case (_, p) => Scratch.release(p) }
+    val h = hierarchy(toks0)
+    try lcpFromLevels(toks0.sparkSession, h)
+    finally h.release()
   }
 
   /** How many descent levels chain in ONE landed plan: each level is a
@@ -124,20 +334,21 @@ object SuffixArray {
     * the hierarchy's prefix lengths and greedily add level p whenever
     * ranks at (a+done, b+done) are equal at level p — binary
     * decomposition, log₂(n) rounds each a pair of equi-joins against
-    * that level's landed ranks (positions past the end left-join to
+    * that level's relation (positions past the end left-join to
     * null = mismatch), landed every [[LcpLandEvery]] rounds. Caller
-    * owns `levels` (NOT released here). */
-  def lcpFromLevels(spark: SparkSession, levels: Seq[(Long, String)]): String = {
-    val fin = spark.read.parquet(levels.last._2)
+    * owns `h` (NOT released here). */
+  def lcpFromLevels(spark: SparkSession, h: SaHierarchy): String = {
+    val fin = h.finalRanksDf(spark)
     val a = fin.select(col("rank"), col("pos").as("a_pos"))
     val b = fin.select((col("rank") - 1).as("rank"), col("pos").as("b_pos"))
     var statePath = Scratch.materializePath(
       a.join(b, Seq("rank")).withColumn("lcp", lit(0L)), "sa-lcp")
     var state = spark.read.parquet(statePath)
     var sinceLand = 0
-    val rev = levels.reverse
-    for (((p, path), idx) <- rev.zipWithIndex) {
-      val rp = spark.read.parquet(path)
+    val rev = h.levels.indices.reverse
+    for ((li, idx) <- rev.zipWithIndex) {
+      val p = h.levels(li).prefixLen
+      val rp = h.levelDf(spark, li)
       state = state
         .join(rp.select(col("pos").as("__ap"), col("rank").as("__ar")),
           col("__ap") === col("a_pos") + col("lcp"), "left")
@@ -160,6 +371,14 @@ object SuffixArray {
     statePath
   }
 
+  /** The per-round rank result of [[rankByKeyPath]]: `path` lands
+    * (pos, rank, solo — true iff the row's key group is a singleton,
+    * i.e. the suffix is RESOLVED); `maxGroup` is the EXACT size of the
+    * largest key group (boundary-straddling chains included) — the
+    * active-set switch criterion. */
+  private[operators] final case class Ranked(
+      path: String, groups: Long, n: Long, maxGroup: Long)
+
   /** FUSED equality-preserving parallel rank: over the total order
     * (keys…, pos), every row takes the MINIMUM 1-based global
     * row_number of its key group — equal keys ⇒ equal rank, so rank
@@ -171,25 +390,22 @@ object SuffixArray {
     *      range boundaries live in the fixed shuffle dependency, so even
     *      a lost-partition recompute reuses them;
     *   2. stats pass: per partition, one driver row (count, first/last
-    *      key, distinct keys, local start of the last key group) —
-    *      numPartitions rows total, never data;
+    *      key, distinct keys, local start of the last key group, head
+    *      and max run lengths) — numPartitions rows total, never data;
     *   3. driver stitch: per-partition rank offsets plus the carry rank
     *      for key groups that straddle a partition boundary (a group
     *      spanning k partitions merges k−1 boundary pairs — the same
-    *      arithmetic dedupes the global distinct-group count);
-    *   4. emit pass: (pos, rank) with a per-partition linear scan,
-    *      landed to scratch — the ONLY materialization.
-    *
-    * @return (scratch path of (pos, rank), distinct key groups, n) */
+    *      arithmetic dedupes the global distinct-group count and sizes
+    *      every straddling chain for the exact max-group figure);
+    *   4. emit pass: (pos, rank, solo) with a per-partition linear scan
+    *      (one-row lookahead decides run ends; boundary continuations
+    *      come from the stitch), landed to scratch — the ONLY
+    *      materialization. */
   private[operators] def rankByKeyPath(
-      df: DataFrame, keys: Seq[String]): (String, Long, Long) = {
+      df: DataFrame, keys: Seq[String]): Ranked = {
     val spark = df.sparkSession
     import spark.implicits._
-    // the conf may hold a non-numeric value (e.g. "auto" under some AQE
-    // setups) — fall back rather than throw
-    val parts = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .getOrElse(32)
+    val parts = shufflePartitions(spark)
     val sortCols = keys.map(col) :+ col("pos")
     val rows = df
       .repartitionByRange(parts, sortCols: _*)
@@ -202,57 +418,95 @@ object SuffixArray {
       val stats = rows.mapPartitionsWithIndex { (i, it) =>
         var count = 0L; var distinct = 0L; var lastStart = 0L
         var first: Row = null; var cur: Row = null
+        var headRun = 0L; var maxRun = 0L; var runLen = 0L
         while (it.hasNext) {
           val k = it.next().getStruct(0)
           if (count == 0L) first = k
           if (cur == null || k != cur) {
-            distinct += 1; cur = k; lastStart = count
+            if (cur != null) {
+              if (distinct == 1L) headRun = runLen
+              maxRun = math.max(maxRun, runLen)
+            }
+            distinct += 1; cur = k; lastStart = count; runLen = 0L
           }
-          count += 1
+          runLen += 1; count += 1
         }
-        Iterator.single((i, count, first, cur, distinct, lastStart))
+        if (cur != null) {
+          if (distinct == 1L) headRun = runLen
+          maxRun = math.max(maxRun, runLen)
+        }
+        Iterator.single(
+          (i, count, first, cur, distinct, lastStart, headRun, maxRun))
       }.collect().sortBy(_._1)
 
-      // driver stitch: offsets, boundary merges, head-group carry ranks
+      // driver stitch: offsets, boundary merges, head-group carry ranks,
+      // exact max group size (within-partition runs + straddling chains)
       val counts = stats.map(_._2)
       val offsets = counts.scanLeft(0L)(_ + _)
       val n = offsets.last
       val carry = Array.fill(stats.length)(-1L) // -1 ⇒ head starts a new group
+      val tailMerged = Array.fill(stats.length)(false)
       var groupCount = 0L
+      var maxGroup = 0L
       var prevKey: Row = null
+      var prevIdx = -1
       var curStart = 0L // 1-based global rn where the open group started
+      var runningTail = 0L // size of the group open at the previous tail
       for (s <- stats; if s._2 > 0) {
-        val (i, _, first, last, distinct, lastStart) = s
+        val (i, count, first, last, distinct, lastStart, headRun, maxRun) = s
         val merged = prevKey != null && first == prevKey
-        if (merged) carry(i) = curStart
+        if (merged) {
+          carry(i) = curStart
+          tailMerged(prevIdx) = true
+          val chain =
+            runningTail + (if (distinct == 1L) count else headRun)
+          maxGroup = math.max(maxGroup, chain)
+          runningTail =
+            if (distinct == 1L) chain else count - lastStart
+        } else runningTail = count - lastStart
+        maxGroup = math.max(maxGroup, math.max(maxRun, runningTail))
         groupCount += distinct - (if (merged) 1 else 0)
         if (!(merged && distinct == 1L))
           curStart = offsets(i) + lastStart + 1
         prevKey = last
+        prevIdx = i
       }
 
-      // pass 2 — emit (pos, rank); rank = group's first global rn
-      val bc = spark.sparkContext.broadcast((offsets, carry))
-      val ranked = rows.mapPartitionsWithIndex { (i, it) =>
-        val (offs, carries) = bc.value
-        val off = offs(i); val headCarry = carries(i)
-        var cur: Row = null; var curRank = 0L; var localIdx = -1L
-        it.map { r =>
-          localIdx += 1
-          val k = r.getStruct(0)
-          if (cur == null) {
-            cur = k
-            curRank = if (headCarry >= 0L) headCarry else off + 1L
-          } else if (k != cur) {
-            cur = k
-            curRank = off + localIdx + 1L
+      // pass 2 — emit (pos, rank, solo); rank = group's first global rn,
+      // solo ⟺ the run is length 1 and continues into neither neighbor
+      val bc = spark.sparkContext.broadcast((offsets, carry, tailMerged))
+      val ranked = rows.mapPartitionsWithIndex { (i, it0) =>
+        val (offs, carries, tails) = bc.value
+        val off = offs(i); val headCarry = carries(i); val tailM = tails(i)
+        val it = it0.buffered
+        new Iterator[(Long, Long, Boolean)] {
+          private var cur: Row = null
+          private var curRank = 0L
+          private var localIdx = -1L
+          private var firstOfRun = false
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Long, Boolean) = {
+            localIdx += 1
+            val r = it.next()
+            val k = r.getStruct(0)
+            if (cur == null) {
+              cur = k
+              curRank = if (headCarry >= 0L) headCarry else off + 1L
+              firstOfRun = headCarry < 0L
+            } else if (k != cur) {
+              cur = k
+              curRank = off + localIdx + 1L
+              firstOfRun = true
+            } else firstOfRun = false
+            val lastOfRun =
+              if (it.hasNext) it.head.getStruct(0) != k else !tailM
+            (r.getLong(1), curRank, firstOfRun && lastOfRun)
           }
-          (r.getLong(1), curRank)
         }
       }
-      val outPath =
-        Scratch.materializePath(ranked.toDF("pos", "rank"), "suffix-ranks")
-      (outPath, groupCount, n)
+      val outPath = Scratch.materializePath(
+        ranked.toDF("pos", "rank", "solo"), "suffix-ranks")
+      Ranked(outPath, groupCount, n, maxGroup)
     } finally rows.unpersist(blocking = false)
   }
 }

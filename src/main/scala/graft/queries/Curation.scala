@@ -1343,13 +1343,11 @@ object Curation {
   private def exactSubstrOutPath(
       s: SparkSession, flatPath: String, scratchName: String): String = {
     val flatL = s.read.parquet(flatPath)
-    val (levels, _) = graft.operators.SuffixArray.hierarchyPaths(
+    val h = graft.operators.SuffixArray.hierarchy(
       flatL.select(col("pos"), col("tok")))
     val lcpP =
-      try graft.operators.SuffixArray.lcpFromLevels(s, levels)
-      finally levels.foreach { case (_, p) =>
-        graft.operators.Scratch.release(p)
-      }
+      try graft.operators.SuffixArray.lcpFromLevels(s, h)
+      finally h.release()
     try {
       val lcp = s.read.parquet(lcpP)
       // remove-all: both occurrences of every ≥L adjacent-LCP pair

@@ -3805,12 +3805,37 @@ object LlmOps {
         centsDf.repartition(1), "ivf2-cents"))
   }
 
+  /** q149's serve is MULTI-PROBE (probe-2, r12 verdict ask #2): each
+    * probe searches its own cell PLUS the nearest sub-cell of its
+    * runner-up coarse centroid ([[ivf2SecondProbeCell]]). The two cells
+    * are always distinct (different coarse id ⇒ disjoint cell-id
+    * ranges) and every candidate lives in exactly one cell, so the
+    * widened candidate set needs no dedup and strictly contains the
+    * probe-1 set — recall can only improve (q167 reports the recall@3
+    * gain vs exact; LlmOpsSpec proves a planted cross-cell neighbor is
+    * recovered). Cost: ≤ 2× the probe-side join fan-out, zero extra
+    * shuffles (the second cell is the same map-side argmin). */
   def q149(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val assign = s.read.parquet(path)
-    val probes = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+    ivf2Serve(assign, ivf2ServeState(s, d))
+  }
+
+  /** The shared probe-2 serve over an IVF2 layout (q149 on the build
+    * layout, q160 on the tombstoned live layout): probes 16..25, probe
+    * cells = own assignment + second probe cell, exact in-cell cosine
+    * re-rank, top-3 with (sim desc, id) tiebreaks. */
+  private def ivf2Serve(layout: DataFrame,
+      state: (Array[Array[Long]], Vector[Vector[Array[Long]]], Long))
+      : DataFrame = {
+    val own = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
-    val cands = assign
+    val second = ivf2SecondProbeCell(
+        own.withColumn("vq", quantized(col("pe"))), state)
+      .filter(col("cell2").isNotNull)
+      .select(col("pid"), col("pe"), col("cell2").as("cell"))
+    val probes = own.unionByName(second)
+    val cands = layout
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
     cands.join(broadcast(probes), Seq("cell"))
@@ -3855,19 +3880,53 @@ object LlmOps {
       |$subChains""".stripMargin
   }
 
-  private lazy val q149Sql =
-    s"""WITH $ivf2ChainsSql,
-      |$ivf2AsgCtesSql,
-      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM cellv
-      |      WHERE vec_id >= 16 AND vec_id < 26),
+  /** The oracle-side PROBE-2 widening shared by q149/q160/q167: given a
+    * layout CTE `src(vec_id, emb, cell)`, yields `pp(pid, pe, cell)` —
+    * each probe's own row plus, when the runner-up coarse cell trained
+    * sub-cells, a second row carrying the nearest sub-cell of that
+    * runner-up ([[ivf2SecondProbeCell]]'s mirror: the shared Lloyd
+    * chain's rn = 2 coarse row, then a (dist2, cid)-tiebreak argmin
+    * over that cell's landed sub-book). */
+  private def ivf2Probe2CtesSql(src: String,
+      pred: String = "vec_id >= 16 AND vec_id < 26"): String = {
+    val subUnion = (0 until 4).map { c =>
+      s"SELECT $c AS coarse, cid, cent FROM u${c}_c2"
+    }.mkString("\n        UNION ALL ")
+    s"""psubs AS ($subUnion),
+      |pown AS (SELECT vec_id AS pid, emb AS pe, cell FROM $src
+      |         WHERE $pred),
+      |p2c AS (SELECT vec_id AS pid, cid AS coarse2 FROM c_a3
+      |        WHERE rn = 2 AND vec_id IN (SELECT pid FROM pown)),
+      |p2 AS (SELECT pid, coarse2, s.cid,
+      |         row_number() OVER (PARTITION BY pid
+      |           ORDER BY ${sqDistSql("q.vq", "s.cent")}, s.cid) AS srn
+      |       FROM p2c JOIN c_q q ON q.vec_id = p2c.pid
+      |            JOIN psubs s ON s.coarse = p2c.coarse2),
+      |pc2 AS (SELECT pid, CAST(coarse2 * $ivf2K2Sub + cid AS BIGINT) AS cell
+      |        FROM p2 WHERE srn = 1),
+      |pp AS (SELECT pid, pe, cell FROM pown
+      |       UNION ALL
+      |       SELECT pc2.pid, pown.pe, pc2.cell
+      |       FROM pc2 JOIN pown USING (pid))""".stripMargin
+  }
+
+  /** The probe-2 serve tail shared by q149/q160: widened probes `pp`
+    * against layout `src`, exact in-cell cosine, top-3. */
+  private def ivf2ServeSql(src: String): String =
+    s"""${ivf2Probe2CtesSql(src)},
       |s AS (SELECT pid, c.vec_id AS cid,
       |        round(list_cosine_similarity(pe, c.emb), 4) AS sim
-      |      FROM p JOIN cellv c USING (cell) WHERE pid <> c.vec_id),
+      |      FROM pp JOIN $src c USING (cell) WHERE pid <> c.vec_id),
       |r AS (SELECT pid, cid, sim,
       |        row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
       |      FROM s)
       |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
       .stripMargin
+
+  private lazy val q149Sql =
+    s"""WITH $ivf2ChainsSql,
+      |$ivf2AsgCtesSql,
+      |${ivf2ServeSql("cellv")}""".stripMargin
 
   /** q154 — IVF2 index APPEND: the third leg of the index lifecycle
     * (q149 builds and serves; this folds an incoming vector batch into
@@ -3941,6 +4000,55 @@ object LlmOps {
       .drop("__d")
   }
 
+  /** The SECOND probe cell for multi-probe IVF2 serving (r12 verdict
+    * ask #2): the nearest sub-cell of the SECOND-nearest coarse
+    * centroid — the standard multi-probe move (FAISS `nprobe`, IMI
+    * multi-sequence) that closes the recall hole at coarse-cell
+    * boundaries: a query near a Voronoi face has true neighbors on the
+    * other side, and a single-cell probe can never see them. Adds
+    * `cell2` (nullable LONG — null when the runner-up coarse cell
+    * trained no sub-cells, mirroring the empty-book skip of
+    * [[ivf2AssignCells]]). Input needs `vq`; same bounded serve state,
+    * same pure map-side codegen'd argmins, zero shuffles. The (dist,
+    * id)-tiebreak runner-up is the `array_min` of the (d, i) struct
+    * array with the winner masked out — identical ordering semantics
+    * to the winner itself, so the oracle mirrors it with the shared
+    * Lloyd chain's rn = 2 row. */
+  def ivf2SecondProbeCell(df: DataFrame,
+      state: (Array[Array[Long]], Vector[Vector[Array[Long]]], Long))
+      : DataFrame = {
+    val (coarseCents, books, k2) = state
+    val dcand = array(coarseCents.toIndexedSeq.zipWithIndex.map {
+      case (c, i) =>
+        struct(
+          graft.functions.SquaredDistanceExpr(
+            col("vq"), typedlit(c.toSeq)).as("d"),
+          lit(i.toLong).as("i"))
+    }: _*)
+    val bigLit = typedlit(books.map(_.map(_.toSeq)))
+    val withC = df
+      .withColumn("__dc", dcand)
+      .withColumn("__c1", array_min(col("__dc")).getField("i"))
+      .withColumn("__c2",
+        array_min(filter(col("__dc"),
+          s => s.getField("i") =!= col("__c1"))).getField("i"))
+    val ds = transform(element_at(bigLit, col("__c2").cast("int") + 1),
+      c => graft.functions.SquaredDistanceExpr(col("vq"), c))
+    withC
+      .withColumn("__d2", ds)
+      .withColumn("cell2",
+        when(size(col("__d2")) > 0,
+          col("__c2") * k2 +
+            (array_position(col("__d2"), array_min(col("__d2"))) - 1))
+          .cast("long"))
+      .drop("__dc", "__c1", "__c2", "__d2")
+  }
+
+  /** Quantize an embedding column onto the shared 1e-4 long grid (the
+    * q96/q130/ivf2Build convention). */
+  private def quantized(e: Column): Column =
+    transform(e, v => round(v.cast("double") * 10000, 0).cast("long"))
+
   def q154(s: SparkSession, d: String): DataFrame = {
     val state = ivf2ServeState(s, d)
     val batch = Tables.embeddings(s, d)
@@ -4009,36 +4117,14 @@ object LlmOps {
           .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
         "ivf2-live")
     }
-    val live = s.read.parquet(livePath)
-    val probes = live.filter(col("vec_id") >= 16 && col("vec_id") < 26)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
-    val cands = live
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
-    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
-    cands.join(broadcast(probes), Seq("cell"))
-      .filter(col("pid") =!= col("cid"))
-      .select(col("pid"), col("cid"),
-        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("pid"), col("cid"), col("sim"), col("rn"))
-      .orderBy(col("pid"), col("rn"))
+    ivf2Serve(s.read.parquet(livePath), ivf2ServeState(s, d))
   }
 
   private lazy val q160Sql =
     s"""WITH $ivf2ChainsSql,
       |$ivf2AsgCtesSql,
       |live AS (SELECT * FROM cellv WHERE vec_id % 31 <> 0),
-      |p AS (SELECT vec_id AS pid, emb AS pe, cell FROM live
-      |      WHERE vec_id >= 16 AND vec_id < 26),
-      |s AS (SELECT pid, c.vec_id AS cid,
-      |        round(list_cosine_similarity(pe, c.emb), 4) AS sim
-      |      FROM p JOIN live c USING (cell) WHERE pid <> c.vec_id),
-      |r AS (SELECT pid, cid, sim,
-      |        row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rn
-      |      FROM s)
-      |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn"""
-      .stripMargin
+      |${ivf2ServeSql("live")}""".stripMargin
 
   /** q164 — margin-based BITEXT MINING (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix pipeline that mines parallel translation pairs from
@@ -4074,7 +4160,18 @@ object LlmOps {
       assign.join(langs.filter(col("lang") === lang),
           col("vec_id") === col("doc_id"))
         .select(col("vec_id").as(idc), col("cell"), col("e").as(ec))
-    val en = side("en", "en_id", "ea")
+    // the MINING side is probe-2 widened (r12 verdict ask #2): every
+    // English doc also mines the nearest sub-cell of its runner-up
+    // coarse cell, closing the cross-cell candidate hole; Spanish docs
+    // stay in their single build cell, so no (en, es) pair can repeat
+    // and the margin neighborhoods stay self-consistent over the
+    // widened candidate set
+    val en0 = side("en", "en_id", "ea")
+    val en = en0.unionByName(
+      ivf2SecondProbeCell(
+          en0.withColumn("vq", quantized(col("ea"))), ivf2ServeState(s, d))
+        .filter(col("cell2").isNotNull)
+        .select(col("en_id"), col("cell2").as("cell"), col("ea")))
     val es = side("es", "es_id", "eb")
     val pairs = en.join(es, "cell")
       .select(col("en_id"), col("es_id"),
@@ -4112,9 +4209,9 @@ object LlmOps {
   private lazy val q164Sql =
     s"""WITH $ivf2ChainsSql,
       |$ivf2AsgCtesSql,
-      |en AS (SELECT c.vec_id AS en_id, c.cell, c.emb AS ea
-      |       FROM cellv c JOIN documents d ON d.doc_id = c.vec_id
-      |       WHERE d.lang = 'en'),
+      |${ivf2Probe2CtesSql("cellv",
+         "vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")},
+      |en AS (SELECT pid AS en_id, cell, pe AS ea FROM pp),
       |es AS (SELECT c.vec_id AS es_id, c.cell, c.emb AS eb
       |       FROM cellv c JOIN documents d ON d.doc_id = c.vec_id
       |       WHERE d.lang = 'es'),
@@ -4146,6 +4243,92 @@ object LlmOps {
       |  (margin10k >= 10500 AND mutual) AS mined
       |FROM nn ORDER BY en_id"""
       .stripMargin
+
+  /** q167 — IVF2 RECALL@3 report (r12 verdict ask #2's measurement
+    * companion, the q119 report shape): for the q149 probes, the exact
+    * brute-force cosine top-3 is the ground truth, and the report
+    * counts how many of those 3 the single-cell (probe-1) serve and the
+    * multi-probe (probe-2, q149's production serve) recover. Probe-2's
+    * candidate set strictly contains probe-1's, and any ground-truth
+    * member surviving in the smaller set's top-3 survives in the larger
+    * set's (it outranks all but ≤ 2 candidates globally), so recall2 ≥
+    * recall1 row by row — the report PROVES the widening helps (or that
+    * the boundary hole was empty) rather than asserting it. Scale
+    * shape: the exact arm is the q119 pattern (10 broadcast probes ×
+    * one corpus scan — the standard offline recall-eval job); both
+    * serve arms are the production cell-blocked joins. */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+    val assign = s.read.parquet(path)
+    val state = ivf2ServeState(s, d)
+    val own = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
+    val widened = own.unionByName(
+      ivf2SecondProbeCell(own.withColumn("vq", quantized(col("pe"))), state)
+        .filter(col("cell2").isNotNull)
+        .select(col("pid"), col("pe"), col("cell2").as("cell")))
+    val cands = assign
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    def top3(joined: DataFrame): DataFrame = joined
+      .filter(col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("cid"))
+    val exact = top3(cands.crossJoin(broadcast(own.drop("cell"))))
+    val arm1 = top3(cands.join(broadcast(own), Seq("cell")))
+    val arm2 = top3(cands.join(broadcast(widened), Seq("cell")))
+    def hits(arm: DataFrame, nm: String) = arm.join(exact, Seq("pid", "cid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    own.select(col("pid"))
+      .join(hits(arm1, "recall1"), Seq("pid"), "left")
+      .join(hits(arm2, "recall2"), Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("recall1"), lit(0L)).as("recall1"),
+        coalesce(col("recall2"), lit(0L)).as("recall2"))
+      .orderBy(col("pid"))
+  }
+
+  private lazy val q167Sql =
+    s"""WITH $ivf2ChainsSql,
+      |$ivf2AsgCtesSql,
+      |${ivf2Probe2CtesSql("cellv")},
+      |ex AS (SELECT pid, cid FROM (
+      |         SELECT p.pid, c.vec_id AS cid, row_number() OVER (
+      |             PARTITION BY p.pid
+      |             ORDER BY round(list_cosine_similarity(p.pe, c.emb), 4)
+      |               DESC, c.vec_id) AS rn
+      |         FROM pown p, e c WHERE p.pid <> c.vec_id)
+      |       WHERE rn <= 3),
+      |a1 AS (SELECT pid, cid FROM (
+      |         SELECT p.pid, c.vec_id AS cid, row_number() OVER (
+      |             PARTITION BY p.pid
+      |             ORDER BY round(list_cosine_similarity(p.pe, c.emb), 4)
+      |               DESC, c.vec_id) AS rn
+      |         FROM pown p JOIN cellv c USING (cell)
+      |         WHERE p.pid <> c.vec_id)
+      |       WHERE rn <= 3),
+      |a2 AS (SELECT pid, cid FROM (
+      |         SELECT p.pid, c.vec_id AS cid, row_number() OVER (
+      |             PARTITION BY p.pid
+      |             ORDER BY round(list_cosine_similarity(p.pe, c.emb), 4)
+      |               DESC, c.vec_id) AS rn
+      |         FROM pp p JOIN cellv c USING (cell)
+      |         WHERE p.pid <> c.vec_id)
+      |       WHERE rn <= 3),
+      |r1 AS (SELECT a1.pid, CAST(count(*) AS BIGINT) AS recall1
+      |       FROM a1 JOIN ex ON a1.pid = ex.pid AND a1.cid = ex.cid
+      |       GROUP BY a1.pid),
+      |r2 AS (SELECT a2.pid, CAST(count(*) AS BIGINT) AS recall2
+      |       FROM a2 JOIN ex ON a2.pid = ex.pid AND a2.cid = ex.cid
+      |       GROUP BY a2.pid)
+      |SELECT pown.pid, COALESCE(r1.recall1, 0) AS recall1,
+      |  COALESCE(r2.recall2, 0) AS recall2
+      |FROM pown LEFT JOIN r1 ON pown.pid = r1.pid
+      |          LEFT JOIN r2 ON pown.pid = r2.pid
+      |ORDER BY pown.pid""".stripMargin
 
   /** q137 — set-similarity join via PREFIX FILTERING (Chaudhuri et al.
     * 2006 / PPJoin's candidate rule): the fourth blocking family in the
@@ -4470,6 +4653,7 @@ object LlmOps {
     QueryDef("q154_ivf2_append", q154, Some(q154Sql)),
     QueryDef("q160_ivf2_delete", q160, Some(q160Sql)),
     QueryDef("q164_bitext_mine", q164, Some(q164Sql)),
+    QueryDef("q167_ivf2_recall", q167, Some(q167Sql)),
     // q155's oracle IS the monolithic q70 chain — hash equality proves
     // the segment merge exact
     QueryDef("q155_segment_bm25", q155, Some(q70Sql)),

@@ -37,20 +37,21 @@ object SaScale {
 
       val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
       val t0 = System.nanoTime()
-      val (levels, n) = SuffixArray.hierarchyPaths(
+      val h = SuffixArray.hierarchy(
         spark.read.parquet(flatPath),
         (prefix, groups, sec) => rounds += ((prefix, groups, sec)))
+      val n = h.n
       val wall = (System.nanoTime() - t0) / 1e9
       require(n == nTok, s"token count drifted: rank=$nTok sa=$n")
 
       // the LCP descent (q123/q148/q159's core op) from the hierarchy just
       // built — descent-only wall, no rebuild (lcpFromLevels, r11)
       val t1 = System.nanoTime()
-      val lcpP = SuffixArray.lcpFromLevels(spark, levels)
+      val lcpP = SuffixArray.lcpFromLevels(spark, h)
       val lcpWall = (System.nanoTime() - t1) / 1e9
       val lcpRows = spark.read.parquet(lcpP).count()
       Scratch.release(lcpP)
-      levels.foreach { case (_, p) => Scratch.release(p) }
+      h.release()
       Scratch.release(flatPath)
 
       val detail = rounds.map { case (p, g, s) =>

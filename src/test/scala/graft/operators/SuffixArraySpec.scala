@@ -28,7 +28,8 @@ class SuffixArraySpec extends SparkSpec {
     val df = toks.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
     val path = SuffixArray.ranksPath(df)
-    try spark.read.parquet(path).as[(Long, Long)].collect().toMap
+    try spark.read.parquet(path).select("pos", "rank")
+      .as[(Long, Long)].collect().toMap
     finally Scratch.release(path)
   }
 
@@ -76,6 +77,105 @@ class SuffixArraySpec extends SparkSpec {
     }.filter(_.size >= 2) :+ (Seq.fill(8)(Seq("x", "y")).flatten :+ "z")
     for (ts <- cases)
       assert(sparkLcp(ts) == bruteLcp(ts), s"LCP divergence on $ts")
+  }
+
+  /** Force the pure-GLOBAL regime (maxLocalGroup = 0 ⇒ the active-set
+    * switch never fires) — the skew-safe path a 100 TB opener round
+    * takes. */
+  private def sparkRanksGlobalOnly(toks: Seq[String]): Map[Long, Long] = {
+    val df = toks.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
+    val h = SuffixArray.hierarchy(df, maxLocalGroup = 0L)
+    try {
+      assert(h.finalsPath.isEmpty, "global-only build must never switch")
+      assert(h.levels.forall(_.full))
+      h.finalRanksDf(spark).as[(Long, Long)].collect().toMap
+    } finally h.release()
+  }
+
+  test("global-only and active-set regimes agree with the reference (property)") {
+    val genSeq = for {
+      n <- Gen.choose(4, 40)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab"))
+    } yield ts
+    val cases = (0 until 5).flatMap { i =>
+      genSeq(Gen.Parameters.default, Seed(43L + i))
+    }.filter(_.nonEmpty)
+    assert(cases.size >= 3, "generator starved — property vacuous")
+    for (ts <- cases) {
+      val ref = reference(ts)
+      assert(sparkRanksGlobalOnly(ts) == ref, s"global-only diverged on $ts")
+      assert(sparkRanks(ts) == ref, s"active-set diverged on $ts")
+    }
+  }
+
+  test("active-set build lands finals deltas and mixed full/active levels") {
+    // highly repetitive ⇒ many rounds; default threshold switches after
+    // round 0 on tiny data, so all later rounds are active-set
+    val ts = Seq.fill(16)(Seq("x", "y")).flatten :+ "z"
+    val df = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
+    val h = SuffixArray.hierarchy(df)
+    try {
+      assert(h.finalsPath.isDefined, "repetitive input must switch regimes")
+      assert(h.levels.head.full && !h.levels.last.full)
+      // finals dir accumulates exactly n rows, a 1..n rank permutation
+      val fin = spark.read.parquet(h.finalsPath.get)
+      assert(fin.count() == ts.length.toLong)
+      val ranks = fin.select("pos", "rank").as[(Long, Long)].collect().toMap
+      assert(ranks == reference(ts))
+      // resolution levels are recorded and monotone within bounds
+      val lvls = fin.select("lvl").as[Long].collect()
+      assert(lvls.forall(l => l >= 1 && l <= h.levels.last.prefixLen))
+      // every level is reconstructable as a full n-row relation whose
+      // rank equality certifies prefix-p equality (spot-check: ranks at
+      // each level form groups that refine the next level's)
+      for (i <- h.levels.indices)
+        assert(h.levelDf(spark, i).count() == ts.length.toLong,
+          s"level $i not full-size")
+    } finally h.release()
+  }
+
+  test("LCP matches brute force in the forced-global regime too") {
+    val ts = Seq("a", "b", "a", "b", "ab", "a", "b")
+    val df = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
+    val h = SuffixArray.hierarchy(df, maxLocalGroup = 0L)
+    val path =
+      try SuffixArray.lcpFromLevels(spark, h)
+      finally h.release()
+    val got =
+      try spark.read.parquet(path).as[(Long, Long, Long, Long)].collect()
+        .map { case (r, a, b, l) => r -> (a, b, l) }.toMap
+      finally Scratch.release(path)
+    val ranks = reference(ts)
+    val byRank = ranks.toSeq.map(_.swap).toMap
+    val want = (1L until ts.length.toLong).map { r =>
+      val a = byRank(r).toInt; val b = byRank(r + 1).toInt
+      val l = ts.drop(a).zip(ts.drop(b))
+        .takeWhile { case (x, y) => x == y }.length
+      r -> (a.toLong, b.toLong, l.toLong)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("Scratch alloc/append accumulates deltas and refuses escapes") {
+    val p = Scratch.allocPath("spec-acc")
+    Scratch.appendPath(Seq((1L, "a")).toDF("k", "v"), p)
+    Scratch.appendPath(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), p)
+    assert(spark.read.parquet(p).count() == 3L)
+    Scratch.release(p)
+    intercept[IllegalArgumentException] {
+      Scratch.appendPath(Seq((1L, "x")).toDF("k", "v"), "/tmp/not-scratch")
+    }
+    // the scratch ROOT itself is refused (part files there would mix
+    // with scratch dirs), as are path-escaping names
+    val root = new java.io.File(Scratch.allocPath("probe")).getParent
+    intercept[IllegalArgumentException] {
+      Scratch.appendPath(Seq((1L, "x")).toDF("k", "v"), root)
+    }
+    intercept[IllegalArgumentException] { Scratch.allocPath("a/b") }
+    intercept[IllegalArgumentException] { Scratch.allocPath("..") }
   }
 
   test("ranks are a 1..n permutation and repeated runs converge past round 0") {

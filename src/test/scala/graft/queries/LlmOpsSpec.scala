@@ -8,6 +8,42 @@ import graft.SparkSpec
   * the exact shingle-Jaccard pipeline, dedup idempotence, hash stability. */
 class LlmOpsSpec extends SparkSpec {
 
+  test("probe-2 recovers a planted cross-cell neighbor that probe-1 misses") {
+    import spark.implicits._
+    // hand-built serve state: 2 coarse cells at x=0 / x=100, one
+    // sub-cell each (k2 = 1 ⇒ cell id == coarse id). A probe at x=49
+    // lands in cell 0; its TRUE nearest neighbor sits at x=52 — just
+    // across the Voronoi face, in cell 1. Single-cell serving can never
+    // see it; the second probe cell must be 1.
+    val state = (
+      Array(Array(0L, 0L), Array(100L, 0L)),
+      Vector(Vector(Array(0L, 0L)), Vector(Array(100L, 0L))),
+      1L)
+    val probe = Seq((9000L, Seq(49L, 0L))).toDF("pid", "vq")
+    val got = LlmOps.ivf2SecondProbeCell(probe, state)
+      .select("pid", "cell2").as[(Long, Option[Long])].collect().toMap
+    assert(got(9000L).contains(1L),
+      s"second probe cell must be the runner-up coarse cell, got $got")
+    // empty runner-up book ⇒ null cell2 (the empty-cell skip contract)
+    val stateEmpty = (
+      Array(Array(0L, 0L), Array(100L, 0L)),
+      Vector(Vector(Array(0L, 0L)), Vector.empty[Array[Long]]),
+      1L)
+    val gotE = LlmOps.ivf2SecondProbeCell(probe, stateEmpty)
+      .select("pid", "cell2").as[(Long, Option[Long])].collect().toMap
+    assert(gotE(9000L).isEmpty, "empty runner-up book must yield null cell2")
+    // end-to-end on the gate corpus: the widened serve's hit set per
+    // probe CONTAINS probe-1's (candidate-set monotonicity) and the
+    // recall report is row-wise monotone with a strict global gain
+    val rep = LlmOps.q167(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.forall { case (_, r1, r2) => r2 >= r1 },
+      s"recall@3 must be row-wise monotone: ${rep.mkString(", ")}")
+    assert(rep.map(_._3).sum > rep.map(_._2).sum,
+      "probe-2 found no cross-cell ground-truth neighbor at sf0.01 — " +
+        "widening vacuous on the gate corpus")
+  }
+
   test("MinHash-LSH near-dup (q35d) recalls the high-Jaccard exact pairs") {
     val exact = LlmOps.q35(spark, sf0001)
       .filter(col("jaccard") >= 0.5) // 4 bands × 4 rows → ~s^4 band match
