@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+/** REAL image codec (r12 verdict ask #5) on `javax.imageio` — in the JDK,
+  * so no new dependency: PNG/JPEG/BMP/GIF decode to raw pixels, PNG
+  * encode for fixture/payload generation, and a deterministic
+  * nearest-neighbor resize. This replaces [[StubCodec]] for image-kind
+  * payloads; audio/video remain stubbed (no JDK codec exists for them —
+  * the documented container constraint).
+  *
+  * Determinism notes (the properties MultimodalSpec pins):
+  *   - PNG is lossless: encode(px) → decode = px exactly, on any JVM.
+  *   - Resize is explicit integer source-index arithmetic, NOT
+  *     Graphics2D (rendering pipelines may differ across JVMs/platforms;
+  *     `(y*h)/oh` floor arithmetic cannot).
+  *   - JPEG decode is deterministic per decoder build but not
+  *     bit-portable across decoders — consumers needing cross-engine
+  *     hashes (the oracle gate) stick to dimension/row checks for JPEG.
+  *
+  * Threading: ImageIO.read/write are stateless per call (no shared
+  * codec instance), so the per-partition batch loop needs no locking;
+  * the static registry scan happens once per JVM. */
+object ImageCodec {
+
+  /** Decode image bytes → (width, height, ARGB row-major pixels); None
+    * when the payload is not a decodable image (a real lake always has
+    * corrupt members — callers must route, not crash). */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+    }
+  }
+
+  /** Deterministic nearest-neighbor resize of ARGB pixels: source index
+    * = floor(out_index × src_extent / out_extent) per axis. */
+  def resizeNearest(w: Int, h: Int, px: Array[Int],
+      ow: Int, oh: Int): Array[Int] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0 && px.length == w * h,
+      s"bad resize geometry: ${w}x$h (${px.length} px) -> ${ow}x$oh")
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = px(sy * w + (x.toLong * w / ow).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode ARGB pixels as PNG bytes (lossless round-trip). */
+  def encodePng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h, s"${px.length} px for ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode ARGB pixels as JPEG bytes (lossy — spec round-trips
+    * dimensions, not pixels). */
+  def encodeJpeg(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h, s"${px.length} px for ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** ITU-R BT.601 integer luma of one ARGB pixel (the fixed-point form:
+    * (77R + 150G + 29B) >> 8 — integer-exact, engine-portable). */
+  def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (77 * r + 150 * g + 29 * b) >> 8
+  }
+}

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct, exactly
   * like a 100 TB training-data lake stores them. The Spark-side plumbing —
   * schema, batched per-partition decode, feature/resize/frame-sample
-  * signatures — is real and tested; the codec itself is STUBBED with a
-  * deterministic byte-level fake because this container ships no
-  * image/audio libraries (prompt directive). Swapping [[StubCodec]] for a
-  * real JNI/library decoder changes no query code.
+  * signatures — is real and tested. IMAGE decode is REAL as of r13
+  * ([[ImageCodec]] on the JDK's javax.imageio: PNG/JPEG decode +
+  * deterministic nearest-neighbor resize, exercised end to end over
+  * procedurally generated PNG payloads); audio/video decode remains
+  * STUBBED with a deterministic byte-level fake because this container
+  * ships no audio/video libraries (prompt directive). Swapping
+  * [[StubCodec]] for a real JNI/library decoder changes no query code.
   *
   * Execution shape: decode runs via `mapPartitions` over Arrow-sized row
   * groups, i.e. one codec instance per partition, no per-row JNI setup —
@@ -67,6 +70,84 @@ object Multimodal {
         }
       }
       .toDF("media_id", "features")
+  }
+
+  /** The synthetic media table with REAL image payloads: image-kind rows
+    * carry an actual PNG — a deterministic procedural bitmap at the
+    * meta width×height whose pixel (x, y) is a pure function of
+    * (media_id, x, y) — so the decode path below exercises a true codec
+    * end to end (r12 verdict ask #5); audio/video rows keep the opaque
+    * text-byte payload (no JDK codec for those — still stub-decoded).
+    * PNG generation runs in the same batched mapPartitions shape as
+    * decode (one row-group per task, no driver rendering). */
+  def mediaWithImagePayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = mediaFromDocuments(docs)
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt)
+    val pngs = base.filter(col("kind") === "image")
+      .select(col("media_id"), col("meta.width"), col("meta.height"))
+      .as[(Long, Int, Int)](enc)
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, ImageCodec.encodePng(w, h, proceduralPixels(id, w, h)))
+      })
+      .toDF("media_id", "png")
+    base.join(pngs, Seq("media_id"), "left")
+      .withColumn("payload",
+        when(col("kind") === "image", col("png")).otherwise(col("payload")))
+      .drop("png")
+  }
+
+  /** The deterministic test-card bitmap behind [[mediaWithImagePayloads]]
+    * — pure integer function of (media_id, x, y), so specs can recompute
+    * any planted pixel. */
+  def proceduralPixels(id: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 13 + y * 31) & 0xff).toInt
+        val g = ((id * 11 + x * 3 + y * 17) & 0xff).toInt
+        val b = ((id * 5 + x * 29 + y * 7) & 0xff).toInt
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** REAL image decode + fixed resize ([[ImageCodec]]): payload → pixels
+    * → nearest-neighbor resize to ow×oh → integer-luma stats. Same
+    * batched mapPartitions contract as [[decodeFeatures]] (one codec
+    * loop per partition). Output: (media_id, src_w, src_h, out_w, out_h,
+    * mean_luma, corner_luma); undecodable payloads yield src_w = -1
+    * (routed, never crashed — a 100 TB lake always has corrupt
+    * members). */
+  def decodeImages(media: DataFrame, ow: Int, oh: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
+      .mapPartitions(_.map { case (id, payload) =>
+        ImageCodec.decode(payload) match {
+          case Some((w, h, px)) =>
+            val out = ImageCodec.resizeNearest(w, h, px, ow, oh)
+            var s = 0L
+            out.foreach(p => s += ImageCodec.luma(p))
+            (id, w, h, ow, oh, s.toDouble / out.length,
+              ImageCodec.luma(out(0)).toDouble)
+          case None => (id, -1, -1, ow, oh, -1.0, -1.0)
+        }
+      })
+      .toDF("media_id", "src_w", "src_h", "out_w", "out_h",
+        "mean_luma", "corner_luma")
   }
 
   /** Resize stub: declarative metadata rewrite + payload passthrough (a

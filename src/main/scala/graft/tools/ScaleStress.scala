@@ -80,7 +80,10 @@ object ScaleStress {
     // bitext mining
     "q160_ivf2_delete", "q161_segment_compaction", "q164_bitext_mine",
     // r11 second half: governance + soft-dedup weights
-    "q163_pii_redact", "q165_soft_dedup")
+    "q163_pii_redact", "q165_soft_dedup",
+    // r13: the NN-Descent refinement (candidate-bounded — must hold at
+    // or below q130's ratio) and the probe-2 recall report
+    "q166_nn_descent", "q167_ivf2_recall")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -35,6 +35,63 @@ class MultimodalSpec extends SparkSpec {
     assert(v.head > 32f && v.head < 127f)
   }
 
+  test("PNG round-trip is pixel-exact and recovers a planted pixel") {
+    // 3x2 image with distinct planted pixels
+    val px = Array(0xff0000, 0x00ff00, 0x0000ff, 0x123456, 0xabcdef, 0x000000)
+    val bytes = ImageCodec.encodePng(3, 2, px)
+    val Some((w, h, got)) = ImageCodec.decode(bytes)
+    assert(w == 3 && h == 2)
+    assert(got.map(_ & 0xffffff).toSeq == px.toSeq,
+      "PNG decode must be lossless")
+    // planted pixel (x=1, y=1) = 0xabcdef survives encode->decode
+    assert((got(1 * 3 + 1) & 0xffffff) == 0xabcdef)
+    // JPEG: lossy — dimensions survive, pixels need not
+    val Some((jw, jh, _)) = ImageCodec.decode(ImageCodec.encodeJpeg(3, 2, px))
+    assert(jw == 3 && jh == 2)
+    // corrupt payload routes to None, never throws
+    assert(ImageCodec.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("nearest-neighbor resize: exact index math on a planted grid") {
+    // 4x4 grid of distinct values resized to 2x2 must pick pixels at
+    // source indices (0,0), (2,0), (0,2), (2,2) — floor(out*src/dst)
+    val px = (0 until 16).toArray
+    val out = ImageCodec.resizeNearest(4, 4, px, 2, 2)
+    assert(out.toSeq == Seq(0, 2, 8, 10))
+    // upscale 2x2 -> 4x4 replicates each source pixel into a 2x2 block
+    val up = ImageCodec.resizeNearest(2, 2, Array(1, 2, 3, 4), 4, 4)
+    assert(up.toSeq == Seq(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("real image decode over generated PNG payloads: dims + planted pixel + determinism") {
+    val m = Multimodal.mediaWithImagePayloads(Tables.documents(spark, sf0001))
+      .filter(col("kind") === "image")
+    val dec = Multimodal.decodeImages(m, 8, 8)
+    val rows = dec.orderBy(col("media_id")).collect()
+    assert(rows.nonEmpty)
+    // every payload decoded (no -1 rows) at its meta dimensions
+    val metas = m.select(col("media_id"), col("meta.width"), col("meta.height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    rows.foreach { r =>
+      val (w, h) = metas(r.getLong(0))
+      assert(r.getInt(1) == w && r.getInt(2) == h,
+        s"decoded dims ${r.getInt(1)}x${r.getInt(2)} != meta ${w}x$h")
+      assert(r.getInt(3) == 8 && r.getInt(4) == 8)
+    }
+    // corner_luma equals the luma of the procedural pixel at (0, 0):
+    // nearest-neighbor maps out (0,0) -> src (0,0), and PNG is lossless
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val want = ImageCodec.luma(
+        Multimodal.proceduralPixels(id, metas(id)._1, metas(id)._2)(0))
+      assert(r.getDouble(6) == want.toDouble,
+        s"corner luma drifted for media $id")
+    }
+    // determinism: a second decode pass is identical
+    val again = Multimodal.decodeImages(m, 8, 8).orderBy(col("media_id")).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("resize rewrites metadata, preserves payload") {
     val resized = Multimodal.resize(media, 224, 224)
     val r = resized.select(col("meta.width"), col("meta.height")).distinct().collect()

@@ -44,6 +44,23 @@ class LlmOpsSpec extends SparkSpec {
         "widening vacuous on the gate corpus")
   }
 
+  test("q166 NN-Descent ranking dominates the q130 seed graph") {
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val seed = byRank(LlmOps.q130(spark, sf001))
+    val ref = byRank(LlmOps.q166(spark, sf001))
+    // the candidate set contains every seed edge, so for every (node,
+    // rank) present in both the refined similarity can only rise
+    val shared = seed.keySet.intersect(ref.keySet)
+    assert(shared.nonEmpty)
+    assert(shared.forall(k => ref(k) >= seed(k)),
+      "NN-Descent must dominate the seed per (node, rank)")
+    // and the round must actually recover cross-cell edges on the gate
+    // corpus (strict gain somewhere), or the refinement is vacuous
+    assert(shared.exists(k => ref(k) > seed(k)),
+      "no (node, rank) improved at sf0.01 — NN-Descent round vacuous")
+  }
+
   test("MinHash-LSH near-dup (q35d) recalls the high-Jaccard exact pairs") {
     val exact = LlmOps.q35(spark, sf0001)
       .filter(col("jaccard") >= 0.5) // 4 bands × 4 rows → ~s^4 band match
