@@ -27,4 +27,30 @@ object TextRules {
       "\\?(utm_[a-z]+=[a-z0-9]*&)+", "?"),
       "[?&]utm_[a-z]+=[a-z0-9]*", ""),
       "://www\\.", "://"), ":443([/?]|$)", "$1"), "/$", "")
+
+  /** PII regex classes (the q163 governance rule, shared verbatim with
+    * the streaming admission path — [[graft.streaming.StreamIngest
+    * .piiRedactStream]]): emails, NANP-style phone numbers, IPv4
+    * addresses. No lookarounds, so the Java and RE2 engines agree. */
+  val PiiEmail = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
+  val PiiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The masking chain: emails FIRST so a digit-bearing domain can never
+    * double-count as an IP, then IPs, then phones. Pure codegen'd
+    * regexp chain — map-side, stateless, streaming-safe. */
+  def piiRedacted(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+
+  /** The audit columns a governance log wants alongside the masked text
+    * — per-class counts taken BEFORE masking, char sizes both sides.
+    * One definition keyed off `text`, appended to any relation shape
+    * (batch q163 and the stream project the same list). */
+  def piiAuditCols(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(PiiEmail)).cast("long").as("n_emails"),
+    regexp_count(text, lit(PiiPhone)).cast("long").as("n_phones"),
+    regexp_count(text, lit(PiiIp)).cast("long").as("n_ips"),
+    length(text).cast("long").as("n_chars_before"),
+    piiRedacted(text).as("redacted"))
 }

@@ -685,12 +685,14 @@ object Curation {
     * agree; counts are taken BEFORE masking and emails mask first so a
     * digit-bearing domain can never double-count as an IP. Scale shape:
     * pure map-side codegen'd regexp chain — zero shuffles besides the
-    * output order; this composes in front of any ingest path (the same
-    * expression is streaming-safe, like [[graft.functions.TextRules]]). */
+    * output order. The chain itself lives in
+    * [[graft.functions.TextRules.piiAuditCols]] and is shared VERBATIM
+    * with the streaming admission form
+    * ([[graft.streaming.StreamIngest.piiRedactStream]], r12 verdict ask
+    * #6) — parity is one definition, and StreamingSpec proves the
+    * per-batch masking + audit counts equal this batch chain on the
+    * same planted rows. */
   def q163(s: SparkSession, d: String): DataFrame = {
-    val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
-    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
     val enriched = Tables.documents(s, d)
       .select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 7 === 1,
@@ -704,13 +706,8 @@ object Curation {
           concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
             lit("."), (col("doc_id") % 250 + 1).cast("string"),
             lit(" logged"))).otherwise(lit(""))).as("text"))
-    enriched.select(col("doc_id"),
-        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
-        regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
-        length(col("text")).cast("long").as("n_chars_before"),
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+    enriched.select(col("doc_id") +:
+        graft.functions.TextRules.piiAuditCols(col("text")): _*)
       .withColumn("n_chars_after", length(col("redacted")).cast("long"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         col("n_chars_before"), col("n_chars_after"), col("redacted"))

@@ -171,6 +171,25 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_url")
 
+  /** Streaming PII REDACTION (the q163 governance rule on the admission
+    * path, r12 verdict ask #6): incoming (doc_id, text, ts) docs are
+    * masked and audited map-side with the EXACT batch expression chain
+    * ([[graft.functions.TextRules.piiAuditCols]] — one definition, so
+    * the stream and the registered batch query cannot desynchronize).
+    * STATELESS by construction — redaction is a pure per-row rewrite,
+    * so unlike the dedup admissions there is no watermark, no state
+    * store, and no TTL semantics to reason about: it composes in front
+    * of ANY sink (including the stateful admissions downstream) at
+    * zero marginal shuffle. Output: (doc_id, ts, n_emails, n_phones,
+    * n_ips, n_chars_before, n_chars_after, redacted). */
+  def piiRedactStream(docs: DataFrame): DataFrame =
+    docs.select(Seq(col("doc_id"), col("ts")) ++
+        graft.functions.TextRules.piiAuditCols(col("text")): _*)
+      .withColumn("n_chars_after", length(col("redacted")).cast("long"))
+      .select(col("doc_id"), col("ts"), col("n_emails"), col("n_phones"),
+        col("n_ips"), col("n_chars_before"), col("n_chars_after"),
+        col("redacted"))
+
   /** Streaming line-level boilerplate rule (the q112 line rule on the
     * admission path): incoming (doc_id, text, ts) docs split into
     * [[LineLen]]-token lines MAP-SIDE (the q112 chunking, declarative so

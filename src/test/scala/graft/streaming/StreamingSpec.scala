@@ -180,6 +180,55 @@ class StreamingSpec extends SparkSpec {
       s"expired canon-url state must re-admit: $admitted2")
   }
 
+  test("streaming PII redaction: per-batch masking + audit counts equal " +
+      "the batch chain on the same planted corpus") {
+    // planted rows covering every class, multi-class docs, and a
+    // no-PII doc — delivered across TWO micro-batches to prove the
+    // stateless chain is batch-boundary-invariant
+    val batch1 = Seq(
+      (1L, "reach me at user1@example.com for details", ts(0)),
+      (2L, "call 555-123-0042 today", ts(0)),
+      (3L, "server 10.0.4.17 responded", ts(1)))
+    val batch2 = Seq(
+      (4L, "user4@example.com or 555-123-9999 from 192.168.1.1", ts(2)),
+      (5L, "no pii in this document at all", ts(2)),
+      (6L, "two mails a@b.co c.d@e.org one ip 8.8.8.8", ts(3)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamIngest.piiRedactStream(
+        input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pii_out")
+      .select("doc_id", "n_emails", "n_phones", "n_ips",
+        "n_chars_before", "n_chars_after", "redacted")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    q.stop()
+    // the batch arm: the SAME shared expression chain over a static DF
+    // of the same rows (what q163 runs on the documents table)
+    val expected = (batch1 ++ batch2).toDF("doc_id", "text", "ts")
+      .select(col("doc_id") +:
+        graft.functions.TextRules.piiAuditCols(col("text")): _*)
+      .withColumn("n_chars_after", length(col("redacted")).cast("long"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips",
+        "n_chars_before", "n_chars_after", "redacted")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == expected,
+      "stream and batch PII audits diverged on identical rows")
+    // spot-pin the semantics: masking happened, counts audit the finds
+    assert(expected(4L).head == 1L) // one email
+    assert(expected(4L)(1) == 1L) // one phone
+    assert(expected(4L)(2) == 1L) // one ip
+    assert(expected(6L).head == 2L, "two emails in doc 6")
+    val red6 = expected(6L).last.asInstanceOf[String]
+    assert(red6.contains("<EMAIL>") && red6.contains("<IP>") &&
+      !red6.contains("8.8.8.8"))
+    assert(expected(5L).take(3) == Seq(0L, 0L, 0L))
+  }
+
   test("streaming line-dedup: a line recurring across distinct docs flags " +
       "from its second doc on; TTL evicts line state") {
     withRocksDbStateStore {
