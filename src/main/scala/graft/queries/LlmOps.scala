@@ -2123,12 +2123,40 @@ object LlmOps {
     * 8-gram set BROADCASTS and contamination becomes a map-side semi-join
     * over the streamed corpus n-grams: no shuffle of the 100 TB side
     * before the per-doc count. */
+  /** DERIVED-CAP AUDIT of the decontamination gram gates (r12 verdict
+    * ask #7), q65 + q75: the only constants in these paths are
+    *   - the gram width 8 — SEMANTIC (the GPT-3/PaLM 8-to-13-gram
+    *     overlap convention), corpus-independent by definition, and
+    *     result-DEFINING, not a recall cap;
+    *   - the %59 bench bucket — the synthetic eval-set FIXTURE, not a
+    *     parameter of the operator (production passes a real benchmark
+    *     relation);
+    *   - [[BenchBroadcastMaxRows]] below — a PLAN-choice knob only.
+    * There is NO frequency/df cap anywhere in the chain: every bench
+    * gram gates, however hot (LlmOpsSpec plants a corpus-wide-hot gram
+    * and proves it still flags), so recall cannot silently depend on
+    * the corpus. What WAS corpus-dependent before r13 is the
+    * unconditional broadcast hint — sound only while the bench side is
+    * small. The hint is now DERIVED from a 1-value count probe of the
+    * bench-gram set: under the ceiling it broadcasts (map-side gate, the
+    * production shape for real benchmark suites, which are small by
+    * construction); above it the SAME left-semi join runs as a shuffle
+    * join — identical semantics, different physical plan (the spec
+    * asserts both modes return identical rows). */
+  private[queries] val BenchBroadcastMaxRows = 4L * 1000 * 1000
+
+  /** The derived gate: `bench` broadcast iff its probed row count fits
+    * [[BenchBroadcastMaxRows]]. Shared by q65/q75. */
+  private[queries] def benchGate(bench: DataFrame, benchRows: Long): DataFrame =
+    if (benchRows <= BenchBroadcastMaxRows) broadcast(bench) else bench
+
   def q65(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isBench = col("doc_id") % 59 === 0
     val benchGrams = docs.filter(isBench)
       .select(NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("ngram")).distinct()
+    val benchN = benchGrams.count() // 1-value probe → derived join strategy
     // semi-join FIRST (map-side, broadcast gate), distinct AFTER: only the
     // (rare) contaminated grams ever shuffle — the full corpus n-gram
     // stream never does. A distinct before the gate would be a corpus-wide
@@ -2137,7 +2165,7 @@ object LlmOps {
       .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram"))
     val hits = corpusGrams
-      .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
+      .join(benchGate(benchGrams, benchN), Seq("ngram"), "left_semi")
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     docs.filter(!isBench).select(col("doc_id"), col("lang"))
@@ -3367,15 +3395,18 @@ object LlmOps {
       .select(col("doc_id").as("bench_id"),
         NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("bench_id"), col("ngram")).distinct()
+    val benchN = benchGrams.count() // 1-value probe → derived join strategy
     // semi-join is duplicate-insensitive, so benchGrams gates directly —
     // no separate distinct gram set; both broadcasts of the byte-identical
-    // benchGrams subtree share one exchange
+    // benchGrams subtree share one exchange. Both joins take the DERIVED
+    // gate (see the q65 audit note): broadcast only under the probed
+    // ceiling, same semantics either way.
     val hits = docs.filter(!isBench)
       .select(col("doc_id"), NGramExplode(col("text"), 8).as(Seq("pos", "ngram")))
       .select(col("doc_id"), col("ngram"))
-      .join(broadcast(benchGrams), Seq("ngram"), "left_semi")
+      .join(benchGate(benchGrams, benchN), Seq("ngram"), "left_semi")
       .distinct()
-    val agg = hits.join(broadcast(benchGrams), Seq("ngram"))
+    val agg = hits.join(benchGate(benchGrams, benchN), Seq("ngram"))
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("doc_id")).as("n_leaking_docs"),
         count(lit(1)).as("n_gram_hits"))

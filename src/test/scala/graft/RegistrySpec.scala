@@ -144,6 +144,25 @@ class RegistrySpec extends SparkSpec {
       "in-flight build's scratch dir survived its cell's invalidation")
   }
 
+  test("DatasetCache.invalidateAll drops every entry and releases all scratch") {
+    import graft.operators.{DatasetCache, Scratch}
+    val cache = new DatasetCache[String]("all-test", Seq(_))
+    val before = Scratch.liveDirCount
+    cache.getOrCompute("dirA") { _ =>
+      Scratch.materializePath(spark.range(1).toDF("x"), "all-test") }
+    cache.getOrCompute("dirB") { _ =>
+      Scratch.materializePath(spark.range(2).toDF("x"), "all-test") }
+    assert(Scratch.liveDirCount == before + 2)
+    cache.invalidateAll()
+    assert(Scratch.liveDirCount == before,
+      "invalidateAll must release every memoized scratch dir")
+    // entries really gone: a re-get rebuilds (fresh dir appears again)
+    cache.getOrCompute("dirA") { _ =>
+      Scratch.materializePath(spark.range(3).toDF("x"), "all-test") }
+    assert(Scratch.liveDirCount == before + 1)
+    cache.invalidateAll()
+  }
+
   test("proto envelope: property — random messages round-trip exactly") {
     val locGen = for {
       lat <- Gen.chooseNum(-90.0, 90.0)

@@ -9,6 +9,24 @@ import graft.SparkSpec
   * policy monotonicity, flag/conjunction consistency, ntile balance. */
 class CurationSpec extends SparkSpec {
 
+  test("q116 gate audit: a corpus-wide-hot gram is fully covered (no df cap)") {
+    import spark.implicits._
+    // one 8-gram planted into EVERY doc (df = corpus size). A blocked
+    // path's frequency ceiling would drop it; the exact dup-span gate
+    // must cover all 8 tokens in all 50 docs — corpus-independence of
+    // the count >= 2 gate (the r12 ask-#7 audit property).
+    val hot = "h0 h1 h2 h3 h4 h5 h6 h7"
+    val docs = (1L to 50L).map(i => (i, s"u$i v$i w$i $hot z$i"))
+      .toDF("doc_id", "text")
+    val spans = Curation.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (doc, start, end)
+    assert(spans.length == 50, s"one span per doc expected, got ${spans.length}")
+    // the hot gram sits at token positions 3..10 in every doc, and the
+    // unique u/v/w/z tokens around it must NOT be absorbed
+    assert(spans.forall { case (_, s0, e0) => s0 == 3L && e0 == 10L },
+      s"span extents drifted: ${spans.take(5).mkString(", ")}")
+  }
+
   test("q76: docs losing no span reassemble to their original text; kept <= chunks") {
     val docs = graft.Tables.documents(spark, sf001)
       .select(col("doc_id"), col("text"))

@@ -44,6 +44,40 @@ class LlmOpsSpec extends SparkSpec {
         "widening vacuous on the gate corpus")
   }
 
+  test("decontam gate audit: broadcast/shuffle modes agree; a corpus-hot " +
+      "gram still gates (no df cap)") {
+    import spark.implicits._
+    // mode equivalence: the derived broadcast decision is a PLAN choice,
+    // never a result change — same semi-join rows either side of the
+    // probed ceiling
+    val bench = (1 to 5).map(i => s"g$i").toDF("ngram")
+    val corpus = (1 to 100).map(i => (i.toLong, s"g${i % 10}"))
+      .toDF("doc_id", "ngram")
+    def run(benchRows: Long) = corpus
+      .join(LlmOps.benchGate(bench, benchRows), Seq("ngram"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaBroadcast = run(benchRows = 5L)
+    val viaShuffle = run(benchRows = LlmOps.BenchBroadcastMaxRows + 1)
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
+    // no frequency cap: an 8-gram planted into EVERY corpus doc (df =
+    // corpus size — a blocked path's df ceiling would drop it) must
+    // still contaminate all of them through the exact q65 chain shape
+    val hot = "h0 h1 h2 h3 h4 h5 h6 h7"
+    val benchDocs = Seq((0L, s"bench preamble $hot trailing words here"))
+      .toDF("doc_id", "text")
+    val corpusDocs = (1L to 50L).map(i => (i, s"u$i v$i w$i $hot x$i"))
+      .toDF("doc_id", "text")
+    val bg = benchDocs.select(graft.functions.NGramExplode(col("text"), 8)
+      .as(Seq("pos", "ngram"))).select("ngram").distinct()
+    val hits = corpusDocs
+      .select(col("doc_id"), graft.functions.NGramExplode(col("text"), 8)
+        .as(Seq("pos", "ngram")))
+      .select("doc_id", "ngram")
+      .join(LlmOps.benchGate(bg, bg.count()), Seq("ngram"), "left_semi")
+      .select("doc_id").distinct().count()
+    assert(hits == 50L, s"hot-gram contamination must flag all 50 docs, got $hits")
+  }
+
   test("q166 NN-Descent ranking dominates the q130 seed graph") {
     def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
