@@ -3899,7 +3899,7 @@ object LlmOps {
     * the per-cell oracle chains verify); the candidate join blocks on
     * the sub-cell key, so the pairwise cost is Σ n_sc² over k₁·k₂ cells
     * — strictly finer blocking than q130's single level. The trained
-    * (vec_id, cell, embedding) layout LANDS once per dataset (the q110
+    * (vec_id, cell, cell2, embedding) layout LANDS once per dataset (the q110
     * landed-code-table discipline: production serves from a built
     * index, not a per-query retrain) and queries serve join-free from
     * it. Oracle: the coarse Lloyd chain plus k₁ per-cell chains (the
@@ -3920,7 +3920,7 @@ object LlmOps {
       { case (a, c) => Seq(a, c) })
 
   /** The q149/q154 shared index build: train both quantizer levels,
-    * land the (vec_id, cell, embedding) serving layout AND the
+    * land the (vec_id, cell, cell2, embedding) serving layout AND the
     * centroid relation (serve + append without retrain). */
   private def ivf2Build(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
@@ -3939,8 +3939,17 @@ object LlmOps {
     val (assigned, books) = graft.operators.KMeans
       .lloydPartitionedWithBooks(coarse, "coarse", "vec_id", "vq",
         parts = Ivf2K1, k = k2, iters = 2)
-    val assign = assigned.select(col("vec_id"), col("embedding"),
-      (col("coarse") * k2 + col("cluster")).as("cell"))
+    // the landed layout also carries each vector's SECOND probe cell
+    // (nearest sub-cell of the runner-up coarse centroid) — computed
+    // ONCE here where the argmin chain runs anyway, so probe-2 serving
+    // (q149/q160/q164/q167) reads a column instead of re-evaluating the
+    // two-level centroid scan per query (measured 2.2s/query at sf0.1
+    // when left in the serve plan)
+    val st = (coarseCents, books, k2.toLong)
+    val assign = ivf2SecondProbeCell(
+        assigned.select(col("vec_id"), col("embedding"), col("vq"),
+          (col("coarse") * k2 + col("cluster")).as("cell")), st)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cell2"))
     val centRows =
       coarseCents.zipWithIndex.map { case (c, i) =>
         (-1L, i.toLong, c.toSeq, k2.toLong) } ++
@@ -3965,23 +3974,22 @@ object LlmOps {
     * shuffles (the second cell is the same map-side argmin). */
   def q149(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val assign = s.read.parquet(path)
-    ivf2Serve(assign, ivf2ServeState(s, d))
+    ivf2Serve(s.read.parquet(path))
   }
 
   /** The shared probe-2 serve over an IVF2 layout (q149 on the build
     * layout, q160 on the tombstoned live layout): probes 16..25, probe
     * cells = own assignment + second probe cell, exact in-cell cosine
     * re-rank, top-3 with (sim desc, id) tiebreaks. */
-  private def ivf2Serve(layout: DataFrame,
-      state: (Array[Array[Long]], Vector[Vector[Array[Long]]], Long))
-      : DataFrame = {
-    val own = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+  private def ivf2Serve(layout: DataFrame): DataFrame = {
+    val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+    val own = p
       .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
-    val second = ivf2SecondProbeCell(
-        own.withColumn("vq", quantized(col("pe"))), state)
-      .filter(col("cell2").isNotNull)
-      .select(col("pid"), col("pe"), col("cell2").as("cell"))
+    // cell2 is PRECOMPUTED in the landed layout (ivf2Build) — probe-2
+    // widening is a column read, not a per-query centroid scan
+    val second = p.filter(col("cell2").isNotNull)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("cell2").as("cell"))
     val probes = own.unionByName(second)
     val cands = layout
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
@@ -4244,7 +4252,7 @@ object LlmOps {
   /** q160 — IVF2 index DELETE: the fourth leg of the index lifecycle
     * (q149 builds/serves, q154 appends, this retires). A tombstone batch
     * — vec_id % 31 == 0, the q153 snapshot-diff `removed` class — drops
-    * vectors from the LANDED (vec_id, cell, embedding) layout without
+    * vectors from the LANDED (vec_id, cell, cell2, embedding) layout without
     * retraining: one broadcast anti-join against the bounded tombstone
     * id set, landed once as the live layout (cells and centroids are
     * untouched — exactly how production ANN indexes take deletes between
@@ -4265,7 +4273,7 @@ object LlmOps {
           .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
         "ivf2-live")
     }
-    ivf2Serve(s.read.parquet(livePath), ivf2ServeState(s, d))
+    ivf2Serve(s.read.parquet(livePath))
   }
 
   private lazy val q160Sql =
@@ -4301,26 +4309,25 @@ object LlmOps {
   def q164(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val assign = s.read.parquet(path)
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"), col("cell"), col("cell2"),
         transform(col("embedding"), v => v.cast("double")).as("e"))
     val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     def side(lang: String, idc: String, ec: String) =
       assign.join(langs.filter(col("lang") === lang),
           col("vec_id") === col("doc_id"))
-        .select(col("vec_id").as(idc), col("cell"), col("e").as(ec))
+        .select(col("vec_id").as(idc), col("cell"), col("cell2"),
+          col("e").as(ec))
     // the MINING side is probe-2 widened (r12 verdict ask #2): every
     // English doc also mines the nearest sub-cell of its runner-up
-    // coarse cell, closing the cross-cell candidate hole; Spanish docs
-    // stay in their single build cell, so no (en, es) pair can repeat
-    // and the margin neighborhoods stay self-consistent over the
-    // widened candidate set
+    // coarse cell — the PRECOMPUTED cell2 column of the landed layout —
+    // closing the cross-cell candidate hole; Spanish docs stay in their
+    // single build cell, so no (en, es) pair can repeat and the margin
+    // neighborhoods stay self-consistent over the widened candidate set
     val en0 = side("en", "en_id", "ea")
-    val en = en0.unionByName(
-      ivf2SecondProbeCell(
-          en0.withColumn("vq", quantized(col("ea"))), ivf2ServeState(s, d))
-        .filter(col("cell2").isNotNull)
+    val en = en0.select(col("en_id"), col("cell"), col("ea"))
+      .unionByName(en0.filter(col("cell2").isNotNull)
         .select(col("en_id"), col("cell2").as("cell"), col("ea")))
-    val es = side("es", "es_id", "eb")
+    val es = side("es", "es_id", "eb").drop("cell2")
     val pairs = en.join(es, "cell")
       .select(col("en_id"), col("es_id"),
         round(CosineSimilarityExpr(col("ea"), col("eb")) * 10000, 0)
@@ -4408,13 +4415,13 @@ object LlmOps {
   def q167(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val assign = s.read.parquet(path)
-    val state = ivf2ServeState(s, d)
-    val own = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+    val p = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+    val own = p
       .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
     val widened = own.unionByName(
-      ivf2SecondProbeCell(own.withColumn("vq", quantized(col("pe"))), state)
-        .filter(col("cell2").isNotNull)
-        .select(col("pid"), col("pe"), col("cell2").as("cell")))
+      p.filter(col("cell2").isNotNull)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+          col("cell2").as("cell")))
     val cands = assign
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
