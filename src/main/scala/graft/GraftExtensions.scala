@@ -97,5 +97,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product",
         "dot_product(vec1, vec2) - sequential-order dot product of two float/double arrays"),
       (args: Seq[Expression]) => graft.functions.DotProductExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_band"),
+      info("sign_lsh_band",
+        "sign_lsh_band(vec, band, bits) - sign-LSH band key: bits hyperplane signs + band id packed into one long"),
+      (args: Seq[Expression]) => {
+        val band = longLit(args(1), "sign_lsh_band", "band")
+        val bits = longLit(args(2), "sign_lsh_band", "bits")
+        graft.functions.SignLshBandExpr(args(0), band.toInt, bits.toInt)
+      }))
+    // SURVEY §7.3's deferred "LSH rewrite": opt-in (conf-gated, default
+    // off) optimizer rule replacing cartesian cosine-threshold joins
+    // with banded equi-joins + exact post-filter
+    ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
   }
 }

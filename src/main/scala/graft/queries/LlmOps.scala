@@ -3822,15 +3822,35 @@ object LlmOps {
   def q166(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
-    val rndLinks = e0.select(col("vec_id").as("va"))
+    val g = q130(s, d).select(col("va"), col("vb"))
+      .unionByName(bridgeLinks(s, e0, n))
+    nnDescentRound(g,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+  }
+
+  /** `b` deterministic pseudo-random bridge links per node shared by
+    * q166/q168/q169 (Knuth multiplicative hash over the id space — the
+    * oracle-mirrorable stand-in for NN-Descent's random
+    * initialization; see the q166 Scaladoc for why a blocked-only
+    * seed makes the round a no-op exactly on cross-cell edges). */
+  private def bridgeLinks(s: SparkSession, e0: DataFrame, n: Long,
+      b: Int = 3): DataFrame =
+    e0.select(col("vec_id").as("va"))
       .crossJoin(broadcast(s.range(1).select(
-        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))))
+        explode(array((0 until b).map(j => lit(j.toLong)): _*)).as("j"))))
       .select(col("va"),
         pmod(col("va") * lit(2654435761L) + col("j") * lit(40503L) +
           lit(17L), lit(n)).as("vb"))
       .filter(col("va") =!= col("vb"))
-    val g = q130(s, d).select(col("va"), col("vb"))
-      .unionByName(rndLinks)
+
+  /** One NN-Descent round shared by q166/q168/q169: symmetrize the
+    * directed seed edges `g(va, vb)`, expand to neighbors-of-neighbors,
+    * re-rank the whole candidate set by EXACT cosine against
+    * `e(vec_id, embedding)`, keep top-`k` per node. Candidate-bounded:
+    * ≤ 2dn undirected edges ⇒ ≤ (2d)²n expansion pairs for seed
+    * degree d. */
+  private def nnDescentRound(g: DataFrame, e: DataFrame, k: Int = 3)
+      : DataFrame = {
     val und = g.unionByName(
       g.select(col("vb").as("va"), col("va").as("vb"))).distinct()
     val non = und.select(col("va"), col("vb").as("mid"))
@@ -3838,7 +3858,6 @@ object LlmOps {
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"))
     val cand = und.unionByName(non).distinct()
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
@@ -3846,22 +3865,27 @@ object LlmOps {
       .select(col("va"), col("vb"),
         round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("va"), col("vb"), col("sim"), col("rn"))
       .orderBy(col("va"), col("rn"))
   }
 
-  private lazy val q166Sql =
-    s"""WITH $q130CtesSql,
-      |nn2 AS (SELECT count(*) AS n FROM embeddings),
+  /** Oracle mirror of [[bridgeLinks]]: CTEs `nn2(n)` + `rnd(va, vb)`. */
+  private def rndBridgeCteSql(b: Int = 3): String = {
+    val js = (0 until b).mkString("[", ", ", "]")
+    s"""nn2 AS (SELECT count(*) AS n FROM embeddings),
       |rnd AS (SELECT vec_id AS va,
       |          (vec_id * 2654435761 + j * 40503 + 17) % n AS vb
-      |        FROM embeddings, unnest([0, 1, 2]) AS u(j), nn2
-      |        WHERE (vec_id * 2654435761 + j * 40503 + 17) % n <> vec_id),
-      |g0 AS (SELECT va, vb FROM r WHERE rn <= 3
-      |       UNION
-      |       SELECT va, vb FROM rnd),
-      |und AS (SELECT va, vb FROM g0
+      |        FROM embeddings, unnest($js) AS u(j), nn2
+      |        WHERE (vec_id * 2654435761 + j * 40503 + 17) % n <> vec_id)"""
+      .stripMargin
+  }
+
+  /** Oracle mirror of [[nnDescentRound]]'s tail: expects CTEs
+    * `g0(va, vb)` (seed ∪ bridges) and `e(vec_id, emb)`; emits the
+    * symmetrize/expand/re-rank CTEs plus the final top-3 SELECT. */
+  private lazy val nnDescentTailSql =
+    """und AS (SELECT va, vb FROM g0
       |        UNION
       |        SELECT vb AS va, va AS vb FROM g0),
       |non AS (SELECT a.va, b.vb
@@ -3878,6 +3902,183 @@ object LlmOps {
       |       FROM sc)
       |SELECT va, vb, sim, rn FROM rk WHERE rn <= 3 ORDER BY va, rn"""
       .stripMargin
+
+  private lazy val q166Sql =
+    s"""WITH $q130CtesSql,
+      |${rndBridgeCteSql()},
+      |g0 AS (SELECT va, vb FROM r WHERE rn <= 3
+      |       UNION
+      |       SELECT va, vb FROM rnd),
+      |$nnDescentTailSql""".stripMargin
+
+  /** q168 — IVF2-seeded kNN-graph build: q130's build re-based on the
+    * already-LANDED IVF2 index (the [[ivf2Build]] layout q149 serves
+    * from — READ, never retrained), with each node widened by its
+    * landed `cell2` (the probe-2 discipline applied at BUILD time —
+    * cross-coarse-boundary neighbors enter the seed directly), the
+    * [[bridgeLinks]] random bridges, and the shared
+    * [[nnDescentRound]]. What this buys is RECALL per unit build
+    * cost, not better asymptotics: the IVF2 sub-cell count 4·⌈√(n/8)
+    * /4⌉ equals q130's flat √(n/8), so the within-cell pairwise term
+    * is the same Σ n_c² — measured 10×: 1.11× the wall of q130's
+    * build (7.44 s vs 6.72 s warm scaled) for 2.06× its recall@3
+    * (810 vs 393 / 1500 true edges at sf0.01; q166's refined-flat
+    * 506). The widening is a column read off the landed layout (≤ 2×
+    * probe fan-out, zero extra shuffles) and the refinement is
+    * candidate-bounded (≤ 36n pairs). The truly linear-scale build is
+    * ITERATED NN-Descent from a random seed — [[q169]] — whose every
+    * round is candidate-bounded with no cell blocking at all. Oracle:
+    * the shared IVF2 training/assignment chains + the probe-2 CTEs
+    * over ALL vectors + the shared NN-Descent tail. */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+    val layout = s.read.parquet(path)
+    val e0 = Tables.embeddings(s, d)
+    val n = e0.count() // 1-value driver probe, the q130 discipline
+    val own = layout.select(col("vec_id").as("va"),
+      col("embedding").as("ea"), col("cell"))
+    val second = layout.filter(col("cell2").isNotNull)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("cell2").as("cell"))
+    val cands = layout.select(col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("cell"))
+    val ws = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    // no pair dedup needed: a node's two probe cells live in disjoint
+    // coarse id ranges and every candidate has exactly one cell
+    val seed = own.unionByName(second).join(cands, Seq("cell"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 3)
+      .select(col("va"), col("vb"))
+    nnDescentRound(seed.unionByName(bridgeLinks(s, e0, n)),
+      e0.select(col("vec_id"), col("embedding")))
+  }
+
+  private lazy val q168Sql =
+    s"""WITH $ivf2ChainsSql,
+      |$ivf2AsgCtesSql,
+      |${ivf2Probe2CtesSql("cellv", "TRUE")},
+      |ss AS (SELECT pid AS va, c.vec_id AS vb,
+      |         round(list_cosine_similarity(pe, c.emb), 4) AS sim
+      |       FROM pp JOIN cellv c USING (cell) WHERE pid <> c.vec_id),
+      |sr AS (SELECT va, vb,
+      |         row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |           AS rn
+      |       FROM ss),
+      |${rndBridgeCteSql()},
+      |g0 AS (SELECT va, vb FROM sr WHERE rn <= 3
+      |       UNION
+      |       SELECT va, vb FROM rnd),
+      |$nnDescentTailSql""".stripMargin
+
+  /** q169 — FULL NN-Descent kNN-graph build (Dong et al. 2011 run as
+    * the paper intends): start from the random bridge graph alone — NO
+    * k-means, no cell blocking anywhere — and iterate the shared
+    * [[nnDescentRound]] three times at working degree K = 10, emitting
+    * the final top-3. This is the LINEAR-SCALE graph build the
+    * q130/q166/q168 ladder points at: every round's cost is
+    * candidate-bounded (≤ (2K)²·n = 400n exact-cosine pairs), so R
+    * rounds cost R·O(n) pairwise work and R shuffle generations — no
+    * Σ n_c² term at any n, where q130/q168 pay the within-cell
+    * pairwise of ~√(n/8) cells. Convergence is the paper's: the
+    * neighbor-of-neighbor frontier multiplies the explored degree each
+    * round, so a few rounds recover most true edges (measured recall@3
+    * at sf0.01 in LlmOpsSpec against the exact graph, vs the other
+    * three builds). Registered at R = 3 — enough for the crossover to
+    * show; production would loop to a fixed point with the same
+    * operator. Oracle: the bridge CTE + three unrolled round chains. */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.embeddings(s, d)
+    val n = e0.count() // 1-value driver probe, the q130 discipline
+    val e = e0.select(col("vec_id"), col("embedding"))
+    // working degree K = 10 (Dong et al. run K ~ 20): descent converges
+    // at the rate the neighbor-of-neighbor frontier grows, and a
+    // degree-3 frontier is too thin to double its radius per round
+    // (measured 157/1500 recall@3 at K=3 vs 3-4x that at K=10); the
+    // final round keeps the reported top-3
+    val r1 = nnDescentRound(bridgeLinks(s, e0, n, b = 10), e, k = 10)
+    val r2 = nnDescentRound(r1.select(col("va"), col("vb")), e, k = 10)
+    nnDescentRound(r2.select(col("va"), col("vb")), e, k = 3)
+  }
+
+  /** One unrolled oracle NN-Descent round: reads edge CTE `$gin(va,
+    * vb)` and `e(vec_id, emb)`, defines `g$i` (the round's top-`keep`
+    * edges) and `rk$i` (the ranked relation the final round projects). */
+  private def descentRoundCtes(i: Int, gin: String, keep: Int): String =
+    s"""und$i AS (SELECT va, vb FROM $gin
+      |          UNION
+      |          SELECT vb AS va, va AS vb FROM $gin),
+      |non$i AS (SELECT a.va, b.vb
+      |          FROM und$i a JOIN und$i b ON a.vb = b.va
+      |          WHERE b.vb <> a.va),
+      |cand$i AS (SELECT va, vb FROM und$i UNION SELECT va, vb FROM non$i),
+      |sc$i AS (SELECT c.va, c.vb,
+      |           round(list_cosine_similarity(ea.emb, eb.emb), 4) AS sim
+      |         FROM cand$i c JOIN e ea ON ea.vec_id = c.va
+      |              JOIN e eb ON eb.vec_id = c.vb),
+      |rk$i AS (SELECT va, vb, sim,
+      |           row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |             AS rn
+      |         FROM sc$i),
+      |g$i AS (SELECT va, vb FROM rk$i WHERE rn <= $keep)""".stripMargin
+
+  private lazy val q169Sql =
+    s"""WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |${rndBridgeCteSql(10)},
+      |g0 AS (SELECT va, vb FROM rnd),
+      |${descentRoundCtes(1, "g0", 10)},
+      |${descentRoundCtes(2, "g1", 10)},
+      |${descentRoundCtes(3, "g2", 3)}
+      |SELECT va, vb, sim, rn FROM rk3 WHERE rn <= 3 ORDER BY va, rn"""
+      .stripMargin
+
+  /** q170 — cosine-threshold join THROUGH the optimizer rewrite
+    * ([[graft.plans.LshJoinRewrite]], SURVEY §7.3's formerly-deferred
+    * rule): a derived probe batch (every 7th vector, first component
+    * nudged +0.001 on the double grid, fresh ids in the NEGATIVE
+    * namespace — the q154 derived-batch discipline) is joined to the
+    * corpus on `cosine_similarity(pe, emb) >= 0.99` with NO equi-key —
+    * the plan Spark would otherwise run as an O(|probes|·n) nested
+    * loop. The rule (enabled on an ISOLATED child session via
+    * `newSession()`, so the global registry keeps exact plans) turns
+    * it into a sign-LSH banded equi-join + exact post-filter. The
+    * EXACT SQL oracle is sound here, not an approximation leap: each
+    * probe's only qualifying pair is its source vector at cosine
+    * ≈ 0.9999 (the corpus' max inter-pair cosine at the gate SF is
+    * 0.513), where the 8-band × 6-bit miss probability is
+    * (1−(1−θ/π)^6)^8 ≈ 2.4e-13 — and the planes are deterministic, so
+    * the recall is a fixed fact of the data, re-proven by the spec's
+    * rule-off/rule-on set equality and plan-shape assertions. */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession() // isolated SQLConf: the rewrite stays scoped
+    s2.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "true")
+    val e = Tables.embeddings(s2, d).select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+    val probes = e.filter(col("vec_id") % 7 === 0)
+      .select((-col("vec_id") - 1).as("pid"),
+        concat(array(element_at(col("emb"), 1) + lit(0.001)),
+          slice(col("emb"), 2, 10000)).as("pe"))
+    probes.join(e, CosineSimilarityExpr(col("pe"), col("emb")) >= lit(0.99))
+      .select(col("pid"), col("vec_id"),
+        round(CosineSimilarityExpr(col("pe"), col("emb")), 4).as("sim"))
+      .orderBy(col("pid"), col("vec_id"))
+  }
+
+  private lazy val q170Sql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |p AS (SELECT -vec_id - 1 AS pid,
+      |        list_concat([emb[1] + 0.001], emb[2:]) AS pe
+      |      FROM e WHERE vec_id % 7 = 0)
+      |SELECT pid, vec_id,
+      |  round(list_cosine_similarity(pe, emb), 4) AS sim
+      |FROM p JOIN e ON list_cosine_similarity(pe, emb) >= 0.99
+      |ORDER BY pid, vec_id""".stripMargin
 
   /** q149 — HIERARCHICAL (2-level) IVF ANN: the remaining log factor the
     * q130 Scaladoc defers. Level 1: k₁=4 trained coarse cells (k-means,
@@ -4802,6 +5003,9 @@ object LlmOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q130_knn_graph", q130, Some(q130Sql)),
     QueryDef("q166_nn_descent", q166, Some(q166Sql)),
+    QueryDef("q168_knn_graph_hier", q168, Some(q168Sql)),
+    QueryDef("q169_nn_descent_full", q169, Some(q169Sql)),
+    QueryDef("q170_lsh_threshold_join", q170, Some(q170Sql)),
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
     QueryDef("q149_ivf2_ann", q149, Some(q149Sql)),
     QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),

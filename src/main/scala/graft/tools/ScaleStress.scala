@@ -83,7 +83,10 @@ object ScaleStress {
     "q163_pii_redact", "q165_soft_dedup",
     // r13: the NN-Descent refinement (candidate-bounded — must hold at
     // or below q130's ratio) and the probe-2 recall report
-    "q166_nn_descent", "q167_ivf2_recall")
+    "q166_nn_descent", "q167_ivf2_recall",
+    // r13: IVF2-seeded build (recall per cost) and the iterated pure
+    // NN-Descent build (the candidate-bounded linear path)
+    "q168_knn_graph_hier", "q169_nn_descent_full")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

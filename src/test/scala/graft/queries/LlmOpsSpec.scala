@@ -95,6 +95,45 @@ class LlmOpsSpec extends SparkSpec {
       "no (node, rank) improved at sf0.01 — NN-Descent round vacuous")
   }
 
+  test("q168 hierarchical kNN build beats both the flat build (q130) and " +
+      "its refinement (q166) on recall@3 vs the exact graph") {
+    import org.apache.spark.sql.expressions.Window
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("va", "vb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val exact = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(graft.functions.CosineSimilarityExpr(col("ea"), col("eb")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val truth = edges(exact)
+    val r130 = edges(LlmOps.q130(spark, sf001)).intersect(truth).size
+    val r166 = edges(LlmOps.q166(spark, sf001)).intersect(truth).size
+    val r168 = edges(LlmOps.q168(spark, sf001)).intersect(truth).size
+    val r169 = edges(LlmOps.q169(spark, sf001)).intersect(truth).size
+    // measured at sf0.01 (of 1500 true edges): 393 (flat seed) < 506
+    // (flat + descent) < 810 (IVF2 probe-2 seed + descent) < 1282
+    // (iterated pure NN-Descent, K=10) — each build-path step must not
+    // lose what the previous had; the ladder is the recall argument
+    assert(r168 > r130,
+      s"IVF2-seeded build recall $r168 must beat flat q130's $r130")
+    assert(r168 > r166,
+      s"IVF2-seeded build recall $r168 must beat refined-flat q166's $r166")
+    assert(r169 > r168,
+      s"iterated NN-Descent recall $r169 must beat the blocked builds' $r168")
+    // shape: top-3 per node, ranks dense from 1
+    val byNode = LlmOps.q168(spark, sf001).collect()
+      .groupBy(_.getLong(0)).values
+    assert(byNode.forall(rs =>
+      rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length)))
+    assert(byNode.forall(_.length <= 3))
+  }
+
   test("MinHash-LSH near-dup (q35d) recalls the high-Jaccard exact pairs") {
     val exact = LlmOps.q35(spark, sf0001)
       .filter(col("jaccard") >= 0.5) // 4 bands × 4 rows → ~s^4 band match
