@@ -86,7 +86,13 @@ object ScaleStress {
     "q166_nn_descent", "q167_ivf2_recall",
     // r13: IVF2-seeded build (recall per cost) and the iterated pure
     // NN-Descent build (the candidate-bounded linear path)
-    "q168_knn_graph_hier", "q169_nn_descent_full")
+    "q168_knn_graph_hier", "q169_nn_descent_full",
+    // r13: graph lifecycle - append/delete must track the batch/delete
+    // fraction, never the corpus (the landed-graph read is linear)
+    "q171_knn_graph_append", "q172_knn_graph_delete",
+    // r13: graph serve - cost must track probes x beam x degree, the
+    // corpus enters only through the landed graph and id-equi fetches
+    "q173_graph_serve")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

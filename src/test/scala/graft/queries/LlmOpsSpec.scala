@@ -134,6 +134,113 @@ class LlmOpsSpec extends SparkSpec {
     assert(byNode.forall(_.length <= 3))
   }
 
+  test("q171 append splices the derived batch into the landed graph " +
+      "both ways and leaves untouched adjacency verbatim") {
+    val g = LlmOps.q168(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = LlmOps.q171(spark, sf001).collect()
+    val rows = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // new nodes: every batch id appears, <=3 edges, dense ranks from 1
+    val sources = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 13 === 2).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val newByNode = rows.filter(_._1 < 0).groupBy(_._1)
+    assert(newByNode.keySet == sources.map(v => -v - 1),
+      "every routed batch vector must land in the appended graph")
+    assert(newByNode.values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+    // each derived near-copy finds its source as rank-1 (cos ~ 0.9999)
+    val rank1 = rows.filter(r => r._1 < 0 && r._4 == 1)
+      .map(r => (r._1, r._2)).toSet
+    val expected = sources.map(v => (-v - 1, v))
+    assert(expected.subsetOf(rank1),
+      s"sources missing as rank-1: ${(expected -- rank1).take(5)}")
+    // reverse splice: old nodes admit the newcomer (non-vacuous), and
+    // every surviving old-old edge comes verbatim from the landed graph
+    val oldRows = rows.filter(_._1 >= 0)
+    assert(oldRows.exists(_._2 < 0),
+      "no old node admitted a reverse edge - splice vacuous at sf0.01")
+    assert(oldRows.filter(_._2 >= 0).forall(r => g((r._1, r._2, r._3))),
+      "append invented or rescored an old-old edge")
+    // merge only re-ranks: per old node, edges stay top-3 and dense
+    assert(oldRows.groupBy(_._1).values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+  }
+
+  test("q172 delete retires tombstoned nodes, repairs only affected " +
+      "adjacency, and passes every untouched row through verbatim") {
+    val gRows = LlmOps.q168(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val tomb = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 31 === 0).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tomb.nonEmpty)
+    val out = LlmOps.q172(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // no tombstone survives on either side of any edge
+    assert(out.forall(r => !tomb(r._1) && !tomb(r._2)))
+    // untouched nodes (live, no tombstoned neighbor) pass through verbatim
+    val affected = gRows.filter(r => !tomb(r._1) && tomb(r._2))
+      .map(_._1).toSet
+    assert(affected.nonEmpty, "tombstones touched no adjacency - vacuous")
+    val untouchedIn = gRows.filter(r => !tomb(r._1) && !affected(r._1)).toSet
+    val untouchedOut = out.filter(r => !affected(r._1) && r._1 >= 0).toSet
+    assert(untouchedIn == untouchedOut,
+      "delete must not disturb unaffected adjacency")
+    // affected nodes: dense ranks, and at least one backfilled edge the
+    // landed graph never had (the repair is real, not just a filter)
+    val gEdges = gRows.map(r => (r._1, r._2)).toSet
+    val repaired = out.filter(r => affected(r._1))
+    assert(repaired.groupBy(_._1).values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length)))
+    assert(repaired.exists(r => !gEdges((r._1, r._2))),
+      "no affected node backfilled a fresh neighbor at sf0.01")
+  }
+
+  test("q173 graph serve dominates the q149 cell serve it enters " +
+      "through and walks to exact neighbors the cells cannot see") {
+    val out = LlmOps.q173(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // every probe answers with <=3 dense-ranked neighbors
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == (16L until 26L).toSet)
+    assert(byProbe.values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+    // ground truth: exact brute-force cosine top-3 per probe (the
+    // round-4 grid and (sim desc, vid) tiebreak shared with the query)
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.rint(d / math.sqrt(na * nb) * 1e4) / 1e4
+    }
+    val emap = e.toMap
+    val exact = (16L until 26L).flatMap { p =>
+      e.filter(_._1 != p).map { case (v, ve) => (p, v, cos(emap(p), ve)) }
+        .sortBy(t => (-t._3, t._2)).take(3).map(t => (t._1, t._2))
+    }.toSet
+    val served = out.map(r => (r._1, r._2)).toSet
+    // round 0 IS q149's candidate set, so per-probe recall dominates it
+    val base = LlmOps.q149(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitsBy(pairs: Set[(Long, Long)]) =
+      pairs.intersect(exact).groupBy(_._1).view.mapValues(_.size).toMap
+    val sH = hitsBy(served); val bH = hitsBy(base)
+    (16L until 26L).foreach { p =>
+      assert(sH.getOrElse(p, 0) >= bH.getOrElse(p, 0),
+        s"probe $p: serve recall ${sH.getOrElse(p, 0)} fell below " +
+          s"q149's ${bH.getOrElse(p, 0)}")
+    }
+    val servedHits = served.intersect(exact).size
+    val baseHits = base.intersect(exact).size
+    assert(servedHits > baseHits,
+      s"walk recalled $servedHits vs q149 baseline $baseHits - " +
+        "the graph rounds added nothing beyond the probe cells")
+  }
+
   test("MinHash-LSH near-dup (q35d) recalls the high-Jaccard exact pairs") {
     val exact = LlmOps.q35(spark, sf0001)
       .filter(col("jaccard") >= 0.5) // 4 bands × 4 rows → ~s^4 band match
