@@ -460,4 +460,38 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("global-rank-out"),
       s"perplexity gate must read the memoized rank relation:\n$p")
   }
+
+  test("q171: append touches only probe-cell partitions — touched split " +
+      "broadcasts, landed graph never globally re-windowed") {
+    val p = planString(LlmOps.q171(spark, sf0001))
+    // keep/touched split: the touched-node set broadcasts into an anti
+    // and a semi join against the landed graph
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).nonEmpty,
+      s"untouched pass-through must be a broadcast anti-join:\n$p")
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(p).nonEmpty,
+      s"touched selection must be a broadcast semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be node-partitioned, never global:\n$p")
+  }
+
+  test("q172: delete is broadcast tombstone anti-joins; repair windows " +
+      "stay node-partitioned") {
+    val p = planString(LlmOps.q172(spark, sf0001))
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size >= 2,
+      s"owner drop and live filter must be broadcast anti-joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be node-partitioned, never global:\n$p")
+  }
+
+  test("q173: serve walk is equi-joins only — probes broadcast, corpus " +
+      "never cartesians, beams window per probe") {
+    val p = planString(LlmOps.q173(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe rows must broadcast into the cell join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be probe-partitioned, never global:\n$p")
+  }
 }
