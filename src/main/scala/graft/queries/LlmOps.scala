@@ -4471,6 +4471,74 @@ object LlmOps {
       |WHERE rn <= 3 ORDER BY pid, rn""".stripMargin)
   }
 
+  /** q174 — GRAPH-BASED semantic dedup: threshold the LANDED kNN graph
+    * at [[CosineNearDupThreshold]] (the q34b/q99 near-dup grade),
+    * connected components over the surviving edges, keep-lowest-id per
+    * component — the ANN-graph SemDeDup pipeline (the NeMo-Curator /
+    * production alternative to q99's k-means blocking: when a kNN graph
+    * already exists for retrieval, dedup reuses it instead of training
+    * a second blocking structure). Emits the full audit relation
+    * (vec_id, cluster_id, cluster_size, pruned) — min-label propagation
+    * makes the component label its min id, so `pruned` is just
+    * label ≠ id and every component keeps exactly one survivor.
+    * Scale shape: the graph is already landed (built once by q168);
+    * thresholding is a map-side filter; CC runs on the (far smaller)
+    * thresholded edge set via [[graft.operators.ConnectedComponents]]'s
+    * two-regime dispatch; the corpus itself joins the bounded label
+    * relation once — it never reshuffles and is never pairwise-compared
+    * (contrast q99, which re-scores within every k-means cell). Labels
+    * memoize per dataset like q61's. Oracle: the landed-graph chain +
+    * a recursive min-label closure over the thresholded gfin edges. */
+  private val graphDedupCache =
+    new graft.operators.DatasetCache[String]("graph-semdedup", Seq(_))
+
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val labelsPath = graphDedupCache.getOrCompute(d) { dir =>
+      val edgesPath = graft.operators.Scratch.materializePath(
+        s.read.parquet(knnGraphPath(s, dir))
+          .filter(col("sim") >= CosineNearDupThreshold)
+          .select(col("va").as("da"), col("vb").as("db")),
+        "graph-dedup-edges")
+      try graft.operators.ConnectedComponents.minLabelPropagationPath(
+        s.read.parquet(edgesPath))
+      finally graft.operators.Scratch.release(edgesPath)
+    }
+    val labels = s.read.parquet(labelsPath)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
+    val clustered = labels.join(sizes, "lbl")
+      .select(col("doc_id").as("vec_id"), col("lbl"), col("cs"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(clustered, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_id"),
+        coalesce(col("cs"), lit(1L)).as("cluster_size"),
+        (coalesce(col("lbl"), col("vec_id")) =!= col("vec_id")).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q174Sql =
+    s"""WITH RECURSIVE
+      |${materializeCtes(knnGraphCtesSql)},
+      |ge AS (SELECT va, vb FROM gfin
+      |       WHERE sim >= $CosineNearDupThreshold),
+      |edges2 AS (SELECT va AS a, vb AS b FROM ge
+      |           UNION ALL SELECT vb AS a, va AS b FROM ge),
+      |nodes2 AS (SELECT DISTINCT a AS vid FROM edges2),
+      |reach(vid, lbl) AS (
+      |  SELECT vid, vid FROM nodes2
+      |  UNION
+      |  SELECT e.a, r.lbl FROM edges2 e JOIN reach r ON r.vid = e.b),
+      |lab2 AS (SELECT vid, min(lbl) AS cluster_id FROM reach GROUP BY vid),
+      |sz2 AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+      |        FROM lab2 GROUP BY cluster_id)
+      |SELECT em.vec_id,
+      |  CAST(coalesce(l.cluster_id, em.vec_id) AS BIGINT) AS cluster_id,
+      |  CAST(coalesce(sz2.cs, 1) AS BIGINT) AS cluster_size,
+      |  (coalesce(l.cluster_id, em.vec_id) <> em.vec_id) AS pruned
+      |FROM embeddings em LEFT JOIN lab2 l ON l.vid = em.vec_id
+      |  LEFT JOIN sz2 ON sz2.cluster_id = l.cluster_id
+      |ORDER BY em.vec_id""".stripMargin
+
   /** q149 — HIERARCHICAL (2-level) IVF ANN: the remaining log factor the
     * q130 Scaladoc defers. Level 1: k₁=4 trained coarse cells (k-means,
     * the q130/q34d discipline). Level 2: within each coarse cell, k₂
@@ -5400,6 +5468,7 @@ object LlmOps {
     QueryDef("q171_knn_graph_append", q171, Some(q171Sql)),
     QueryDef("q172_knn_graph_delete", q172, Some(q172Sql)),
     QueryDef("q173_graph_serve", q173, Some(q173Sql)),
+    QueryDef("q174_graph_semdedup", q174, Some(q174Sql)),
     QueryDef("q137_simjoin_prefix", q137, Some(q137Sql)),
     QueryDef("q149_ivf2_ann", q149, Some(q149Sql)),
     QueryDef("q150_pipeline_v2", q150, Some(q150Sql)),

@@ -92,7 +92,10 @@ object ScaleStress {
     "q171_knn_graph_append", "q172_knn_graph_delete",
     // r13: graph serve - cost must track probes x beam x degree, the
     // corpus enters only through the landed graph and id-equi fetches
-    "q173_graph_serve")
+    "q173_graph_serve",
+    // r13: graph semdedup - CC on the thresholded landed edges; the
+    // corpus joins the bounded label relation once, never pairwise
+    "q174_graph_semdedup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

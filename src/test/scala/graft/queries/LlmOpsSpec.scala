@@ -241,6 +241,33 @@ class LlmOpsSpec extends SparkSpec {
         "the graph rounds added nothing beyond the probe cells")
   }
 
+  test("q174 graph semdedup keeps exactly one lowest-id survivor per " +
+      "component and its clusters are edge-connected at the threshold") {
+    val out = LlmOps.q174(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val all = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == all, "every vector gets a verdict")
+    // pruned <=> not the component's min id
+    assert(out.forall(r => r._4 == (r._2 != r._1)))
+    // each cluster: one survivor (its min id), size consistent
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(!_._4) == 1, s"cluster $cid survivor count")
+      assert(rows.map(_._1).min == cid, s"cluster $cid label is not min id")
+      assert(rows.forall(_._3 == rows.length), s"cluster $cid size column")
+    }
+    assert(out.exists(_._3 > 1), "no multi-member cluster at sf0.01 - vacuous")
+    // clusters really are components of the thresholded landed graph:
+    // every pruned member must reach its label through >=1 graph edge
+    val edges = LlmOps.q168(spark, sf001).collect()
+      .filter(_.getDouble(2) >= 0.35)
+      .map(r => Set(r.getLong(0), r.getLong(1)))
+    val touched = edges.flatten.toSet
+    assert(out.filter(_._4).forall(r => touched(r._1)),
+      "a pruned vector has no thresholded edge at all")
+  }
+
   test("MinHash-LSH near-dup (q35d) recalls the high-Jaccard exact pairs") {
     val exact = LlmOps.q35(spark, sf0001)
       .filter(col("jaccard") >= 0.5) // 4 bands × 4 rows → ~s^4 band match
