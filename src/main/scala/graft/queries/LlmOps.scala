@@ -4162,28 +4162,47 @@ object LlmOps {
     * Oracle: the full landed-graph chain ([[knnGraphCtesSql]]) + the
     * q154-shape routing argmins for the batch + the same two-sided
     * merge. */
-  def q171(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
+  /** The splice-candidate relation for a new-vector batch against the
+    * LANDED graph artifacts — shared verbatim by [[q171]] (batch
+    * append+merge) and the streaming delta sink
+    * ([[graft.streaming.StreamIngest.toGraphDeltaSink]]): route each
+    * (nid, ne, vq) row through the landed quantizer's bounded serve
+    * state (map-side two-level argmin, zero shuffles), candidates are
+    * the landed layout's probe-1 ∪ probe-2 cell members, scored by
+    * exact round-4 cosine. (nid, vec_id) appears at most once: the two
+    * probe cells are distinct and every layout row has exactly one
+    * cell (the q168 argument). Per-vector independent — a batch split
+    * across micro-batches yields the same union. */
+  private[graft] def graphSpliceCandidates(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
     val state = ivf2ServeState(s, d)
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val layout = s.read.parquet(path)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val batch = Tables.embeddings(s, d)
+    val routed = ivf2SecondProbeCell(ivf2AssignCells(batch, state), state)
+    val probes = routed.select(col("nid"), col("ne"), col("cell"))
+      .unionByName(routed.filter(col("cell2").isNotNull)
+        .select(col("nid"), col("ne"), col("cell2").as("cell")))
+    probes.join(layout, Seq("cell"))
+      .select(col("nid"), col("vec_id"),
+        round(CosineSimilarityExpr(col("ne"), col("embedding")), 4).as("sim"))
+  }
+
+  /** The q171/q154 derived new-vector batch: vec_id % 13 == 2, fresh
+    * ids in the negative namespace, +0.0007 float shift ≡ +7 on the
+    * quantized grid. */
+  private[graft] def derivedGraphBatch(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .filter(col("vec_id") % 13 === 2)
       .select((-col("vec_id") - 1).as("nid"),
         transform(col("embedding"),
           v => v.cast("double") + lit(0.0007)).as("ne"),
         transform(col("embedding"),
           v => round(v.cast("double") * 10000, 0).cast("long") + 7).as("vq"))
-    val routed = ivf2SecondProbeCell(ivf2AssignCells(batch, state), state)
-    val probes = routed.select(col("nid"), col("ne"), col("cell"))
-      .unionByName(routed.filter(col("cell2").isNotNull)
-        .select(col("nid"), col("ne"), col("cell2").as("cell")))
-    // (nid, old) appears at most once: the two probe cells are distinct
-    // and every layout row has exactly one cell (the q168 argument)
-    val cand = probes.join(layout, Seq("cell"))
-      .select(col("nid"), col("vec_id"),
-        round(CosineSimilarityExpr(col("ne"), col("embedding")), 4).as("sim"))
+
+  def q171(s: SparkSession, d: String): DataFrame = {
+    val g = s.read.parquet(knnGraphPath(s, d))
+    val cand = graphSpliceCandidates(s, d, derivedGraphBatch(s, d))
     val wN = Window.partitionBy(col("nid")).orderBy(col("sim").desc, col("vec_id"))
     val newEdges = cand.withColumn("rn", row_number().over(wN))
       .filter(col("rn") <= 3)

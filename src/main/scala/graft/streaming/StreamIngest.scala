@@ -190,6 +190,44 @@ object StreamIngest {
         col("n_ips"), col("n_chars_before"), col("n_chars_after"),
         col("redacted"))
 
+  /** Streaming kNN-graph APPEND deltas (the q171 splice on the
+    * admission path): each micro-batch of new vectors (nid, ne:
+    * array<double>, vq: array<long>) routes through the LANDED
+    * quantizer's bounded serve state and scores against the live
+    * members of its probe-1 ∪ probe-2 cells in the landed layout —
+    * [[graft.queries.LlmOps.graphSpliceCandidates]], ONE definition, so
+    * the stream and the registered batch append (q171) cannot
+    * desynchronize — then lands the SPLICE DELTA to `outDir`: the new
+    * node's top-3 edges (kind="new") plus the reverse candidate edges
+    * (kind="rev") that old nodes merge at the next compaction. This is
+    * q171's merge step deferred on purpose — the graph-side
+    * delta/compaction split (q155/q161's segment discipline): per
+    * arrival the stream pays candidate emission only (map-side routing
+    * + one cell-blocked join); folding deltas into the landed adjacency
+    * is the scheduled merge. STATELESS — no watermark, no state store:
+    * a new node's delta depends only on its own probe cells, so
+    * micro-batch boundaries don't change the union of landed deltas
+    * (the StreamingSpec restart e2e: two AvailableNow increments over a
+    * shared checkpoint land exactly the batch splice, once). */
+  def toGraphDeltaSink(spark: SparkSession, vecs: DataFrame,
+      corpusDir: String, outDir: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cand = graft.queries.LlmOps.graphSpliceCandidates(
+          spark, corpusDir, batch)
+        val wN = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nid")).orderBy(col("sim").desc, col("vec_id"))
+        val newEdges = cand.withColumn("rn", row_number().over(wN))
+          .filter(col("rn") <= 3)
+          .select(col("nid").as("va"), col("vec_id").as("vb"),
+            col("sim"), lit("new").as("kind"))
+        val rev = cand.select(col("vec_id").as("va"), col("nid").as("vb"),
+          col("sim"), lit("rev").as("kind"))
+        newEdges.unionByName(rev).write.mode("append").parquet(outDir)
+      }
+
   /** Streaming line-level boilerplate rule (the q112 line rule on the
     * admission path): incoming (doc_id, text, ts) docs split into
     * [[LineLen]]-token lines MAP-SIDE (the q112 chunking, declarative so

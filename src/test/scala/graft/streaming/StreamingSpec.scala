@@ -690,6 +690,45 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(8001L, 8002L), s"post-refresh near-dup was admitted: $ids")
   }
 
+  test("streaming graph-append deltas: two AvailableNow increments over " +
+      "a shared checkpoint land exactly the batch splice, once") {
+    val batchRows = graft.queries.LlmOps.derivedGraphBatch(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getSeq[Long](2).toArray))
+    assert(batchRows.length >= 2, "derived batch too small for a 2-way split")
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+    val out = Files.createTempDirectory("graph-delta-out").toString
+    val ckpt = Files.createTempDirectory("graph-delta-ckpt").toString
+    val input = MemoryStream[(Long, Array[Double], Array[Long])]
+    def runIncrement(rows: Seq[(Long, Array[Double], Array[Long])]): Unit = {
+      input.addData(rows: _*)
+      val q = StreamIngest.toGraphDeltaSink(spark,
+          input.toDF().toDF("nid", "ne", "vq"), sf0001, out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination() // AvailableNow: drains what's there, stops
+    }
+    runIncrement(b1.toSeq)
+    runIncrement(b2.toSeq) // restart resumes from the checkpoint: b1 NOT replayed
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // exactly-once across the restart: no duplicate delta rows
+    assert(got.length == got.toSet.size, "replayed deltas landed twice")
+    // union across increments == the one-shot batch splice delta
+    val cand = graft.queries.LlmOps.graphSpliceCandidates(spark, sf0001,
+        graft.queries.LlmOps.derivedGraphBatch(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expNew = cand.groupBy(_._1).values
+      .flatMap(_.sortBy(t => (-t._3, t._2)).take(3))
+      .map { case (n, v, s) => (n, v, s, "new") }.toSet
+    val expRev = cand.map { case (n, v, s) => (v, n, s, "rev") }.toSet
+    assert(got.toSet == expNew ++ expRev,
+      s"stream deltas diverge from the batch splice: " +
+        s"missing=${((expNew ++ expRev) -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- (expNew ++ expRev)).take(3)}")
+    assert(expNew.nonEmpty && expRev.nonEmpty)
+  }
+
   test("streaming semantic admission: a near-identical embedding is " +
       "rejected across micro-batches (cell-blocked state); TTL evicts") {
     withRocksDbStateStore {
