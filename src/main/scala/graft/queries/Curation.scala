@@ -297,6 +297,57 @@ object Curation {
       |       (doc_id * 1103515245 + 12345) % 2147483648 AS shuffle_key
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** q175 — EPOCH RESHUFFLE: the deterministic seeded global permutation
+    * a pre-training dataloader consumes, one order per epoch. Epoch e's
+    * order is a sort on the seeded LCG key over (doc_id + e·40503) —
+    * keyed hash, never rand(): reproducible across runs, cluster sizes
+    * and partitionings (the q63/q81 rule; production swaps in a 64-bit
+    * keyed hash, same shape). Ranked by [[graft.operators.GlobalOrder]]
+    * (range-partitioned parallel rank + per-range offsets) instead of
+    * the single-task unpartitioned window — at 100 TB an epoch
+    * reshuffle is a hash-keyed shuffle-write, never a new copy of the
+    * corpus and never a driver-side permutation. Both epochs rank in
+    * ONE GlobalOrder pass (epoch leads the sort key, so ranges never
+    * straddle epochs and per-epoch position = rank − (e−1)·N); the key
+    * (epoch, k, doc_id) is a total order, so the permutation is
+    * engine-stable, and the LCG's modular wrap makes the two epoch
+    * orders provably differ (spec). Ranked relation memoized per
+    * dataset; rowNumberPath releases its internal snapshot. */
+  private val epochRankCache =
+    new graft.operators.DatasetCache[(String, Long)](
+      "epoch-shuffle", { case (path, _) => Seq(path) })
+
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val (path, total) = epochRankCache.getOrCompute(d) { dir =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val epochs = docs.crossJoin(broadcast(
+          s.range(1, 3).select(col("id").cast("int").as("epoch"))))
+        .withColumn("k",
+          LlmOps.lcgKey(col("doc_id") + col("epoch") * lit(40503L)))
+      graft.operators.GlobalOrder.rowNumberPath(
+        epochs, "grn", col("epoch"), col("k"), col("doc_id"))
+    }
+    val n = total / 2
+    s.read.parquet(path)
+      .select(col("epoch"),
+        (col("grn").cast("long") - (col("epoch").cast("long") - 1) * n)
+          .as("position"),
+        col("doc_id"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  private val q175Sql =
+    """WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2 AS epoch),
+      |keyed AS (SELECT e.epoch, d.doc_id,
+      |    ((d.doc_id + e.epoch * 40503) * 1103515245 + 12345)
+      |      % 2147483648 AS k
+      |  FROM documents d, e)
+      |SELECT epoch,
+      |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+      |    AS BIGINT) AS position,
+      |  doc_id
+      |FROM keyed ORDER BY epoch, position""".stripMargin
+
   /** Target language shares for q82 — a DoReMi-style static mixture spec
     * (interpolated into the oracle SQL so Scala and DuckDB can't drift). */
   private val LangTargets: Seq[(String, Double)] =
@@ -1785,6 +1836,7 @@ object Curation {
     QueryDef("q79_quality_rules", q79, Some(q79Sql)),
     QueryDef("q80_fertility", q80, Some(q80Sql)),
     QueryDef("q81_curriculum", q81, Some(q81Sql)),
+    QueryDef("q175_epoch_shuffle", q175, Some(q175Sql)),
     QueryDef("q82_mixture_weights", q82, Some(q82Sql)),
     QueryDef("q83_novelty", q83, Some(q83Sql)),
     QueryDef("q84_cluster_survivor", q84, Some(q84Sql)),

@@ -95,7 +95,10 @@ object ScaleStress {
     "q173_graph_serve",
     // r13: graph semdedup - CC on the thresholded landed edges; the
     // corpus joins the bounded label relation once, never pairwise
-    "q174_graph_semdedup")
+    "q174_graph_semdedup",
+    // r13: epoch reshuffle - a range-partitioned sort on the seeded
+    // key; must scale as one shuffle-write, no single-task window
+    "q175_epoch_shuffle")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

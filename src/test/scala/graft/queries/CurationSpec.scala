@@ -475,4 +475,26 @@ class CurationSpec extends SparkSpec {
         s"doc $id ip not fully masked")
     }
   }
+
+  test("q175 epoch reshuffle: each epoch is a complete permutation, the " +
+      "two epoch orders differ, and re-invocation is bit-identical") {
+    val rows = Curation.q175(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (e <- 1 to 2) {
+      val ep = rows.filter(_._1 == e)
+      assert(ep.map(_._3).toSet == docs, s"epoch $e must permute every doc")
+      assert(ep.map(_._2).sorted.sameElements(1L to docs.size),
+        s"epoch $e positions must be dense 1..N")
+    }
+    val o1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    val o2 = rows.filter(_._1 == 2).sortBy(_._2).map(_._3).toSeq
+    assert(o1 != o2, "epoch orders must differ (the reshuffle is real)")
+    assert(o1 != o1.sorted || o2 != o2.sorted,
+      "at least one epoch order must not be the identity")
+    val again = Curation.q175(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "reshuffle must be deterministic")
+  }
 }
