@@ -3957,17 +3957,16 @@ object LlmOps {
     val layout = s.read.parquet(path)
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
-    val own = layout.select(col("vec_id").as("va"),
-      col("embedding").as("ea"), col("cell"))
-    val second = layout.filter(col("cell2").isNotNull)
-      .select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("cell2").as("cell"))
+    val widened = widenProbes(
+      layout.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("cell"), col("cell2")),
+      Seq("va", "ea"))
     val cands = layout.select(col("vec_id").as("vb"),
       col("embedding").as("eb"), col("cell"))
     val ws = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     // no pair dedup needed: a node's two probe cells live in disjoint
     // coarse id ranges and every candidate has exactly one cell
-    val seed = own.unionByName(second).join(cands, Seq("cell"))
+    val seed = widened.join(cands, Seq("cell"))
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
@@ -4180,10 +4179,7 @@ object LlmOps {
     val layout = s.read.parquet(path)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val routed = ivf2SecondProbeCell(ivf2AssignCells(batch, state), state)
-    val probes = routed.select(col("nid"), col("ne"), col("cell"))
-      .unionByName(routed.filter(col("cell2").isNotNull)
-        .select(col("nid"), col("ne"), col("cell2").as("cell")))
-    probes.join(layout, Seq("cell"))
+    widenProbes(routed, Seq("nid", "ne")).join(layout, Seq("cell"))
       .select(col("nid"), col("vec_id"),
         round(CosineSimilarityExpr(col("ne"), col("embedding")), 4).as("sim"))
   }
@@ -4200,9 +4196,20 @@ object LlmOps {
         transform(col("embedding"),
           v => round(v.cast("double") * 10000, 0).cast("long") + 7).as("vq"))
 
+  /** q171's splice-candidate relation landed per dataset: `cand` feeds
+    * three downstream exchanges (new-edge window, reverse projection,
+    * touched aggregate) that Spark cannot ReusedExchange, so an
+    * unmaterialized relation would re-run the routing argmins and the
+    * probes×layout join 3× per invocation (r13 review finding). */
+  private val spliceCandCache =
+    new graft.operators.DatasetCache[String]("splice-cand", Seq(_))
+
   def q171(s: SparkSession, d: String): DataFrame = {
     val g = s.read.parquet(knnGraphPath(s, d))
-    val cand = graphSpliceCandidates(s, d, derivedGraphBatch(s, d))
+    val cand = s.read.parquet(spliceCandCache.getOrCompute(d)(dir =>
+      graft.operators.Scratch.materializePath(
+        graphSpliceCandidates(s, dir, derivedGraphBatch(s, dir)),
+        "splice-cand")))
     val wN = Window.partitionBy(col("nid")).orderBy(col("sim").desc, col("vec_id"))
     val newEdges = cand.withColumn("rn", row_number().over(wN))
       .filter(col("rn") <= 3)
@@ -4229,9 +4236,8 @@ object LlmOps {
   }
 
   private lazy val q171Sql = {
-    val subUnion = (0 until 4).map { c =>
-      s"SELECT $c AS coarse, cid, cent FROM u${c}_c2"
-    }.mkString("\n        UNION ALL ")
+    // the sub-cell union is `psubs`, already in scope from
+    // knnGraphCtesSql's probe-2 CTEs — one definition (r13 review)
     materializeCtes(s"""WITH $knnGraphCtesSql,
       |nb AS (SELECT -q.vec_id - 1 AS nid,
       |         list_transform(e.emb, x -> x + 0.0007) AS ne,
@@ -4243,13 +4249,12 @@ object LlmOps {
       |            row_number() OVER (PARTITION BY n.nid
       |              ORDER BY ${sqDistSql("n.vq", "c.cent")}, c.cid) AS rn
       |          FROM nb n, c_c2 c)),
-      |subs AS ($subUnion),
       |nsa AS (SELECT nid, coarse, cid, rn FROM (
       |          SELECT n.nid, w.cid AS coarse, s.cid,
       |            row_number() OVER (PARTITION BY n.nid
       |              ORDER BY ${sqDistSql("n.vq", "s.cent")}, s.cid) AS rn
       |          FROM nb n JOIN nca w ON w.nid = n.nid AND w.rn = 1
-      |               JOIN subs s ON s.coarse = w.cid)),
+      |               JOIN psubs s ON s.coarse = w.cid)),
       |ncell1 AS (SELECT nid, CAST(coarse * $ivf2K2Sub + cid AS BIGINT)
       |             AS cell
       |           FROM nsa WHERE rn = 1),
@@ -4258,7 +4263,7 @@ object LlmOps {
       |            row_number() OVER (PARTITION BY n.nid
       |              ORDER BY ${sqDistSql("n.vq", "s.cent")}, s.cid) AS srn
       |          FROM nb n JOIN nca w ON w.nid = n.nid AND w.rn = 2
-      |               JOIN subs s ON s.coarse = w.cid
+      |               JOIN psubs s ON s.coarse = w.cid
       |          WHERE n.nid IN (SELECT nid FROM ncell1))),
       |ncell2 AS (SELECT nid, CAST(coarse2 * $ivf2K2Sub + cid AS BIGINT)
       |             AS cell
@@ -4323,13 +4328,12 @@ object LlmOps {
       .join(tombB, Seq("vb"), "left_anti")
       .select(col("va"), col("vb"), col("sim"))
     val live = layout.join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val aNodes = live.join(
-        broadcast(affected.select(col("va").as("vec_id"))), Seq("vec_id"))
-      .select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("cell"), col("cell2"))
-    val aProbes = aNodes.select(col("va"), col("ea"), col("cell"))
-      .unionByName(aNodes.filter(col("cell2").isNotNull)
-        .select(col("va"), col("ea"), col("cell2").as("cell")))
+    val aProbes = widenProbes(
+      live.join(
+          broadcast(affected.select(col("va").as("vec_id"))), Seq("vec_id"))
+        .select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("cell"), col("cell2")),
+      Seq("va", "ea"))
     val liveCand = live.select(col("vec_id").as("vb"),
       col("embedding").as("eb"), col("cell"))
     val cellCand = aProbes.join(liveCand, Seq("cell"))
@@ -4417,12 +4421,11 @@ object LlmOps {
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val layout = s.read.parquet(path)
-    val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
-    val probeRows = p
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
-      .unionByName(p.filter(col("cell2").isNotNull)
+    val probeRows = widenProbes(
+      layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-          col("cell2").as("cell")))
+          col("cell"), col("cell2")),
+      Seq("pid", "pe"))
     val cands = layout
       .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cell"))
     val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
@@ -4437,7 +4440,10 @@ object LlmOps {
         .join(und, Seq("va"))
         .select(col("pid"), col("pe"), col("vb").as("vid"))
         .distinct()
+      // pid <> vid: without it the probe joins its own adjacency back at
+      // sim 1.0 and permanently burns one of the B beam slots (r13 review)
       val fresh = expand
+        .filter(col("pid") =!= col("vid"))
         .join(visited.select(col("pid"), col("vid")),
           Seq("pid", "vid"), "left_anti")
         .join(e0.select(col("vec_id").as("vid"), col("embedding").as("ve")),
@@ -4465,7 +4471,8 @@ object LlmOps {
         |          AS sim, x.vid
         |        FROM x$r x JOIN pr p USING (pid)
         |             JOIN e c ON c.vec_id = x.vid
-        |        WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+        |        WHERE x.pid <> x.vid
+        |          AND NOT EXISTS (SELECT 1 FROM v${r - 1} v
         |                          WHERE v.pid = x.pid AND v.vid = x.vid)),
         |v$r AS (SELECT pid, vid, sim FROM v${r - 1}
         |        UNION ALL
@@ -4656,20 +4663,30 @@ object LlmOps {
     ivf2Serve(s.read.parquet(path))
   }
 
+  /** PROBE-2 WIDENING, the one definition of the two-cell probe
+    * discipline (r13 review: this pattern had five hand-rolled copies):
+    * one row per (input row, probe cell) — the own `cell` row plus,
+    * when `cell2` is non-null, a second row with cell := cell2. `keep`
+    * names the payload columns carried through; input needs `cell` and
+    * `cell2`. cell2 is PRECOMPUTED in the landed layout (ivf2Build) —
+    * widening is a column read, not a per-query centroid scan. */
+  private def widenProbes(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val own = df.select((keep :+ "cell").map(col): _*)
+    val second = df.filter(col("cell2").isNotNull)
+      .select(keep.map(col) :+ col("cell2").as("cell"): _*)
+    own.unionByName(second)
+  }
+
   /** The shared probe-2 serve over an IVF2 layout (q149 on the build
     * layout, q160 on the tombstoned live layout): probes 16..25, probe
     * cells = own assignment + second probe cell, exact in-cell cosine
     * re-rank, top-3 with (sim desc, id) tiebreaks. */
   private def ivf2Serve(layout: DataFrame): DataFrame = {
-    val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
-    val own = p
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
-    // cell2 is PRECOMPUTED in the landed layout (ivf2Build) — probe-2
-    // widening is a column read, not a per-query centroid scan
-    val second = p.filter(col("cell2").isNotNull)
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-        col("cell2").as("cell"))
-    val probes = own.unionByName(second)
+    val probes = widenProbes(
+      layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+          col("cell"), col("cell2")),
+      Seq("pid", "pe"))
     val cands = layout
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
@@ -5095,12 +5112,10 @@ object LlmOps {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val assign = s.read.parquet(path)
     val p = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
-    val own = p
-      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell"))
-    val widened = own.unionByName(
-      p.filter(col("cell2").isNotNull)
-        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-          col("cell2").as("cell")))
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("cell"), col("cell2"))
+    val own = p.select(col("pid"), col("pe"), col("cell"))
+    val widened = widenProbes(p, Seq("pid", "pe"))
     val cands = assign
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
     val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))

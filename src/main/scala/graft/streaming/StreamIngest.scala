@@ -208,13 +208,21 @@ object StreamIngest {
     * a new node's delta depends only on its own probe cells, so
     * micro-batch boundaries don't change the union of landed deltas
     * (the StreamingSpec restart e2e: two AvailableNow increments over a
-    * shared checkpoint land exactly the batch splice, once). */
+    * shared checkpoint land exactly the batch splice, once).
+    *
+    * EXACTLY-once on replay, not just at-least-once: each micro-batch
+    * OVERWRITES its own `batch_id=<id>` partition — the delta is a
+    * deterministic function of the batch, so a replay after a crash
+    * between sink write and checkpoint commit rewrites identical files
+    * instead of appending duplicates (the idempotent-output alternative
+    * to [[toHttpSinkIdempotent]]'s ledger; a duplicated delta row would
+    * otherwise rank the same edge twice at the next compaction). */
   def toGraphDeltaSink(spark: SparkSession, vecs: DataFrame,
       corpusDir: String, outDir: String): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cand = graft.queries.LlmOps.graphSpliceCandidates(
           spark, corpusDir, batch)
         val wN = org.apache.spark.sql.expressions.Window
@@ -225,7 +233,8 @@ object StreamIngest {
             col("sim"), lit("new").as("kind"))
         val rev = cand.select(col("vec_id").as("va"), col("nid").as("vb"),
           col("sim"), lit("rev").as("kind"))
-        newEdges.unionByName(rev).write.mode("append").parquet(outDir)
+        newEdges.unionByName(rev)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
   /** Streaming line-level boilerplate rule (the q112 line rule on the

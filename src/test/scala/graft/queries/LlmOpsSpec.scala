@@ -261,7 +261,7 @@ class LlmOpsSpec extends SparkSpec {
     // clusters really are components of the thresholded landed graph:
     // every pruned member must reach its label through >=1 graph edge
     val edges = LlmOps.q168(spark, sf001).collect()
-      .filter(_.getDouble(2) >= 0.35)
+      .filter(_.getDouble(2) >= LlmOps.CosineNearDupThreshold)
       .map(r => Set(r.getLong(0), r.getLong(1)))
     val touched = edges.flatten.toSet
     assert(out.filter(_._4).forall(r => touched(r._1)),
