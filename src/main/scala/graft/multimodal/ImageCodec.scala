@@ -9,11 +9,18 @@ import javax.imageio.ImageIO
   * so no new dependency: PNG/JPEG/BMP/GIF decode to raw pixels, PNG
   * encode for fixture/payload generation, and a deterministic
   * nearest-neighbor resize. This replaces [[StubCodec]] for image-kind
-  * payloads; audio/video remain stubbed (no JDK codec exists for them —
-  * the documented container constraint).
+  * payloads. Audio has its own JDK decoder ([[AudioCodec]], on
+  * `javax.sound.sampled` — WAV/PCM); only VIDEO remains stubbed (the
+  * JDK genuinely ships no video codec).
   *
   * Determinism notes (the properties MultimodalSpec pins):
-  *   - PNG is lossless: encode(px) → decode = px exactly, on any JVM.
+  *   - PNG round-trip is exact on the RGB channels: [[encodePng]]
+  *     writes an opaque TYPE_INT_RGB image (the alpha byte of the input
+  *     ints is DROPPED), and [[decode]] returns ARGB with alpha forced
+  *     to 0xff — so decode(encode(px)) == px on the low 24 bits, on any
+  *     JVM. Callers comparing full ints mask with & 0xffffff (the
+  *     engine's pixel pipeline is RGB-only: [[luma]] and the feature
+  *     extractors never read alpha).
   *   - Resize is explicit integer source-index arithmetic, NOT
   *     Graphics2D (rendering pipelines may differ across JVMs/platforms;
   *     `(y*h)/oh` floor arithmetic cannot).
@@ -61,7 +68,9 @@ object ImageCodec {
     out
   }
 
-  /** Encode ARGB pixels as PNG bytes (lossless round-trip). */
+  /** Encode pixels as PNG bytes — RGB-only contract: the top (alpha)
+    * byte of each input int is dropped, and the round-trip
+    * decode(encodePng(px)) equals px on the low 24 bits exactly. */
   def encodePng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
     require(px.length == w * h, s"${px.length} px for ${w}x$h")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

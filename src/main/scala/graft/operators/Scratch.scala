@@ -79,6 +79,18 @@ object Scratch {
     df.write.mode("append").parquet(path)
   }
 
+  /** [[appendPath]] plus the EXACT row count of the appended delta,
+    * measured in the same write pass (an
+    * [[org.apache.spark.sql.Observation]] rides the write job), so
+    * callers that need "how many rows did this round land" pay one scan
+    * of the input instead of a count() + a second write scan. */
+  def appendPathCounted(df: DataFrame, path: String): Long = {
+    import org.apache.spark.sql.{functions => F}
+    val obs = org.apache.spark.sql.Observation()
+    appendPath(df.observe(obs, F.count(F.lit(1)).as("rows")), path)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Like [[materialize]] but returns the path — for callers that memoize
     * the materialization across query invocations. */
   def materializePath(df: DataFrame, name: String): String = {

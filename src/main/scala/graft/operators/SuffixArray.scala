@@ -177,8 +177,10 @@ object SuffixArray {
         val cur = spark.read.parquet(levels.last.path)
         val solos = cur.filter(col("solo"))
           .select(col("pos"), col("rank"), lit(gap).as("lvl"))
-        resolved = solos.count()
-        if (resolved > 0) Scratch.appendPath(solos, fp)
+        // one pass: the append's write job carries the count observation
+        // (an all-empty finals dir is never read — levelDf only unions
+        // finals when resolvedBefore > 0)
+        resolved = Scratch.appendPathCounted(solos, fp)
         finalsPath = Some(fp)
         fullMode = false
       }
@@ -243,7 +245,7 @@ object SuffixArray {
           .as[(Long, Long, Long)]
           .mapPartitions { it0 =>
             val it = it0.buffered
-            new Iterator[(Long, Long, Boolean)] {
+            new Iterator[(Long, Long, Boolean, Boolean)] {
               private var curR1 = Long.MinValue
               private var curR2 = Long.MinValue
               private var started = false
@@ -252,7 +254,7 @@ object SuffixArray {
               private var rank = 0L
               private var firstOfSub = false
               def hasNext: Boolean = it.hasNext
-              def next(): (Long, Long, Boolean) = {
+              def next(): (Long, Long, Boolean, Boolean) = {
                 idx += 1
                 val (pos, r1, r2) = it.next()
                 if (!started || r1 != curR1) {
@@ -265,18 +267,22 @@ object SuffixArray {
                 val lastOfSub = !it.hasNext || {
                   val h = it.head; h._2 != r1 || h._3 != r2
                 }
-                (pos, rank, firstOfSub && lastOfSub)
+                (pos, rank, firstOfSub, firstOfSub && lastOfSub)
               }
             }
           }
-          .toDF("pos", "rank", "solo")
-        val landed = Scratch.materializePath(refined, "sa-active")
-        val st = spark.read.parquet(landed)
-          .agg(sum(col("solo").cast("long")).as("s"),
-            countDistinct(col("rank")).as("g"))
-          .first()
-        val soloCnt = st.getLong(0)
-        val grpCnt = st.getLong(1)
+          .toDF("pos", "rank", "first", "solo")
+        // "first" marks each (r1, r2)-run head, so distinct-rank count is
+        // a plain sum — both round stats ride the materialize write job
+        // via observe() instead of a second full scan of the landed level
+        val obs = org.apache.spark.sql.Observation()
+        val landed = Scratch.materializePath(
+          refined.observe(obs,
+            sum(col("solo").cast("long")).as("s"),
+            sum(col("first").cast("long")).as("g")), "sa-active")
+        val st = obs.get
+        val soloCnt = st("s").asInstanceOf[Long]
+        val grpCnt = st("g").asInstanceOf[Long]
         gap *= 2
         if (soloCnt > 0)
           Scratch.appendPath(spark.read.parquet(landed)

@@ -27,11 +27,15 @@ import graft.functions.{CosineSimilarityExpr, SignLshBandExpr}
   * enabled`, default false): a qualifying pair whose `bands` band keys
   * all differ is not produced (recall for a pair at angle θ is
   * 1−(1−(1−θ/π)^bits)^bands — ≥ 0.98 at cosine 0.9 with the default 8
-  * bands × 6 bits). Band multiplicity is removed with a DISTINCT over
-  * the join output, so duplicate identical input rows also collapse —
-  * both caveats are the standard LSH-join contract (and the rewrite
-  * only fires on joins with no other equi-predicate, where the
-  * alternative is the full cartesian scan).
+  * bands × 6 bits). Band multiplicity is removed by grouping on a
+  * per-side row identity injected below each Generate, so duplicate
+  * identical input rows keep their original pair multiplicity — the
+  * only semantics delta vs the cartesian join is the recall
+  * approximation itself (and the rewrite only fires on joins with no
+  * other equi-predicate, where the alternative is the full cartesian
+  * scan). Rows with a null vector are filtered beneath the Generate:
+  * they cannot satisfy the threshold conjunct, and the filter makes
+  * the band-key attribute genuinely non-nullable.
   *
   * Scale shape: band keys are computed map-side inside codegen
   * (O(dims·bits·bands) per row), the shuffle carries `bands`× each
@@ -102,14 +106,26 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   private def banded(side: LogicalPlan, vec: Expression, name: String,
-      bands: Int, bits: Int): (LogicalPlan, Attribute) = {
+      bands: Int, bits: Int): (LogicalPlan, Attribute, Attribute) = {
+    // A null vector cannot satisfy the cosine threshold (the conjunct
+    // evaluates to null, never true), so filtering it beneath the
+    // Generate is semantics-preserving — and it makes the band-key
+    // attribute's declared non-nullability actually hold:
+    // SignLshBandExpr is only nullable through a null input vector.
+    val notNull = Filter(IsNotNull(vec), side)
+    // Per-input-row identity: band-collision dedup groups on it so a
+    // qualifying pair emits once per INPUT row pair, preserving the
+    // multiplicity of duplicate identical input rows (a DISTINCT over
+    // the bare join output would collapse those too).
+    val rid = Alias(MonotonicallyIncreasingID(), name + "_rid")()
+    val withId = Project(side.output :+ rid, notNull)
     val attr = AttributeReference(name, LongType, nullable = false)()
     val gen = Generate(
       Explode(CreateArray((0 until bands).map(k =>
         SignLshBandExpr(vec, k, bits)))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(attr), child = side)
-    (gen, attr)
+      generatorOutput = Seq(attr), child = withId)
+    (gen, attr, rid.toAttribute)
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
@@ -118,13 +134,16 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val conjuncts = splitConjunctivePredicates(cond)
     if (hasEquiKey(conjuncts, left, right)) return None
     thresholdConjunct(conjuncts, left, right).map { case (lv, rv) =>
-      val (bl, la) = banded(left, lv, "__lsh_band_l", bands, bits)
-      val (br, ra) = banded(right, rv, "__lsh_band_r", bands, bits)
+      val (bl, la, lid) = banded(left, lv, "__lsh_band_l", bands, bits)
+      val (br, ra, rid) = banded(right, rv, "__lsh_band_r", bands, bits)
       val newCond = (EqualTo(la, ra) +: conjuncts).reduce(And)
       val joined = Join(bl, br, Inner, Some(newCond), hint)
       val out = j.output
-      // DISTINCT restores pair multiplicity 1 across band collisions
-      Aggregate(out, out, Project(out, joined))
+      // Group on the per-side row identities (plus the output columns
+      // they functionally determine) so each qualifying input-row pair
+      // emits exactly once across band collisions while duplicate
+      // identical input rows keep their original multiplicity.
+      Aggregate(Seq(lid, rid) ++ out, out, joined)
     }
   }
 }

@@ -1625,7 +1625,8 @@ object LlmOps {
     * carry REAL PNG payloads and run the REAL javax.imageio decode +
     * deterministic nearest-neighbor resize ([[graft.multimodal
     * .ImageCodec]], r12 verdict ask #5); audio/video rows run the
-    * batched stub codec (no JDK codec exists for them). The decode is
+    * batched stub codec over the opaque payload here (REAL audio decode
+    * is q52b's arm — video alone has no JDK codec). The decode is
     * engine-specific (a JVM image library has no DuckDB mirror) →
     * rows-only check; pixel-exactness, planted-pixel recovery, resize
     * dimensions and determinism are pinned in MultimodalSpec. */
@@ -1647,6 +1648,25 @@ object LlmOps {
         round(element_at(col("features"), 1), 4).as("f1"),
         round(element_at(col("features"), 2), 4).as("f2"))
     img.unionByName(rest).orderBy(col("media_id"))
+  }
+
+  /** q52b — REAL audio decode as a registered operator (r13 verdict ask
+    * #5): audio-kind rows carry actual WAV payloads (deterministic
+    * procedural test-tone, [[graft.multimodal.Multimodal
+    * .proceduralSamples]]) and run the REAL javax.sound.sampled decode
+    * ([[graft.multimodal.AudioCodec]]) + integer feature math. Decode is
+    * engine-specific (no DuckDB mirror for a JVM audio chain) →
+    * rows-only check; WAV round-trip exactness, planted-sample recovery
+    * and determinism are pinned in MultimodalSpec. */
+  def q52b(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaWithAudioPayloads(
+      graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+    graft.multimodal.Multimodal
+      .decodeAudio(media.filter(col("kind") === "audio"))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        round(col("mean_abs"), 4).as("mean_abs"),
+        round(col("rms"), 4).as("rms"), col("zero_cross"))
+      .orderBy(col("media_id"))
   }
 
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
@@ -1679,14 +1699,29 @@ object LlmOps {
     * ids, then encode each document as its id sequence. The vocab is a
     * broadcast-sized dimension at any corpus scale (vocab ≪ corpus); the
     * encode is one broadcast join over the exploded tokens and one
-    * per-doc ordered re-assembly. OOV tokens map to id 0. */
+    * per-doc ordered re-assembly. OOV tokens map to id 0. The dense-id
+    * assignment ranks via [[graft.operators.GlobalOrder]] (r13 verdict
+    * wrong #1): a web-corpus freq≥50 vocab is 10⁷-10⁸ rows, exactly the
+    * single-task `row_number() OVER (ORDER BY …)` cliff the operator
+    * exists to replace — and the landed vocab memoizes per dataset (the
+    * q81/q124/q175 discipline), so the encode side re-reads a
+    * broadcast-sized parquet instead of re-ranking. */
+  private val vocabCache =
+    new graft.operators.DatasetCache[String]("q54-vocab", Seq(_))
+
   def q54(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 50) // vocab cut: keep common tokens
-      .withColumn("tok_id",
-        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    val vocabPath = vocabCache.getOrCompute(d) { dir =>
+      val freqs = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 50) // vocab cut: keep common tokens
+      val (path, _) = graft.operators.GlobalOrder.rowNumberPath(
+        freqs, "tok_id", col("freq").desc, col("tok"))
+      path
+    }
+    val vocab = s.read.parquet(vocabPath)
     toks.join(broadcast(vocab.select(col("tok"), col("tok_id"))), Seq("tok"), "left")
       .withColumn("tok_id", coalesce(col("tok_id"), lit(0)))
       .groupBy(col("doc_id"))
@@ -3950,9 +3985,9 @@ object LlmOps {
       .select(col("va"), col("vb"), col("sim"), col("rn"))
       .orderBy(col("va"), col("rn"))
 
-  /** The full q168 build relation (pre-landing) — materialized once by
-    * [[knnGraphPath]]. */
-  private def knnGraphBuild(s: SparkSession, d: String): DataFrame = {
+  /** The full q168 build relation (pre-landing) — the CELL-BLOCKED
+    * regime of [[knnGraphBuild]]'s dispatch. */
+  private def cellBlockedBuild(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val layout = s.read.parquet(path)
     val e0 = Tables.embeddings(s, d)
@@ -4006,12 +4041,28 @@ object LlmOps {
     * q172 delete) re-reference the Lloyd-chain CTEs through
     * [[knnGraphCtesSql]] deeply enough that the inlined plan explodes
     * (measured at sf0.01: fd-exhaustion/OOM after >90 s inlined vs
-    * ~1 s materialized, bit-identical results). The rewrite is sound
-    * here because ` AS (` only ever follows a CTE name in these
-    * oracles — column aliases are never parenthesized, and
-    * `CAST(x AS T)` / `OVER (` don't match the pattern. */
-  private def materializeCtes(sql: String): String =
-    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+    * ~1 s materialized, bit-identical results). The rewrite is ANCHORED
+    * to the only positions a CTE definition occupies in these
+    * stripMargin-assembled templates — start of a line, or immediately
+    * after `WITH ` — so a future `x AS (...)` in any other position
+    * (derived-table alias, column list) cannot be silently rewritten.
+    * The require turns such an occurrence into a construction-time
+    * error instead: whoever introduces one decides explicitly whether
+    * it is a new CTE (move it to a line start) or not (rename the
+    * helper call away). */
+  private def materializeCtes(sql: String): String = {
+    val loose = """(\w+) AS \(""".r
+    val anchored = """(?m)(^|\bWITH )(\w+) AS \(""".r
+    val nLoose = loose.findAllMatchIn(sql).size
+    val nAnchored = anchored.findAllMatchIn(sql).size
+    require(nAnchored == nLoose,
+      s"materializeCtes: ${nLoose - nAnchored} ' AS (' occurrence(s) are " +
+        "not at a CTE-definition position (line start or after WITH) — " +
+        "refusing a blind rewrite; restructure the template")
+    anchored.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1) + m.group(2)) +
+        " AS MATERIALIZED (")
+  }
 
   private lazy val q168Sql =
     materializeCtes(s"WITH $knnGraphCtesSql\n$gfinSelectSql")
@@ -4032,7 +4083,11 @@ object LlmOps {
     * three builds). Registered at R = 3 — enough for the crossover to
     * show; production would loop to a fixed point with the same
     * operator. Oracle: the bridge CTE + three unrolled round chains. */
-  def q169(s: SparkSession, d: String): DataFrame = {
+  def q169(s: SparkSession, d: String): DataFrame = nnDescentBuild(s, d)
+
+  /** The full q169 build relation — also the DISPATCHED build of record
+    * past [[KnnBuildCrossover]] (see [[knnGraphBuild]]). */
+  private def nnDescentBuild(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
     val e = e0.select(col("vec_id"), col("embedding"))
@@ -4123,10 +4178,58 @@ object LlmOps {
       |FROM p JOIN e ON list_cosine_similarity(pe, emb) >= 0.99
       |ORDER BY pid, vec_id""".stripMargin
 
-  /** The LANDED kNN graph — [[q168]]'s build materialized once per
-    * dataset: the graph-side serving artifact the lifecycle queries
-    * ([[q171]] append, [[q172]] delete) maintain WITHOUT rebuilding,
-    * the same way q154/q160 maintain the landed IVF2 index. */
+  /** Conf override for the landed-graph build regime: `auto` (default,
+    * size-calibrated dispatch), `cellblocked` (force the q168
+    * IVF2-seeded build), `nndescent` (force the q169 iterated
+    * NN-Descent build). Specs force each regime through this — the
+    * [[graft.operators.SuffixArray]] maxLocalGroup discipline. */
+  private[graft] val KnnBuildKey = "spark.graft.knnGraph.build"
+
+  /** Corpus-size crossover for the `auto` dispatch, calibrated from the
+    * BASELINE.md ScaleStress ladder (sf0.01 base ≈ 5.5k vectors,
+    * local[32]): cold build cost cell-blocked vs NN-Descent was
+    * ≈ 8.6 s vs 16.6 s at 1× (cells win), ≈ 24 s vs 21 s at 10×
+    * (≈ 55k — the builds meet), ≈ 50 s vs 39 s at 30× (≈ 165k —
+    * descent wins), ≈ 357 s vs 188 s at 100× (≈ 550k — descent wins
+    * 1.9×, and its recall@3 is 1282 vs 810 / 1500). The Σ n_c² ≈ n^1.5
+    * seed term crosses the R·O(n) candidate-bounded rounds between 10×
+    * and 30×; 2^17 = 131 072 sits in that window, keeping the gate SFs
+    * (n ≤ 55k) on the cell build their oracles mirror while every
+    * larger corpus gets the asymptotic winner. */
+  private[graft] val KnnBuildCrossover = 1L << 17
+
+  /** The `auto` regime decision as a pure function of corpus size —
+    * spec-pinned so the dispatch's 100×-picks-descent claim is a unit
+    * fact, not only a ScaleStress observation. */
+  private[graft] def knnGraphRegimeFor(n: Long): String =
+    if (n >= KnnBuildCrossover) "nndescent" else "cellblocked"
+
+  /** The dispatched build of record (r13 verdict ask #1): BOTH regimes
+    * produce the same (va, vb, sim, rn) top-3 adjacency contract, and
+    * every lifecycle consumer (q171 append / q172 delete / q173 serve /
+    * q174 semdedup) is regime-agnostic — they read the landed adjacency
+    * and maintain it through routing/splice operators that never
+    * reference how it was built. The registered q168 oracle mirrors the
+    * cell-blocked chain, which `auto` guarantees at the gate SFs (n two
+    * orders of magnitude under the crossover); past the crossover the
+    * landed graph is the q169 build BASELINE's own 100× measurement
+    * says wins on both cost and recall. */
+  private def knnGraphBuild(s: SparkSession, d: String): DataFrame = {
+    val regime = s.conf.get(KnnBuildKey, "auto") match {
+      case "auto" => knnGraphRegimeFor(Tables.embeddings(s, d).count())
+      case forced @ ("cellblocked" | "nndescent") => forced
+      case bad => throw new IllegalArgumentException(
+        s"$KnnBuildKey must be auto|cellblocked|nndescent, got '$bad'")
+    }
+    if (regime == "nndescent") nnDescentBuild(s, d)
+    else cellBlockedBuild(s, d)
+  }
+
+  /** The LANDED kNN graph — the DISPATCHED build ([[knnGraphBuild]])
+    * materialized once per dataset: the graph-side serving artifact the
+    * lifecycle queries ([[q171]] append, [[q172]] delete) maintain
+    * WITHOUT rebuilding, the same way q154/q160 maintain the landed
+    * IVF2 index. */
   private val knnGraphCache =
     new graft.operators.DatasetCache[String]("knn-graph", Seq(_))
 
@@ -4134,6 +4237,14 @@ object LlmOps {
     knnGraphCache.getOrCompute(d)(dir =>
       graft.operators.Scratch.materializePath(
         knnGraphBuild(s, dir), "knn-graph"))
+
+  /** Spec hook: drop the landed graph AND everything derived from it
+    * (semdedup labels), so a regime-forcing test rebuilds from scratch
+    * and restores the default-regime artifacts afterwards. */
+  private[graft] def invalidateKnnGraph(): Unit = {
+    knnGraphCache.invalidateAll()
+    graphDedupCache.invalidateAll()
+  }
 
   /** q171 — kNN-graph APPEND: fold a new-vector batch into the LANDED
     * graph ([[knnGraphPath]]) without rebuilding — the graph-side q154:
@@ -5540,6 +5651,7 @@ object LlmOps {
     QueryDef("q50_pii_scrub", q50, Some(q50Sql)),
     QueryDef("q51_quantize_int8", q51, Some(q51Sql)),
     QueryDef("q52_multimodal_decode", q52, None),
+    QueryDef("q52b_audio_decode", q52b, None),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),
     QueryDef("q54_vocab_encode", q54, Some(q54Sql)),
     QueryDef("q55_geo_hops", q55, Some(q55Sql)),

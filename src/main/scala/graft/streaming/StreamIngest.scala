@@ -199,12 +199,13 @@ object StreamIngest {
     * the stream and the registered batch append (q171) cannot
     * desynchronize — then lands the SPLICE DELTA to `outDir`: the new
     * node's top-3 edges (kind="new") plus the reverse candidate edges
-    * (kind="rev") that old nodes merge at the next compaction. This is
-    * q171's merge step deferred on purpose — the graph-side
-    * delta/compaction split (q155/q161's segment discipline): per
-    * arrival the stream pays candidate emission only (map-side routing
-    * + one cell-blocked join); folding deltas into the landed adjacency
-    * is the scheduled merge. STATELESS — no watermark, no state store:
+    * (kind="rev") that old nodes merge at the next compaction
+    * ([[compactGraphDeltas]]). This is q171's merge step deferred on
+    * purpose — the graph-side delta/compaction split (q155/q161's
+    * segment discipline): per arrival the stream pays candidate
+    * emission only (map-side routing + one cell-blocked join); folding
+    * deltas into the landed adjacency is [[compactGraphDeltas]]'s
+    * scheduled merge, row-for-row equal to the one-shot q171 splice. STATELESS — no watermark, no state store:
     * a new node's delta depends only on its own probe cells, so
     * micro-batch boundaries don't change the union of landed deltas
     * (the StreamingSpec restart e2e: two AvailableNow increments over a
@@ -236,6 +237,50 @@ object StreamIngest {
         newEdges.unionByName(rev)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
+
+  /** Graph-delta COMPACTION — the scheduled merge that folds
+    * [[toGraphDeltaSink]]'s landed `batch_id=*` delta dirs into the
+    * landed adjacency (the q161 segment-compaction analog for the graph
+    * family, r13 verdict ask #2). Semantics are EXACTLY q171's one-shot
+    * merge, so compact-then-serve ≡ merge-on-read splice row for row
+    * (GraphCompactionSpec pins the equality against
+    * [[graft.queries.LlmOps.q171]]):
+    *   - `touched` old nodes (those with a reverse delta edge) re-rank
+    *     their existing adjacency ∪ reverse edges to top-3;
+    *   - every other node's rows pass through VERBATIM (broadcast
+    *     anti-join — the corpus graph never reshuffles beyond the
+    *     touched nodes' partitions);
+    *   - new nodes take their landed kind="new" edges (already the
+    *     per-node top-3 of the full candidate set; re-ranking the
+    *     subset reproduces the same dense rn because ranking is
+    *     order-preserving on prefixes of the same (sim desc, vb)
+    *     order).
+    * Correct across any micro-batch split of an arrival stream: a new
+    * node's candidates depend only on its own probe cells, so the union
+    * of deltas is split-invariant, and the sink's overwrite-per-batch
+    * idempotence means a post-crash replay feeds this fold identical
+    * rows. Pure function of (graph, deltas) — rerunning compaction
+    * yields the same relation; land the result and drop the delta dirs
+    * to complete the cycle (the q155/q161 segment discipline). */
+  def compactGraphDeltas(spark: SparkSession, graph: DataFrame,
+      deltaDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val deltas = spark.read.parquet(deltaDir)
+      .select(col("va"), col("vb"), col("sim"), col("kind"))
+    val rev = deltas.filter(col("kind") === "rev").drop("kind")
+    val newEdges = deltas.filter(col("kind") === "new").drop("kind")
+    val touched = rev.select(col("va")).distinct()
+    val keep = graph.join(broadcast(touched), Seq("va"), "left_anti")
+      .select(col("va"), col("vb"), col("sim"), col("rn"))
+    val merged = graph.join(broadcast(touched), Seq("va"), "left_semi")
+      .select(col("va"), col("vb"), col("sim"))
+      .unionByName(rev)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val newRanked = newEdges
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    keep.unionByName(merged).unionByName(newRanked)
+  }
 
   /** Streaming line-level boilerplate rule (the q112 line rule on the
     * admission path): incoming (doc_id, text, ts) docs split into

@@ -124,6 +124,31 @@ class LshJoinRewriteSpec extends SparkSpec {
       s"probe-source pairing broken: ${got.take(5)} (${got.size} pairs)")
   }
 
+  test("duplicate input rows keep their pair multiplicity; null vectors " +
+      "are filtered, not matched") {
+    import spark.implicits._
+    val v = Seq(1f, 2f, 3f, 4f)
+    // left: the same row TWICE (identical across all columns) + a null
+    // vector; right: one matching row
+    val l = Seq((10L, Option(v)), (10L, Option(v)), (99L, Option.empty[Seq[Float]]))
+      .toDF("ida", "va")
+    val r = Seq((20L, v)).toDF("idb", "vb")
+    def joined: DataFrame = l.join(r,
+      graft.functions.CosineSimilarityExpr(col("va"), col("vb")) >= lit(0.9))
+      .select(col("ida"), col("idb"))
+    val exact = joined.collect().map(_.toSeq).toSeq
+    assert(exact.count(_ == Seq(10L, 20L)) == 2, "exact arm: dup row joins twice")
+    withRewrite {
+      val got = joined
+      val p = planOf(got)
+      assert(p.contains("__lsh_band"), s"rewrite did not fire:\n$p")
+      val rows = got.collect().map(_.toSeq).toSeq
+      assert(rows.count(_ == Seq(10L, 20L)) == 2,
+        s"band-collision dedup must preserve input-row multiplicity: $rows")
+      assert(!rows.exists(_.head == 99L), "null vector must not match")
+    }
+  }
+
   test("banding is a correct blocking: band keys collide for identical " +
       "vectors and the sql function matches the expression") {
     import spark.implicits._

@@ -141,6 +141,12 @@ class QueryPlanSpec extends SparkSpec {
     val p81 = planString(Curation.q81(spark, sf0001))
     assert(!p81.contains("SinglePartition"),
       s"curriculum rank collapsed to a single partition:\n$p81")
+    // q54: the vocab dense-id rank must NOT plan as an unpartitioned
+    // window either (r13 verdict wrong #1) — the vocab ranks through
+    // GlobalOrder and the query reads the landed relation
+    val p54 = planString(LlmOps.q54(spark, sf0001))
+    assert(!p54.contains("SinglePartition"),
+      s"q54 vocab rank collapsed to a single partition:\n$p54")
   }
 
   test("q61 CC rounds read materialized labels + scratch pairs, never the shingle pipeline") {
