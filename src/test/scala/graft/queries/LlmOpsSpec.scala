@@ -134,6 +134,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(byNode.forall(_.length <= 3))
   }
 
+  test("q176 filtered serve: in-filter recall dominates post-filter row " +
+      "by row on real data, and recovers a planted same-label neighbor " +
+      "that the unfiltered-then-filter arm provably loses") {
+    // real data: the provable domination, non-vacuously strict
+    val rows = LlmOps.q176(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pid, pre, post) =>
+      assert(pre >= post,
+        s"probe $pid: in-filter recall $pre fell below post-filter $post")
+    }
+    assert(rows.exists { case (_, pre, post) => pre > post },
+      "in-filter never beat post-filter at sf0.01 - the report is vacuous")
+
+    // planted: probe 16 (label 1) shares cell 0 with three near-copies
+    // of itself labelled 0 and ONE same-label neighbor at cosine .9939.
+    // Unfiltered top-3 is the three label-0 near-copies, so post-filter
+    // returns nothing; the in-filter arm must find the planted neighbor.
+    import spark.implicits._
+    val layout = Seq(
+      (16L, Seq(1f, 0f), 0L, Option.empty[Long], 1),
+      (1L, Seq(1f, 0.001f), 0L, Option.empty[Long], 0),
+      (2L, Seq(1f, 0.002f), 0L, Option.empty[Long], 0),
+      (3L, Seq(1f, 0.003f), 0L, Option.empty[Long], 0),
+      (4L, Seq(0.9f, 0.1f), 0L, Option.empty[Long], 1)
+    ).toDF("vec_id", "embedding", "cell", "cell2", "label")
+    val planted = LlmOps.filteredServeReport(layout).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(planted(16L) == (1L, 0L),
+      s"planted same-label neighbor: expected in-filter 1 / post-filter 0, " +
+        s"got ${planted(16L)}")
+  }
+
   test("q171 append splices the derived batch into the landed graph " +
       "both ways and leaves untouched adjacency verbatim") {
     val g = LlmOps.q168(spark, sf001).collect()
