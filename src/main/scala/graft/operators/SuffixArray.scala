@@ -76,6 +76,29 @@ object SuffixArray {
     * scan + broadcast hash probe). ~1M × 3 longs ≈ 40 MB serialized. */
   private[operators] val BroadcastActiveMax: Long = 1L << 20
 
+  /** Seed width for the multi-token OPENER round (r13 verdict ask #6):
+    * after the round-0 single-token rank, ONE fused rank over the
+    * W-tuple (r₁[pos], …, r₁[pos+W−1]) jumps the hierarchy straight to
+    * prefix W — skipping log₂(W) of the early global rounds. Correct
+    * because r₁ is an order-isomorphic encoding of the token alphabet,
+    * so tuple order == prefix-W lexicographic order (0 sentinel for
+    * past-the-end = the shorter-suffix-first tiebreak every round
+    * already uses); the LCP descent stays exact across the missing low
+    * levels by re-applying level 1 up to W−1 times ([[lcpFromLevels]]'s
+    * step expansion). MEASURED AND REJECTED as the default (r14,
+    * SaScale on the 100× rotated corpus, 27,070,400 tokens, local[8]):
+    * the W=8 seed round cost 203.0 s — more than the THREE pair rounds
+    * it replaces combined (~60 s in the r13 profile) — for a total
+    * build of 350.2 s vs the unseeded 179.1 s, and the descent's
+    * 7×-level-1 tail pushed LCP 255.9 → 387.0 s. The early rounds'
+    * cost is inherent per-row shuffle volume (BASELINE r13 note), and
+    * an 8-wide tuple row carries ~4× the bytes of a (r1, r2) pair row,
+    * so the fused round loses exactly where it was meant to win. Kept
+    * conf-gated OFF (seedWidth = 1 default) with full property
+    * coverage, as measured scale evidence — the q173 cold-entry
+    * discipline: reject with numbers, not assertion. */
+  private[operators] val ExperimentalSeedWidth: Int = 8
+
   /** One landed doubling round. `path` holds (pos, rank, solo); for a
     * FULL level it covers all n positions, for an active level only the
     * rows still unresolved when the round started. `resolvedBefore` =
@@ -147,7 +170,8 @@ object SuffixArray {
     * it). Caller releases via [[SaHierarchy.release]]. */
   def hierarchy(toks0: DataFrame,
       onRound: (Long, Long, Double) => Unit = (_, _, _) => (),
-      maxLocalGroup: Long = DefaultMaxLocalGroup): SaHierarchy = {
+      maxLocalGroup: Long = DefaultMaxLocalGroup,
+      seedWidth: Int = 1): SaHierarchy = {
     val spark = toks0.sparkSession
     import spark.implicits._
     var t0 = System.nanoTime()
@@ -168,6 +192,55 @@ object SuffixArray {
     var resolved = 0L          // rows appended to finals so far
     var done = groups == n
     var gap = 1L               // prefix length of the LAST landed level
+
+    // SEED round (see [[ExperimentalSeedWidth]] — measured at 100× and
+    // kept OFF by default): one fused rank by the W-tuple of round-0
+    // ranks jumps prefix 1 -> W. The tuple is assembled with a
+    // block/boundary-duplication pass — contiguous pos means each row
+    // feeds at most 2 blocks and every W-window lives whole in one —
+    // never a global window.
+    if (!done && seedWidth > 1) {
+      val w = seedWidth
+      val parts = shufflePartitions(spark)
+      val blockB = math.max(w.toLong, n / parts + 1L)
+      val r0rel = spark.read.parquet(levels.last.path)
+        .select(col("pos"), col("rank"))
+      val wide = r0rel
+        .select(col("pos"), col("rank"),
+          explode(array_distinct(array(
+            greatest(expr(s"(pos - ${w - 1}) div $blockB"), lit(0L)),
+            expr(s"pos div $blockB")))).as("blk"))
+        .repartition(parts, col("blk"))
+        .sortWithinPartitions(col("blk"), col("pos"))
+        .select(col("blk"), col("pos"), col("rank"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          // a partition holds whole blocks (hash on blk); block size is
+          // <= B + W - 1 rows — the same magnitude the range sort above
+          // already buffered per task
+          it.toSeq.groupBy(_._1).iterator.flatMap { case (b, rows) =>
+            val arr = rows.sortBy(_._2).map(t => (t._2, t._3)).toArray
+            val limit = (b + 1L) * blockB
+            arr.indices.iterator
+              .takeWhile(i => arr(i)._1 < limit) // own rows: a prefix
+              .map { i =>
+                val p = arr(i)._1
+                // pos contiguity: arr(i + j) IS pos p + j when p + j < n
+                (p, (0 until w).map { j =>
+                  if (i + j < arr.length) arr(i + j)._2 else 0L
+                })
+              }
+          }
+        }
+        .toDF("pos", "ks")
+      val rs = rankByKeyPath(wide, Seq("ks"))
+      gap = w.toLong
+      levels += SaLevel(gap, rs.path, true, 0L)
+      groups = rs.groups
+      maxGroup = rs.maxGroup
+      done = groups == n
+      onRound(gap, groups, lap())
+    }
 
     // global→active switch: split the last (full) level's singleton
     // groups into the finals dir; everything else becomes the active set
@@ -351,7 +424,25 @@ object SuffixArray {
       a.join(b, Seq("rank")).withColumn("lcp", lit(0L)), "sa-lcp")
     var state = spark.read.parquet(statePath)
     var sinceLand = 0
-    val rev = h.levels.indices.reverse
+    // Step plan: levels in DECREASING prefix order, each level applied
+    // `prev/p − 1` times (prev = the next-larger level; the top once).
+    // Greedy exactness invariant: entering level p the uncaptured LCP
+    // remainder is < prev, and (prev/p − 1) applications of p capture
+    // any remainder < prev down to < p. For the classic binary ladder
+    // prev = 2p, so every rep count is 1 — byte-identical to the old
+    // once-per-level descent; the seeded ladder's 8 -> 1 hole gets
+    // level 1 applied 7 times (a rep whose ranks mismatch leaves lcp
+    // unchanged, so extra reps are never wrong, only joins).
+    val desc = h.levels.indices.sortBy(i => -h.levels(i).prefixLen)
+    val rev = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var prevP = -1L
+    for (i <- desc) {
+      val p = h.levels(i).prefixLen
+      val reps = if (prevP < 0) 1 else math.max(1L, prevP / p - 1L).toInt
+      var r = 0
+      while (r < reps) { rev += i; r += 1 }
+      prevP = p
+    }
     for ((li, idx) <- rev.zipWithIndex) {
       val p = h.levels(li).prefixLen
       val rp = h.levelDf(spark, li)

@@ -4526,9 +4526,6 @@ object LlmOps {
     * CTEs, every tiebreak (sim desc, vid) shared. */
   def q173(s: SparkSession, d: String): DataFrame = {
     val g = s.read.parquet(knnGraphPath(s, d))
-    val und = g.select(col("va"), col("vb"))
-      .unionByName(g.select(col("vb").as("va"), col("va").as("vb")))
-      .distinct()
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
     val layout = s.read.parquet(path)
@@ -4539,14 +4536,36 @@ object LlmOps {
       Seq("pid", "pe"))
     val cands = layout
       .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cell"))
-    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
-    var visited = cands.join(broadcast(probeRows), Seq("cell"))
+    val visited0 = cands.join(broadcast(probeRows), Seq("cell"))
       .filter(col("pid") =!= col("vid"))
       .select(col("pid"), col("pe"), col("vid"),
         round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
-    for (_ <- 1 to 3) {
+    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    beamWalk(visited0, g, e0)
+      .filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("vid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  /** The shared greedy beam walk over a landed graph (q173's rounds,
+    * factored so q177 can run it from different ENTRY sets): from
+    * `visited0(pid, pe, vid, sim)`, each of `rounds` rounds expands the
+    * current top-`beamWidth` beam along the symmetrized `g(va, vb)`
+    * edges, scores only UNSEEN candidates by exact cosine (anti-join
+    * against the visited set), and merges. Returns the full visited
+    * relation — callers take its top-k. */
+  private def beamWalk(visited0: DataFrame, g: DataFrame, e0: DataFrame,
+      rounds: Int = 3, beamWidth: Int = 8): DataFrame = {
+    val und = g.select(col("va"), col("vb"))
+      .unionByName(g.select(col("vb").as("va"), col("va").as("vb")))
+      .distinct()
+    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    var visited = visited0
+    for (_ <- 1 to rounds) {
       val beam = visited.withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= 8)
+        .filter(col("rn") <= beamWidth)
       val expand = beam.select(col("pid"), col("pe"), col("vid").as("va"))
         .join(und, Seq("va"))
         .select(col("pid"), col("pe"), col("vb").as("vid"))
@@ -4563,11 +4582,7 @@ object LlmOps {
           round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
       visited = visited.unionByName(fresh)
     }
-    visited.filter(col("pid") =!= col("vid"))
-      .withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= 3)
-      .select(col("pid"), col("vid"), col("sim"), col("rn"))
-      .orderBy(col("pid"), col("rn"))
+    visited
   }
 
   private lazy val q173Sql = {
@@ -4606,6 +4621,146 @@ object LlmOps {
       |      ORDER BY sim DESC, vid) AS rn
       |  FROM v3 WHERE pid <> vid)
       |WHERE rn <= 3 ORDER BY pid, rn""".stripMargin)
+  }
+
+  /** q177 — graph-serve ENTRY SENSITIVITY report (r13 verdict gap #5,
+    * the q167 report shape applied to q173): the same 3-round beam walk
+    * over the landed graph, entered three ways, each arm's recall@3
+    * scored against the exact brute-force top-3 —
+    *
+    *   - `recall_fixed` — HNSW-cold strawman: 8 fixed global entry
+    *     points (vec_id 0..7), no quantizer. The arm q173's scaladoc
+    *     reports rejecting (recall@3 4/30 at sf0.01): a degree-3 graph
+    *     over non-navigable synthetic embeddings strands the walk.
+    *   - `recall_probe1` — quantizer entry, single cell (the probe's
+    *     own assignment seeds the walk).
+    *   - `recall_probe2` — q173's production entry: probe-1 ∪ the
+    *     landed second probe cell.
+    *
+    * Round-0 candidate sets are ordered fixed ⊄ probe1 ⊂ probe2, and
+    * the report MEASURES how much of that ordering survives three walk
+    * rounds (beams diverge, so post-walk domination is an empirical
+    * fact, not a containment theorem — which is exactly why the report
+    * exists; the spec gates probe2 ≥ probe1 in aggregate and the planted
+    * fixed-entry deficit). Scale shape: three beam walks, each the q173
+    * serve contract (corpus never scanned; ≤ P·B·2K rows per round);
+    * the exact arm is the q167 offline-eval pattern. */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val g = s.read.parquet(knnGraphPath(s, d))
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+    val layout = s.read.parquet(path)
+    val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("cell"), col("cell2"))
+    val probes = p.select(col("pid"), col("pe"))
+    val own = p.select(col("pid"), col("pe"), col("cell"))
+    val widened = widenProbes(p, Seq("pid", "pe"))
+    val cands = layout
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cell"))
+    def scored(j: DataFrame): DataFrame = j
+      .filter(col("pid") =!= col("vid"))
+      .select(col("pid"), col("pe"), col("vid"),
+        round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
+    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    def top3(visited: DataFrame): DataFrame = visited
+      .filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 3)
+      .select(col("pid"), col("vid"))
+    val entries = e0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val armFixed = top3(beamWalk(
+      scored(broadcast(probes).crossJoin(entries)), g, e0))
+    val armP1 = top3(beamWalk(
+      scored(cands.join(broadcast(own), Seq("cell"))), g, e0))
+    val armP2 = top3(beamWalk(
+      scored(cands.join(broadcast(widened), Seq("cell"))), g, e0))
+    val exact = top3(scored(cands.drop("cell")
+      .crossJoin(broadcast(probes))))
+    def hits(arm: DataFrame, nm: String) = arm.join(exact, Seq("pid", "vid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    probes.select(col("pid"))
+      .join(hits(armFixed, "recall_fixed"), Seq("pid"), "left")
+      .join(hits(armP1, "recall_probe1"), Seq("pid"), "left")
+      .join(hits(armP2, "recall_probe2"), Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("recall_fixed"), lit(0L)).as("recall_fixed"),
+        coalesce(col("recall_probe1"), lit(0L)).as("recall_probe1"),
+        coalesce(col("recall_probe2"), lit(0L)).as("recall_probe2"))
+      .orderBy(col("pid"))
+  }
+
+  private lazy val q177Sql = {
+    // one unrolled walk round, CTE names prefixed per arm
+    def roundCte(a: String, r: Int) =
+      s"""${a}b$r AS (SELECT pid, vid FROM (
+        |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+        |            ORDER BY sim DESC, vid) AS rn
+        |        FROM ${a}v${r - 1}) WHERE rn <= 8),
+        |${a}x$r AS (SELECT DISTINCT b.pid, u.vb AS vid
+        |        FROM ${a}b$r b JOIN und2 u ON u.va = b.vid),
+        |${a}f$r AS (SELECT x.pid,
+        |          round(list_cosine_similarity(p.pe, c.emb), 4) AS sim,
+        |          x.vid
+        |        FROM ${a}x$r x JOIN pr p USING (pid)
+        |             JOIN e c ON c.vec_id = x.vid
+        |        WHERE x.pid <> x.vid
+        |          AND NOT EXISTS (SELECT 1 FROM ${a}v${r - 1} v
+        |                          WHERE v.pid = x.pid AND v.vid = x.vid)),
+        |${a}v$r AS (SELECT pid, vid, sim FROM ${a}v${r - 1}
+        |        UNION ALL
+        |        SELECT pid, vid, sim FROM ${a}f$r)""".stripMargin
+    def walk(a: String) =
+      s"""${roundCte(a, 1)},
+        |${roundCte(a, 2)},
+        |${roundCte(a, 3)},
+        |${a}t3 AS (SELECT pid, vid FROM (
+        |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+        |            ORDER BY sim DESC, vid) AS rn
+        |        FROM ${a}v3 WHERE pid <> vid) WHERE rn <= 3)""".stripMargin
+    materializeCtes(s"""WITH $knnGraphCtesSql,
+      |und2 AS (SELECT va, vb FROM gfin
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM gfin),
+      |pr AS (SELECT vec_id AS pid, emb AS pe FROM e
+      |       WHERE vec_id >= 16 AND vec_id < 26),
+      |fxv0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pr p JOIN e c ON c.vec_id < 8 AND p.pid <> c.vec_id),
+      |p1v0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pown p JOIN cellv c USING (cell)
+      |       WHERE p.pid <> c.vec_id),
+      |p2v0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pp p JOIN cellv c USING (cell)
+      |       WHERE p.pid >= 16 AND p.pid < 26 AND p.pid <> c.vec_id),
+      |${walk("fx")},
+      |${walk("p1")},
+      |${walk("p2")},
+      |ex AS (SELECT pid, vid FROM (
+      |        SELECT p.pid, c.vec_id AS vid, row_number() OVER (
+      |            PARTITION BY p.pid
+      |            ORDER BY round(list_cosine_similarity(p.pe, c.emb), 4)
+      |              DESC, c.vec_id) AS rn
+      |        FROM pr p, e c WHERE p.pid <> c.vec_id) WHERE rn <= 3),
+      |rfx AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_fixed
+      |        FROM fxt3 t JOIN ex ON t.pid = ex.pid AND t.vid = ex.vid
+      |        GROUP BY t.pid),
+      |rp1 AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_probe1
+      |        FROM p1t3 t JOIN ex ON t.pid = ex.pid AND t.vid = ex.vid
+      |        GROUP BY t.pid),
+      |rp2 AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_probe2
+      |        FROM p2t3 t JOIN ex ON t.pid = ex.pid AND t.vid = ex.vid
+      |        GROUP BY t.pid)
+      |SELECT pr.pid,
+      |  COALESCE(rfx.recall_fixed, 0) AS recall_fixed,
+      |  COALESCE(rp1.recall_probe1, 0) AS recall_probe1,
+      |  COALESCE(rp2.recall_probe2, 0) AS recall_probe2
+      |FROM pr LEFT JOIN rfx ON pr.pid = rfx.pid
+      |        LEFT JOIN rp1 ON pr.pid = rp1.pid
+      |        LEFT JOIN rp2 ON pr.pid = rp2.pid
+      |ORDER BY pr.pid""".stripMargin)
   }
 
   /** q174 — GRAPH-BASED semantic dedup: threshold the LANDED kNN graph
@@ -5775,6 +5930,7 @@ object LlmOps {
     QueryDef("q52_multimodal_decode", q52, None),
     QueryDef("q52b_audio_decode", q52b, None),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
+    QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),
     QueryDef("q54_vocab_encode", q54, Some(q54Sql)),
     QueryDef("q55_geo_hops", q55, Some(q55Sql)),

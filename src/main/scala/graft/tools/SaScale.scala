@@ -18,11 +18,15 @@ import graft.operators.{GlobalOrder, Scratch, SuffixArray}
   *   {"metric":"sa_scale","dir":…,"n":tokens,"rounds":R,"build_wall":S,
   *    "rounds_detail":[{"prefix":p,"groups":g,"sec":s},…]}
   *
-  * Usage: runMain graft.tools.SaScale [dir] — defaults to sf0.1.
+  * Usage: runMain graft.tools.SaScale [dir] [seedWidth] — defaults to
+  * sf0.1, seedWidth 1 (the production ladder; pass 8 to reproduce the
+  * r14 measured-and-rejected fused-opener experiment —
+  * [[SuffixArray.ExperimentalSeedWidth]]).
   */
 object SaScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val seedW = if (args.length > 1) args(1).toInt else 1
     val spark = graft.SparkEnv.local("sa-scale")
     try {
       val toksRaw = Tables.documents(spark, dir)
@@ -39,7 +43,8 @@ object SaScale {
       val t0 = System.nanoTime()
       val h = SuffixArray.hierarchy(
         spark.read.parquet(flatPath),
-        (prefix, groups, sec) => rounds += ((prefix, groups, sec)))
+        (prefix, groups, sec) => rounds += ((prefix, groups, sec)),
+        seedWidth = seedW)
       val n = h.n
       val wall = (System.nanoTime() - t0) / 1e9
       require(n == nTok, s"token count drifted: rank=$nTok sa=$n")

@@ -109,6 +109,57 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("seeded and unseeded hierarchies agree with the reference; the " +
+      "seed jumps the ladder to prefix 8 (property)") {
+    val genSeq = for {
+      n <- Gen.choose(4, 40)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab"))
+    } yield ts
+    val cases = (0 until 4).flatMap { i =>
+      genSeq(Gen.Parameters.default, Seed(71L + i))
+    }.filter(_.nonEmpty) :+ (Seq.fill(16)(Seq("x", "y")).flatten :+ "z")
+    for (ts <- cases) {
+      val ref = reference(ts)
+      val df = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
+      // unseeded (the default: binary ladder)
+      val h1 = SuffixArray.hierarchy(df)
+      try {
+        assert(h1.levels.map(_.prefixLen) ==
+          h1.levels.indices.map(i => 1L << i),
+          s"unseeded ladder must be binary: ${h1.levels.map(_.prefixLen)}")
+        assert(h1.finalRanksDf(spark).as[(Long, Long)].collect().toMap == ref,
+          s"unseeded diverged on $ts")
+      } finally h1.release()
+      // seeded (experimental, measured-and-rejected default — the
+      // property coverage keeps the operator correct): 1 -> 8 -> 16 ...
+      val h8 = SuffixArray.hierarchy(df,
+        seedWidth = SuffixArray.ExperimentalSeedWidth)
+      try {
+        val ps = h8.levels.map(_.prefixLen)
+        assert(ps.head == 1L && ps.tail.headOption.forall(_ == 8L) &&
+          ps.zip(ps.tail).drop(1).forall { case (a, b) => b == 2 * a },
+          s"seeded ladder shape wrong: $ps")
+        assert(h8.finalRanksDf(spark).as[(Long, Long)].collect().toMap == ref,
+          s"seeded diverged on $ts")
+        // the LCP descent stays exact across the 8 -> 1 level hole
+        val lcpP = SuffixArray.lcpFromLevels(spark, h8)
+        val got =
+          try spark.read.parquet(lcpP).as[(Long, Long, Long, Long)].collect()
+            .map { case (r, a, b, l) => r -> (a, b, l) }.toMap
+          finally Scratch.release(lcpP)
+        val byRank = ref.toSeq.map(_.swap).toMap
+        val want = (1L until ts.length.toLong).map { r =>
+          val a = byRank(r).toInt; val b = byRank(r + 1).toInt
+          val l = ts.drop(a).zip(ts.drop(b))
+            .takeWhile { case (x, y) => x == y }.length
+          r -> (a.toLong, b.toLong, l.toLong)
+        }.toMap
+        assert(got == want, s"seeded LCP diverged on $ts")
+      } finally h8.release()
+    }
+  }
+
   test("active-set build lands finals deltas and mixed full/active levels") {
     // highly repetitive ⇒ many rounds; default threshold switches after
     // round 0 on tiny data, so all later rounds are active-set

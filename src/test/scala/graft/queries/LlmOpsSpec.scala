@@ -167,6 +167,20 @@ class LlmOpsSpec extends SparkSpec {
         s"got ${planted(16L)}")
   }
 
+  test("q177 entry sensitivity: quantizer probe-2 entry beats the fixed " +
+      "global entry in aggregate and never falls below probe-1") {
+    val rows = LlmOps.q177(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val (fx, p1, p2) = (rows.map(_._2).sum, rows.map(_._3).sum,
+      rows.map(_._4).sum)
+    assert(p2 > fx,
+      s"probe-2 entry aggregate recall $p2 must beat fixed entries' $fx - " +
+        "the quantizer routing is the serve story")
+    assert(p2 >= p1, s"probe-2 aggregate $p2 fell below probe-1's $p1")
+    assert(p2 > 0, "probe-2 arm recalled nothing - report vacuous")
+  }
+
   test("q171 append splices the derived batch into the landed graph " +
       "both ways and leaves untouched adjacency verbatim") {
     val g = LlmOps.q168(spark, sf001).collect()
