@@ -9,8 +9,9 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * JDK ships no audio codec: it does, for WAV/AIFF/AU containers of raw
   * PCM): WAV encode for fixture/payload generation and WAV/PCM decode to
   * 16-bit samples, plus deterministic integer feature math (mean |amp|,
-  * RMS, zero crossings). Only VIDEO remains a stub — the JDK genuinely
-  * has no video decoder.
+  * RMS, zero crossings). Multi-frame GIF video decodes through
+  * [[VideoCodec]]; only general video codecs (H.264 …) remain stubbed
+  * — the JDK genuinely ships none.
   *
   * Determinism notes (the properties MultimodalSpec pins):
   *   - WAV/PCM is lossless: encode(samples) → decode = samples exactly,

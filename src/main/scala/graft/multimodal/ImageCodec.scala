@@ -10,8 +10,9 @@ import javax.imageio.ImageIO
   * encode for fixture/payload generation, and a deterministic
   * nearest-neighbor resize. This replaces [[StubCodec]] for image-kind
   * payloads. Audio has its own JDK decoder ([[AudioCodec]], on
-  * `javax.sound.sampled` — WAV/PCM); only VIDEO remains stubbed (the
-  * JDK genuinely ships no video codec).
+  * `javax.sound.sampled` — WAV/PCM) and multi-frame GIF video decodes
+  * through [[VideoCodec]]; only general video codecs (H.264 …) remain
+  * stubbed — the JDK genuinely ships none.
   *
   * Determinism notes (the properties MultimodalSpec pins):
   *   - PNG round-trip is exact on the RGB channels: [[encodePng]]

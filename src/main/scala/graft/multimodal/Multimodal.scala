@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * deterministic nearest-neighbor resize, exercised end to end over
   * procedurally generated PNG payloads); AUDIO decode is REAL as of r14
   * ([[AudioCodec]] on the JDK's javax.sound.sampled: WAV/PCM decode +
-  * integer feature math, over procedurally generated WAV payloads).
-  * Only VIDEO decode remains STUBBED with a deterministic byte-level
-  * fake — the JDK ships no video codec and this container ships no
-  * video libraries (prompt directive). Swapping [[StubCodec]] for a
-  * real JNI/library decoder changes no query code.
+  * integer feature math, over procedurally generated WAV payloads);
+  * VIDEO frame decode is REAL as of r14 for multi-frame GIF containers
+  * ([[VideoCodec]] on javax.imageio's sequence reader — frame count,
+  * per-frame pixels, sampling). General video codecs (H.264 …) remain
+  * STUBBED with a deterministic byte-level fake — the JDK ships none
+  * and this container ships no video libraries (prompt directive).
+  * Swapping [[StubCodec]] for a real JNI/library decoder changes no
+  * query code.
   *
   * Execution shape: decode runs via `mapPartitions` over Arrow-sized row
   * groups, i.e. one codec instance per partition, no per-row JNI setup —
@@ -194,6 +197,73 @@ object Multimodal {
       })
       .toDF("media_id", "sample_rate", "n_samples", "mean_abs", "rms",
         "zero_cross")
+  }
+
+  /** The deterministic test-clip frames behind [[mediaWithVideoPayloads]]
+    * — [[proceduralPixels]] quantized to 64 distinct colors (top 2 bits
+    * per channel) so GIF encoding is LOSSLESS, with a per-frame shift
+    * so every frame differs predictably. Pure function of
+    * (media_id, frame, x, y): specs can recompute any planted pixel. */
+  def proceduralFrames(id: Long, w: Int, h: Int,
+      nFrames: Int): Seq[Array[Int]] =
+    (0 until nFrames).map { f =>
+      proceduralPixels(id + f * 97L, w, h).map(_ & 0xc0c0c0)
+    }
+
+  /** The synthetic media table with REAL video payloads: video-kind rows
+    * carry an actual multi-frame GIF (the deterministic procedural
+    * test-clip at meta width×height × min(n_frames, 16) frames — capped
+    * so fixture bytes stay bounded) — [[VideoCodec]] exercises the
+    * JDK's true multi-frame decode end to end; other kinds keep their
+    * payloads. Same batched mapPartitions shape as the PNG/WAV
+    * generators. */
+  def mediaWithVideoPayloads(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt)
+    val gifs = media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        least(col("meta.n_frames"), lit(16)).cast("int"))
+      .as[(Long, Int, Int, Int)](enc)
+      .mapPartitions(_.map { case (id, w, h, nf) =>
+        (id, VideoCodec.encodeGif(w, h, proceduralFrames(id, w, h, nf)))
+      })
+      .toDF("media_id", "gif")
+    media.join(gifs, Seq("media_id"), "left")
+      .withColumn("payload",
+        when(col("kind") === "video", col("gif")).otherwise(col("payload")))
+      .drop("gif")
+  }
+
+  /** REAL frame sampling ([[VideoCodec]]): decode the multi-frame
+    * payload, keep every k-th frame, emit per-frame integer-luma stats
+    * — the real form of [[sampleFrames]]'s explode shape. Output:
+    * (media_id, frame_idx, w, h, mean_luma); undecodable payloads
+    * yield one (-1, -1, -1, -1.0) row (routed, never crashed). */
+  def decodeVideoFrames(media: DataFrame, everyK: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        VideoCodec.decodeFrames(payload) match {
+          case Some(frames) =>
+            frames.zipWithIndex.collect {
+              case ((w, h, px), i) if i % everyK == 0 =>
+                var s = 0L
+                px.foreach(p => s += ImageCodec.luma(p))
+                (id, i, w, h, s.toDouble / px.length)
+            }
+          case None => Seq((id, -1, -1, -1, -1.0))
+        }
+      })
+      .toDF("media_id", "frame_idx", "w", "h", "mean_luma")
   }
 
   /** REAL image decode + fixed resize ([[ImageCodec]]): payload → pixels

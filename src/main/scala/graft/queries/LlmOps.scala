@@ -1669,6 +1669,25 @@ object LlmOps {
       .orderBy(col("media_id"))
   }
 
+  /** q52c — REAL video frame decode as a registered operator: video-kind
+    * rows carry actual multi-frame GIF payloads (deterministic
+    * procedural test-clip, [[graft.multimodal.Multimodal
+    * .proceduralFrames]]) and run the JDK's true multi-frame decode
+    * ([[graft.multimodal.VideoCodec]]), sampling every 4th frame with
+    * integer-luma stats — the real form of q48/sampleFrames' explode
+    * shape. Engine-specific (no DuckDB mirror for a JVM GIF chain) →
+    * rows-only check; lossless GIF round-trip, planted-frame pixel and
+    * determinism are pinned in MultimodalSpec. */
+  def q52c(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaWithVideoPayloads(
+      graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+    graft.multimodal.Multimodal
+      .decodeVideoFrames(media.filter(col("kind") === "video"), everyK = 4)
+      .select(col("media_id"), col("frame_idx"), col("w"), col("h"),
+        round(col("mean_luma"), 4).as("mean_luma"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
     * the driver gate itself proves the salting rewrite is semantics-
     * preserving (SkewJoin spreads hot keys; results must be identical). */
@@ -5929,6 +5948,7 @@ object LlmOps {
     QueryDef("q51_quantize_int8", q51, Some(q51Sql)),
     QueryDef("q52_multimodal_decode", q52, None),
     QueryDef("q52b_audio_decode", q52b, None),
+    QueryDef("q52c_video_frames", q52c, None),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -136,6 +136,52 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("GIF multi-frame round-trip is pixel-exact on quantized frames " +
+      "and recovers a planted frame pixel") {
+    // 3 frames of 64-color-quantized pixels round-trip losslessly
+    val frames = Multimodal.proceduralFrames(42L, 4, 3, 3)
+    val bytes = VideoCodec.encodeGif(4, 3, frames)
+    val Some(got) = VideoCodec.decodeFrames(bytes)
+    assert(got.length == 3)
+    got.zip(frames).zipWithIndex.foreach { case (((w, h, px), want), i) =>
+      assert(w == 4 && h == 3, s"frame $i dims")
+      assert(px.map(_ & 0xffffff).toSeq == want.toSeq,
+        s"frame $i not lossless")
+    }
+    // planted pixel: frame 2, (x=1, y=1) equals the recomputed fixture
+    assert((got(2)._3(1 * 4 + 1) & 0xffffff) ==
+      Multimodal.proceduralFrames(42L, 4, 3, 3)(2)(1 * 4 + 1))
+    // corrupt payload routes to None, never throws
+    assert(VideoCodec.decodeFrames("not a gif".getBytes).isEmpty)
+    assert(VideoCodec.decodeFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("real video frame decode over generated GIF payloads: sampled " +
+      "frames + dims + determinism") {
+    val m = Multimodal.mediaWithVideoPayloads(media)
+      .filter(col("kind") === "video")
+    val dec = Multimodal.decodeVideoFrames(m, everyK = 4)
+    val rows = dec.orderBy(col("media_id"), col("frame_idx")).collect()
+    assert(rows.nonEmpty)
+    val metas = m.select(col("media_id"), col("meta.width"),
+      col("meta.height"), col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val byId = rows.groupBy(_.getLong(0))
+    assert(byId.keySet == metas.keySet, "every video row decoded")
+    byId.foreach { case (id, rs) =>
+      val (w, h, nf) = metas(id)
+      val cap = math.min(nf, 16)
+      assert(rs.length == (cap + 3) / 4, s"media $id sampled-frame count")
+      rs.foreach { r =>
+        assert(r.getInt(2) == w && r.getInt(3) == h, s"media $id frame dims")
+        assert(r.getInt(1) % 4 == 0, s"media $id frame stride")
+      }
+    }
+    val again = Multimodal.decodeVideoFrames(m, everyK = 4)
+      .orderBy(col("media_id"), col("frame_idx")).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("resize rewrites metadata, preserves payload") {
     val resized = Multimodal.resize(media, 224, 224)
     val r = resized.select(col("meta.width"), col("meta.height")).distinct().collect()
