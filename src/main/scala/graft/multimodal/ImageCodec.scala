@@ -100,4 +100,36 @@ object ImageCodec {
     val b = argb & 0xff
     (77 * r + 150 * g + 29 * b) >> 8
   }
+
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint): resize to a 9×8 luma grid ([[resizeNearest]], fully
+    * deterministic integer math) and emit one bit per horizontally
+    * adjacent pair, set when luma strictly increases left→right.
+    * Near-duplicate images land within a small Hamming radius; the
+    * banded join in q178 recovers them without a pairwise pass. Bit i
+    * (row-major over the 8×8 comparison grid) is `1L << i`. */
+  def dHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val g = resizeNearest(w, h, px, 9, 8)
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(g(y * 9 + x)) > luma(g(y * 9 + x + 1))) bits |= 1L << i
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** The source pixel index that the 9×8 dHash grid samples at grid
+    * position (gx, gy) for a w×h image — [[resizeNearest]]'s exact
+    * index math, exposed so fixtures can perturb KNOWN sample points
+    * (flipping a bounded number of hash bits) and specs can recompute
+    * them. */
+  def dHashSampleIndex(w: Int, h: Int, gx: Int, gy: Int): Int =
+    (gy.toLong * h / 8).toInt * w + (gx.toLong * w / 9).toInt
 }

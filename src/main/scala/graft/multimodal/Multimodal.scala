@@ -266,6 +266,91 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "w", "h", "mean_luma")
   }
 
+  /** Pseudorandom pixel field for the near-dup fixtures — a splitmix64
+    * finalizer over (seed, x, y), so unlike [[proceduralPixels]]'s
+    * smooth gradients (whose dHashes would all look alike), two seeds
+    * give INDEPENDENT hash bits (expected Hamming ≈ 32 of 64). Pure
+    * function: specs recompute any pixel. */
+  def noisePixels(seed: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = seed * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L +
+          y * 0x94d049bb133111ebL
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        px(y * w + x) = (z & 0xffffff).toInt
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Near-duplicate image fixture table (q178): image-kind rows carry a
+    * PNG of the GROUP's noise field (group = media_id / 4) with the
+    * member's perturbation — member m ∈ {1, 2, 3} paints white the ONE
+    * source pixel the 9×8 dHash grid samples at (2m, 3)
+    * ([[ImageCodec.dHashSampleIndex]]), flipping at most the 2 hash
+    * bits that compare that grid cell. So every same-group pair sits
+    * within Hamming 4 (symmetric difference of ≤ 2 painted cells)
+    * while cross-group pairs are independent coin flips — the planted
+    * structure q178's banded join must recover. Same batched
+    * mapPartitions shape as the other payload generators. */
+  def mediaWithNearDupImagePayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = mediaFromDocuments(docs)
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt)
+    val pngs = base.filter(col("kind") === "image")
+      .select(col("media_id"), col("meta.width"), col("meta.height"))
+      .as[(Long, Int, Int)](enc)
+      .mapPartitions(_.map { case (id, _, _) =>
+        // dims derive from the GROUP, not the row's meta (which varies
+        // per media_id): members must share the exact noise field, or
+        // the 9×8 grid samples different points and the planted
+        // Hamming bound evaporates. Decoders read true dims from the
+        // payload, so the meta divergence is harmless here.
+        val grp = id / 4
+        val w = (grp % 64).toInt + 16
+        val h = (grp % 48).toInt + 16
+        val px = noisePixels(grp, w, h)
+        val m = (id % 4).toInt
+        if (m > 0) px(ImageCodec.dHashSampleIndex(w, h, 2 * m, 3)) = 0xffffff
+        (id, ImageCodec.encodePng(w, h, px))
+      })
+      .toDF("media_id", "png")
+    base.join(pngs, Seq("media_id"), "left")
+      .withColumn("payload",
+        when(col("kind") === "image", col("png")).otherwise(col("payload")))
+      .drop("png")
+  }
+
+  /** REAL decode → 64-bit perceptual hash ([[ImageCodec.dHash64]]), one
+    * row per decodable image payload (undecodable rows drop — routing,
+    * not crashing). The only non-declarative stage of the q178 chain:
+    * everything after (banding, Hamming join) is DataFrame ops. */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        ImageCodec.decode(payload).map { case (w, h, px) =>
+          (id, ImageCodec.dHash64(w, h, px))
+        }
+      })
+      .toDF("media_id", "dhash")
+  }
+
   /** REAL image decode + fixed resize ([[ImageCodec]]): payload → pixels
     * → nearest-neighbor resize to ow×oh → integer-luma stats. Same
     * batched mapPartitions contract as [[decodeFeatures]] (one codec

@@ -1688,6 +1688,45 @@ object LlmOps {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** q178 — perceptual-hash IMAGE near-dup detection: the X5 real-decode
+    * arm feeding the X3 near-dup discipline. Image payloads (planted
+    * near-dup groups of 4, [[graft.multimodal.Multimodal
+    * .mediaWithNearDupImagePayloads]]) decode for real
+    * ([[graft.multimodal.ImageCodec.decode]]) into a 64-bit dHash
+    * ([[graft.multimodal.ImageCodec.dHash64]]); candidate pairs come
+    * from an 8-band × 8-bit band join (the q71 SimHash shape — Hamming
+    * ≤ 7 pigeonholes at least one equal band, so radius-7 recall is
+    * EXACT, not probabilistic), verified by codegen'd `bit_count` and
+    * radius-filtered map-side BEFORE the dedup shuffle. Only the
+    * decode→hash stage is imperative; banding and the join are
+    * declarative. Engine-specific (a JVM PNG decode chain has no DuckDB
+    * mirror) → rows-only check; the planted-group recovery, hash
+    * determinism and perturbation bounds are pinned in MultimodalSpec. */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal
+      .mediaWithNearDupImagePayloads(Tables.documents(s, d))
+    val hashes = graft.multimodal.Multimodal
+      .dHashes(media.filter(col("kind") === "image"))
+    val chunks = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 8)
+          .bitwiseAND(lit(0xffL)).as("chunk")).as(s"b$b")
+    }
+    val buckets = hashes
+      .select(col("media_id"), col("dhash"), explode(array(chunks: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+      .orderBy(col("ma"), col("mb"))
+  }
+
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
     * the driver gate itself proves the salting rewrite is semantics-
     * preserving (SkewJoin spreads hot keys; results must be identical). */
@@ -5949,6 +5988,7 @@ object LlmOps {
     QueryDef("q52_multimodal_decode", q52, None),
     QueryDef("q52b_audio_decode", q52b, None),
     QueryDef("q52c_video_frames", q52c, None),
+    QueryDef("q178_image_neardup", q178, None),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

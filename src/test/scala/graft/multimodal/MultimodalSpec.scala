@@ -182,6 +182,58 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("dHash: deterministic, perturbation flips at most 2 bits per " +
+      "painted sample cell, distinct seeds are independent") {
+    val (w, h) = (40, 30)
+    val base = Multimodal.noisePixels(7L, w, h)
+    val hBase = ImageCodec.dHash64(w, h, base)
+    assert(hBase == ImageCodec.dHash64(w, h, base.clone()))
+    // paint the sample cell the member-1 fixture paints: <= 2 bits move
+    val p1 = base.clone()
+    p1(ImageCodec.dHashSampleIndex(w, h, 2, 3)) = 0xffffff
+    val h1 = ImageCodec.dHash64(w, h, p1)
+    assert(java.lang.Long.bitCount(hBase ^ h1) <= 2)
+    // two members' paints differ in <= 2 cells -> <= 4 bits apart
+    val p2 = base.clone()
+    p2(ImageCodec.dHashSampleIndex(w, h, 4, 3)) = 0xffffff
+    val h2 = ImageCodec.dHash64(w, h, p2)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4)
+    // independent seeds: hashes far apart (noise field, not gradients)
+    val other = ImageCodec.dHash64(w, h, Multimodal.noisePixels(8L, w, h))
+    assert(java.lang.Long.bitCount(hBase ^ other) > 7)
+    // hash survives the PNG round-trip (what dHashes() actually sees)
+    val Some((dw, dh, dpx)) = ImageCodec.decode(ImageCodec.encodePng(w, h, p1))
+    assert(ImageCodec.dHash64(dw, dh, dpx) == h1)
+  }
+
+  test("q178 shape: banded dHash join recovers exactly the planted " +
+      "near-dup groups") {
+    val pairs = graft.queries.LlmOps.q178(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    // every reported pair is a genuine radius-7 near-dup...
+    pairs.foreach { r =>
+      assert(r.getInt(2) <= 7, s"pair out of radius: $r")
+    }
+    // ...and every same-group image pair is recovered (the fixture
+    // guarantees Hamming <= 4 within a group; 8 bands make radius-7
+    // recall exact, so none may be missed)
+    val media = Multimodal.mediaWithNearDupImagePayloads(
+      Tables.documents(spark, sf0001))
+    val imgIds = media.filter(col("kind") === "image")
+      .select(col("media_id")).collect().map(_.getLong(0)).sorted
+    val wanted = for {
+      a <- imgIds; b <- imgIds
+      if a < b && a / 4 == b / 4
+    } yield (a, b)
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    wanted.foreach { p =>
+      assert(got.contains(p), s"planted same-group pair missed: $p")
+    }
+    // determinism
+    val again = graft.queries.LlmOps.q178(spark, sf0001).collect()
+    assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("resize rewrites metadata, preserves payload") {
     val resized = Multimodal.resize(media, 224, 224)
     val r = resized.select(col("meta.width"), col("meta.height")).distinct().collect()
