@@ -4615,7 +4615,8 @@ object LlmOps {
     * against the visited set), and merges. Returns the full visited
     * relation — callers take its top-k. */
   private def beamWalk(visited0: DataFrame, g: DataFrame, e0: DataFrame,
-      rounds: Int = 3, beamWidth: Int = 8): DataFrame = {
+      rounds: Int = 3, beamWidth: Int = 8,
+      expandFilter: DataFrame => DataFrame = identity): DataFrame = {
     val und = g.select(col("va"), col("vb"))
       .unionByName(g.select(col("vb").as("va"), col("va").as("vb")))
       .distinct()
@@ -4624,10 +4625,11 @@ object LlmOps {
     for (_ <- 1 to rounds) {
       val beam = visited.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= beamWidth)
-      val expand = beam.select(col("pid"), col("pe"), col("vid").as("va"))
-        .join(und, Seq("va"))
-        .select(col("pid"), col("pe"), col("vb").as("vid"))
-        .distinct()
+      val expand = expandFilter(
+        beam.select(col("pid"), col("pe"), col("vid").as("va"))
+          .join(und, Seq("va"))
+          .select(col("pid"), col("pe"), col("vb").as("vid"))
+          .distinct())
       // pid <> vid: without it the probe joins its own adjacency back at
       // sim 1.0 and permanently burns one of the B beam slots (r13 review)
       val fresh = expand
@@ -4819,6 +4821,169 @@ object LlmOps {
       |        LEFT JOIN rp1 ON pr.pid = rp1.pid
       |        LEFT JOIN rp2 ON pr.pid = rp2.pid
       |ORDER BY pr.pid""".stripMargin)
+  }
+
+  /** q179 — FILTERED GRAPH SERVE (the q176 filtered-ANN shape applied
+    * to the q173 beam walk — filtered DiskANN/HNSW search): each probe
+    * serves under `label = probe's own label`, and the report scores
+    * BOTH filtered-walk strategies per probe against the FILTERED exact
+    * ground truth (brute-force top-3 among same-label vectors):
+    *
+    *   - `recall_walk_filter` — the production shape: walk the FULL
+    *     graph (expansion ignores labels, so graph connectivity is
+    *     intact) and apply the predicate at the ANSWER rank — visited ∩
+    *     label-match, top-3. Off-label nodes still ROUTE the walk
+    *     toward the query's neighborhood.
+    *   - `recall_expand_filter` — the constrained-expansion strawman:
+    *     the label predicate applies to every expansion (and round 0),
+    *     so the walk only ever touches same-label nodes. On a degree-3
+    *     graph the label-restricted subgraph fragments (~10%
+    *     selectivity keeps ≈ 0.3 same-label edges per node), stranding
+    *     the walk — the measured reason filtered graph search filters
+    *     the CANDIDATE LIST, not the traversal (DiskANN's filtered
+    *     variant routes through off-label nodes for exactly this).
+    *
+    * Both walks share [[beamWalk]]; the strawman passes an
+    * `expandFilter` that label-restricts the expansion BEFORE the
+    * embedding fetch (no wasted cosine work — the q176 below-the-rank
+    * discipline). Scale shape: two q173 serve contracts (corpus never
+    * scanned, ≤ P·B·2K rows per round; the label compare is a column
+    * predicate inside the id-equi joins); the exact arm is the
+    * q167/q176 offline-eval pattern. Oracle: the landed-graph chain +
+    * both unrolled walks (arm B's round CTEs carry the label join) +
+    * filtered-exact CTEs, every tiebreak shared. */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    val g = s.read.parquet(knnGraphPath(s, d))
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val lab = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vid"), col("label"))
+    val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
+    val layout = s.read.parquet(path)
+    val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"), col("cell"), col("cell2"))
+    val probes = p.select(col("pid"), col("pe"))
+    val plab = p.select(col("pid"), col("plabel"))
+    val widened = widenProbes(p, Seq("pid", "pe"))
+    val cands = layout
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        col("label"), col("cell"))
+    def scored(j: DataFrame): DataFrame = j
+      .filter(col("pid") =!= col("vid"))
+      .select(col("pid"), col("pe"), col("vid"),
+        round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
+    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    // keep only same-label (pid, vid) rows — shared by round 0 of the
+    // strawman, its per-round expansions, and arm A's answer rank
+    def labelMatch(df: DataFrame): DataFrame = df
+      .join(lab, Seq("vid"))
+      .join(broadcast(plab), Seq("pid"))
+      .filter(col("label") === col("plabel"))
+      .drop("label", "plabel")
+    def top3(visited: DataFrame): DataFrame = visited
+      .filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 3)
+      .select(col("pid"), col("vid"))
+    val v0 = scored(cands.join(broadcast(widened), Seq("cell")))
+    val armWalk = top3(labelMatch(beamWalk(v0, g, e0)))
+    val armExpand = top3(beamWalk(labelMatch(v0), g, e0,
+      expandFilter = labelMatch))
+    val fex = top3(scored(
+      cands.drop("cell").crossJoin(broadcast(probes))
+        .join(broadcast(p.select(col("pid"), col("plabel"))), Seq("pid"))
+        .filter(col("label") === col("plabel"))))
+    def hits(arm: DataFrame, nm: String) = arm.join(fex, Seq("pid", "vid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    plab
+      .join(hits(armWalk, "recall_walk_filter"), Seq("pid"), "left")
+      .join(hits(armExpand, "recall_expand_filter"), Seq("pid"), "left")
+      .select(col("pid"), col("plabel").as("label"),
+        coalesce(col("recall_walk_filter"), lit(0L))
+          .as("recall_walk_filter"),
+        coalesce(col("recall_expand_filter"), lit(0L))
+          .as("recall_expand_filter"))
+      .orderBy(col("pid"))
+  }
+
+  private lazy val q179Sql = {
+    // one unrolled walk round; `filtered` label-restricts the expansion
+    def roundCte(a: String, r: Int, filtered: Boolean) = {
+      val labJoin = if (filtered)
+        "\n             JOIN lab l ON l.vec_id = x.vid" +
+          "\n             JOIN plab pl ON pl.pid = x.pid" else ""
+      val labCond = if (filtered) "\n          AND l.label = pl.plabel" else ""
+      s"""${a}b$r AS (SELECT pid, vid FROM (
+        |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+        |            ORDER BY sim DESC, vid) AS rn
+        |        FROM ${a}v${r - 1}) WHERE rn <= 8),
+        |${a}x$r AS (SELECT DISTINCT b.pid, u.vb AS vid
+        |        FROM ${a}b$r b JOIN und2 u ON u.va = b.vid),
+        |${a}f$r AS (SELECT x.pid,
+        |          round(list_cosine_similarity(p.pe, c.emb), 4) AS sim,
+        |          x.vid
+        |        FROM ${a}x$r x JOIN pr p USING (pid)
+        |             JOIN e c ON c.vec_id = x.vid$labJoin
+        |        WHERE x.pid <> x.vid$labCond
+        |          AND NOT EXISTS (SELECT 1 FROM ${a}v${r - 1} v
+        |                          WHERE v.pid = x.pid AND v.vid = x.vid)),
+        |${a}v$r AS (SELECT pid, vid, sim FROM ${a}v${r - 1}
+        |        UNION ALL
+        |        SELECT pid, vid, sim FROM ${a}f$r)""".stripMargin
+    }
+    def walk(a: String, filtered: Boolean) =
+      s"""${roundCte(a, 1, filtered)},
+        |${roundCte(a, 2, filtered)},
+        |${roundCte(a, 3, filtered)}""".stripMargin
+    materializeCtes(s"""WITH $knnGraphCtesSql,
+      |und2 AS (SELECT va, vb FROM gfin
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM gfin),
+      |pr AS (SELECT vec_id AS pid, emb AS pe FROM e
+      |       WHERE vec_id >= 16 AND vec_id < 26),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |plab AS (SELECT p.pid, l.label AS plabel
+      |         FROM pr p JOIN lab l ON l.vec_id = p.pid),
+      |wav0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pp p JOIN cellv c USING (cell)
+      |       WHERE p.pid >= 16 AND p.pid < 26 AND p.pid <> c.vec_id),
+      |xbv0 AS (SELECT v.pid, v.vid, v.sim FROM wav0 v
+      |         JOIN lab l ON l.vec_id = v.vid
+      |         JOIN plab pl ON pl.pid = v.pid
+      |         WHERE l.label = pl.plabel),
+      |${walk("wa", filtered = false)},
+      |${walk("xb", filtered = true)},
+      |wat3 AS (SELECT pid, vid FROM (
+      |        SELECT v.pid, v.vid, row_number() OVER (PARTITION BY v.pid
+      |            ORDER BY v.sim DESC, v.vid) AS rn
+      |        FROM wav3 v JOIN lab l ON l.vec_id = v.vid
+      |             JOIN plab pl ON pl.pid = v.pid
+      |        WHERE v.pid <> v.vid AND l.label = pl.plabel) WHERE rn <= 3),
+      |xbt3 AS (SELECT pid, vid FROM (
+      |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+      |            ORDER BY sim DESC, vid) AS rn
+      |        FROM xbv3 WHERE pid <> vid) WHERE rn <= 3),
+      |fex AS (SELECT pid, vid FROM (
+      |        SELECT p.pid, c.vec_id AS vid, row_number() OVER (
+      |            PARTITION BY p.pid
+      |            ORDER BY round(list_cosine_similarity(p.pe, c.emb), 4)
+      |              DESC, c.vec_id) AS rn
+      |        FROM pr p JOIN plab pl USING (pid)
+      |             JOIN e c ON p.pid <> c.vec_id
+      |             JOIN lab l ON l.vec_id = c.vec_id
+      |        WHERE l.label = pl.plabel) WHERE rn <= 3),
+      |rw AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_walk_filter
+      |       FROM wat3 t JOIN fex ON t.pid = fex.pid AND t.vid = fex.vid
+      |       GROUP BY t.pid),
+      |rx AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_expand_filter
+      |       FROM xbt3 t JOIN fex ON t.pid = fex.pid AND t.vid = fex.vid
+      |       GROUP BY t.pid)
+      |SELECT pl.pid, pl.plabel AS label,
+      |  COALESCE(rw.recall_walk_filter, 0) AS recall_walk_filter,
+      |  COALESCE(rx.recall_expand_filter, 0) AS recall_expand_filter
+      |FROM plab pl LEFT JOIN rw ON pl.pid = rw.pid
+      |             LEFT JOIN rx ON pl.pid = rx.pid
+      |ORDER BY pl.pid""".stripMargin)
   }
 
   /** q174 — GRAPH-BASED semantic dedup: threshold the LANDED kNN graph
@@ -5989,6 +6154,7 @@ object LlmOps {
     QueryDef("q52b_audio_decode", q52b, None),
     QueryDef("q52c_video_frames", q52c, None),
     QueryDef("q178_image_neardup", q178, None),
+    QueryDef("q179_filtered_graph_serve", q179, Some(q179Sql)),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -181,6 +181,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(p2 > 0, "probe-2 arm recalled nothing - report vacuous")
   }
 
+  test("q179 filtered graph serve: the full-graph walk with an answer " +
+      "filter beats constrained expansion in aggregate") {
+    val rows = LlmOps.q179(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    assert(rows.forall { case (_, w, x) => w <= 3 && x <= 3 })
+    val (walk, expand) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(walk >= expand,
+      s"answer-filter aggregate recall $walk fell below constrained " +
+        s"expansion's $expand - off-label routing is the filtered-serve " +
+        "story")
+    assert(walk > 0, "answer-filter arm recalled nothing - report vacuous")
+  }
+
   test("q171 append splices the derived batch into the landed graph " +
       "both ways and leaves untouched adjacency verbatim") {
     val g = LlmOps.q168(spark, sf001).collect()
