@@ -108,4 +108,40 @@ object AudioCodec {
       samples.foreach(v => s += v.toLong * v.toLong)
       math.sqrt(s.toDouble / samples.length)
     }
+
+  /** 64-bit acoustic fingerprint (the energy-delta form of q178's image
+    * dHash — the Haitsma-Kalker family's simplest member): split the
+    * clip into 65 equal frames (integer boundaries i·n/65), per-frame
+    * energy = Σ|sample| (long-exact), and bit i is set when frame i+1's
+    * energy strictly exceeds frame i's. A near-duplicate clip (same
+    * content, a few frames perturbed) flips only the bits whose
+    * comparisons touch perturbed frames — each changed frame moves at
+    * most 2 bits. Deterministic integer math throughout. */
+  def eHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      val lo = (f.toLong * n / 65).toInt
+      val hi = ((f + 1).toLong * n / 65).toInt
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += math.abs(samples(i).toLong); i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** The sample range [lo, hi) that [[eHash64]]'s frame f covers for an
+    * n-sample clip — exposed so fixtures can perturb KNOWN frames
+    * (flipping a bounded number of hash bits). */
+  def eHashFrameRange(n: Int, f: Int): (Int, Int) =
+    ((f.toLong * n / 65).toInt, ((f + 1).toLong * n / 65).toInt)
 }

@@ -332,6 +332,80 @@ object Multimodal {
       .drop("png")
   }
 
+  /** Pseudorandom sample field for the audio near-dup fixtures — the
+    * [[noisePixels]] analog (splitmix64 over (seed, i), scaled into
+    * ±8191): frame energies are iid sums, so two seeds give INDEPENDENT
+    * [[AudioCodec.eHash64]] bits. Pure function: specs recompute any
+    * sample. */
+  def noiseSamples(seed: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      var z = seed * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      out(i) = ((z % 8192L) + (z >>> 13) % 8192L - 8191L).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Near-duplicate audio fixture table (q180, the
+    * [[mediaWithNearDupImagePayloads]] analog): audio-kind rows carry a
+    * WAV of the GROUP's noise clip (group = media_id / 4, clip length
+    * 65 · (group % 32 + 4) samples — group-determined so members share
+    * the exact field) with the member's perturbation — member
+    * m ∈ {1, 2, 3} SILENCES [[AudioCodec.eHash64]] frame 2m (energy →
+    * 0), flipping at most the 2 hash bits that compare that frame. So
+    * every same-group pair sits within Hamming 4 while cross-group
+    * pairs are independent coin flips. */
+  def mediaWithNearDupAudioPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = mediaFromDocuments(docs)
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt)
+    val wavs = base.filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta.sample_rate"))
+      .as[(Long, Int)](enc)
+      .mapPartitions(_.map { case (id, sr) =>
+        val grp = id / 4
+        val n = 65 * ((grp % 32).toInt + 4)
+        val samples = noiseSamples(grp, n)
+        val m = (id % 4).toInt
+        if (m > 0) {
+          val (lo, hi) = AudioCodec.eHashFrameRange(n, 2 * m)
+          java.util.Arrays.fill(samples, lo, hi, 0.toShort)
+        }
+        (id, AudioCodec.encodeWav(sr, samples))
+      })
+      .toDF("media_id", "wav")
+    base.join(wavs, Seq("media_id"), "left")
+      .withColumn("payload",
+        when(col("kind") === "audio", col("wav")).otherwise(col("payload")))
+      .drop("wav")
+  }
+
+  /** REAL decode → 64-bit acoustic fingerprint
+    * ([[AudioCodec.eHash64]]), one row per decodable audio payload —
+    * the [[dHashes]] analog. */
+  def eHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioCodec.decode(payload).map { case (_, samples) =>
+          (id, AudioCodec.eHash64(samples))
+        }
+      })
+      .toDF("media_id", "ehash")
+  }
+
   /** REAL decode → 64-bit perceptual hash ([[ImageCodec.dHash64]]), one
     * row per decodable image payload (undecodable rows drop — routing,
     * not crashing). The only non-declarative stage of the q178 chain:

@@ -1705,26 +1705,52 @@ object LlmOps {
   def q178(s: SparkSession, d: String): DataFrame = {
     val media = graft.multimodal.Multimodal
       .mediaWithNearDupImagePayloads(Tables.documents(s, d))
-    val hashes = graft.multimodal.Multimodal
-      .dHashes(media.filter(col("kind") === "image"))
+    hammingBandPairs(graft.multimodal.Multimodal
+      .dHashes(media.filter(col("kind") === "image")), "dhash")
+  }
+
+  /** The shared 64-bit-fingerprint near-dup join (q178 images / q180
+    * audio): 8-band × 8-bit band join over `hashes(media_id, <hcol>)`,
+    * Hamming ≤ 7 pigeonholes at least one equal band so radius-7
+    * recall is EXACT; the codegen'd `bit_count` radius filter runs
+    * map-side BEFORE the dedup shuffle (the q71 discipline). */
+  private def hammingBandPairs(hashes: DataFrame, hcol: String): DataFrame = {
     val chunks = (0 until 8).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("dhash"), b * 8)
+        shiftright(col(hcol), b * 8)
           .bitwiseAND(lit(0xffL)).as("chunk")).as(s"b$b")
     }
     val buckets = hashes
-      .select(col("media_id"), col("dhash"), explode(array(chunks: _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("media_id"), col(hcol), explode(array(chunks: _*)).as("bk"))
+      .select(col("media_id"), col(hcol),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
     buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col(s"a.$hcol").bitwiseXOR(col(s"b.$hcol"))).as("hamming"))
       .filter(col("hamming") <= 7)
       .distinct()
       .orderBy(col("ma"), col("mb"))
+  }
+
+  /** q180 — acoustic-fingerprint AUDIO near-dup: the q178 shape for the
+    * audio modality, completing near-dup detection across all three
+    * media kinds (text q35/q71, image q178, audio HERE). WAV payloads
+    * (planted near-dup groups of 4, [[graft.multimodal.Multimodal
+    * .mediaWithNearDupAudioPayloads]]) decode for real
+    * ([[graft.multimodal.AudioCodec.decode]]) into a 64-bit energy-delta
+    * fingerprint ([[graft.multimodal.AudioCodec.eHash64]]); candidates
+    * and verification are [[hammingBandPairs]], shared with q178.
+    * Engine-specific (a JVM WAV decode chain has no DuckDB mirror) →
+    * rows-only check; planted-group recovery and perturbation bounds
+    * are pinned in MultimodalSpec. */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal
+      .mediaWithNearDupAudioPayloads(Tables.documents(s, d))
+    hammingBandPairs(graft.multimodal.Multimodal
+      .eHashes(media.filter(col("kind") === "audio")), "ehash")
   }
 
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
@@ -6155,6 +6181,7 @@ object LlmOps {
     QueryDef("q52c_video_frames", q52c, None),
     QueryDef("q178_image_neardup", q178, None),
     QueryDef("q179_filtered_graph_serve", q179, Some(q179Sql)),
+    QueryDef("q180_audio_neardup", q180, None),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -234,6 +234,52 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("eHash: deterministic, silencing one frame flips at most 2 bits, " +
+      "distinct seeds are independent, survives the WAV round-trip") {
+    val n = 65 * 10
+    val base = Multimodal.noiseSamples(5L, n)
+    val hBase = AudioCodec.eHash64(base)
+    assert(hBase == AudioCodec.eHash64(base.clone()))
+    // silence the frame the member-1 fixture silences: <= 2 bits move
+    val p1 = base.clone()
+    val (lo1, hi1) = AudioCodec.eHashFrameRange(n, 2)
+    java.util.Arrays.fill(p1, lo1, hi1, 0.toShort)
+    val h1 = AudioCodec.eHash64(p1)
+    assert(java.lang.Long.bitCount(hBase ^ h1) <= 2)
+    // two members' silenced frames differ in <= 2 frames -> <= 4 bits
+    val p2 = base.clone()
+    val (lo2, hi2) = AudioCodec.eHashFrameRange(n, 4)
+    java.util.Arrays.fill(p2, lo2, hi2, 0.toShort)
+    assert(java.lang.Long.bitCount(h1 ^ AudioCodec.eHash64(p2)) <= 4)
+    // independent seeds: fingerprints far apart
+    val other = AudioCodec.eHash64(Multimodal.noiseSamples(6L, n))
+    assert(java.lang.Long.bitCount(hBase ^ other) > 7)
+    // fingerprint survives the WAV round-trip (what eHashes() sees)
+    val Some((_, dec)) = AudioCodec.decode(AudioCodec.encodeWav(16000, p1))
+    assert(AudioCodec.eHash64(dec) == h1)
+  }
+
+  test("q180 shape: banded eHash join recovers exactly the planted " +
+      "audio near-dup groups") {
+    val pairs = graft.queries.LlmOps.q180(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getInt(2) <= 7, s"pair out of radius: $r"))
+    val m = Multimodal.mediaWithNearDupAudioPayloads(
+      Tables.documents(spark, sf0001))
+    val audIds = m.filter(col("kind") === "audio")
+      .select(col("media_id")).collect().map(_.getLong(0)).sorted
+    val wanted = for {
+      a <- audIds; b <- audIds
+      if a < b && a / 4 == b / 4
+    } yield (a, b)
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    wanted.foreach { p =>
+      assert(got.contains(p), s"planted same-group pair missed: $p")
+    }
+    val again = graft.queries.LlmOps.q180(spark, sf0001).collect()
+    assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("resize rewrites metadata, preserves payload") {
     val resized = Multimodal.resize(media, 224, 224)
     val r = resized.select(col("meta.width"), col("meta.height")).distinct().collect()
