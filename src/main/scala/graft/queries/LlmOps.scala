@@ -336,6 +336,134 @@ object LlmOps {
        |SELECT pid, cid, sim, rn FROM r WHERE rn <= 3 ORDER BY pid, rn""".stripMargin
   }
 
+  /** q181 — MULTI-PROBE sign-LSH ANN (the classic Lv et al. multiprobe
+    * technique: probe the query's own bucket PLUS every Hamming-1
+    * neighbor bucket, buying recall without more hash tables): the q34c
+    * 8-bit signature serves each probe from 9 of the 256 buckets
+    * (signature ∪ 8 single-bit flips), and the report scores both arms
+    * per probe against the exact top-3 —
+    *
+    *   recall_multi ≥ recall_single ROW BY ROW, provably: the
+    *   single-probe bucket is a subset of the multiprobe candidate set,
+    *   and an exact-top-3 member is outranked by at most 2 vectors in
+    *   ANY candidate set (they'd be exact-top-3 themselves), so once a
+    *   hit is in the candidate set it survives every top-3 — enlarging
+    *   the set never evicts a hit (the q176 domination argument).
+    *   `cand_*` counts report what the recall costs: multiprobe scores
+    *   ~9× the candidates of one bucket, still ≪ the corpus.
+    *
+    * Scale shape: both arms are broadcast equi-joins on the signature
+    * (10 probes × 9 signature rows broadcast; the corpus never
+    * reshuffles), exact cosine only within joined buckets — q34c's
+    * contract with a 9-row-per-probe build side. The exact arm is the
+    * q167/q176 offline-eval pattern. Oracle: the q34c signature CTEs +
+    * an unnested flip list, both arms + counts mirrored. */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val sig = lshPlanes.zipWithIndex.map { case (plane, j) =>
+      val planeLit = array(plane.map(lit): _*)
+      val dot = DotProductExpr(col("dbl"), planeLit)
+      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(s, d)
+      .withColumn("dbl", dbl)
+      .withColumn("sig", sig)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("dbl").as("pe"), col("sig"))
+    // flip 0 keeps the probe's own bucket; flips 1<<j are the Hamming-1
+    // neighbors — one broadcastable 9-rows-per-probe relation
+    val flips = 0 +: (0 until 8).map(1 << _)
+    val multis = probes.select(col("pid"), col("pe"),
+      explode(array(flips.map(f =>
+        col("sig").bitwiseXOR(lit(f))): _*)).as("sig"))
+    val cands = e.select(col("vec_id").as("cid"), col("dbl").as("ce"),
+      col("sig"))
+    def scored(pr: DataFrame): DataFrame = cands
+      .join(broadcast(pr), Seq("sig"))
+      .filter(col("pid") =!= col("cid"))
+      .select(col("pid"), col("cid"),
+        round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    def top3(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("pid"), col("cid"))
+    val single = scored(probes)
+    val multi = scored(multis)
+    val exact = top3(
+      cands.drop("sig").crossJoin(broadcast(probes.drop("sig")))
+        .filter(col("pid") =!= col("cid"))
+        .select(col("pid"), col("cid"),
+          round(CosineSimilarityExpr(col("pe"), col("ce")), 4).as("sim")))
+    def hits(arm: DataFrame, nm: String) = top3(arm)
+      .join(exact, Seq("pid", "cid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    def cnt(arm: DataFrame, nm: String) = arm
+      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    probes.select(col("pid"))
+      .join(cnt(single, "cand_single"), Seq("pid"), "left")
+      .join(cnt(multi, "cand_multi"), Seq("pid"), "left")
+      .join(hits(single, "recall_single"), Seq("pid"), "left")
+      .join(hits(multi, "recall_multi"), Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("cand_single"), lit(0L)).as("cand_single"),
+        coalesce(col("cand_multi"), lit(0L)).as("cand_multi"),
+        coalesce(col("recall_single"), lit(0L)).as("recall_single"),
+        coalesce(col("recall_multi"), lit(0L)).as("recall_multi"))
+      .orderBy(col("pid"))
+  }
+
+  private lazy val q181Sql = {
+    val sigExpr = lshPlanes.zipWithIndex.map { case (plane, j) =>
+      val dot = plane.zipWithIndex.map { case (sgn, i) =>
+        (if (sgn > 0) "+" else "-") + s"dbl[${i + 1}]"
+      }.mkString("0.0", "", "")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val flipList = (0 +: (0 until 8).map(1 << _)).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl
+       |           FROM embeddings),
+       |sg AS (SELECT vec_id, dbl, $sigExpr AS sig FROM e),
+       |p AS (SELECT vec_id AS pid, dbl AS pe, sig FROM sg WHERE vec_id < 10),
+       |mp AS (SELECT pid, pe, xor(sig, f.f) AS sig
+       |       FROM p CROSS JOIN (SELECT unnest([$flipList]) AS f) f),
+       |c AS (SELECT vec_id AS cid, dbl AS ce, sig FROM sg),
+       |ss AS (SELECT pid, cid, round(list_cosine_similarity(pe, ce), 4) AS sim
+       |       FROM p JOIN c USING (sig) WHERE pid <> cid),
+       |ms AS (SELECT pid, cid, round(list_cosine_similarity(pe, ce), 4) AS sim
+       |       FROM mp JOIN c USING (sig) WHERE pid <> cid),
+       |ex AS (SELECT pid, cid FROM (
+       |         SELECT p.pid, c.cid, row_number() OVER (PARTITION BY p.pid
+       |             ORDER BY round(list_cosine_similarity(p.pe, c.ce), 4)
+       |               DESC, c.cid) AS rn
+       |         FROM p, c WHERE p.pid <> c.cid) WHERE rn <= 3),
+       |st AS (SELECT pid, cid FROM (
+       |         SELECT pid, cid, row_number() OVER (PARTITION BY pid
+       |             ORDER BY sim DESC, cid) AS rn FROM ss) WHERE rn <= 3),
+       |mt AS (SELECT pid, cid FROM (
+       |         SELECT pid, cid, row_number() OVER (PARTITION BY pid
+       |             ORDER BY sim DESC, cid) AS rn FROM ms) WHERE rn <= 3),
+       |cs AS (SELECT pid, CAST(count(*) AS BIGINT) AS cand_single
+       |       FROM ss GROUP BY pid),
+       |cm AS (SELECT pid, CAST(count(*) AS BIGINT) AS cand_multi
+       |       FROM ms GROUP BY pid),
+       |rs AS (SELECT st.pid, CAST(count(*) AS BIGINT) AS recall_single
+       |       FROM st JOIN ex ON st.pid = ex.pid AND st.cid = ex.cid
+       |       GROUP BY st.pid),
+       |rm AS (SELECT mt.pid, CAST(count(*) AS BIGINT) AS recall_multi
+       |       FROM mt JOIN ex ON mt.pid = ex.pid AND mt.cid = ex.cid
+       |       GROUP BY mt.pid)
+       |SELECT p.pid,
+       |  COALESCE(cs.cand_single, 0) AS cand_single,
+       |  COALESCE(cm.cand_multi, 0) AS cand_multi,
+       |  COALESCE(rs.recall_single, 0) AS recall_single,
+       |  COALESCE(rm.recall_multi, 0) AS recall_multi
+       |FROM p LEFT JOIN cs ON p.pid = cs.pid
+       |       LEFT JOIN cm ON p.pid = cm.pid
+       |       LEFT JOIN rs ON p.pid = rs.pid
+       |       LEFT JOIN rm ON p.pid = rm.pid
+       |ORDER BY p.pid""".stripMargin
+  }
+
   /** Derived blocking cap over a (…, df: long) relation: max(16, exact
     * p99 of df) — the smallest df value v such that at least 99% of keys
     * have df ≤ v, floored at 16 (the r10 constant, now the measured
@@ -6182,6 +6310,7 @@ object LlmOps {
     QueryDef("q178_image_neardup", q178, None),
     QueryDef("q179_filtered_graph_serve", q179, Some(q179Sql)),
     QueryDef("q180_audio_neardup", q180, None),
+    QueryDef("q181_multiprobe_lsh", q181, Some(q181Sql)),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

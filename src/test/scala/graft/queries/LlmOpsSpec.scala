@@ -195,6 +195,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(walk > 0, "answer-filter arm recalled nothing - report vacuous")
   }
 
+  test("q181 multiprobe LSH: candidate superset and row-by-row recall " +
+      "domination over the single-probe bucket") {
+    val rows = LlmOps.q181(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    rows.foreach { case (pid, cs, cm, rs, rm) =>
+      assert(cm >= cs, s"probe $pid: multiprobe candidates $cm < single $cs")
+      assert(rm >= rs,
+        s"probe $pid: multiprobe recall $rm fell below single-probe $rs - " +
+          "the superset domination theorem broke")
+    }
+    assert(rows.exists { case (_, _, _, rs, rm) => rm > rs },
+      "multiprobe never improved recall at sf0.01 - the report is vacuous")
+  }
+
   test("q171 append splices the derived batch into the landed graph " +
       "both ways and leaves untouched adjacency verbatim") {
     val g = LlmOps.q168(spark, sf001).collect()
