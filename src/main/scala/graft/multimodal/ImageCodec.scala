@@ -101,35 +101,43 @@ object ImageCodec {
     (77 * r + 150 * g + 29 * b) >> 8
   }
 
-  /** 64-bit difference hash (dHash — the classic perceptual image
-    * fingerprint): resize to a 9×8 luma grid ([[resizeNearest]], fully
-    * deterministic integer math) and emit one bit per horizontally
-    * adjacent pair, set when luma strictly increases left→right.
-    * Near-duplicate images land within a small Hamming radius; the
-    * banded join in q178 recovers them without a pairwise pass. Bit i
-    * (row-major over the 8×8 comparison grid) is `1L << i`. */
-  def dHash64(w: Int, h: Int, px: Array[Int]): Long = {
-    val g = resizeNearest(w, h, px, 9, 8)
-    var bits = 0L
+  /** 128-bit difference hash (dHash — the classic perceptual image
+    * fingerprint, widened): resize to a 17×8 luma grid
+    * ([[resizeNearest]], fully deterministic integer math) and emit one
+    * bit per horizontally adjacent pair, set when luma strictly
+    * increases left→right — 16 comparisons × 8 rows = 128 bits as
+    * (hi, lo) longs (comparison i < 64 → `lo` bit i; else `hi` bit
+    * i−64). Near-duplicate images land within a small Hamming radius;
+    * the banded join in q178 recovers them without a pairwise pass.
+    * 128 bits (not 64) so the q178 bands are 16 bits wide — 65 536
+    * buckets per band keeps band-bucket occupancy ~n/2^16 and the
+    * candidate join linear-ish at corpus scale, where 8-bit bands'
+    * n²/256 bucket pairs would blow up. */
+  def dHash128(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    val g = resizeNearest(w, h, px, 17, 8)
+    var lo = 0L
+    var hi = 0L
     var i = 0
     var y = 0
     while (y < 8) {
       var x = 0
-      while (x < 8) {
-        if (luma(g(y * 9 + x)) > luma(g(y * 9 + x + 1))) bits |= 1L << i
+      while (x < 16) {
+        if (luma(g(y * 17 + x)) > luma(g(y * 17 + x + 1))) {
+          if (i < 64) lo |= 1L << i else hi |= 1L << (i - 64)
+        }
         i += 1
         x += 1
       }
       y += 1
     }
-    bits
+    (hi, lo)
   }
 
-  /** The source pixel index that the 9×8 dHash grid samples at grid
+  /** The source pixel index that the 17×8 dHash grid samples at grid
     * position (gx, gy) for a w×h image — [[resizeNearest]]'s exact
     * index math, exposed so fixtures can perturb KNOWN sample points
     * (flipping a bounded number of hash bits) and specs can recompute
     * them. */
   def dHashSampleIndex(w: Int, h: Int, gx: Int, gy: Int): Int =
-    (gy.toLong * h / 8).toInt * w + (gx.toLong * w / 9).toInt
+    (gy.toLong * h / 8).toInt * w + (gx.toLong * w / 17).toInt
 }

@@ -293,7 +293,7 @@ object Multimodal {
   /** Near-duplicate image fixture table (q178): image-kind rows carry a
     * PNG of the GROUP's noise field (group = media_id / 4) with the
     * member's perturbation — member m ∈ {1, 2, 3} paints white the ONE
-    * source pixel the 9×8 dHash grid samples at (2m, 3)
+    * source pixel the 17×8 dHash grid samples at (2m, 3)
     * ([[ImageCodec.dHashSampleIndex]]), flipping at most the 2 hash
     * bits that compare that grid cell. So every same-group pair sits
     * within Hamming 4 (symmetric difference of ≤ 2 painted cells)
@@ -314,7 +314,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, _, _) =>
         // dims derive from the GROUP, not the row's meta (which varies
         // per media_id): members must share the exact noise field, or
-        // the 9×8 grid samples different points and the planted
+        // the 17×8 grid samples different points and the planted
         // Hamming bound evaporates. Decoders read true dims from the
         // payload, so the meta divergence is harmless here.
         val grp = id / 4
@@ -335,7 +335,7 @@ object Multimodal {
   /** Pseudorandom sample field for the audio near-dup fixtures — the
     * [[noisePixels]] analog (splitmix64 over (seed, i), scaled into
     * ±8191): frame energies are iid sums, so two seeds give INDEPENDENT
-    * [[AudioCodec.eHash64]] bits. Pure function: specs recompute any
+    * [[AudioCodec.eHash128]] bits. Pure function: specs recompute any
     * sample. */
   def noiseSamples(seed: Long, n: Int): Array[Short] = {
     val out = new Array[Short](n)
@@ -354,9 +354,9 @@ object Multimodal {
   /** Near-duplicate audio fixture table (q180, the
     * [[mediaWithNearDupImagePayloads]] analog): audio-kind rows carry a
     * WAV of the GROUP's noise clip (group = media_id / 4, clip length
-    * 65 · (group % 32 + 4) samples — group-determined so members share
+    * 65 · (group % 32 + 4) samples (≥ 2 samples per eHash frame) — group-determined so members share
     * the exact field) with the member's perturbation — member
-    * m ∈ {1, 2, 3} SILENCES [[AudioCodec.eHash64]] frame 2m (energy →
+    * m ∈ {1, 2, 3} SILENCES [[AudioCodec.eHash128]] frame 2m (energy →
     * 0), flipping at most the 2 hash bits that compare that frame. So
     * every same-group pair sits within Hamming 4 while cross-group
     * pairs are independent coin flips. */
@@ -379,7 +379,7 @@ object Multimodal {
           val (lo, hi) = AudioCodec.eHashFrameRange(n, 2 * m)
           java.util.Arrays.fill(samples, lo, hi, 0.toShort)
         }
-        (id, AudioCodec.encodeWav(sr, samples))
+        (id, AudioCodec.encodeWavFast(sr, samples))
       })
       .toDF("media_id", "wav")
     base.join(wavs, Seq("media_id"), "left")
@@ -388,9 +388,9 @@ object Multimodal {
       .drop("wav")
   }
 
-  /** REAL decode → 64-bit acoustic fingerprint
-    * ([[AudioCodec.eHash64]]), one row per decodable audio payload —
-    * the [[dHashes]] analog. */
+  /** REAL decode → 128-bit acoustic fingerprint
+    * ([[AudioCodec.eHash128]]) as (media_id, h_hi, h_lo), one row per
+    * decodable audio payload — the [[dHashes]] analog. */
   def eHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -399,17 +399,24 @@ object Multimodal {
       org.apache.spark.sql.Encoders.BINARY)
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
       .mapPartitions(_.flatMap { case (id, payload) =>
-        AudioCodec.decode(payload).map { case (_, samples) =>
-          (id, AudioCodec.eHash64(samples))
-        }
+        // fast path first (plain PCM16 WAV — the fingerprint hot loop),
+        // the full javax.sound conversion chain for everything else;
+        // MultimodalSpec pins the two equal on round-trip fixtures
+        AudioCodec.decodePcm(payload)
+          .orElse(AudioCodec.decode(payload))
+          .map { case (_, samples) =>
+            val (hi, lo) = AudioCodec.eHash128(samples)
+            (id, hi, lo)
+          }
       })
-      .toDF("media_id", "ehash")
+      .toDF("media_id", "h_hi", "h_lo")
   }
 
-  /** REAL decode → 64-bit perceptual hash ([[ImageCodec.dHash64]]), one
-    * row per decodable image payload (undecodable rows drop — routing,
-    * not crashing). The only non-declarative stage of the q178 chain:
-    * everything after (banding, Hamming join) is DataFrame ops. */
+  /** REAL decode → 128-bit perceptual hash ([[ImageCodec.dHash128]]) as
+    * (media_id, h_hi, h_lo), one row per decodable image payload
+    * (undecodable rows drop — routing, not crashing). The only
+    * non-declarative stage of the q178 chain: everything after
+    * (banding, Hamming join) is DataFrame ops. */
   def dHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -419,10 +426,11 @@ object Multimodal {
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
       .mapPartitions(_.flatMap { case (id, payload) =>
         ImageCodec.decode(payload).map { case (w, h, px) =>
-          (id, ImageCodec.dHash64(w, h, px))
+          val (hi, lo) = ImageCodec.dHash128(w, h, px)
+          (id, hi, lo)
         }
       })
-      .toDF("media_id", "dhash")
+      .toDF("media_id", "h_hi", "h_lo")
   }
 
   /** REAL image decode + fixed resize ([[ImageCodec]]): payload → pixels

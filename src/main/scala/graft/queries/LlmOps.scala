@@ -1820,9 +1820,9 @@ object LlmOps {
     * arm feeding the X3 near-dup discipline. Image payloads (planted
     * near-dup groups of 4, [[graft.multimodal.Multimodal
     * .mediaWithNearDupImagePayloads]]) decode for real
-    * ([[graft.multimodal.ImageCodec.decode]]) into a 64-bit dHash
-    * ([[graft.multimodal.ImageCodec.dHash64]]); candidate pairs come
-    * from an 8-band × 8-bit band join (the q71 SimHash shape — Hamming
+    * ([[graft.multimodal.ImageCodec.decode]]) into a 128-bit dHash
+    * ([[graft.multimodal.ImageCodec.dHash128]]); candidate pairs come
+    * from an 8-band × 16-bit band join (the q71 SimHash shape — Hamming
     * ≤ 7 pigeonholes at least one equal band, so radius-7 recall is
     * EXACT, not probabilistic), verified by codegen'd `bit_count` and
     * radius-filtered map-side BEFORE the dedup shuffle. Only the
@@ -1834,30 +1834,39 @@ object LlmOps {
     val media = graft.multimodal.Multimodal
       .mediaWithNearDupImagePayloads(Tables.documents(s, d))
     hammingBandPairs(graft.multimodal.Multimodal
-      .dHashes(media.filter(col("kind") === "image")), "dhash")
+      .dHashes(media.filter(col("kind") === "image")))
   }
 
-  /** The shared 64-bit-fingerprint near-dup join (q178 images / q180
-    * audio): 8-band × 8-bit band join over `hashes(media_id, <hcol>)`,
-    * Hamming ≤ 7 pigeonholes at least one equal band so radius-7
-    * recall is EXACT; the codegen'd `bit_count` radius filter runs
-    * map-side BEFORE the dedup shuffle (the q71 discipline). */
-  private def hammingBandPairs(hashes: DataFrame, hcol: String): DataFrame = {
+  /** The shared 128-bit-fingerprint near-dup join (q178 images / q180
+    * audio): 8-band × 16-bit band join over
+    * `hashes(media_id, h_hi, h_lo)` — bands 0-3 slice `h_lo`, 4-7
+    * `h_hi`. Hamming ≤ 7 over 8 bands pigeonholes at least one equal
+    * band, so radius-7 recall is EXACT; the codegen'd `bit_count`
+    * radius filter runs map-side BEFORE the dedup shuffle (the q71
+    * discipline). 16-bit bands are the scale choice: 65 536 buckets
+    * per band keeps bucket occupancy ~n/2^16 (the within-bucket pair
+    * count the join pays is Σ occupancy² per band) — 8-bit bands'
+    * 256 buckets were measured growing the 10× warm ratio to 6× on
+    * the audio arm before the widening. */
+  private def hammingBandPairs(hashes: DataFrame): DataFrame = {
     val chunks = (0 until 8).map { b =>
+      val word = if (b < 4) col("h_lo") else col("h_hi")
       struct(lit(b).as("band"),
-        shiftright(col(hcol), b * 8)
-          .bitwiseAND(lit(0xffL)).as("chunk")).as(s"b$b")
+        shiftright(word, (b % 4) * 16)
+          .bitwiseAND(lit(0xffffL)).as("chunk")).as(s"b$b")
     }
     val buckets = hashes
-      .select(col("media_id"), col(hcol), explode(array(chunks: _*)).as("bk"))
-      .select(col("media_id"), col(hcol),
+      .select(col("media_id"), col("h_hi"), col("h_lo"),
+        explode(array(chunks: _*)).as("bk"))
+      .select(col("media_id"), col("h_hi"), col("h_lo"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
     buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
-        bit_count(col(s"a.$hcol").bitwiseXOR(col(s"b.$hcol"))).as("hamming"))
+        (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+          bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
       .filter(col("hamming") <= 7)
       .distinct()
       .orderBy(col("ma"), col("mb"))
@@ -1868,8 +1877,9 @@ object LlmOps {
     * media kinds (text q35/q71, image q178, audio HERE). WAV payloads
     * (planted near-dup groups of 4, [[graft.multimodal.Multimodal
     * .mediaWithNearDupAudioPayloads]]) decode for real
-    * ([[graft.multimodal.AudioCodec.decode]]) into a 64-bit energy-delta
-    * fingerprint ([[graft.multimodal.AudioCodec.eHash64]]); candidates
+    * ([[graft.multimodal.AudioCodec.decode]]) into a 128-bit
+    * energy-delta fingerprint
+    * ([[graft.multimodal.AudioCodec.eHash128]]); candidates
     * and verification are [[hammingBandPairs]], shared with q178.
     * Engine-specific (a JVM WAV decode chain has no DuckDB mirror) →
     * rows-only check; planted-group recovery and perturbation bounds
@@ -1878,7 +1888,7 @@ object LlmOps {
     val media = graft.multimodal.Multimodal
       .mediaWithNearDupAudioPayloads(Tables.documents(s, d))
     hammingBandPairs(graft.multimodal.Multimodal
-      .eHashes(media.filter(col("kind") === "audio")), "ehash")
+      .eHashes(media.filter(col("kind") === "audio")))
   }
 
   /** q53 — salted skew join registered with the PLAIN join as its oracle:

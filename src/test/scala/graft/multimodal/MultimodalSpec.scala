@@ -182,28 +182,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  private def ham128(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
   test("dHash: deterministic, perturbation flips at most 2 bits per " +
       "painted sample cell, distinct seeds are independent") {
     val (w, h) = (40, 30)
     val base = Multimodal.noisePixels(7L, w, h)
-    val hBase = ImageCodec.dHash64(w, h, base)
-    assert(hBase == ImageCodec.dHash64(w, h, base.clone()))
+    val hBase = ImageCodec.dHash128(w, h, base)
+    assert(hBase == ImageCodec.dHash128(w, h, base.clone()))
     // paint the sample cell the member-1 fixture paints: <= 2 bits move
     val p1 = base.clone()
     p1(ImageCodec.dHashSampleIndex(w, h, 2, 3)) = 0xffffff
-    val h1 = ImageCodec.dHash64(w, h, p1)
-    assert(java.lang.Long.bitCount(hBase ^ h1) <= 2)
+    val h1 = ImageCodec.dHash128(w, h, p1)
+    assert(ham128(hBase, h1) <= 2)
     // two members' paints differ in <= 2 cells -> <= 4 bits apart
     val p2 = base.clone()
     p2(ImageCodec.dHashSampleIndex(w, h, 4, 3)) = 0xffffff
-    val h2 = ImageCodec.dHash64(w, h, p2)
-    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4)
+    val h2 = ImageCodec.dHash128(w, h, p2)
+    assert(ham128(h1, h2) <= 4)
     // independent seeds: hashes far apart (noise field, not gradients)
-    val other = ImageCodec.dHash64(w, h, Multimodal.noisePixels(8L, w, h))
-    assert(java.lang.Long.bitCount(hBase ^ other) > 7)
+    val other = ImageCodec.dHash128(w, h, Multimodal.noisePixels(8L, w, h))
+    assert(ham128(hBase, other) > 7)
     // hash survives the PNG round-trip (what dHashes() actually sees)
     val Some((dw, dh, dpx)) = ImageCodec.decode(ImageCodec.encodePng(w, h, p1))
-    assert(ImageCodec.dHash64(dw, dh, dpx) == h1)
+    assert(ImageCodec.dHash128(dw, dh, dpx) == h1)
   }
 
   test("q178 shape: banded dHash join recovers exactly the planted " +
@@ -238,25 +241,54 @@ class MultimodalSpec extends SparkSpec {
       "distinct seeds are independent, survives the WAV round-trip") {
     val n = 65 * 10
     val base = Multimodal.noiseSamples(5L, n)
-    val hBase = AudioCodec.eHash64(base)
-    assert(hBase == AudioCodec.eHash64(base.clone()))
+    val hBase = AudioCodec.eHash128(base)
+    assert(hBase == AudioCodec.eHash128(base.clone()))
     // silence the frame the member-1 fixture silences: <= 2 bits move
     val p1 = base.clone()
     val (lo1, hi1) = AudioCodec.eHashFrameRange(n, 2)
     java.util.Arrays.fill(p1, lo1, hi1, 0.toShort)
-    val h1 = AudioCodec.eHash64(p1)
-    assert(java.lang.Long.bitCount(hBase ^ h1) <= 2)
+    val h1 = AudioCodec.eHash128(p1)
+    assert(ham128(hBase, h1) <= 2)
     // two members' silenced frames differ in <= 2 frames -> <= 4 bits
     val p2 = base.clone()
     val (lo2, hi2) = AudioCodec.eHashFrameRange(n, 4)
     java.util.Arrays.fill(p2, lo2, hi2, 0.toShort)
-    assert(java.lang.Long.bitCount(h1 ^ AudioCodec.eHash64(p2)) <= 4)
+    assert(ham128(h1, AudioCodec.eHash128(p2)) <= 4)
     // independent seeds: fingerprints far apart
-    val other = AudioCodec.eHash64(Multimodal.noiseSamples(6L, n))
-    assert(java.lang.Long.bitCount(hBase ^ other) > 7)
+    val other = AudioCodec.eHash128(Multimodal.noiseSamples(6L, n))
+    assert(ham128(hBase, other) > 7)
     // fingerprint survives the WAV round-trip (what eHashes() sees)
     val Some((_, dec)) = AudioCodec.decode(AudioCodec.encodeWav(16000, p1))
-    assert(AudioCodec.eHash64(dec) == h1)
+    assert(AudioCodec.eHash128(dec) == h1)
+  }
+
+  test("decodePcm equals the javax.sound decode on round-trip fixtures " +
+      "and routes non-PCM16 payloads to None") {
+    // equivalence across rates, lengths and seeds (incl. odd lengths)
+    for (seed <- 0L until 20L) {
+      val n = 64 + seed.toInt * 37
+      val sr = 8000 + seed.toInt * 1000
+      val wav = AudioCodec.encodeWav(sr, Multimodal.noiseSamples(seed, n))
+      val fast = AudioCodec.decodePcm(wav)
+      assert(fast.isDefined, s"seed $seed: fast path refused a PCM16 WAV")
+      assert(fast.map { case (r, s) => (r, s.toSeq) } ==
+        AudioCodec.decode(wav).map { case (r, s) => (r, s.toSeq) },
+        s"seed $seed: fast path diverged from the JDK codec")
+    }
+    // fast encode is byte-identical to the JDK writer's output
+    for (seed <- 0L until 5L) {
+      val s = Multimodal.noiseSamples(seed, 64 + seed.toInt * 33)
+      assert(AudioCodec.encodeWavFast(16000, s).toSeq ==
+        AudioCodec.encodeWav(16000, s).toSeq,
+        s"seed $seed: fast WAV encode diverged from AudioSystem.write")
+    }
+    // corrupt / non-WAV payloads: None, never a throw
+    assert(AudioCodec.decodePcm("not audio at all".getBytes).isEmpty)
+    assert(AudioCodec.decodePcm(Array.emptyByteArray).isEmpty)
+    // a WAV header claiming a non-PCM16 format routes to None too
+    val wav = AudioCodec.encodeWav(16000, Multimodal.noiseSamples(1L, 64))
+    wav(20) = 3 // fmt tag -> IEEE float
+    assert(AudioCodec.decodePcm(wav).isEmpty)
   }
 
   test("q180 shape: banded eHash join recovers exactly the planted " +
