@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, ZipInputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{BigIntLow64, FlexTimestamp}
+import graft.ingest.CsvFields
+
+/** The vehicle-ping CSV ingest as a first-class DataSourceV2
+  * `TableProvider` — `spark.read.format("graft-vehicle-csv")
+  * .load(path)` — with the same record semantics as
+  * [[graft.ingest.CsvVehicleReader]] (behavior of opentraffic/csv-loader
+  * CsvLoader.java:84-148): transparent plain/.gz/.zip-first-entry
+  * decompression, per-record arity dispatch (narrow `(ts,vid,lat,lon)`
+  * vs wide taxi rows reading lat/lon from cols 9,10), permissive drops
+  * for bad arity / unparseable doubles / unparseable timestamps / bad
+  * vehicle ids, and the BigInteger-low-64 id wrap. Parsing calls the
+  * SAME JVM functions as the Column pipeline ([[CsvFields.split]],
+  * [[BigIntLow64.low64]], [[FlexTimestamp.parseToMillis]]), and
+  * VehicleCsvSourceSpec pins row-for-row equality against
+  * `CsvVehicleReader.read` on every fixture class.
+  *
+  * Why a DSv2 source when the Column pipeline exists: it makes the
+  * ingest a CATALOG-LEVEL citizen — usable from SQL (`CREATE TABLE …
+  * USING graft-vehicle-csv`), composable with every reader option, and
+  * it implements [[SupportsPushDownRequiredColumns]]: a query touching
+  * 2 of the 5 output columns materializes exactly those (the scan's
+  * `ReadSchema` shows the pruned struct). Drop semantics still require
+  * validating every field — the relation's ROWS are defined by the
+  * full-record parse — so pruning saves output materialization, not
+  * validation work; that is the honest contract and the spec asserts
+  * rows are identical under any projection.
+  *
+  * Scale shape: one InputPartition per file (gz/zip are not splittable;
+  * a 100 TB drop parallelizes across its file count, the same contract
+  * as the reference's per-file loop), readers stream line-by-line —
+  * no whole-file buffering. */
+class VehicleCsvSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-vehicle-csv"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VehicleCsvSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new VehicleCsvTable(properties.get("path"))
+}
+
+object VehicleCsvSource {
+  /** Same output schema as CsvVehicleReader.read. */
+  val Schema: StructType = StructType(Seq(
+    StructField("vehicle_id_str", StringType),
+    StructField("vehicle_id", LongType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
+    StructField("ts_ms", LongType)))
+
+  /** One parsed record in schema order; null = drop. Shared by the
+    * reader so the dispatch/drop logic lives in exactly one place. */
+  private[sources] def parseLine(line: String): Array[Any] = {
+    val f = CsvFields.split(UTF8String.fromString(line))
+    if (f == null) return null
+    val n = f.numElements()
+    if (n < 4) return null
+    def fld(i: Int): UTF8String =
+      if (i < n) f.getUTF8String(i) else null
+    def toDouble(s: UTF8String): java.lang.Double =
+      if (s == null) null
+      else try java.lang.Double.valueOf(s.toString.trim)
+      catch { case _: NumberFormatException => null }
+    val vidStr = fld(1)
+    val vid = if (vidStr == null) null else BigIntLow64.low64(vidStr)
+    val lat = toDouble(if (n > 9) fld(9) else fld(2))
+    val lon = toDouble(if (n > 9) fld(10) else fld(3))
+    val ts = if (fld(0) == null) null else FlexTimestamp.parseToMillis(fld(0))
+    if (vid == null || lat == null || lon == null || ts == null) null
+    else Array[Any](vidStr, vid, lat, lon, ts)
+  }
+}
+
+private[sources] class VehicleCsvTable(path: String) extends Table
+    with SupportsRead {
+  require(path != null,
+    "graft-vehicle-csv requires a path (spark.read.format(...).load(path))")
+  override def name(): String = s"graft-vehicle-csv($path)"
+  override def schema(): StructType = VehicleCsvSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new VehicleCsvScanBuilder(path)
+}
+
+private[sources] class VehicleCsvScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = VehicleCsvSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new VehicleCsvScan(path, required)
+}
+
+private[sources] class VehicleCsvScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-vehicle-csv $path ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val statuses = Option(fs.globStatus(new HPath(path)))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"Path does not exist: $path"))
+    val files = statuses.toSeq.filter(_.isFile).map(_.getPath.toString)
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(s"No files match: $path")
+    files.map(f => VehicleCsvPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop conf (auth/filesystem settings) as
+    // serializable pairs — the CsvVehicleReader.zipFirstEntryLines
+    // discipline
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val props: Seq[(String, String)] = {
+      val it = conf.iterator()
+      val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.result()
+    }
+    VehicleCsvReaderFactory(required, props)
+  }
+}
+
+private[sources] case class VehicleCsvPartition(file: String)
+    extends InputPartition
+
+private[sources] case class VehicleCsvReaderFactory(
+    required: StructType, confProps: Seq[(String, String)])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[VehicleCsvPartition].file
+    new VehicleCsvPartitionReader(file, required, confProps)
+  }
+}
+
+private[sources] class VehicleCsvPartitionReader(file: String,
+    required: StructType, confProps: Seq[(String, String)])
+    extends PartitionReader[InternalRow] {
+
+  // indices into the full-schema record for each required column
+  private val proj: Array[Int] = required.fields.map(f =>
+    VehicleCsvSource.Schema.fieldIndex(f.name))
+
+  private val reader: BufferedReader = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    confProps.foreach { case (k, v) => conf.set(k, v) }
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(file), conf)
+    val raw = fs.open(new org.apache.hadoop.fs.Path(file))
+    val in =
+      if (file.endsWith(".gz")) new GZIPInputStream(raw)
+      else if (file.endsWith(".zip")) {
+        // FIRST zip entry only (CsvLoader.java:86-88)
+        val zis = new ZipInputStream(raw)
+        if (zis.getNextEntry == null)
+          throw new java.io.IOException(s"empty zip archive: $file")
+        zis
+      } else raw
+    new BufferedReader(
+      new InputStreamReader(in, StandardCharsets.UTF_8))
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val rec = VehicleCsvSource.parseLine(line)
+      if (rec != null) {
+        val out = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) {
+          out(i) = rec(proj(i))
+          i += 1
+        }
+        current = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(out)
+        return true
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
