@@ -110,5 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // off) optimizer rule replacing cartesian cosine-threshold joins
     // with banded equi-joins + exact post-filter
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
+    // the whole-operator extension triple: AsofJoin logical node →
+    // AsofJoinStrategy → AsofJoinExec (plans/AsofJoin.scala)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

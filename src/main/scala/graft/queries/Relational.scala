@@ -259,6 +259,33 @@ object Relational {
       |  ON c.user_id=p.user_id AND c.ts <= p.ts
       |GROUP BY p.event_id, p.user_id ORDER BY pid""".stripMargin
 
+  /** q182 — q10's as-of join through the WHOLE-OPERATOR extension
+    * triple ([[graft.plans.AsofJoin]] logical node →
+    * [[graft.plans.AsofJoinStrategy]] → [[graft.plans.AsofJoinExec]]
+    * physical merge): same relation, same oracle, different machinery —
+    * the custom SparkPlan declares ClusteredDistribution(user_id) +
+    * (user_id, ts) ordering, EnsureRequirements plans one
+    * co-partitioning exchange + sort per side, and each co-partition
+    * merges with two pointers and O(1) carried state (vs q10's unioned
+    * running-window form, which holds window state over both streams).
+    * The driver gate hash-compares it against the same DuckDB as-of
+    * SQL as q10, so the custom physical operator is oracled, not just
+    * spec-tested; AsofJoinSpec adds the plan-shape assertions and a
+    * brute-force property. */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsofJoin.asof(probes, clicks,
+        keys = Seq("user_id" -> "c_user"),
+        leftTimeCol = "ts", rightTimeCol = "c_ts")
+      .select(col("pid"), col("user_id"),
+        coalesce(unix_millis(col("c_ts")), lit(-1L)).as("asof_ms"))
+      .orderBy(col("pid"))
+  }
+
   /** q11 — exact count-distinct in two key representations (the
     * reference's dual HashSet semantics, CsvLoader.java:105-106) plus a
     * distinct aggregate alongside plain aggregates. */
@@ -896,6 +923,7 @@ object Relational {
     QueryDef("q08_theta_join", q08, Some(q08Sql)),
     QueryDef("q09_range_join", q09, Some(q09Sql)),
     QueryDef("q10_asof_join", q10, Some(q10Sql)),
+    QueryDef("q182_asof_exec", q182, Some(q10Sql)),
     QueryDef("q11_count_distinct", q11, Some(q11Sql)),
     QueryDef("q12_approx_distinct", q12, None),
     QueryDef("q13_grouping_sets", q13, Some(q13Sql)),

@@ -16,4 +16,12 @@ object ColumnBridge {
     * as a subquery expression (e.g. a scalar-subquery bloom filter). */
   def analyzedPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** A DataFrame over an arbitrary logical plan — the `Dataset.ofRows`
+    * private[sql] constructor, needed to hand a custom LogicalPlan node
+    * (e.g. graft.plans.AsofJoin) back to the public API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
