@@ -83,26 +83,14 @@ object CsvVehicleReader {
     import spark.implicits._
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
-    val statuses = Option(fs.globStatus(new HPath(path)))
-      .getOrElse(throw new java.io.FileNotFoundException(s"Path does not exist: $path"))
-    val files = statuses.toSeq.filter(_.isFile).map(_.getPath.toString)
-    if (files.isEmpty)
-      throw new java.io.FileNotFoundException(s"No files match: $path")
-    // ship the session's Hadoop conf to tasks (a blank Configuration would
-    // drop spark.hadoop.* auth/filesystem settings); Configuration itself
-    // is not serializable, so carry it as key-value pairs
-    val confProps: Seq[(String, String)] = {
-      val it = conf.iterator()
-      val buf = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-      buf.result()
-    }
+    // glob/directory expansion + conf shipping shared with the DSv2
+    // source (IngestFiles) so the two ingest paths cannot drift
+    val files = IngestFiles.listInputFiles(path, conf)
+    val confProps = IngestFiles.confProps(conf)
     spark.createDataset(files)
       .repartition(math.max(1, files.size)) // one archive per task
       .mapPartitions { paths =>
-        val taskConf = new org.apache.hadoop.conf.Configuration(false)
-        confProps.foreach { case (k, v) => taskConf.set(k, v) }
+        val taskConf = IngestFiles.taskConf(confProps)
         paths.flatMap { p =>
           val taskFs = FileSystem.get(new java.net.URI(p), taskConf)
           val zis = new ZipInputStream(taskFs.open(new org.apache.hadoop.fs.Path(p)))

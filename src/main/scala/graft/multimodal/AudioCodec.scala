@@ -114,8 +114,9 @@ object AudioCodec {
   }
 
   /** Fast-path WAV/PCM16 decode: a direct RIFF chunk walk (fmt + data,
-    * PCM_SIGNED 16-bit little-endian, any channel count — samples come
-    * back interleaved). Exists because [[decode]]'s
+    * PCM_SIGNED 16-bit little-endian, MONO only — multi-channel audio
+    * routes through [[decode]]'s downmix chain so the two paths always
+    * agree). Exists because [[decode]]'s
     * `AudioSystem.getAudioInputStream` pays per-call provider probing
     * (~0.3 ms/clip measured at 16 threads — it dominated q180's
     * fingerprint pass and scaled with row count), while a production
@@ -135,26 +136,35 @@ object AudioCodec {
       ((payload(o + 1) & 0xff).toLong << 8) |
       ((payload(o + 2) & 0xff).toLong << 16) |
       ((payload(o + 3) & 0xff).toLong << 24)
-    var off = 12
+    var off = 12L
     var rate = -1
     var dataOff = -1
     var dataLen = -1L
     while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
-      val id = new String(payload, off, 4, "US-ASCII")
-      val len = u32(off + 4)
+      val o = off.toInt
+      val id = new String(payload, o, 4, "US-ASCII")
+      // chunk lengths are UNSIGNED 32-bit and corruption-controlled:
+      // walk with Long offsets and reject non-advancing/overflowing
+      // chunks instead of trusting len.toInt (a 0xFFFFFFF8 length would
+      // otherwise advance by zero and spin forever — review finding)
+      val len = u32(o + 4)
       if (id == "fmt ") {
-        if (len < 16 || off + 24 > payload.length) return None
-        val fmtTag = u16(off + 8)
-        val bits = u16(off + 22)
-        if (fmtTag != 1 || bits != 16) return None // not plain PCM16
-        rate = u32(off + 12).toInt
+        if (len < 16 || o + 24 > payload.length) return None
+        val fmtTag = u16(o + 8)
+        val channels = u16(o + 10)
+        val bits = u16(o + 22)
+        // only plain MONO PCM16 takes the fast path: anything else
+        // (incl. multi-channel, which decode() downmixes) must route
+        // through the JDK conversion chain so the two paths agree
+        if (fmtTag != 1 || bits != 16 || channels != 1) return None
+        rate = u32(o + 12).toInt
       } else if (id == "data") {
-        dataOff = off + 8
+        dataOff = o + 8
         dataLen = len
       }
-      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      off += 8L + len + (len & 1L) // chunks are word-aligned
     }
-    if (rate < 0 || dataOff < 0) return None
+    if (rate <= 0 || dataOff < 0) return None
     val n = math.min(dataLen, (payload.length - dataOff).toLong).toInt / 2
     val out = new Array[Short](n)
     var i = 0

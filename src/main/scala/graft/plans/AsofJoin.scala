@@ -34,9 +34,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Semantics notes: ties on right time keep the LAST row in (key, time)
   * sort order — deterministic whenever (rightTime) is unique per key
   * (the q182 oracle projects only the time value, so ties are
-  * value-identical there); null right times sort first (NULLS FIRST)
-  * and match only left rows whose own time is also null-or-later under
-  * the same ordering. The node is constructed already-RESOLVED
+  * value-identical there); NULL keys and NULL times never match, on
+  * either side — the SQL `c.key = p.key AND c.ts <= p.ts` contract the
+  * oracle encodes (AsofJoinSpec pins it). The node is constructed
+  * already-RESOLVED
   * (attributes come from analyzed children), so the analyzer passes it
   * through; the optimizer treats it as an opaque binary node (no
   * pushdown through it — project/filter BEFORE calling [[AsofJoin.asof]]).
@@ -147,23 +148,35 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val lk = lkProj(l).copy()
           val lt = ltProj(l).copy()
-          // advance the right cursor: discard keys before lk; for key
-          // == lk buffer rows with time <= lt (they arrive time-ASC, so
-          // the last buffered is the latest); stop at time > lt or a
-          // later key. Left rows come (key, time)-ASC, so the cursor
-          // never rewinds.
+          // SQL semantics (the q182 oracle's `c.key = p.key AND
+          // c.ts <= p.ts`): a NULL key or time on either side never
+          // matches — natural ascending ordering would otherwise treat
+          // NULL == NULL and NULL ≤ anything (review finding). A
+          // null-keyed/timed left row takes no match and does NOT
+          // advance the cursor (null keys sort first, so later left
+          // rows discard any skipped right rows themselves).
+          if (lk.anyNull || lt.isNullAt(0)) return joined(l, nullRight)
+          // advance the right cursor: discard keys before lk and
+          // never-matching null rows; for key == lk buffer rows with
+          // time <= lt (they arrive time-ASC, so the last buffered is
+          // the latest); stop at time > lt or a later key. Left rows
+          // come (key, time)-ASC, so the cursor never rewinds.
           var done = false
           while (!done && rBuf.hasNext) {
             val rk = rkProj(rBuf.head)
-            val c = keyOrd.compare(rk, lk)
-            if (c < 0) { rBuf.next() }
-            else if (c > 0) { done = true }
+            if (rk.anyNull) { rBuf.next() }
             else {
-              val rt = rtProj(rBuf.head)
-              if (timeOrd.compare(rt, lt) <= 0) {
-                matchRow = rBuf.next().copy()
-                matchKey = lk
-              } else done = true
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) { rBuf.next() }
+              else if (c > 0) { done = true }
+              else {
+                val rt = rtProj(rBuf.head)
+                if (rt.isNullAt(0)) { rBuf.next() }
+                else if (timeOrd.compare(rt, lt) <= 0) {
+                  matchRow = rBuf.next().copy()
+                  matchKey = lk
+                } else done = true
+              }
             }
           }
           val m =

@@ -117,6 +117,14 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // qualifying pair emits once per INPUT row pair, preserving the
     // multiplicity of duplicate identical input rows (a DISTINCT over
     // the bare join output would collapse those too).
+    // CAVEAT (documented, not fixed): MonotonicallyIncreasingID carries
+    // Spark's standard indeterminacy under shuffle-stage RETRY — if a
+    // fetch-failure re-run reorders this side's rows, a row's band
+    // copies can straddle two rid values and a qualifying pair emits
+    // twice. Same exposure as every monotonically_increasing_id-based
+    // dedup; the rewrite is opt-in and its oracle gate runs retry-free.
+    // A deterministic fix needs a content-independent stable id
+    // (zipWithIndex over a sorted child), which costs an extra sort.
     val rid = Alias(MonotonicallyIncreasingID(), name + "_rid")()
     val withId = Project(side.output :+ rid, notNull)
     val attr = AttributeReference(name, LongType, nullable = false)()

@@ -2,7 +2,6 @@ package graft.sources
 
 import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, ZipInputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -117,32 +116,21 @@ private[sources] class VehicleCsvScan(path: String, required: StructType)
     s"graft-vehicle-csv $path ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    // shared glob/directory expansion (graft.ingest.IngestFiles): a
+    // directory path expands to its visible files, matching
+    // CsvVehicleReader / spark.read.text semantics
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
-    val statuses = Option(fs.globStatus(new HPath(path)))
-      .getOrElse(throw new java.io.FileNotFoundException(
-        s"Path does not exist: $path"))
-    val files = statuses.toSeq.filter(_.isFile).map(_.getPath.toString)
-    if (files.isEmpty)
-      throw new java.io.FileNotFoundException(s"No files match: $path")
-    files.map(f => VehicleCsvPartition(f): InputPartition).toArray
+    graft.ingest.IngestFiles.listInputFiles(path, conf)
+      .map(f => VehicleCsvPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // ship the session's Hadoop conf (auth/filesystem settings) as
-    // serializable pairs — the CsvVehicleReader.zipFirstEntryLines
-    // discipline
+    // serializable pairs — shared with the Column pipeline
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val props: Seq[(String, String)] = {
-      val it = conf.iterator()
-      val buf = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-      buf.result()
-    }
-    VehicleCsvReaderFactory(required, props)
+    VehicleCsvReaderFactory(required, graft.ingest.IngestFiles.confProps(conf))
   }
 }
 
@@ -168,20 +156,10 @@ private[sources] class VehicleCsvPartitionReader(file: String,
     VehicleCsvSource.Schema.fieldIndex(f.name))
 
   private val reader: BufferedReader = {
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    confProps.foreach { case (k, v) => conf.set(k, v) }
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(file), conf)
-    val raw = fs.open(new org.apache.hadoop.fs.Path(file))
-    val in =
-      if (file.endsWith(".gz")) new GZIPInputStream(raw)
-      else if (file.endsWith(".zip")) {
-        // FIRST zip entry only (CsvLoader.java:86-88)
-        val zis = new ZipInputStream(raw)
-        if (zis.getNextEntry == null)
-          throw new java.io.IOException(s"empty zip archive: $file")
-        zis
-      } else raw
+    // shared decompression dispatch (plain/.gz/.zip-first-entry; an
+    // empty zip yields zero rows, the CsvVehicleReader parity)
+    val in = graft.ingest.IngestFiles.openDecompressed(file,
+      graft.ingest.IngestFiles.taskConf(confProps))
     new BufferedReader(
       new InputStreamReader(in, StandardCharsets.UTF_8))
   }

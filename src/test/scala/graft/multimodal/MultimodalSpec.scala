@@ -289,6 +289,21 @@ class MultimodalSpec extends SparkSpec {
     val wav = AudioCodec.encodeWav(16000, Multimodal.noiseSamples(1L, 64))
     wav(20) = 3 // fmt tag -> IEEE float
     assert(AudioCodec.decodePcm(wav).isEmpty)
+    // adversarial chunk lengths: 0xFFFFFFF8 (would advance by zero if
+    // truncated to Int) and 0x80000000 must terminate, not hang/throw
+    for (evil <- Seq(Array(0xf8, 0xff, 0xff, 0xff), Array(0, 0, 0, 0x80))) {
+      val bad = AudioCodec.encodeWav(16000, Multimodal.noiseSamples(2L, 64))
+      var i = 0
+      while (i < 4) { bad(16 + i) = evil(i).toByte; i += 1 } // fmt len
+      // the poisoned length skips past the data chunk: must terminate
+      // and return None (truncating it to Int would spin forever)
+      assert(AudioCodec.decodePcm(bad).isEmpty)
+    }
+    // stereo PCM16 routes to None (decode()'s downmix is the semantics)
+    val stereo = AudioCodec.encodeWav(16000, Multimodal.noiseSamples(3L, 64))
+    stereo(22) = 2 // channel count
+    assert(AudioCodec.decodePcm(stereo).isEmpty,
+      "multi-channel must route through the JDK conversion chain")
   }
 
   test("q180 shape: banded eHash join recovers exactly the planted " +

@@ -59,6 +59,28 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("NULL keys and NULL times never match, on either side (the SQL " +
+      "oracle's equi-join + <= semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(1L), Option(10L)),  // normal: matches rt=5
+      (2L, Option(1L), None),         // null left time: no match
+      (3L, None, Option(10L)),        // null left key: no match
+      (4L, Option(2L), Option(10L))   // key whose only quote has null rt
+    ).toDF("pid", "k", "t")
+    val right = Seq(
+      (Option(1L), Option(5L)),
+      (Option(1L), None),             // null right time: never a match
+      (None, Option(1L)),             // null right key: never a match
+      (Option(2L), None)
+    ).toDF("rk", "rt")
+    val got = AsofJoin.asof(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("pid"), col("rt"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 5L, 2L -> -1L, 3L -> -1L, 4L -> -1L), s"$got")
+  }
+
   test("asof rejects unknown columns loudly") {
     import spark.implicits._
     val l = Seq((1L, 2L)).toDF("a", "t")

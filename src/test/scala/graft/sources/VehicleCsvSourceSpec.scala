@@ -111,6 +111,23 @@ class VehicleCsvSourceSpec extends SparkSpec {
         .orderBy(col("ts_ms")).collect().map(_.toSeq).toSeq)
   }
 
+  test("directory paths expand to their files through BOTH ingest " +
+      "paths, and an empty zip yields zero rows, not a failure") {
+    val dir = tmpDir
+    writeFile(dir, "a.csv", narrowCsv)
+    writeFile(dir, "b.csv", wideCsv)
+    writeFile(dir, "_hidden.csv", narrowCsv) // skipped like spark.read
+    val viaDir = viaDsv2(dir.toString)
+    assert(viaDir.count() == 6, "4 narrow + 2 wide rows via the directory")
+    assert(sortedRows(viaDir) ==
+      sortedRows(CsvVehicleReader.read(spark, dir.toString + "/[ab]*")))
+
+    val emptyZip = dir.resolve("empty.zip")
+    new ZipOutputStream(Files.newOutputStream(emptyZip)).close()
+    assert(viaDsv2(emptyZip.toString).count() == 0)
+    assert(CsvVehicleReader.read(spark, emptyZip.toString).count() == 0)
+  }
+
   test("usable from SQL as a catalog table (CREATE TABLE ... USING)") {
     val path = writeFile(tmpDir, "narrow.csv", narrowCsv)
     spark.sql("DROP TABLE IF EXISTS vehicle_pings_dsv2")
