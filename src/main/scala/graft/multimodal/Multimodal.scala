@@ -424,6 +424,67 @@ object Multimodal {
       .toDF("media_id", "h_hi", "h_lo")
   }
 
+  /** Near-duplicate video fixture table (q183, the
+    * [[mediaWithNearDupImagePayloads]] analog): video-kind rows carry a
+    * multi-frame GIF of the GROUP's noise clip (group = media_id / 4,
+    * group-determined dims and 8 frames so members share the exact
+    * field) with the member's perturbation — member m ∈ {1, 2, 3}
+    * paints white the ONE source pixel the KEYFRAME's (frame 0) dHash
+    * grid samples at (2m, 3), flipping ≤ 2 keyframe-hash bits. Frames
+    * past the keyframe are identical across the group. */
+  def mediaWithNearDupVideoPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = mediaFromDocuments(docs)
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt)
+    val gifs = spread(base.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.sample_rate")))
+      .as[(Long, Int)](enc)
+      .mapPartitions(_.map { case (id, _) =>
+        val grp = id / 4
+        val w = (grp % 64).toInt + 16
+        val h = (grp % 48).toInt + 16
+        // 64-color-quantized noise frames: GIF-lossless like
+        // proceduralFrames, but seeded per GROUP
+        val frames = (0 until 8).map(f =>
+          noisePixels(grp * 131L + f, w, h).map(_ & 0xc0c0c0))
+        val m = (id % 4).toInt
+        val key = frames.head.clone()
+        if (m > 0) key(ImageCodec.dHashSampleIndex(w, h, 2 * m, 3)) = 0xffffff
+        (id, VideoCodec.encodeGif(w, h, key +: frames.tail))
+      })
+      .toDF("media_id", "gif")
+    base.join(gifs, Seq("media_id"), "left")
+      .withColumn("payload",
+        when(col("kind") === "video", col("gif")).otherwise(col("payload")))
+      .drop("gif")
+  }
+
+  /** REAL decode → 128-bit KEYFRAME perceptual hash: decode the
+    * multi-frame payload ([[VideoCodec.decodeFrames]]), dHash frame 0 —
+    * the classic keyframe-hash video fingerprint (production systems
+    * hash several sampled frames and align temporally; the per-frame
+    * machinery here is [[decodeVideoFrames]]'s). One row per decodable
+    * video payload. */
+  def keyframeHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        VideoCodec.decodeFrames(payload).flatMap(_.headOption)
+          .map { case (w, h, px) =>
+            val (hi, lo) = ImageCodec.dHash128(w, h, px)
+            (id, hi, lo)
+          }
+      })
+      .toDF("media_id", "h_hi", "h_lo")
+  }
+
   /** REAL decode → 128-bit perceptual hash ([[ImageCodec.dHash128]]) as
     * (media_id, h_hi, h_lo), one row per decodable image payload
     * (undecodable rows drop — routing, not crashing). The only

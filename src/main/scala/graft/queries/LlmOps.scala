@@ -1891,6 +1891,24 @@ object LlmOps {
       .eHashes(media.filter(col("kind") === "audio")))
   }
 
+  /** q183 — keyframe-hash VIDEO near-dup, completing the near-dup ×
+    * modality matrix (text q35/q71, image q178, audio q180, video
+    * HERE): multi-frame GIF payloads (planted near-dup groups of 4,
+    * [[graft.multimodal.Multimodal.mediaWithNearDupVideoPayloads]])
+    * decode for real ([[graft.multimodal.VideoCodec.decodeFrames]]),
+    * the KEYFRAME (frame 0) hashes through the shared 128-bit dHash,
+    * and candidates/verification are [[hammingBandPairs]] — the classic
+    * keyframe-fingerprint dedup (production stacks hash several sampled
+    * frames + align temporally; the per-frame machinery is q52c's).
+    * Engine-specific → rows-only check; planted-group recovery pinned
+    * in MultimodalSpec. */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal
+      .mediaWithNearDupVideoPayloads(Tables.documents(s, d))
+    hammingBandPairs(graft.multimodal.Multimodal
+      .keyframeHashes(media.filter(col("kind") === "video")))
+  }
+
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
     * the driver gate itself proves the salting rewrite is semantics-
     * preserving (SkewJoin spreads hot keys; results must be identical). */
@@ -6321,6 +6339,7 @@ object LlmOps {
     QueryDef("q179_filtered_graph_serve", q179, Some(q179Sql)),
     QueryDef("q180_audio_neardup", q180, None),
     QueryDef("q181_multiprobe_lsh", q181, Some(q181Sql)),
+    QueryDef("q183_video_neardup", q183, None),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -327,6 +327,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q183 shape: banded keyframe-dHash join recovers exactly the " +
+      "planted video near-dup groups") {
+    val pairs = graft.queries.LlmOps.q183(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getInt(2) <= 7, s"pair out of radius: $r"))
+    val m = Multimodal.mediaWithNearDupVideoPayloads(
+      Tables.documents(spark, sf0001))
+    val vidIds = m.filter(col("kind") === "video")
+      .select(col("media_id")).collect().map(_.getLong(0)).sorted
+    val wanted = for {
+      a <- vidIds; b <- vidIds
+      if a < b && a / 4 == b / 4
+    } yield (a, b)
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    wanted.foreach { p =>
+      assert(got.contains(p), s"planted same-group pair missed: $p")
+    }
+    val again = graft.queries.LlmOps.q183(spark, sf0001).collect()
+    assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("resize rewrites metadata, preserves payload") {
     val resized = Multimodal.resize(media, 224, 224)
     val r = resized.select(col("meta.width"), col("meta.height")).distinct().collect()
