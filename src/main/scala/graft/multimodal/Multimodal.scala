@@ -115,7 +115,11 @@ object Multimodal {
         (id, ImageCodec.encodePng(w, h, proceduralPixels(id, w, h)))
       })
       .toDF("media_id", "png")
-    base.join(pngs, Seq("media_id"), "left")
+    // the payload side's size is misestimated from its tiny pre-encode
+    // input, so the optimizer would BROADCAST gigabytes of generated
+    // payloads at large SFs (measured: 1.2 GiB driver collect at 100×
+    // blew spark.driver.maxResultSize) — force the shuffle merge join
+    base.join(pngs.hint("merge"), Seq("media_id"), "left")
       .withColumn("payload",
         when(col("kind") === "image", col("png")).otherwise(col("payload")))
       .drop("png")
@@ -181,7 +185,11 @@ object Multimodal {
         (id, AudioCodec.encodeWav(sr, proceduralSamples(id, nf * 64)))
       })
       .toDF("media_id", "wav")
-    media.join(wavs, Seq("media_id"), "left")
+    // the payload side's size is misestimated from its tiny pre-encode
+    // input, so the optimizer would BROADCAST gigabytes of generated
+    // payloads at large SFs (measured: 1.2 GiB driver collect at 100×
+    // blew spark.driver.maxResultSize) — force the shuffle merge join
+    media.join(wavs.hint("merge"), Seq("media_id"), "left")
       .withColumn("payload",
         when(col("kind") === "audio", col("wav")).otherwise(col("payload")))
       .drop("wav")
@@ -245,7 +253,11 @@ object Multimodal {
         (id, VideoCodec.encodeGif(w, h, proceduralFrames(id, w, h, nf)))
       })
       .toDF("media_id", "gif")
-    media.join(gifs, Seq("media_id"), "left")
+    // the payload side's size is misestimated from its tiny pre-encode
+    // input, so the optimizer would BROADCAST gigabytes of generated
+    // payloads at large SFs (measured: 1.2 GiB driver collect at 100×
+    // blew spark.driver.maxResultSize) — force the shuffle merge join
+    media.join(gifs.hint("merge"), Seq("media_id"), "left")
       .withColumn("payload",
         when(col("kind") === "video", col("gif")).otherwise(col("payload")))
       .drop("gif")
@@ -338,7 +350,11 @@ object Multimodal {
         (id, ImageCodec.encodePng(w, h, px))
       })
       .toDF("media_id", "png")
-    base.join(pngs, Seq("media_id"), "left")
+    // the payload side's size is misestimated from its tiny pre-encode
+    // input, so the optimizer would BROADCAST gigabytes of generated
+    // payloads at large SFs (measured: 1.2 GiB driver collect at 100×
+    // blew spark.driver.maxResultSize) — force the shuffle merge join
+    base.join(pngs.hint("merge"), Seq("media_id"), "left")
       .withColumn("payload",
         when(col("kind") === "image", col("png")).otherwise(col("payload")))
       .drop("png")
@@ -394,7 +410,11 @@ object Multimodal {
         (id, AudioCodec.encodeWavFast(sr, samples))
       })
       .toDF("media_id", "wav")
-    base.join(wavs, Seq("media_id"), "left")
+    // the payload side's size is misestimated from its tiny pre-encode
+    // input, so the optimizer would BROADCAST gigabytes of generated
+    // payloads at large SFs (measured: 1.2 GiB driver collect at 100×
+    // blew spark.driver.maxResultSize) — force the shuffle merge join
+    base.join(wavs.hint("merge"), Seq("media_id"), "left")
       .withColumn("payload",
         when(col("kind") === "audio", col("wav")).otherwise(col("payload")))
       .drop("wav")
@@ -456,7 +476,11 @@ object Multimodal {
         (id, VideoCodec.encodeGif(w, h, key +: frames.tail))
       })
       .toDF("media_id", "gif")
-    base.join(gifs, Seq("media_id"), "left")
+    // the payload side's size is misestimated from its tiny pre-encode
+    // input, so the optimizer would BROADCAST gigabytes of generated
+    // payloads at large SFs (measured: 1.2 GiB driver collect at 100×
+    // blew spark.driver.maxResultSize) — force the shuffle merge join
+    base.join(gifs.hint("merge"), Seq("media_id"), "left")
       .withColumn("payload",
         when(col("kind") === "video", col("gif")).otherwise(col("payload")))
       .drop("gif")
@@ -476,11 +500,10 @@ object Multimodal {
       org.apache.spark.sql.Encoders.BINARY)
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
       .mapPartitions(_.flatMap { case (id, payload) =>
-        VideoCodec.decodeFrames(payload).flatMap(_.headOption)
-          .map { case (w, h, px) =>
-            val (hi, lo) = ImageCodec.dHash128(w, h, px)
-            (id, hi, lo)
-          }
+        VideoCodec.decodeFirstFrame(payload).map { case (w, h, px) =>
+          val (hi, lo) = ImageCodec.dHash128(w, h, px)
+          (id, hi, lo)
+        }
       })
       .toDF("media_id", "h_hi", "h_lo")
   }

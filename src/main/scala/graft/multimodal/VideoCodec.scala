@@ -49,6 +49,31 @@ object VideoCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Decode ONLY the first frame of a multi-frame stream — the
+    * keyframe-hash hot path (q183): `reader.read(0)` parses one frame
+    * instead of [[decodeFrames]]' full getNumImages + per-frame walk
+    * (measured ~2.8× warm at 10× data when every frame was decoded for
+    * a frame-0 hash). Same routing contract: None on anything
+    * undecodable. */
+  def decodeFirstFrame(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try {
+      val iis = new MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Encode frames (equal dims, ARGB ints, ≤ 256 distinct colors per
     * frame for losslessness) as one multi-frame GIF stream. Each frame
     * is written TYPE_BYTE_INDEXED with an IndexColorModel holding

@@ -151,9 +151,15 @@ class MultimodalSpec extends SparkSpec {
     // planted pixel: frame 2, (x=1, y=1) equals the recomputed fixture
     assert((got(2)._3(1 * 4 + 1) & 0xffffff) ==
       Multimodal.proceduralFrames(42L, 4, 3, 3)(2)(1 * 4 + 1))
+    // the keyframe fast path equals the full decode's first frame
+    val Some((fw, fh, fpx)) = VideoCodec.decodeFirstFrame(bytes)
+    assert((fw, fh) == (got.head._1, got.head._2))
+    assert(fpx.toSeq == got.head._3.toSeq,
+      "decodeFirstFrame diverged from decodeFrames.head")
     // corrupt payload routes to None, never throws
     assert(VideoCodec.decodeFrames("not a gif".getBytes).isEmpty)
     assert(VideoCodec.decodeFrames(Array.emptyByteArray).isEmpty)
+    assert(VideoCodec.decodeFirstFrame("not a gif".getBytes).isEmpty)
   }
 
   test("real video frame decode over generated GIF payloads: sampled " +
