@@ -119,6 +119,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output
     val lKeys = leftKeys
     val rKeys = rightKeys
     val lTime = leftTime
@@ -137,6 +138,11 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         .createNaturalAscendingOrdering(Seq(timeType))
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
+      // SparkPlan's row contract: downstream consumers that bypass a
+      // Project (getByteArrayRdd for collect/take, UnsafeRowSerializer
+      // under a direct shuffle) cast to UnsafeRow — emit UnsafeRow like
+      // SortMergeJoinExec does, via one reused projection per partition.
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
 
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
@@ -155,7 +161,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           // null-keyed/timed left row takes no match and does NOT
           // advance the cursor (null keys sort first, so later left
           // rows discard any skipped right rows themselves).
-          if (lk.anyNull || lt.isNullAt(0)) return joined(l, nullRight)
+          if (lk.anyNull || lt.isNullAt(0)) return outProj(joined(l, nullRight))
           // advance the right cursor: discard keys before lk and
           // never-matching null rows; for key == lk buffer rows with
           // time <= lt (they arrive time-ASC, so the last buffered is
@@ -183,7 +189,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             if (matchRow != null && matchKey != null &&
               keyOrd.compare(matchKey, lk) == 0) matchRow
             else nullRight
-          joined(l, m)
+          outProj(joined(l, m))
         }
       }
     }
