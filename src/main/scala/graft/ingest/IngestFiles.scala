@@ -57,12 +57,16 @@ private[graft] object IngestFiles {
   /** Open `file` as a decompressed byte stream: plain bytes, `.gz`
     * inflate, or `.zip` FIRST entry (CsvLoader.java:86-88) — an EMPTY
     * zip archive yields an empty stream (zero rows, the permissive-drop
-    * discipline), never a throw. */
+    * discipline), never a throw. Extension match is CASE-INSENSITIVE
+    * (the reference lowercases the name before testing,
+    * CsvLoader.java:84, 90 — `DATA.GZ`/`DATA.ZIP` must decompress, not
+    * parse as plain bytes). */
   def openDecompressed(file: String, conf: Configuration): InputStream = {
     val fs = FileSystem.get(new java.net.URI(file), conf)
     val raw = fs.open(new HPath(file))
-    if (file.endsWith(".gz")) new GZIPInputStream(raw)
-    else if (file.endsWith(".zip")) {
+    val lower = file.toLowerCase(java.util.Locale.ROOT)
+    if (lower.endsWith(".gz")) new GZIPInputStream(raw)
+    else if (lower.endsWith(".zip")) {
       val zis = new ZipInputStream(raw)
       if (zis.getNextEntry == null) {
         zis.close()

@@ -142,7 +142,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       // Project (getByteArrayRdd for collect/take, UnsafeRowSerializer
       // under a direct shuffle) cast to UnsafeRow — emit UnsafeRow like
       // SortMergeJoinExec does, via one reused projection per partition.
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind against the null-extended right schema: BindReferences takes
+      // nullability from the INPUT attributes, and unmatched left rows are
+      // projected over the all-null nullRight slot — a non-nullable right
+      // column would skip the null check and read 0/false instead of NULL
+      // (SortMergeJoinExec binds buffered output withNullability(true)).
+      val outProj =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered

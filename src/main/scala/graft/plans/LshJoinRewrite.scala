@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{CosineSimilarityExpr, SignLshBandExpr}
 
@@ -27,13 +27,17 @@ import graft.functions.{CosineSimilarityExpr, SignLshBandExpr}
   * enabled`, default false): a qualifying pair whose `bands` band keys
   * all differ is not produced (recall for a pair at angle θ is
   * 1−(1−(1−θ/π)^bits)^bands — ≥ 0.98 at cosine 0.9 with the default 8
-  * bands × 6 bits). Band multiplicity is removed by grouping on a
-  * per-side row identity injected below each Generate, so duplicate
-  * identical input rows keep their original pair multiplicity — the
-  * only semantics delta vs the cartesian join is the recall
-  * approximation itself (and the rewrite only fires on joins with no
-  * other equi-predicate, where the alternative is the full cartesian
-  * scan). Rows with a null vector are filtered beneath the Generate:
+  * bands × 6 bits). Band multiplicity is removed by the
+  * FIRST-MATCHING-BAND filter: each side carries its full band array
+  * under the Generate and a joined row survives only when no earlier
+  * band also matches — a deterministic, map-side dedup (band values
+  * are pure content functions, so a shuffle-stage retry re-derives the
+  * same single emission; no per-row identity, no dedup shuffle).
+  * Duplicate identical input rows keep their original pair
+  * multiplicity — the only semantics delta vs the cartesian join is
+  * the recall approximation itself (and the rewrite only fires on
+  * joins with no other equi-predicate, where the alternative is the
+  * full cartesian scan). Rows with a null vector are filtered beneath the Generate:
   * they cannot satisfy the threshold conjunct, and the filter makes
   * the band-key attribute genuinely non-nullable.
   *
@@ -106,34 +110,29 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   private def banded(side: LogicalPlan, vec: Expression, name: String,
-      bands: Int, bits: Int): (LogicalPlan, Attribute, Attribute) = {
+      bands: Int, bits: Int): (LogicalPlan, Attribute, Attribute, Attribute) = {
     // A null vector cannot satisfy the cosine threshold (the conjunct
     // evaluates to null, never true), so filtering it beneath the
     // Generate is semantics-preserving — and it makes the band-key
     // attribute's declared non-nullability actually hold:
     // SignLshBandExpr is only nullable through a null input vector.
     val notNull = Filter(IsNotNull(vec), side)
-    // Per-input-row identity: band-collision dedup groups on it so a
-    // qualifying pair emits once per INPUT row pair, preserving the
-    // multiplicity of duplicate identical input rows (a DISTINCT over
-    // the bare join output would collapse those too).
-    // CAVEAT (documented, not fixed): MonotonicallyIncreasingID carries
-    // Spark's standard indeterminacy under shuffle-stage RETRY — if a
-    // fetch-failure re-run reorders this side's rows, a row's band
-    // copies can straddle two rid values and a qualifying pair emits
-    // twice. Same exposure as every monotonically_increasing_id-based
-    // dedup; the rewrite is opt-in and its oracle gate runs retry-free.
-    // A deterministic fix needs a content-independent stable id
-    // (zipWithIndex over a sorted child), which costs an extra sort.
-    val rid = Alias(MonotonicallyIncreasingID(), name + "_rid")()
-    val withId = Project(side.output :+ rid, notNull)
+    // The full band array rides along under the Generate so the
+    // first-matching-band dedup filter (see rewrite) can test earlier
+    // bands in-row — band values are pure content functions, so the
+    // whole dedup is DETERMINISTIC under shuffle-stage retry (r15
+    // verdict fix #3: the former MonotonicallyIncreasingID identity
+    // could double-emit a pair after a fetch-failure recompute).
+    val arr = Alias(CreateArray((0 until bands).map(k =>
+      SignLshBandExpr(vec, k, bits))), name + "_arr")()
+    val withArr = Project(side.output :+ arr, notNull)
+    val pos = AttributeReference(name + "_pos", IntegerType, nullable = false)()
     val attr = AttributeReference(name, LongType, nullable = false)()
     val gen = Generate(
-      Explode(CreateArray((0 until bands).map(k =>
-        SignLshBandExpr(vec, k, bits)))),
+      PosExplode(arr.toAttribute),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(attr), child = withId)
-    (gen, attr, rid.toAttribute)
+      generatorOutput = Seq(pos, attr), child = withArr)
+    (gen, attr, pos, arr.toAttribute)
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
@@ -142,16 +141,28 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val conjuncts = splitConjunctivePredicates(cond)
     if (hasEquiKey(conjuncts, left, right)) return None
     thresholdConjunct(conjuncts, left, right).map { case (lv, rv) =>
-      val (bl, la, lid) = banded(left, lv, "__lsh_band_l", bands, bits)
-      val (br, ra, rid) = banded(right, rv, "__lsh_band_r", bands, bits)
+      val (bl, la, lpos, larr) = banded(left, lv, "__lsh_band_l", bands, bits)
+      val (br, ra, _, rarr) = banded(right, rv, "__lsh_band_r", bands, bits)
       val newCond = (EqualTo(la, ra) +: conjuncts).reduce(And)
       val joined = Join(bl, br, Inner, Some(newCond), hint)
-      val out = j.output
-      // Group on the per-side row identities (plus the output columns
-      // they functionally determine) so each qualifying input-row pair
-      // emits exactly once across band collisions while duplicate
-      // identical input rows keep their original multiplicity.
-      Aggregate(Seq(lid, rid) ++ out, out, joined)
+      // Band-collision dedup WITHOUT a per-row identity: a qualifying
+      // pair emits only at its FIRST matching band — keep the joined
+      // row iff no band j < lpos also matches (the band id is packed
+      // into the key's high bits, so la = ra already implies equal band
+      // index on both sides). Each input-row pair passes for exactly
+      // one band, so duplicate identical input rows keep their original
+      // multiplicity — and unlike the former rid + Aggregate, this is a
+      // map-side filter (no dedup shuffle) over values that are pure
+      // functions of row content (retry-deterministic). Unrolled
+      // statically over the ≤ bands−1 earlier indices; stays inside
+      // whole-stage codegen.
+      val earlierMatch = (0 until bands - 1).map { jj =>
+        And(GreaterThan(lpos, Literal(jj)),
+          EqualTo(GetArrayItem(larr, Literal(jj)),
+            GetArrayItem(rarr, Literal(jj))))
+      }.reduceOption[Expression](Or)
+      val firstOnly = earlierMatch.map(Not(_)).getOrElse(Literal.TrueLiteral)
+      Project(j.output, Filter(firstOnly, joined))
     }
   }
 }

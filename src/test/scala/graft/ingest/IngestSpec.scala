@@ -82,6 +82,15 @@ class IngestSpec extends SparkSpec {
     assert(CsvVehicleReader.read(spark, gz.toString).count() == 4)
   }
 
+  test("UPPERCASE .GZ extension still decompresses (reference lowercases " +
+      "before the extension test, CsvLoader.java:84)") {
+    val dir = tmpDir
+    val gz = dir.resolve("NARROW.CSV.GZ")
+    val out = new GZIPOutputStream(new FileOutputStream(gz.toFile))
+    out.write(narrowCsv.getBytes(StandardCharsets.UTF_8)); out.close()
+    assert(CsvVehicleReader.read(spark, gz.toString).count() == 4)
+  }
+
   test("zip CSV reads FIRST entry only (second entry is poison)") {
     val dir = tmpDir
     val zip = dir.resolve("narrow.zip")
