@@ -16,6 +16,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Gate-time regime pin (r15 verdict fix #4): the q168 oracle (and
+      // every landed-graph consumer's) mirrors the CELL-BLOCKED build
+      // chain; the auto dispatch would silently switch the landed graph
+      // to NN-Descent past 2^17 vectors and false-mismatch the compare.
+      // Pinning here keeps the correctness gate self-consistent at ANY
+      // sf; production callers keep the size-calibrated auto dispatch.
+      .config("spark.graft.knnGraph.build", "cellblocked")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

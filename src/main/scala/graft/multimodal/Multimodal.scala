@@ -448,10 +448,15 @@ object Multimodal {
     * [[mediaWithNearDupImagePayloads]] analog): video-kind rows carry a
     * multi-frame GIF of the GROUP's noise clip (group = media_id / 4,
     * group-determined dims and 8 frames so members share the exact
-    * field) with the member's perturbation — member m ∈ {1, 2, 3}
-    * paints white the ONE source pixel the KEYFRAME's (frame 0) dHash
-    * grid samples at (2m, 3), flipping ≤ 2 keyframe-hash bits. Frames
-    * past the keyframe are identical across the group. */
+    * field) with the member's perturbation — member m ∈ {1, 2} paints
+    * white the ONE source pixel the KEYFRAME's (frame 0) dHash grid
+    * samples at (2m, 3), flipping ≤ 2 keyframe-hash bits; member m = 3
+    * is a TRIMMED copy (the group clip minus its keyframe — frames
+    * 1..7, unperturbed), the evasion case a frame-0-only fingerprint
+    * can never match (its keyframe is the group's frame 1, a different
+    * noise field) but any-frame matching recovers exactly (its frames
+    * equal the group's frames 1..7). Frames past the keyframe are
+    * identical across the group. */
   def mediaWithNearDupVideoPayloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -471,9 +476,13 @@ object Multimodal {
         val frames = (0 until 8).map(f =>
           noisePixels(grp * 131L + f, w, h).map(_ & 0xc0c0c0))
         val m = (id % 4).toInt
-        val key = frames.head.clone()
-        if (m > 0) key(ImageCodec.dHashSampleIndex(w, h, 2 * m, 3)) = 0xffffff
-        (id, VideoCodec.encodeGif(w, h, key +: frames.tail))
+        if (m == 3) (id, VideoCodec.encodeGif(w, h, frames.tail))
+        else {
+          val key = frames.head.clone()
+          if (m > 0)
+            key(ImageCodec.dHashSampleIndex(w, h, 2 * m, 3)) = 0xffffff
+          (id, VideoCodec.encodeGif(w, h, key +: frames.tail))
+        }
       })
       .toDF("media_id", "gif")
     // the payload side's size is misestimated from its tiny pre-encode
@@ -486,12 +495,46 @@ object Multimodal {
       .drop("gif")
   }
 
+  /** REAL decode → per-FRAME 128-bit perceptual hashes: decode the
+    * multi-frame payload ([[VideoCodec.decodeFrames]]) once, dHash
+    * every `everyK`-th frame — the any-keyframe video fingerprint
+    * (r15 verdict ask #4: a frame-0-only hash misses a TRIMMED copy,
+    * whose every frame exists in the source but whose frame 0 does
+    * not). Output (media_id, frame_idx, h_hi, h_lo), frame_idx in the
+    * DECODED clip (so a trimmed copy's frame j matches the source's
+    * frame j+trim at possibly different indices — the band join must
+    * not key on frame_idx). Stride caveat, by construction: a stride-K
+    * sample of a clip trimmed by t frames shares sampled SOURCE frames
+    * only when K | t alignments collide — dense matching needs K = 1
+    * (the default) or temporal alignment downstream; K > 1 is the
+    * bounded-cost screen for long clips. */
+  def frameHashes(media: DataFrame, everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1: $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        VideoCodec.decodeFrames(payload).toSeq.flatMap { frames =>
+          frames.iterator.zipWithIndex
+            .filter { case (_, fi) => fi % everyK == 0 }
+            .map { case ((w, h, px), fi) =>
+              val (hi, lo) = ImageCodec.dHash128(w, h, px)
+              (id, fi, hi, lo)
+            }
+        }
+      })
+      .toDF("media_id", "frame_idx", "h_hi", "h_lo")
+  }
+
   /** REAL decode → 128-bit KEYFRAME perceptual hash: decode the
     * multi-frame payload ([[VideoCodec.decodeFrames]]), dHash frame 0 —
-    * the classic keyframe-hash video fingerprint (production systems
-    * hash several sampled frames and align temporally; the per-frame
-    * machinery here is [[decodeVideoFrames]]'s). One row per decodable
-    * video payload. */
+    * the classic keyframe-hash video fingerprint, kept as the
+    * cheap screen ([[frameHashes]] is the any-frame path q183 uses;
+    * per-frame sampling machinery is [[decodeVideoFrames]]'s). One row
+    * per decodable video payload. */
   def keyframeHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -468,6 +468,256 @@ object SuffixArray {
     statePath
   }
 
+
+  /** Refine-pass pair sets at or under this count take the BROADCAST
+    * regime: per level the needed (pos, rank) rows are semi-filtered
+    * out of the level relation (one columnar scan, no shuffle) and
+    * broadcast to both lookup joins. Above it, the shuffle joins run —
+    * over the in-flight subset only, never all n pairs. */
+  private[operators] val LcpBroadcastActiveMax: Long = 1L << 20
+
+  /** ACTIVE-SET LCP: bracket-up then refine-down over the hierarchy —
+    * BUILT FOR r15 verdict ask #2, MEASURED AND KEPT OFF (the q173
+    * cold-entry / seedWidth discipline: reject with numbers). The ask's
+    * premise — "a pair resolved at level p never needs deeper levels" —
+    * is true for join TRAFFIC but join traffic is not the cost driver:
+    * every level join pays a FIXED shuffle of the full n-row level
+    * relation regardless of how few pairs remain, and splitting the
+    * descent into two passes nearly doubles the count of those fixed
+    * shuffles. Measured at the 100× design point (27,070,400 tokens,
+    * local[8], same session shape as BASELINE's 255.9 s default):
+    *   - direct-compare K=16 Phase A + descent: 345.8 s (the rotated
+    *     siblings leave ~80% of pairs at LCP ≥ 16 — fat arrays, no
+    *     shrink);
+    *   - bracket-up/refine-down, per-level lands: 287.3 s;
+    *   - with 4-level UP chaining: 322.1 s (exited rows riding the
+    *     chain cost more than the saved lands);
+    *   - phase split (re-measure): up 228.8 s / down 135.1 s.
+    * All lose to the 255.9 s top-down default. The winning redesign —
+    * pivot the hierarchy into a per-position composite rank row so a
+    * lookup serves EVERY level at an offset and a pair finishes in
+    * popcount(lcp)+1 lookups — is recorded in BASELINE.md for a future
+    * round. Property coverage (both refine regimes) keeps this variant
+    * correct meanwhile.
+    *
+    * Semantics, both passes exact:
+    *
+    * UP (bracket): pairs join each level ASCENDING at their own
+    * STATIC positions — rank equality at level p ⟺ lcp ≥ p (the
+    * build's shorter-suffix sentinel makes a short suffix distinct
+    * from longer ones at any level past its end, so text ends need no
+    * special case). A pair leaves the pass at its FIRST mismatching
+    * level q, carrying the exact bracket lcp ∈ [M, q) (M = the level
+    * below q, its last match; M = 0 at level 1). The live set shrinks
+    * with the true LCP tail distribution; the top level empties it
+    * (the converged build ranks all suffixes distinct ⟹ every pair
+    * mismatches by then).
+    *
+    * DOWN (refine): greedy remainder capture — add level p whenever
+    * ranks at (a+lcp, b+lcp) match. Each bracket class (M, q) has
+    * remainder < q − M, so classes with q − M ≤ 1 are already EXACT
+    * (binary-ladder brackets [0,1) and [1,2)), and the rest INJECT at
+    * the first rep of the level TWO below q in the descending ladder —
+    * the level one below would always mismatch for them (adding M
+    * again overshoots the bracket), and the invariant there (remainder
+    * < level-below-q) holds because build ladders double everywhere
+    * except the bottom seed jump, where the inject target collapses to
+    * the bottom level and its `prev/p − 1` reps cover the hole (the
+    * seeded 8 → 1 ladder: level 1 applied 7 times). After the bottom
+    * level's reps the remainder is 0 for every pair.
+    *
+    * Caller owns `h` (NOT released here). `broadcastMax` is a test
+    * seam (specs pin both refine regimes); production callers take the
+    * default. */
+  private[operators] def lcpFromLevelsBracket(spark: SparkSession, h: SaHierarchy,
+      broadcastMax: Long = LcpBroadcastActiveMax,
+      onPhase: (String, Double) => Unit = (_, _) => ()): String = {
+    var tPhase = System.nanoTime()
+    def phaseLap(name: String): Unit = {
+      val t = System.nanoTime()
+      onPhase(name, (t - tPhase) / 1e9)
+      tPhase = t
+    }
+    val fin = h.finalRanksDf(spark)
+    val a = fin.select(col("rank"), col("pos").as("a_pos"))
+    val b = fin.select((col("rank") - 1).as("rank"), col("pos").as("b_pos"))
+    val outPath = Scratch.allocPath("sa-lcp")
+    val brkPath = Scratch.allocPath("sa-lcp-brk")
+
+    // ---- UP: bracket every pair at its first mismatching level.
+    // Levels chain [[LcpLandEvery]] per landed plan (the same batching
+    // the refine pass uses): one land per GROUP instead of per level —
+    // measured at the 100× point, per-level landing wrote ~166M state
+    // rows across the pass and cost 287 s wall; batched, the pass lands
+    // only each group's entry state. Rows that exit mid-group ride the
+    // group's remaining joins once more (≤ 3 extra lookups each) —
+    // cheaper than landing. The landed group relation carries `__x` =
+    // the first mismatching level's prefix (0 = still live), so the
+    // per-level bracket classes are cheap filter scans of it.
+    var statePath =
+      Scratch.materializePath(a.join(b, Seq("rank")), "sa-lcp-up")
+    var stateHasExit = false
+    var live = math.max(0L, h.n - 1)
+    var prevUp = 0L
+    // per-bound mismatch counts (driver state: one Long per level) —
+    // they schedule the DOWN injections and size its regime WITHOUT
+    // re-counting anything
+    val boundCounts = scala.collection.mutable.Map.empty[Long, Long]
+    for (grp <- h.levels.indices.grouped(LcpLandEvery) if live > 0) {
+      val st0 = spark.read.parquet(statePath)
+      var cur =
+        if (stateHasExit) st0.filter(col("__x") === 0L).drop("__x") else st0
+      // inner joins on the pair's OWN positions (static keys): every
+      // position exists in the full level relation, and the small side
+      // broadcasts once the live set shrinks under the AQE threshold
+      val ms = grp.map { li =>
+        val p = h.levels(li).prefixLen
+        val rp = h.levelDf(spark, li)
+        cur = cur
+          .join(rp.select(col("pos").as("a_pos"),
+            col("rank").as(s"__ar$li")), Seq("a_pos"))
+          .join(rp.select(col("pos").as("b_pos"),
+            col("rank").as(s"__br$li")), Seq("b_pos"))
+          .withColumn(s"__m$li", col(s"__ar$li") === col(s"__br$li"))
+          .drop(s"__ar$li", s"__br$li")
+        (p, s"__m$li")
+      }
+      val exit = ms.foldRight(lit(0L)) { case ((p, m), rest) =>
+        when(!col(m), lit(p)).otherwise(rest)
+      }
+      val newPath = Scratch.materializePath(
+        cur.select(col("rank"), col("a_pos"), col("b_pos"),
+          exit.as("__x")), "sa-lcp-up")
+      Scratch.release(statePath)
+      statePath = newPath
+      stateHasExit = true
+      val landed = spark.read.parquet(newPath)
+      for ((p, _) <- ms) {
+        val mism = Scratch.appendPathCounted(
+          landed.filter(col("__x") === p)
+            .select(col("rank"), col("a_pos"), col("b_pos"),
+              lit(prevUp).as("lcp"), lit(p).as("bound")), brkPath)
+        if (mism > 0) boundCounts(p) = mism
+        live -= mism
+        prevUp = p
+      }
+    }
+    require(live == 0, s"bracket pass left $live pairs live — the " +
+      "converged hierarchy's top level must rank all suffixes distinct")
+    Scratch.release(statePath)
+    phaseLap("up")
+
+    // bracket classes with remainder 0 (bound − lcp ≤ 1) are exact;
+    // the empty-schema union keeps the output dir readable when the
+    // corpus has no pairs at all (n ≤ 1)
+    val lcpSchemaEmpty = spark.range(0).select(
+      lit(0L).as("rank"), lit(0L).as("a_pos"),
+      lit(0L).as("b_pos"), lit(0L).as("lcp"))
+    val resolvedDirect =
+      if (boundCounts.nonEmpty)
+        spark.read.parquet(brkPath)
+          .filter(col("bound") - col("lcp") <= 1)
+          .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
+      else lcpSchemaEmpty
+    Scratch.appendPath(resolvedDirect.unionByName(lcpSchemaEmpty), outPath)
+
+    // ---- DOWN: refine each remaining bracket class
+    // ladder (descending) + injection schedule: class bound = L(i)
+    // joins at the first rep of L(i+2) (see Scaladoc); bottom-adjacent
+    // classes join at the bottom level itself
+    val descIdx = h.levels.indices.sortBy(i => -h.levels(i).prefixLen)
+    val descP = descIdx.map(h.levels(_).prefixLen)
+    val levelBelow: Map[Long, Long] =
+      descP.zip(descP.drop(1)).toMap // bound -> its M
+    val injectAt: Map[Long, Long] = descP.zipWithIndex.flatMap {
+      case (q, i) =>
+        if (i + 2 < descP.size) Some(q -> descP(i + 2))
+        else if (i + 1 < descP.size) Some(q -> descP(i + 1))
+        else None // bottom-level bound: remainder 0, resolved above
+    }.toMap
+    def unresolvedClass(q: Long): Boolean =
+      q - levelBelow.getOrElse(q, 0L) > 1 && boundCounts.contains(q)
+
+    // rep expansion with first-rep flags (reps per level: prev/p − 1)
+    val rev = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+    var prevP = -1L
+    for (i <- descIdx) {
+      val p = h.levels(i).prefixLen
+      val reps = if (prevP < 0) 1 else math.max(1L, prevP / p - 1L).toInt
+      var r = 0
+      while (r < reps) { rev += ((i, r == 0)); r += 1 }
+      prevP = p
+    }
+
+    var downPath: Option[String] = None // landed state, when landed
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var inFlight = 0L
+    var sinceLand = 0
+    for (((li, firstRep), idx) <- rev.zipWithIndex) {
+      val p = h.levels(li).prefixLen
+      if (firstRep) {
+        val qs = injectAt.collect {
+          case (q, ip) if ip == p && unresolvedClass(q) => q
+        }.toSeq
+        if (qs.nonEmpty) {
+          val inj = spark.read.parquet(brkPath)
+            .filter(col("bound").isin(qs: _*))
+            .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
+          state = Some(state.map(_.unionByName(inj)).getOrElse(inj))
+          inFlight += qs.map(boundCounts).sum
+        }
+      }
+      if (state.nonEmpty) {
+        val smallRegime = inFlight <= broadcastMax
+        val rpFull = h.levelDf(spark, li)
+        var rpScratch: Option[String] = None
+        val rp = if (smallRegime) {
+          // one columnar scan of the level relation, semi-filtered to
+          // the ≤ 2×inFlight positions this level can touch, then
+          // broadcast to both lookups — no shuffle in the small regime
+          // (state is landed every rep there, so `need` reads parquet
+          // plus at most one injection union)
+          val need = state.get.select(explode(array(
+            col("a_pos") + col("lcp"), col("b_pos") + col("lcp")))
+            .as("need")).distinct()
+          val fp = Scratch.materializePath(
+            rpFull.join(broadcast(need), col("pos") === col("need"),
+              "left_semi"), "sa-lcp-rp")
+          rpScratch = Some(fp)
+          broadcast(spark.read.parquet(fp))
+        } else rpFull
+        val stepped = state.get
+          .join(rp.select(col("pos").as("__ap"), col("rank").as("__ar")),
+            col("__ap") === col("a_pos") + col("lcp"), "left")
+          .join(rp.select(col("pos").as("__bp"), col("rank").as("__br")),
+            col("__bp") === col("b_pos") + col("lcp"), "left")
+          .withColumn("lcp",
+            when(col("__ar").isNotNull && col("__br").isNotNull &&
+              col("__ar") === col("__br"), col("lcp") + p)
+              .otherwise(col("lcp")))
+          .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
+        sinceLand += 1
+        if (smallRegime || sinceLand == LcpLandEvery ||
+            idx == rev.size - 1) {
+          val newState = Scratch.materializePath(stepped, "sa-lcp-down")
+          downPath.foreach(Scratch.release)
+          downPath = Some(newState)
+          state = Some(spark.read.parquet(newState))
+          sinceLand = 0
+        } else state = Some(stepped)
+        rpScratch.foreach(Scratch.release)
+      }
+    }
+    // the last rep force-lands, so the final state is pure parquet
+    downPath.foreach { dp =>
+      Scratch.appendPath(spark.read.parquet(dp), outPath)
+      Scratch.release(dp)
+    }
+    Scratch.release(brkPath)
+    phaseLap("down")
+    outPath
+  }
+
   /** The per-round rank result of [[rankByKeyPath]]: `path` lands
     * (pos, rank, solo — true iff the row's key group is a singleton,
     * i.e. the suffix is RESOLVED); `maxGroup` is the EXACT size of the

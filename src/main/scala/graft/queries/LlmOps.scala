@@ -1891,22 +1891,112 @@ object LlmOps {
       .eHashes(media.filter(col("kind") === "audio")))
   }
 
-  /** q183 — keyframe-hash VIDEO near-dup, completing the near-dup ×
+  /** q183 — ANY-KEYFRAME VIDEO near-dup, completing the near-dup ×
     * modality matrix (text q35/q71, image q178, audio q180, video
-    * HERE): multi-frame GIF payloads (planted near-dup groups of 4,
-    * [[graft.multimodal.Multimodal.mediaWithNearDupVideoPayloads]])
-    * decode for real ([[graft.multimodal.VideoCodec.decodeFrames]]),
-    * the KEYFRAME (frame 0) hashes through the shared 128-bit dHash,
-    * and candidates/verification are [[hammingBandPairs]] — the classic
-    * keyframe-fingerprint dedup (production stacks hash several sampled
-    * frames + align temporally; the per-frame machinery is q52c's).
-    * Engine-specific → rows-only check; planted-group recovery pinned
-    * in MultimodalSpec. */
+    * HERE): multi-frame GIF payloads (planted near-dup groups of 4
+    * INCLUDING a trimmed member, [[graft.multimodal.Multimodal
+    * .mediaWithNearDupVideoPayloads]]) decode for real, EVERY frame
+    * hashes through the shared 128-bit dHash ([[graft.multimodal
+    * .Multimodal.frameHashes]]), the 8-band × 16-bit band join runs at
+    * FRAME granularity (no frame_idx key — a trimmed clip's frame j
+    * must match the source's frame j+trim), and verified frame pairs
+    * group to clip pairs (min Hamming + matched-frame count). Frame-0-
+    * only matching (the r14 cut) misses a trimmed copy outright — its
+    * keyframe is a different noise field; the any-frame join recovers
+    * it exactly, at the honest cost of hashing n_frames rows per clip
+    * (the [[graft.multimodal.Multimodal.frameHashes]] stride bounds
+    * that for long clips). Engine-specific → rows-only check;
+    * planted-group AND trimmed-clip recovery pinned in MultimodalSpec. */
   def q183(s: SparkSession, d: String): DataFrame = {
     val media = graft.multimodal.Multimodal
       .mediaWithNearDupVideoPayloads(Tables.documents(s, d))
-    hammingBandPairs(graft.multimodal.Multimodal
-      .keyframeHashes(media.filter(col("kind") === "video")))
+    hammingBandFramePairs(graft.multimodal.Multimodal
+      .frameHashes(media.filter(col("kind") === "video")))
+  }
+
+  /** [[hammingBandPairs]] at FRAME granularity (q183): bucket rows are
+    * (media_id, frame_idx) fingerprints, the band join matches frames
+    * of DIFFERENT clips at any frame offset, the radius-7 `bit_count`
+    * verify runs map-side per frame pair, band multiplicity dedups on
+    * the frame-pair key, and clip pairs aggregate min-Hamming plus the
+    * matched-frame count. Same 16-bit-band occupancy bound as the clip
+    * form — the row count is n_frames× larger by construction, which
+    * is the price of trim robustness (measured in BASELINE.md's
+    * fingerprint table). */
+  private def hammingBandFramePairs(frameHashes: DataFrame): DataFrame = {
+    val chunks = (0 until 8).map { b =>
+      val word = if (b < 4) col("h_lo") else col("h_hi")
+      struct(lit(b).as("band"),
+        shiftright(word, (b % 4) * 16)
+          .bitwiseAND(lit(0xffffL)).as("chunk")).as(s"b$b")
+    }
+    val buckets = frameHashes
+      .select(col("media_id"), col("frame_idx"), col("h_hi"), col("h_lo"),
+        explode(array(chunks: _*)).as("bk"))
+      .select(col("media_id"), col("frame_idx"), col("h_hi"), col("h_lo"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+        col("a.frame_idx").as("fa"), col("b.frame_idx").as("fb"),
+        (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+          bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+      .groupBy(col("ma"), col("mb"))
+      .agg(min(col("hamming")).as("hamming"),
+        count(lit(1)).as("matched_frames"))
+      .orderBy(col("ma"), col("mb"))
+  }
+
+  /** q184 — FINGERPRINT DEDUP CLOSURE across media modalities (r15
+    * verdict ask #3): q178/q180/q183 emit pair RELATIONS; this query
+    * closes them to the q84/q174 audit contract. The three pair sets
+    * union (media ids are disjoint across kinds — kind = doc_id mod 3),
+    * connected components run once over the combined edges
+    * ([[graft.operators.ConnectedComponents]]'s two-regime dispatch:
+    * single-task union-find under its edge cap, distributed min-label
+    * propagation above), the survivor is the component's min media_id,
+    * and every media row — matched or not — emits the audit relation
+    * (media_id, kind, cluster_id, cluster_size, pruned). Scale shape:
+    * the edge set is radius-filtered band-join output (bounded by true
+    * near-dup density, never all-pairs), CC touches only edges, and the
+    * corpus joins the bounded label relation once. Engine-specific
+    * upstream (JVM codec decode) → rows-only check; planted-group
+    * one-survivor-per-component closure pinned in MultimodalSpec. */
+  private val fpDedupCache =
+    new graft.operators.DatasetCache[String]("fp-dedup", Seq(_))
+
+  def q184(s: SparkSession, d: String): DataFrame = {
+    // labels memoize per dataset (the q174 discipline): CC owns a landed
+    // labels dir, so a looping driver must not rebuild-and-leak it
+    val labelsPath = fpDedupCache.getOrCompute(d) { dir =>
+      val asEdges = (df: DataFrame) =>
+        df.select(col("ma").as("da"), col("mb").as("db"))
+      val edgesPath = graft.operators.Scratch.materializePath(
+        asEdges(q178(s, dir))
+          .unionByName(asEdges(q180(s, dir)))
+          .unionByName(asEdges(q183(s, dir))), "fp-dedup-edges")
+      try graft.operators.ConnectedComponents
+        .minLabelPropagationPath(s.read.parquet(edgesPath))
+      finally graft.operators.Scratch.release(edgesPath)
+    }
+    val labels = s.read.parquet(labelsPath)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
+    val clustered = labels.join(sizes, "lbl")
+      .select(col("doc_id").as("media_id"), col("lbl"), col("cs"))
+    graft.multimodal.Multimodal
+      .mediaFromDocuments(Tables.documents(s, d))
+      .select(col("media_id"), col("kind"))
+      .join(clustered, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"),
+        coalesce(col("lbl"), col("media_id")).as("cluster_id"),
+        coalesce(col("cs"), lit(1L)).as("cluster_size"),
+        (coalesce(col("lbl"), col("media_id")) =!= col("media_id"))
+          .as("pruned"))
+      .orderBy(col("media_id"))
   }
 
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
@@ -6340,6 +6430,7 @@ object LlmOps {
     QueryDef("q180_audio_neardup", q180, None),
     QueryDef("q181_multiprobe_lsh", q181, Some(q181Sql)),
     QueryDef("q183_video_neardup", q183, None),
+    QueryDef("q184_fingerprint_dedup", q184, None),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -532,4 +532,154 @@ object StreamIngest {
       Iterator.empty
     }
   }
+
+  /** Exact-verify radius of [[fingerprintDedupStream]] — the batch
+    * family's (q178/q180/q183) radius, with the same 8-band × 16-bit
+    * pigeonhole: Hamming ≤ 7 over 8 bands forces ≥ 1 equal band. */
+  val FingerprintRadius: Int = 7
+
+  /** Streaming MEDIA-FINGERPRINT near-dup flagging — the q178/q180/q183
+    * banding on the admission path (completing the admission family:
+    * urlDedupStream exact keys, lineDedupStream boilerplate lines,
+    * semanticDedupStream embeddings, THIS ONE 128-bit media
+    * fingerprints). Input (media_id, h_hi, h_lo, ts) fingerprints —
+    * decode/hash happens upstream, the batch family's dHash/eHash/frame
+    * hash. Stage 1 explodes each arrival MAP-SIDE into its 8 × 16-bit
+    * band buckets; each bucket keeps a TTL-bounded state of recently
+    * seen fingerprints and verdicts the arrival by exact
+    * ≤ [[FingerprintRadius]] `bitCount` Hamming against them. Stage 2
+    * (a chained stateful operator — stage 1 declares its event-time
+    * column so the watermark propagates) folds the 8 per-band verdicts,
+    * all emitted in the arrival's own micro-batch, into one row per
+    * arrival, holding NO state. Recall within the TTL window is EXACT
+    * by pigeonhole; per-bucket state is its TTL-window arrival share —
+    * (rate × TTL) / 2^16 per band, never the stream. FLAGGING
+    * semantics (the lineDedupStream contract): every arrival's
+    * fingerprint enters state, a duplicate is flagged with the MIN
+    * matching media_id; the batch q184 closure stays the exact
+    * retroactive rule. Output: (media_id, dup_of — min matching id or
+    * −1, flagged). */
+  def fingerprintDedupStream(
+      spark: SparkSession,
+      fps: DataFrame, // (media_id, h_hi, h_lo, ts)
+      ttlMs: Long): Dataset[(Long, Long, Boolean)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val chunks = (0 until 8).map { b =>
+      val word = if (b < 4) col("h_lo") else col("h_hi")
+      struct(lit(b).as("band"),
+        shiftright(word, (b % 4) * 16)
+          .bitwiseAND(lit(0xffffL)).as("chunk")).as(s"b$b")
+    }
+    val banded = fps
+      .withWatermark("ts", s"$ttlMs milliseconds")
+      .select(col("media_id"), col("h_hi"), col("h_lo"), col("ts"),
+        explode(array(chunks: _*)).as("bk"))
+      .select((col("bk.band") * 65536L + col("bk.chunk")).as("bucket"),
+        col("media_id"), col("h_hi"), col("h_lo"), col("ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    val verdicts = banded.groupByKey(_._1)
+      .transformWithState(new FingerprintBandProcessor(ttlMs),
+        "_3", OutputMode.Append())
+    verdicts.groupByKey(_._1)
+      .transformWithState(new FingerprintCombineProcessor(),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Stage-1 per-band-bucket state machine of
+    * [[fingerprintDedupStream]]: `ListState` of recently seen
+    * (media_id, h_hi, h_lo, tsMs) fingerprints with the
+    * [[SemanticDedupProcessor]] lifecycle — per-entry appends on the
+    * hot path, lazy [[SemanticDedupProcessor.PruneSlack]] rewrites,
+    * event-time TTL timer with the newest-entry guard. Emits one
+    * verdict per input row: (media_id, min Hamming-≤-radius match in
+    * this bucket or −1, ts). */
+  class FingerprintBandProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long, java.sql.Timestamp),
+        (Long, Long, java.sql.Timestamp)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var recent: ListState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long, Long, Long)](
+        "recent", Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        bucket: Long,
+        rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues)
+        : Iterator[(Long, Long, java.sql.Timestamp)] = {
+      val held = if (recent.exists()) recent.get().toList else Nil
+      val cutoff = timerValues.getCurrentWatermarkInMs() - ttlMs
+      var live = held.filter(_._4 >= cutoff)
+      val stale = held.size - live.size
+      val prune = stale > 0 &&
+        (stale >= held.size * SemanticDedupProcessor.PruneSlack)
+      val fresh =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      val out = scala.collection.mutable
+        .ArrayBuffer[(Long, Long, java.sql.Timestamp)]()
+      var maxTs = Long.MinValue
+      // (ts, media_id)-sorted fold: in-batch flag order is deterministic
+      rows.toSeq.sortBy { case (_, id, _, _, ts) => (ts.getTime, id) }
+        .foreach { case (_, id, hi, lo, ts) =>
+          maxTs = math.max(maxTs, ts.getTime)
+          val m = live.iterator.filter { case (_, phi, plo, _) =>
+            java.lang.Long.bitCount(phi ^ hi) +
+              java.lang.Long.bitCount(plo ^ lo) <= FingerprintRadius
+          }.map(_._1).foldLeft(-1L)((acc, x) =>
+            if (acc < 0 || x < acc) x else acc)
+          val entry = (id, hi, lo, ts.getTime)
+          live = entry :: live
+          fresh += entry
+          out += ((id, m, ts))
+        }
+      if (prune) recent.put(live.toArray)
+      else fresh.foreach(recent.appendValue)
+      getHandle.registerTimer(
+        math.max(maxTs + ttlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        bucket: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[(Long, Long, java.sql.Timestamp)] = {
+      if (recent.exists()) {
+        val newest = recent.get().map(_._4).foldLeft(Long.MinValue)(math.max)
+        if (newest + ttlMs <= expiredTimerInfo.getExpiryTimeInMs)
+          recent.clear() // TTL eviction — bounded state
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Stage-2 STATELESS combine of [[fingerprintDedupStream]]: all 8
+    * band verdicts of an arrival land in its own micro-batch (they are
+    * exploded from one row), so each invocation folds the group to one
+    * output row and keeps nothing. */
+  class FingerprintCombineProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), (Long, Long, Boolean)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues}
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(
+        mediaId: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
+      val m = rows.map(_._2).filter(_ >= 0L)
+        .foldLeft(-1L)((acc, x) => if (acc < 0 || x < acc) x else acc)
+      Iterator.single((mediaId, m, m >= 0L))
+    }
+
+    override def handleExpiredTimer(
+        mediaId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Boolean)] =
+      Iterator.empty
+  }
 }

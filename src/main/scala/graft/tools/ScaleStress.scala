@@ -98,7 +98,11 @@ object ScaleStress {
     "q174_graph_semdedup",
     // r13: epoch reshuffle - a range-partitioned sort on the seeded
     // key; must scale as one shuffle-write, no single-task window
-    "q175_epoch_shuffle")
+    "q175_epoch_shuffle",
+    // r16: the any-frame video near-dup (n_frames x the fingerprint
+    // rows — the price of trim robustness) and the cross-modality
+    // closure (CC over the unioned radius-filtered pair relations)
+    "q183_video_neardup", "q184_fingerprint_dedup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

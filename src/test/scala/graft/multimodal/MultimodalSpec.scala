@@ -333,11 +333,15 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
-  test("q183 shape: banded keyframe-dHash join recovers exactly the " +
-      "planted video near-dup groups") {
+  test("q183 shape: frame-granularity banded dHash join recovers the " +
+      "planted video near-dup groups INCLUDING the trimmed clips a " +
+      "keyframe-only hash misses") {
     val pairs = graft.queries.LlmOps.q183(spark, sf0001).collect()
     assert(pairs.nonEmpty)
-    pairs.foreach(r => assert(r.getInt(2) <= 7, s"pair out of radius: $r"))
+    pairs.foreach { r =>
+      assert(r.getInt(2) <= 7, s"pair out of radius: $r")
+      assert(r.getLong(3) >= 1L, s"pair with no matched frames: $r")
+    }
     val m = Multimodal.mediaWithNearDupVideoPayloads(
       Tables.documents(spark, sf0001))
     val vidIds = m.filter(col("kind") === "video")
@@ -350,8 +354,67 @@ class MultimodalSpec extends SparkSpec {
     wanted.foreach { p =>
       assert(got.contains(p), s"planted same-group pair missed: $p")
     }
+    // trimmed members (media_id % 4 == 3: the group clip minus its
+    // keyframe) are recovered ONLY by cross-frame matching — prove the
+    // frame-0 screen alone misses them: the trimmed keyframe (the
+    // group's frame 1, an independent noise field) is far outside the
+    // band-join radius of its partner's keyframe
+    val trimmed = vidIds.filter(_ % 4 == 3)
+    assert(trimmed.nonEmpty, "fixture must plant trimmed clips")
+    trimmed.foreach { t =>
+      assert(got.exists(p => p._1 == t || p._2 == t),
+        s"trimmed clip $t missed by the any-frame join")
+    }
+    val kf = Multimodal.keyframeHashes(m.filter(col("kind") === "video"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    trimmed.foreach { t =>
+      vidIds.find(p => p / 4 == t / 4 && p != t).foreach { partner =>
+        val (ah, al) = kf(t); val (bh, bl) = kf(partner)
+        val ham = java.lang.Long.bitCount(ah ^ bh) +
+          java.lang.Long.bitCount(al ^ bl)
+        assert(ham > 7,
+          s"trimmed keyframe of $t unexpectedly within radius of $partner: $ham")
+      }
+    }
     val again = graft.queries.LlmOps.q183(spark, sf0001).collect()
     assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q184: cross-modality fingerprint closure keeps exactly one " +
+      "min-id survivor per planted group and audits every media row") {
+    val rows = graft.queries.LlmOps.q184(spark, sf0001).collect()
+    val ids = Multimodal.mediaFromDocuments(Tables.documents(spark, sf0001))
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == ids, "audit must cover the corpus")
+    assert(rows.length == ids.size, "one audit row per media row")
+    // planted structure: within block {4g..4g+3} exactly ids 4g and
+    // 4g+3 share a kind (3 ≡ 0 mod 3) and near-dup payloads, so the
+    // expected component is {4g, 4g+3} with survivor 4g; 4g+1/4g+2 are
+    // singleton survivors of their kinds
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    for (id <- ids) {
+      val partner = (id % 4) match {
+        case 0 => Some(id + 3)
+        case 3 => Some(id - 3)
+        case _ => None
+      }
+      partner.filter(ids.contains) match {
+        case Some(p) =>
+          val lo = math.min(id, p)
+          assert(byId(id)._2 == lo, s"$id cluster_id != $lo: ${byId(id)}")
+          assert(byId(id)._3 == 2L, s"$id cluster_size != 2: ${byId(id)}")
+          assert(byId(id)._4 == (id != lo), s"$id pruned flag: ${byId(id)}")
+        case None =>
+          assert(byId(id)._2 == id && byId(id)._3 == 1L && !byId(id)._4,
+            s"singleton $id drifted: ${byId(id)}")
+      }
+    }
+    // closure invariant: exactly one survivor per component
+    rows.groupBy(_.getLong(2)).foreach { case (cid, members) =>
+      assert(members.count(!_.getBoolean(4)) == 1,
+        s"cluster $cid has != 1 survivor")
+    }
   }
 
   test("resize rewrites metadata, preserves payload") {

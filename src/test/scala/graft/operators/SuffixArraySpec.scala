@@ -210,6 +210,55 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("LCP bracket-up/refine-down (measured-and-rejected alternative — " +
+      "kept correct) matches brute force in BOTH refine regimes " +
+      "(broadcast and shuffle), including long repeats (property)") {
+    def brute(ts: Seq[String]): Map[Long, (Long, Long, Long)] = {
+      val ranks = reference(ts)
+      val byRank = ranks.toSeq.map(_.swap).toMap
+      (1L until ts.length.toLong).map { r =>
+        val a = byRank(r).toInt; val b = byRank(r + 1).toInt
+        val l = ts.drop(a).zip(ts.drop(b))
+          .takeWhile { case (x, y) => x == y }.length
+        r -> (a.toLong, b.toLong, l.toLong)
+      }.toMap
+    }
+    def sparkLcp(ts: Seq[String], bm: Long)
+        : Map[Long, (Long, Long, Long)] = {
+      val df = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
+      val h = SuffixArray.hierarchy(df)
+      val path =
+        try SuffixArray.lcpFromLevelsBracket(spark, h, broadcastMax = bm)
+        finally h.release()
+      try spark.read.parquet(path).as[(Long, Long, Long, Long)].collect()
+        .map { case (r, a, b, l) => r -> (a, b, l) }.toMap
+      finally Scratch.release(path)
+    }
+    val genSeq = for {
+      n <- Gen.choose(6, 36)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab"))
+    } yield ts
+    val cases = (0 until 3).flatMap { i =>
+      genSeq(Gen.Parameters.default, Seed(97L + i))
+    }.filter(_.size >= 2) ++ Seq(
+      // long repeats: deep brackets, several injection classes
+      Seq.fill(10)(Seq("x", "y")).flatten :+ "z",
+      Seq.fill(20)(Seq("x", "y")).flatten :+ "z",
+      // all-distinct tokens: every bracket is [0,1) — the resolved-
+      // direct path with an EMPTY refine loop
+      (0 until 9).map(i => s"t$i"),
+      // single token: no pairs at all — the output dir must still read
+      Seq("solo"))
+    for (ts <- cases) {
+      val want = brute(ts)
+      assert(sparkLcp(ts, Long.MaxValue) == want,
+        s"broadcast-regime LCP diverged on $ts")
+      assert(sparkLcp(ts, 0L) == want,
+        s"shuffle-regime LCP diverged on $ts")
+    }
+  }
+
   test("Scratch alloc/append accumulates deltas and refuses escapes") {
     val p = Scratch.allocPath("spec-acc")
     Scratch.appendPath(Seq((1L, "a")).toDF("k", "v"), p)

@@ -111,6 +111,61 @@ class VehicleCsvSourceSpec extends SparkSpec {
         .orderBy(col("ts_ms")).collect().map(_.toSeq).toSeq)
   }
 
+  test("filter pushdown reaches the scan, results are identical to the " +
+      "residual-filter plan, and unsupported filters stay residual") {
+    val path = writeFile(tmpDir, "narrow.csv", narrowCsv)
+    val filtered = viaDsv2(path)
+      .filter(col("vehicle_id") === 42L && col("lat") > 23.7689)
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedFilters") && desc.contains("42") &&
+      desc.contains("lat"), s"filters did not reach the scan: $desc")
+    // semantics: identical to evaluating the predicate above the scan
+    val want = viaDsv2(path).collect()
+      .filter(r => r.getLong(1) == 42L && r.getDouble(2) > 23.7689)
+      .map(_.toSeq).toSeq
+    assert(filtered.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+      want.sortBy(_.toString))
+    // three-valued edges evaluated exactly: IsNull never matches an
+    // emitted row, IsNotNull always does, In and Not compose
+    assert(viaDsv2(path).filter(col("lat").isNull).count() == 0)
+    assert(viaDsv2(path).filter(col("lat").isNotNull).count() == 4)
+    assert(viaDsv2(path)
+      .filter(col("vehicle_id").isin(7L, 99L)).count() == 2)
+    assert(viaDsv2(path)
+      .filter(!col("vehicle_id_str").startsWith("4") ||
+        col("ts_ms") > 0L).count() == 4)
+    // an expression the source cannot evaluate exactly stays residual
+    // and still computes correctly
+    assert(viaDsv2(path)
+      .filter(abs(col("lat") - 23.7690) < 1e-9).count() == 1)
+  }
+
+  test("reported statistics feed the optimizer: sizeInBytes equals the " +
+      "summed file length (compression-factor scaled for .gz)") {
+    val dir = tmpDir
+    val plain = writeFile(dir, "narrow.csv", narrowCsv)
+    val plainLen = Files.size(java.nio.file.Paths.get(plain))
+    val rel = viaDsv2(plain)
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(plainLen),
+      s"stats ${stats.sizeInBytes} != file $plainLen")
+
+    val gz = dir.resolve("narrow.csv.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(narrowCsv.getBytes(StandardCharsets.UTF_8)); out.close()
+    val gzLen = Files.size(gz)
+    spark.conf.set("spark.sql.sources.fileCompressionFactor", "4.0")
+    try {
+      val gstats = viaDsv2(gz.toString).queryExecution.optimizedPlan.stats
+      assert(gstats.sizeInBytes == BigInt(gzLen * 4),
+        s"gz stats ${gstats.sizeInBytes} != ${gzLen * 4}")
+    } finally spark.conf.unset("spark.sql.sources.fileCompressionFactor")
+  }
+
   test("directory paths expand to their files through BOTH ingest " +
       "paths, and an empty zip yields zero rows, not a failure") {
     val dir = tmpDir

@@ -729,6 +729,59 @@ class StreamingSpec extends SparkSpec {
     assert(expNew.nonEmpty && expRev.nonEmpty)
   }
 
+  test("streaming fingerprint flagging: banded Hamming state flags " +
+      "near-dups across micro-batches and band offsets; TTL evicts") {
+    withRocksDbStateStore {
+    // base fingerprint; near-dup = 1 flipped bit in h_lo (hamming 1,
+    // ≥ 7 equal bands); another near-dup differs ONLY in h_hi band 7
+    // (a different band must catch it); far = complement (all 8 bands
+    // differ — no candidate pair at all)
+    val (hi0, lo0) = (0x0123456789abcdefL, 0x0fedcba987654321L)
+    val near1 = (hi0, lo0 ^ 1L)
+    val near2 = (hi0 ^ (1L << 63), lo0)
+    val far = (~hi0, ~lo0)
+    val input = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = StreamIngest.fingerprintDedupStream(spark,
+      input.toDF().toDF("media_id", "h_hi", "h_lo", "ts"),
+      ttlMs = 5 * 60 * 1000L)
+    val q = out.toDF("media_id", "dup_of", "flagged")
+      .writeStream.format("memory").queryName("fp_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((100L, hi0, lo0, ts(0)))
+    q.processAllAvailable()
+    // batch 2: two near-dups (one per word) + one far fingerprint
+    input.addData((101L, near1._1, near1._2, ts(1)),
+      (102L, near2._1, near2._2, ts(1)), (103L, far._1, far._2, ts(1)))
+    q.processAllAvailable()
+    val r1 = spark.table("fp_dedup_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(r1(100L) == (-1L, false), "first arrival must not flag")
+    assert(r1(101L) == (100L, true), "h_lo near-dup must flag as 100")
+    assert(r1(102L) == (100L, true), "h_hi near-dup must flag as 100")
+    assert(r1(103L) == (-1L, false), "all-bands-differ must not flag")
+    // in-batch determinism: identical fingerprints in ONE micro-batch —
+    // the (ts, id)-sorted fold flags the higher id against the lower
+    input.addData((110L, 0x42L, 0x43L, ts(2)), (111L, 0x42L, 0x43L, ts(2)))
+    q.processAllAvailable()
+    val r2 = spark.table("fp_dedup_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(r2(110L) == (-1L, false) && r2(111L) == (110L, true),
+      s"in-batch flagging must be (ts, id)-deterministic: $r2")
+    // TTL: advance event time far past the watermark, then resubmit a
+    // near-dup of the ORIGINAL — state evicted, no flag (the batch q184
+    // closure remains the exact retroactive rule)
+    input.addData((120L, far._1, far._2, ts(40)))
+    q.processAllAvailable()
+    input.addData((121L, near1._1, near1._2, ts(41)))
+    q.processAllAvailable()
+    val r3 = spark.table("fp_dedup_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    q.stop()
+    assert(r3(121L) == (-1L, false), s"expired fingerprint state must " +
+      s"not flag: $r3")
+    }
+  }
+
   test("streaming semantic admission: a near-identical embedding is " +
       "rejected across micro-batches (cell-blocked state); TTL evicts") {
     withRocksDbStateStore {
