@@ -529,7 +529,182 @@ object SuffixArray {
     * Caller owns `h` (NOT released here). `broadcastMax` is a test
     * seam (specs pin both refine regimes); production callers take the
     * default. */
-  private[operators] def lcpFromLevelsBracket(spark: SparkSession, h: SaHierarchy,
+  /** COMPOSITE-RANK LCP lookup descent — the redesign the bracket
+    * variant's measurements point at (see [[lcpFromLevelsBracket]]):
+    * kill the per-level relation shuffles entirely. MEASURED AND
+    * REJECTED TOO (100× design point: 515.7 s total — comp build
+    * 180.2 s + rounds 335.2 s vs the 255.9 s top-down default): the
+    * per-position pivot costs a build of its own, and each lookup
+    * round scans the ~5 GB 19-wide array relation twice while the
+    * in-flight set stays large (this corpus's LCP popcounts run 2-5) —
+    * array-width I/O and per-row deserialization replace the level
+    * shuffles they saved. Kept property-pinned (both regimes, seeded
+    * hole replay); BASELINE.md has the full four-design table.
+    *
+    * The hierarchy pivots ONCE into a per-position composite row
+    * (pos, rs = [rank@level₀, …, rank@level_top]) — log n
+    * pos-co-partitioned joins, the same O(n log n) bytes the levels
+    * already hold — written as a BUCKETED-by-pos table so every lookup
+    * join reads it exchange-free (the pair side alone shuffles, hashed
+    * to the bucket layout). One lookup at offset (a+lcp, b+lcp) then
+    * serves EVERY level at once, and the greedy descent collapses to
+    * per-pair rounds: in-row, take the LARGEST eligible level whose
+    * ranks match (eligible: p < bound, the remainder's exclusive upper
+    * bound); no match ⟹ remainder 0, resolved; a match at p adds p
+    * and tightens bound to min(bound, levelAbove(p)) − p (all levels
+    * above p either mismatched — rem < their p — or were ineligible).
+    * A pair therefore finishes in popcount-of-its-LCP + 1 lookups
+    * (binary ladder; a seeded ladder's 1→W hole replays level 1 as
+    * bound decrements, still exact), and the in-flight set shrinks
+    * with the popcount tail. Exactness: pm = largest level ≤ rem
+    * because match ⟺ rem ≥ p and p ≤ rem < bound keeps every such
+    * level eligible; invariant rem < bound holds inductively from
+    * bound₀ = 2·p_top > any LCP (the converged build ranks all
+    * suffixes distinct ⟹ LCP < p_top). Past-end offsets left-join to
+    * null ⟹ no match ⟹ resolved, which is exact (an LCP cannot
+    * extend past text end). Small in-flight sets switch to the
+    * broadcast semi-filter regime, same as the bracket variant.
+    *
+    * Caller owns `h`. `broadcastMax` is the spec seam. */
+  private[graft] def lcpFromLevelsComposite(spark: SparkSession,
+      h: SaHierarchy,
+      broadcastMax: Long = LcpBroadcastActiveMax,
+      onPhase: (String, Double) => Unit = (_, _) => ()): String = {
+    var tPhase = System.nanoTime()
+    def phaseLap(name: String): Unit = {
+      val t = System.nanoTime()
+      onPhase(name, (t - tPhase) / 1e9)
+      tPhase = t
+    }
+    val fin = h.finalRanksDf(spark)
+    val a = fin.select(col("rank"), col("pos").as("a_pos"))
+    val b = fin.select((col("rank") - 1).as("rank"), col("pos").as("b_pos"))
+    val outPath = Scratch.allocPath("sa-lcp")
+    val lcpSchemaEmpty = spark.range(0).select(
+      lit(0L).as("rank"), lit(0L).as("a_pos"),
+      lit(0L).as("b_pos"), lit(0L).as("lcp"))
+    Scratch.appendPath(lcpSchemaEmpty, outPath) // dir always readable
+    if (h.n <= 1) return outPath
+
+    // ---- composite build: one bucketed (pos, rs[levels]) relation.
+    // The accumulating join chain lands every [[LcpLandEvery]] levels —
+    // an unlanded 19-way SMJ chain keeps every join's sorter alive in
+    // one task pipeline and OOMs at the 100× width (measured).
+    val parts = shufflePartitions(spark)
+    var comp0 = h.levelDf(spark, 0)
+      .select(col("pos"), array(col("rank")).as("rs"))
+    var compScratch: Option[String] = None
+    var sinceCompLand = 0
+    for (i <- 1 until h.levels.size) {
+      comp0 = comp0
+        .join(h.levelDf(spark, i).select(col("pos"), col("rank").as("__r")),
+          Seq("pos"))
+        .select(col("pos"), concat(col("rs"), array(col("__r"))).as("rs"))
+      sinceCompLand += 1
+      if (sinceCompLand == LcpLandEvery && i < h.levels.size - 1) {
+        val landed = Scratch.materializePath(comp0, "sa-lcp-comp-part")
+        compScratch.foreach(Scratch.release)
+        compScratch = Some(landed)
+        comp0 = spark.read.parquet(landed)
+        sinceCompLand = 0
+      }
+    }
+    val compDir = Scratch.allocPath("sa-lcp-comp")
+    val tbl = "graft_lcp_comp_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    comp0.write.bucketBy(parts, "pos").sortBy("pos")
+      .option("path", compDir).saveAsTable(tbl)
+    compScratch.foreach(Scratch.release)
+    try {
+      val comp = spark.table(tbl)
+      phaseLap("comp_build")
+
+      // level metadata, descending: (prefix, 1-based rs index, level above)
+      val descIdx = h.levels.indices.sortBy(i => -h.levels(i).prefixLen)
+      val meta = descIdx.zipWithIndex.map { case (li, j) =>
+        val p = h.levels(li).prefixLen
+        val above =
+          if (j == 0) 2L * p else h.levels(descIdx(j - 1)).prefixLen
+        (p, li + 1, above)
+      }
+      val pTop = h.levels.map(_.prefixLen).max
+      // largest eligible matching level (0 = none): descending when-chain
+      def pmExpr: org.apache.spark.sql.Column =
+        meta.foldRight(lit(0L)) { case ((p, idx, _), rest) =>
+          when(col("bound") > p &&
+            element_at(col("__ra"), idx) === element_at(col("__rb"), idx),
+            lit(p)).otherwise(rest)
+        }
+      // tightened bound after a match (pm > 0)
+      def boundExpr: org.apache.spark.sql.Column =
+        meta.foldRight(lit(1L)) { case ((p, _, above), rest) =>
+          when(col("__pm") === p,
+            least(col("bound"), lit(above)) - p).otherwise(rest)
+        }
+
+      var statePath = Scratch.materializePath(
+        a.join(b, Seq("rank"))
+          .withColumn("lcp", lit(0L))
+          .withColumn("bound", lit(2L * pTop)), "sa-lcp-fly")
+      var stateHasDone = false
+      var inFlight = h.n - 1
+      // rounds bound: popcount ≤ ladder size, plus a seeded hole's
+      // level-1 replays (≤ max adjacent ratio), plus slack
+      val maxHole = meta.map { case (p, _, above) => above / p }.max
+      val maxRounds = h.levels.size + maxHole.toInt + 4
+      var round = 0
+      while (inFlight > 0 && round < maxRounds) {
+        round += 1
+        val st0 = spark.read.parquet(statePath)
+        val state =
+          if (stateHasDone) st0.filter(!col("__done")).drop("__done")
+          else st0
+        val smallRegime = inFlight <= broadcastMax
+        val lookup =
+          if (smallRegime) {
+            val need = state.select(explode(array(
+              col("a_pos") + col("lcp"), col("b_pos") + col("lcp")))
+              .as("need")).distinct()
+            broadcast(comp.join(broadcast(need),
+              col("pos") === col("need"), "left_semi")
+              .select(col("pos"), col("rs")))
+          } else comp.select(col("pos"), col("rs"))
+        val stepped = state
+          .join(lookup.select(col("pos").as("__ap"), col("rs").as("__ra")),
+            col("__ap") === col("a_pos") + col("lcp"), "left")
+          .join(lookup.select(col("pos").as("__bp"), col("rs").as("__rb")),
+            col("__bp") === col("b_pos") + col("lcp"), "left")
+          .withColumn("__pm",
+            when(col("__ra").isNotNull && col("__rb").isNotNull, pmExpr)
+              .otherwise(lit(0L)))
+          .withColumn("__nb",
+            when(col("__pm") === 0L, lit(1L)).otherwise(boundExpr))
+          .select(col("rank"), col("a_pos"), col("b_pos"),
+            (col("lcp") + col("__pm")).as("lcp"),
+            col("__nb").as("bound"),
+            (col("__nb") <= 1L).as("__done"))
+        val newPath = Scratch.materializePath(stepped, "sa-lcp-fly")
+        Scratch.release(statePath)
+        statePath = newPath
+        stateHasDone = true
+        val resolved = Scratch.appendPathCounted(
+          spark.read.parquet(newPath).filter(col("__done"))
+            .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp")),
+          outPath)
+        inFlight -= resolved
+      }
+      require(inFlight == 0,
+        s"composite descent left $inFlight pairs after $maxRounds rounds")
+      Scratch.release(statePath)
+      phaseLap("rounds")
+      outPath
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Scratch.release(compDir)
+    }
+  }
+
+  private[graft] def lcpFromLevelsBracket(spark: SparkSession, h: SaHierarchy,
       broadcastMax: Long = LcpBroadcastActiveMax,
       onPhase: (String, Double) => Unit = (_, _) => ()): String = {
     var tPhase = System.nanoTime()

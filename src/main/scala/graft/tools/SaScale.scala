@@ -51,8 +51,21 @@ object SaScale {
 
       // the LCP descent (q123/q148/q159's core op) from the hierarchy just
       // built — descent-only wall, no rebuild (lcpFromLevels, r11)
+      // optional third arg picks the LCP implementation to measure:
+      // default | bracket | composite (the r16 A/B candidates)
+      val lcpImpl = if (args.length > 2) args(2) else "default"
       val t1 = System.nanoTime()
-      val lcpP = SuffixArray.lcpFromLevels(spark, h)
+      val phases = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val hook = (nm: String, s: Double) => { phases += ((nm, s)); () }
+      val lcpP = lcpImpl match {
+        case "default" => SuffixArray.lcpFromLevels(spark, h)
+        case "bracket" =>
+          SuffixArray.lcpFromLevelsBracket(spark, h, onPhase = hook)
+        case "composite" =>
+          SuffixArray.lcpFromLevelsComposite(spark, h, onPhase = hook)
+        case bad => throw new IllegalArgumentException(
+          s"lcpImpl must be default|bracket|composite, got '$bad'")
+      }
       val lcpWall = (System.nanoTime() - t1) / 1e9
       val lcpRows = spark.read.parquet(lcpP).count()
       Scratch.release(lcpP)
@@ -62,9 +75,12 @@ object SaScale {
       val detail = rounds.map { case (p, g, s) =>
         f"""{"prefix":$p,"groups":$g,"sec":$s%.2f}"""
       }.mkString("[", ",", "]")
+      val phaseJson = phases.map { case (nm, s) =>
+        f""""$nm":$s%.2f""" }.mkString("{", ",", "}")
       println(f"""{"metric":"sa_scale","dir":"$dir","n":$n,""" +
         f""""rounds":${rounds.size},"build_wall":$wall%.2f,""" +
-        f""""lcp_descent_wall":$lcpWall%.2f,"lcp_rows":$lcpRows,""" +
+        f""""lcp_impl":"$lcpImpl","lcp_descent_wall":$lcpWall%.2f,""" +
+        f""""lcp_phases":$phaseJson,"lcp_rows":$lcpRows,""" +
         s""""rounds_detail":$detail}""")
     } finally spark.stop()
   }

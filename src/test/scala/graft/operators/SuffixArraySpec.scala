@@ -156,6 +156,14 @@ class SuffixArraySpec extends SparkSpec {
           r -> (a.toLong, b.toLong, l.toLong)
         }.toMap
         assert(got == want, s"seeded LCP diverged on $ts")
+        // the composite lookup descent crosses the 8 -> 1 hole by
+        // replaying level 1 as the bound decrements — must stay exact
+        val lcpC = SuffixArray.lcpFromLevelsComposite(spark, h8)
+        val gotC =
+          try spark.read.parquet(lcpC).as[(Long, Long, Long, Long)].collect()
+            .map { case (r, a, b, l) => r -> (a, b, l) }.toMap
+          finally Scratch.release(lcpC)
+        assert(gotC == want, s"seeded composite LCP diverged on $ts")
       } finally h8.release()
     }
   }
@@ -223,18 +231,26 @@ class SuffixArraySpec extends SparkSpec {
         r -> (a.toLong, b.toLong, l.toLong)
       }.toMap
     }
-    def sparkLcp(ts: Seq[String], bm: Long)
-        : Map[Long, (Long, Long, Long)] = {
+    def sparkLcpVia(ts: Seq[String], bm: Long,
+        impl: (org.apache.spark.sql.SparkSession, SuffixArray.SaHierarchy,
+          Long) => String): Map[Long, (Long, Long, Long)] = {
       val df = ts.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("pos", "tok")
       val h = SuffixArray.hierarchy(df)
       val path =
-        try SuffixArray.lcpFromLevelsBracket(spark, h, broadcastMax = bm)
+        try impl(spark, h, bm)
         finally h.release()
       try spark.read.parquet(path).as[(Long, Long, Long, Long)].collect()
         .map { case (r, a, b, l) => r -> (a, b, l) }.toMap
       finally Scratch.release(path)
     }
+    def sparkLcp(ts: Seq[String], bm: Long): Map[Long, (Long, Long, Long)] =
+      sparkLcpVia(ts, bm,
+        (s, h, b) => SuffixArray.lcpFromLevelsBracket(s, h, broadcastMax = b))
+    def sparkLcpComposite(ts: Seq[String], bm: Long)
+        : Map[Long, (Long, Long, Long)] =
+      sparkLcpVia(ts, bm,
+        (s, h, b) => SuffixArray.lcpFromLevelsComposite(s, h, broadcastMax = b))
     val genSeq = for {
       n <- Gen.choose(6, 36)
       ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab"))
@@ -253,9 +269,13 @@ class SuffixArraySpec extends SparkSpec {
     for (ts <- cases) {
       val want = brute(ts)
       assert(sparkLcp(ts, Long.MaxValue) == want,
-        s"broadcast-regime LCP diverged on $ts")
+        s"bracket broadcast-regime LCP diverged on $ts")
       assert(sparkLcp(ts, 0L) == want,
-        s"shuffle-regime LCP diverged on $ts")
+        s"bracket shuffle-regime LCP diverged on $ts")
+      assert(sparkLcpComposite(ts, Long.MaxValue) == want,
+        s"composite broadcast-regime LCP diverged on $ts")
+      assert(sparkLcpComposite(ts, 0L) == want,
+        s"composite bucket-join regime LCP diverged on $ts")
     }
   }
 
