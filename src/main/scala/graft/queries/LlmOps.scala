@@ -1999,6 +1999,140 @@ object LlmOps {
       .orderBy(col("media_id"))
   }
 
+  /** Synthetic ARITHMETIC fingerprints for q185/q186 — the oracle arm
+    * of the fingerprint family: the codec queries (q178/q180/q183) are
+    * rows-only because a JVM decode has no DuckDB mirror, so the SHARED
+    * machinery downstream of hashing (16-bit banding, bit_count radius
+    * verify, pair dedup, CC closure) gets its hash-exact gate HERE,
+    * over fingerprints both engines can compute: each 16-bit chunk is
+    * a bounded LCG of (doc_id div 4, chunk index) — products stay under
+    * 2⁶³ so DuckDB's non-wrapping BIGINT arithmetic agrees with JVM
+    * longs, and the top chunk of each word is capped to 15 bits so no
+    * sign bit is ever set. Members 1/2/3 of each /4 block flip one
+    * known bit (h_lo b3, h_lo b40, h_hi b60), planting groups at
+    * pairwise Hamming ≤ 2. */
+  private def syntheticFingerprints(s: SparkSession, d: String): DataFrame = {
+    val grp = expr("doc_id div 4")
+    val m = pmod(col("doc_id"), lit(4))
+    def chunk(w: Int): org.apache.spark.sql.Column = {
+      val c = pmod(grp * 48271L + lit(w * 40503 + 9176), lit(65536L))
+      if (w % 4 == 3) pmod(c, lit(32768L)) else c // cap the sign word
+    }
+    def word(ws: Range): org.apache.spark.sql.Column =
+      ws.zipWithIndex.map { case (w, i) =>
+        chunk(w) * lit(1L << (16 * i))
+      }.reduce(_ + _)
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      word(4 to 7).bitwiseXOR(
+        when(m === 3, lit(1L << 60)).otherwise(lit(0L))).as("h_hi"),
+      word(0 to 3).bitwiseXOR(
+        when(m === 1, lit(1L << 3))
+          .when(m === 2, lit(1L << 40)).otherwise(lit(0L))).as("h_lo"))
+  }
+
+  /** The q185/q186 fingerprint construction as a DuckDB CTE `fp`. */
+  private lazy val syntheticFpCteSql = {
+    def chunk(w: Int): String = {
+      val c = s"(((doc_id // 4) * 48271 + ${w * 40503 + 9176}) % 65536)"
+      if (w % 4 == 3) s"($c % 32768)" else c
+    }
+    def word(ws: Range): String =
+      ws.zipWithIndex.map { case (w, i) =>
+        s"${chunk(w)} * ${1L << (16 * i)}"
+      }.mkString(" + ")
+    s"""fp AS (SELECT doc_id AS media_id,
+      |  xor(${word(4 to 7)},
+      |      CASE WHEN doc_id % 4 = 3 THEN ${1L << 60} ELSE 0 END) AS h_hi,
+      |  xor(${word(0 to 3)},
+      |      CASE doc_id % 4 WHEN 1 THEN ${1L << 3}
+      |           WHEN 2 THEN ${1L << 40} ELSE 0 END) AS h_lo
+      |FROM documents)""".stripMargin
+  }
+
+  /** The shared banded-Hamming pair CTEs over `fp` → `fpairs(ma, mb,
+    * hamming)` — the exact SQL mirror of [[hammingBandPairs]]. */
+  private lazy val fpPairCtesSql =
+    """fbands AS (SELECT media_id, h_hi, h_lo, b,
+      |    ((CASE WHEN b < 4 THEN h_lo ELSE h_hi END >> ((b % 4) * 16))
+      |      & 65535) AS chunk
+      |  FROM fp, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(b)),
+      |fpairs AS (SELECT DISTINCT a.media_id AS ma, c.media_id AS mb,
+      |    CAST(bit_count(xor(a.h_hi, c.h_hi)) +
+      |         bit_count(xor(a.h_lo, c.h_lo)) AS INTEGER) AS hamming
+      |  FROM fbands a JOIN fbands c
+      |    ON a.b = c.b AND a.chunk = c.chunk AND a.media_id < c.media_id
+      |  WHERE bit_count(xor(a.h_hi, c.h_hi)) +
+      |        bit_count(xor(a.h_lo, c.h_lo)) <= 7)""".stripMargin
+
+  /** q185 — the banded-Hamming near-dup join, DuckDB-ORACLED: the
+    * q178/q180/q183 join machinery ([[hammingBandPairs]] verbatim) over
+    * [[syntheticFingerprints]]. The codec arms stay rows-only by
+    * nature; this arm pins the banding, the radius verify, and the
+    * pair dedup hash-exactly against an independent SQL evaluation. */
+  def q185(s: SparkSession, d: String): DataFrame =
+    hammingBandPairs(syntheticFingerprints(s, d))
+
+  private lazy val q185Sql =
+    s"""WITH $syntheticFpCteSql,
+      |$fpPairCtesSql
+      |SELECT ma, mb, hamming FROM fpairs ORDER BY ma, mb""".stripMargin
+
+  private val fpClosureCache =
+    new graft.operators.DatasetCache[String]("fp-closure", Seq(_))
+
+  /** q186 — the fingerprint dedup CLOSURE, DuckDB-ORACLED: connected
+    * components + min-id survivor + audit relation (the q184 contract)
+    * over the q185 oracle-armed pairs, mirrored by a recursive
+    * min-label CTE. Together with q185 this puts the WHOLE fingerprint
+    * dedup chain under the hash gate — only the codec hash step itself
+    * remains engine-specific (rows + spec-checked in q178/q180/q183/
+    * q184). Labels memoize per dataset (the q174/q184 leak
+    * discipline). */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    val labelsPath = fpClosureCache.getOrCompute(d) { dir =>
+      val edgesPath = graft.operators.Scratch.materializePath(
+        q185(s, dir).select(col("ma").as("da"), col("mb").as("db")),
+        "fp-closure-edges")
+      try graft.operators.ConnectedComponents
+        .minLabelPropagationPath(s.read.parquet(edgesPath))
+      finally graft.operators.Scratch.release(edgesPath)
+    }
+    val labels = s.read.parquet(labelsPath)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
+    val clustered = labels.join(sizes, "lbl")
+      .select(col("doc_id").as("media_id"), col("lbl"), col("cs"))
+    Tables.documents(s, d).select(col("doc_id").as("media_id"))
+      .join(clustered, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("lbl"), col("media_id")).as("cluster_id"),
+        coalesce(col("cs"), lit(1L)).as("cluster_size"),
+        (coalesce(col("lbl"), col("media_id")) =!= col("media_id"))
+          .as("pruned"))
+      .orderBy(col("media_id"))
+  }
+
+  private lazy val q186Sql =
+    s"""WITH RECURSIVE $syntheticFpCteSql,
+      |$fpPairCtesSql,
+      |fedges AS (SELECT ma AS a, mb AS b FROM fpairs
+      |           UNION ALL SELECT mb AS a, ma AS b FROM fpairs),
+      |fnodes AS (SELECT DISTINCT a AS vid FROM fedges),
+      |freach(vid, lbl) AS (
+      |  SELECT vid, vid FROM fnodes
+      |  UNION
+      |  SELECT e.a, r.lbl FROM fedges e JOIN freach r ON r.vid = e.b),
+      |flab AS (SELECT vid, min(lbl) AS cluster_id FROM freach GROUP BY vid),
+      |fsz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+      |        FROM flab GROUP BY cluster_id)
+      |SELECT d.doc_id AS media_id,
+      |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+      |  CAST(coalesce(fsz.cs, 1) AS BIGINT) AS cluster_size,
+      |  (coalesce(l.cluster_id, d.doc_id) <> d.doc_id) AS pruned
+      |FROM documents d LEFT JOIN flab l ON l.vid = d.doc_id
+      |  LEFT JOIN fsz ON fsz.cluster_id = l.cluster_id
+      |ORDER BY media_id""".stripMargin
+
   /** q53 — salted skew join registered with the PLAIN join as its oracle:
     * the driver gate itself proves the salting rewrite is semantics-
     * preserving (SkewJoin spreads hot keys; results must be identical). */
@@ -6431,6 +6565,8 @@ object LlmOps {
     QueryDef("q181_multiprobe_lsh", q181, Some(q181Sql)),
     QueryDef("q183_video_neardup", q183, None),
     QueryDef("q184_fingerprint_dedup", q184, None),
+    QueryDef("q185_hamming_join", q185, Some(q185Sql)),
+    QueryDef("q186_fingerprint_closure", q186, Some(q186Sql)),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),
