@@ -102,7 +102,10 @@ object ScaleStress {
     // r16: the any-frame video near-dup (n_frames x the fingerprint
     // rows — the price of trim robustness) and the cross-modality
     // closure (CC over the unioned radius-filtered pair relations)
-    "q183_video_neardup", "q184_fingerprint_dedup")
+    "q183_video_neardup", "q184_fingerprint_dedup",
+    // r16: the oracle-armed fingerprint chain (synthetic hashes — no
+    // codec volume, so these isolate the JOIN+CC scale behavior)
+    "q185_hamming_join", "q186_fingerprint_closure")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
