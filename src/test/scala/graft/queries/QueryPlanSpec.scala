@@ -500,4 +500,24 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("], [], ["),
       s"windows must be probe-partitioned, never global:\n$p")
   }
+
+  test("q185: the banded-Hamming join is an equi-join on (band, chunk) — " +
+      "no cartesian, radius filter before the pair dedup") {
+    val p = planString(LlmOps.q185(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"fingerprint blocking must be an equi-join:\n$p")
+    // the ≤7 radius verify runs in the join/filter stage, BEFORE the
+    // distinct's exchange — the map-side-verify discipline
+    assert(p.contains("bit_count"), s"radius verify missing:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("Aggregate"),
+      s"pair dedup missing:\n$p")
+  }
+
+  test("q186: the closure audit joins the bounded label relation — the " +
+      "documents side never cartesians or re-sorts pre-join") {
+    val p = planString(LlmOps.q186(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded label relation must broadcast into the audit:\n$p")
+  }
 }
