@@ -39,8 +39,12 @@ object CsvVehicleReader {
   /** Output schema: vehicle_id_str, vehicle_id (low-64 wrap), lat, lon,
     * ts_ms (epoch millis). */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // CASE-INSENSITIVE extension test, like IngestFiles.openDecompressed
+    // (the reference lowercases the name first, CsvLoader.java:84 — a
+    // `DATA.ZIP` must open as an archive, not parse as plain bytes)
     val lines =
-      if (path.endsWith(".zip")) zipFirstEntryLines(spark, path)
+      if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".zip"))
+        zipFirstEntryLines(spark, path)
       else spark.read.text(path).select(col("value")) // .gz handled by codec
     fromLines(lines)
   }

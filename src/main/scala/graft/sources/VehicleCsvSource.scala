@@ -118,7 +118,12 @@ object VehicleCsvSource {
       case (a: java.lang.Long, b: java.lang.Long) =>
         Some(java.lang.Long.compare(a, b))
       case (a: java.lang.Double, b: java.lang.Double) =>
-        Some(java.lang.Double.compare(a, b))
+        // Spark's double comparison treats -0.0 = 0.0 as TRUE (it
+        // normalizes -0.0), while java.lang.Double.compare orders
+        // -0.0 < 0.0 — normalize both sides so a pushed `lat = 0.0`
+        // keeps a row whose field parsed as "-0.0", exactly like the
+        // residual plan the spec pins row-parity against
+        Some(java.lang.Double.compare(a.doubleValue + 0.0, b.doubleValue + 0.0))
       case (a: String, b: String) => Some(a.compareTo(b))
       case _                      => None // null literal: SQL-unknown
     }

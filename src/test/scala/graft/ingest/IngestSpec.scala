@@ -107,6 +107,18 @@ class IngestSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[Long]("vehicle_id") == 666L))
   }
 
+  test("UPPERCASE .ZIP extension still opens as archive through read() " +
+      "(reference lowercases before the extension test, CsvLoader.java:84)") {
+    val dir = tmpDir
+    val zip = dir.resolve("NARROW.CSV.ZIP")
+    val zos = new ZipOutputStream(new FileOutputStream(zip.toFile))
+    zos.putNextEntry(new ZipEntry("first.csv"))
+    zos.write(narrowCsv.getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.close()
+    assert(CsvVehicleReader.read(spark, zip.toString).count() == 4)
+  }
+
   test("malformed rows drop; good rows keep dual id semantics") {
     val path = writeFile(tmpDir, "malformed.csv", malformedCsv)
     val df = CsvVehicleReader.read(spark, path)

@@ -144,6 +144,27 @@ class VehicleCsvSourceSpec extends SparkSpec {
       .filter(abs(col("lat") - 23.7690) < 1e-9).count() == 1)
   }
 
+  test("pushed double equality matches Spark's -0.0 = 0.0 semantics") {
+    // a field parsing to -0.0 must pass a pushed `lat = 0.0` exactly like
+    // the residual plan would (Spark normalizes -0.0; Double.compare
+    // alone would order -0.0 < 0.0 and silently drop the row)
+    val path = writeFile(tmpDir, "negzero.csv",
+      "2015-02-14 23:51:40+05,42,-0.0,90.3886\n" +
+        "2015-02-14 23:51:41+05,43,0.0,90.3886\n" +
+        "2015-02-14 23:51:42+05,44,1.5,90.3886")
+    val pushedEq = viaDsv2(path).filter(col("lat") === 0.0)
+    val scans = pushedEq.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.head.scan.description().contains("lat"),
+      "lat = 0.0 did not push")
+    assert(pushedEq.count() == 2, "-0.0 row must match a pushed lat = 0.0")
+    assert(viaDsv2(path).filter(col("lat").isin(0.0, 1.5)).count() == 3)
+    // ordering comparisons also see -0.0 as equal to 0.0, not below it
+    assert(viaDsv2(path).filter(col("lat") < 0.0).count() == 0)
+    assert(viaDsv2(path).filter(col("lat") >= 0.0).count() == 3)
+  }
+
   test("reported statistics feed the optimizer: sizeInBytes equals the " +
       "summed file length (compression-factor scaled for .gz)") {
     val dir = tmpDir
