@@ -19,6 +19,9 @@ import QueryDef._
   */
 object LlmOps {
 
+  // not the Logging trait: its `log` member would shadow functions.log
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def tokens(c: Column): Column = split(c, " ")
 
   // The landed corpus trigram doc-frequency relation (ngram, df) — ONE
@@ -474,9 +477,19 @@ object LlmOps {
     * data — and mirrored arithmetically by the `capc` CTE in every
     * oracle that thresholds on it, so the cap stays engine-agnostic at
     * every SF, not just where the floor binds. */
-  private[queries] def deriveRareCap(dfRel: DataFrame): Long = {
-    val hist = dfRel.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
+  private[queries] def deriveRareCap(dfRel: DataFrame): Long =
+    p99Floor16(histogram(dfRel))
+
+  /** The (df value → key count) histogram of a (…, df: long) relation,
+    * sorted ascending — one bounded aggregation whose driver payload is
+    * one row per DISTINCT df value. */
+  private def histogram(dfRel: DataFrame): Array[(Long, Long)] =
+    dfRel.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("df")).collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** max(16, exact p99) over a [[histogram]] — the cap arithmetic shared
+    * by the shingle-df cap and the fingerprint bucket-occupancy guard. */
+  private def p99Floor16(hist: Array[(Long, Long)]): Long = {
     val total = hist.map(_._2).sum
     if (total == 0L) 16L
     else {
@@ -1830,46 +1843,163 @@ object LlmOps {
     * declarative. Engine-specific (a JVM PNG decode chain has no DuckDB
     * mirror) → rows-only check; the planted-group recovery, hash
     * determinism and perturbation bounds are pinned in MultimodalSpec. */
-  def q178(s: SparkSession, d: String): DataFrame = {
-    val media = graft.multimodal.Multimodal
-      .mediaWithNearDupImagePayloads(Tables.documents(s, d))
-    hammingBandPairs(graft.multimodal.Multimodal
-      .dHashes(media.filter(col("kind") === "image")))
+  def q178(s: SparkSession, d: String): DataFrame =
+    hammingBandPairs(imageHashes(s, d))
+
+  /** Landed image dHashes (shared by q178 and the q184 closure). */
+  private def imageHashes(s: SparkSession, d: String): DataFrame =
+    landedHashes(s, s"image:$d") {
+      val media = graft.multimodal.Multimodal
+        .mediaWithNearDupImagePayloads(Tables.documents(s, d))
+      graft.multimodal.Multimodal
+        .dHashes(media.filter(col("kind") === "image"))
+    }
+
+  /** Landed fingerprint relations, memoized per (arm:dataset-dir): the
+    * decode→hash stage runs ONCE per dataset and lands as scratch
+    * parquet, so the occupancy audit, the band self-join (BOTH sides —
+    * the pre-r17 self-join re-ran the codec chain twice), and the
+    * member expansion all read landed bytes. Sharing the key between
+    * the pair queries (q178/q180/q183/q185) and the closure consumers
+    * (q184/q186) means a sweep decodes each modality exactly once. */
+  private val fpHashCache =
+    new graft.operators.DatasetCache[String]("fp-hashes", Seq(_))
+
+  private def landedHashes(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    s.read.parquet(fpHashCache.getOrCompute(key)(_ =>
+      graft.operators.Scratch.materializePath(build, "fp-hashes")))
+
+  /** The 8 × 16-bit band slices of a (h_hi, h_lo) fingerprint: bands
+    * 0-3 slice `h_lo`, 4-7 `h_hi`. Hamming ≤ 7 over 8 bands pigeonholes
+    * at least one EQUAL band, so radius-7 recall through a band
+    * equi-join is EXACT, not probabilistic. 16-bit bands are the scale
+    * choice: 65 536 buckets per band keeps bucket occupancy ~n/2^16
+    * (the within-bucket pair count the join pays is Σ occupancy² per
+    * band) — 8-bit bands' 256 buckets were measured growing the 10×
+    * warm ratio to 6× on the audio arm before the widening. */
+  private def bandChunks: Seq[Column] = (0 until 8).map { b =>
+    val word = if (b < 4) col("h_lo") else col("h_hi")
+    struct(lit(b).as("band"),
+      shiftright(word, (b % 4) * 16)
+        .bitwiseAND(lit(0xffffL)).as("chunk")).as(s"b$b")
   }
 
-  /** The shared 128-bit-fingerprint near-dup join (q178 images / q180
-    * audio): 8-band × 16-bit band join over
-    * `hashes(media_id, h_hi, h_lo)` — bands 0-3 slice `h_lo`, 4-7
-    * `h_hi`. Hamming ≤ 7 over 8 bands pigeonholes at least one equal
-    * band, so radius-7 recall is EXACT; the codegen'd `bit_count`
-    * radius filter runs map-side BEFORE the dedup shuffle (the q71
-    * discipline). 16-bit bands are the scale choice: 65 536 buckets
-    * per band keeps bucket occupancy ~n/2^16 (the within-bucket pair
-    * count the join pays is Σ occupancy² per band) — 8-bit bands'
-    * 256 buckets were measured growing the 10× warm ratio to 6× on
-    * the audio arm before the widening. */
-  private def hammingBandPairs(hashes: DataFrame): DataFrame = {
-    val chunks = (0 until 8).map { b =>
-      val word = if (b < 4) col("h_lo") else col("h_hi")
-      struct(lit(b).as("band"),
-        shiftright(word, (b % 4) * 16)
-          .bitwiseAND(lit(0xffffL)).as("chunk")).as(s"b$b")
+  /** Band buckets over a DISTINCT-fingerprint relation, with the
+    * r16-verdict occupancy guard: per-(band, chunk) occupancy is
+    * histogrammed (the [[deriveRareCap]] discipline — driver payload is
+    * one row per distinct occupancy value, never data) and buckets
+    * above 16 × max(16, p99-occupancy) are dropped from candidate
+    * generation with a logged audit (count of hot buckets + rows).
+    *
+    * Semantics of a binding cap: a fingerprint PAIR is lost only if
+    * EVERY band where its chunks agree is a hot bucket — and because
+    * identical fingerprints are consolidated upstream ([[withFpRep]]),
+    * a hot bucket means ≥cap DISTINCT hashes share a 16-bit chunk
+    * (e.g. an all-black-frame band: a corpus-common "stopword" chunk
+    * that carries no near-dup signal but costs occupancy² join work —
+    * the exact analogy to the capped shingle df). At the gate SFs every
+    * occupancy sits far below the 256 floor, so the cap NEVER binds
+    * there and the q185/q186 oracles are byte-identical; it exists to
+    * bound the worst bucket at cap² under adversarial 100-TB corpora. */
+  private[queries] def guardedBandBuckets(reps: DataFrame, keep: Seq[String]): DataFrame = {
+    val buckets = reps
+      .select(keep.map(col) :+ explode(array(bandChunks: _*)).as("bk"): _*)
+      .select(keep.map(col) ++ Seq(col("bk.band").as("band"),
+        col("bk.chunk").as("chunk")): _*)
+    val hist = histogram(
+      buckets.groupBy(col("band"), col("chunk")).agg(count(lit(1)).as("df")))
+    val cap = 16L * p99Floor16(hist)
+    val hotBuckets = hist.filter(_._1 > cap)
+    if (hotBuckets.isEmpty) buckets
+    else {
+      logger.warn(s"fingerprint occupancy guard: dropping " +
+        s"${hotBuckets.map(_._2).sum} band buckets above occupancy $cap " +
+        s"(max occupancy ${hist.map(_._1).max}) from candidate generation")
+      val hot = buckets.groupBy(col("band"), col("chunk"))
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
+        .select(col("band"), col("chunk"))
+      buckets.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
     }
-    val buckets = hashes
-      .select(col("media_id"), col("h_hi"), col("h_lo"),
-        explode(array(chunks: _*)).as("bk"))
-      .select(col("media_id"), col("h_hi"), col("h_lo"),
-        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    buckets.alias("a")
-      .join(buckets.alias("b"),
+  }
+
+  /** Consolidate identical fingerprints: `rep` = min media_id sharing
+    * this exact (h_hi, h_lo) — the EXACT fallback for the planted
+    * identical-media flood (r16 verdict ask #2). A flood of k identical
+    * media is ONE row in the band join (candidate volume is bounded by
+    * Σ distinct-hash occupancy², not raw occupancy²); its k(k−1)/2
+    * output pairs are expanded afterwards at output cardinality, which
+    * is irreducible for an all-pairs contract. */
+  private[queries] def withFpRep(hashes: DataFrame): DataFrame =
+    hashes.withColumn("rep",
+      min(col("media_id")).over(Window.partitionBy(col("h_hi"), col("h_lo"))))
+
+  /** Distinct-fingerprint near-dup pairs (ra, rb, hamming ≤ 7): the
+    * guarded band equi-join with the map-side codegen'd `bit_count`
+    * radius verify BEFORE the band-multiplicity dedup shuffle (the q71
+    * discipline — the dedup now runs over distinct-hash pairs, a
+    * smaller relation than the pre-r17 member pairs). */
+  private[queries] def repPairs(reps: DataFrame): DataFrame = {
+    val live = guardedBandBuckets(reps, Seq("rep", "h_hi", "h_lo"))
+    live.alias("a")
+      .join(live.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
         (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
           bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
       .filter(col("hamming") <= 7)
       .distinct()
-      .orderBy(col("ma"), col("mb"))
+  }
+
+  /** The shared 128-bit-fingerprint near-dup join (q178 images / q180
+    * audio / q185 synthetic) over `hashes(media_id, h_hi, h_lo)`:
+    * identical hashes consolidate ([[withFpRep]]), distinct hashes
+    * band-join under the occupancy guard ([[repPairs]]), and group
+    * pairs expand back to the full (ma < mb, hamming) member-pair
+    * relation — cross-group via two row-level joins on `rep` (no
+    * collected member arrays: a flood group expands in parallel, and
+    * AQE's skew split handles the hot rep key), within-group (hamming
+    * 0 by construction) via a rep-keyed self-join. Output is
+    * byte-identical to the unconsolidated join: member Hamming distance
+    * depends only on the hash values the groups share. */
+  private[queries] def hammingBandPairs(hashes: DataFrame): DataFrame = {
+    val mem = withFpRep(hashes)
+    val members = mem.select(col("media_id"), col("rep"))
+    val reps = mem.filter(col("media_id") === col("rep"))
+      .select(col("rep"), col("h_hi"), col("h_lo"))
+    val cross = repPairs(reps)
+      .join(members.select(col("rep").as("ra"), col("media_id").as("xa")),
+        Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("media_id").as("xb")),
+        Seq("rb"))
+      .select(least(col("xa"), col("xb")).as("ma"),
+        greatest(col("xa"), col("xb")).as("mb"), col("hamming"))
+    val within = members.alias("a")
+      .join(members.alias("b"),
+        col("a.rep") === col("b.rep") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+        lit(0).as("hamming"))
+    cross.unionByName(within).orderBy(col("ma"), col("mb"))
+  }
+
+  /** Spanning EDGES of the [[hammingBandPairs]] relation for closure
+    * consumers (q184/q186): within-group stars (rep—member) plus one
+    * edge per verified distinct-hash pair. Connected components over
+    * these edges equal CC over the full pair relation — a star connects
+    * exactly the media sharing an identical hash, and a rep—rep edge
+    * connects two groups whose EVERY member cross-pair the full
+    * relation would connect — so the closure's edge volume is LINEAR in
+    * a duplicate flood instead of quadratic. */
+  private[queries] def hammingBandSpanningEdges(hashes: DataFrame): DataFrame = {
+    val mem = withFpRep(hashes)
+    val reps = mem.filter(col("media_id") === col("rep"))
+      .select(col("rep"), col("h_hi"), col("h_lo"))
+    val stars = mem.filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("da"), col("media_id").as("db"))
+    stars.unionByName(
+      repPairs(reps).select(col("ra").as("da"), col("rb").as("db")))
   }
 
   /** q180 — acoustic-fingerprint AUDIO near-dup: the q178 shape for the
@@ -1884,12 +2014,17 @@ object LlmOps {
     * Engine-specific (a JVM WAV decode chain has no DuckDB mirror) →
     * rows-only check; planted-group recovery and perturbation bounds
     * are pinned in MultimodalSpec. */
-  def q180(s: SparkSession, d: String): DataFrame = {
-    val media = graft.multimodal.Multimodal
-      .mediaWithNearDupAudioPayloads(Tables.documents(s, d))
-    hammingBandPairs(graft.multimodal.Multimodal
-      .eHashes(media.filter(col("kind") === "audio")))
-  }
+  def q180(s: SparkSession, d: String): DataFrame =
+    hammingBandPairs(audioHashes(s, d))
+
+  /** Landed audio eHashes (shared by q180 and the q184 closure). */
+  private def audioHashes(s: SparkSession, d: String): DataFrame =
+    landedHashes(s, s"audio:$d") {
+      val media = graft.multimodal.Multimodal
+        .mediaWithNearDupAudioPayloads(Tables.documents(s, d))
+      graft.multimodal.Multimodal
+        .eHashes(media.filter(col("kind") === "audio"))
+    }
 
   /** q183 — ANY-KEYFRAME VIDEO near-dup, completing the near-dup ×
     * modality matrix (text q35/q71, image q178, audio q180, video
@@ -1907,48 +2042,111 @@ object LlmOps {
     * (the [[graft.multimodal.Multimodal.frameHashes]] stride bounds
     * that for long clips). Engine-specific → rows-only check;
     * planted-group AND trimmed-clip recovery pinned in MultimodalSpec. */
-  def q183(s: SparkSession, d: String): DataFrame = {
-    val media = graft.multimodal.Multimodal
-      .mediaWithNearDupVideoPayloads(Tables.documents(s, d))
-    hammingBandFramePairs(graft.multimodal.Multimodal
-      .frameHashes(media.filter(col("kind") === "video")))
-  }
+  def q183(s: SparkSession, d: String): DataFrame =
+    hammingBandFramePairs(videoFrameHashes(s, d))
 
-  /** [[hammingBandPairs]] at FRAME granularity (q183): bucket rows are
-    * (media_id, frame_idx) fingerprints, the band join matches frames
-    * of DIFFERENT clips at any frame offset, the radius-7 `bit_count`
-    * verify runs map-side per frame pair, band multiplicity dedups on
-    * the frame-pair key, and clip pairs aggregate min-Hamming plus the
-    * matched-frame count. Same 16-bit-band occupancy bound as the clip
-    * form — the row count is n_frames× larger by construction, which
-    * is the price of trim robustness (measured in BASELINE.md's
-    * fingerprint table). */
-  private def hammingBandFramePairs(frameHashes: DataFrame): DataFrame = {
-    val chunks = (0 until 8).map { b =>
-      val word = if (b < 4) col("h_lo") else col("h_hi")
-      struct(lit(b).as("band"),
-        shiftright(word, (b % 4) * 16)
-          .bitwiseAND(lit(0xffffL)).as("chunk")).as(s"b$b")
+  /** Landed per-frame video dHashes (shared by q183 and the q184
+    * closure). */
+  private def videoFrameHashes(s: SparkSession, d: String): DataFrame =
+    landedHashes(s, s"video:$d") {
+      val media = graft.multimodal.Multimodal
+        .mediaWithNearDupVideoPayloads(Tables.documents(s, d))
+      graft.multimodal.Multimodal
+        .frameHashes(media.filter(col("kind") === "video"))
     }
-    val buckets = frameHashes
-      .select(col("media_id"), col("frame_idx"), col("h_hi"), col("h_lo"),
-        explode(array(chunks: _*)).as("bk"))
-      .select(col("media_id"), col("frame_idx"), col("h_hi"), col("h_lo"),
-        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    buckets.alias("a")
-      .join(buckets.alias("b"),
+
+  /** [[hammingBandPairs]] at FRAME granularity (q183): the band join
+    * matches frames of DIFFERENT clips at any frame offset, the
+    * radius-7 `bit_count` verify runs map-side per DISTINCT-HASH pair,
+    * and clip pairs aggregate min-Hamming plus the matched-frame count.
+    *
+    * r17 consolidation: frames are grouped by their exact hash first —
+    * a static-scene clip (or a flood of identical clips) contributes
+    * ONE row per distinct frame hash to the band join, and the
+    * matched-frame COUNT is computed arithmetically (Σ over verified
+    * hash-group pairs of per-clip frame-count products, plus the
+    * hamming-0 products within a hash group) — so the quadratic frame-
+    * pair expansion the pre-r17 join materialized never exists as rows.
+    * Every frame pair (fa, fb) maps to exactly one hash-group pair, so
+    * the count is exact and the output byte-identical. Same occupancy
+    * guard as the clip form ([[guardedBandBuckets]]). */
+  private[queries] def hammingBandFramePairs(frameHashes: DataFrame): DataFrame = {
+    // one row per (frame hash, clip): how many of the clip's frames
+    // carry this exact fingerprint
+    val mcounts = frameHashes
+      .groupBy(col("h_hi"), col("h_lo"), col("media_id"))
+      .agg(count(lit(1)).as("nf"))
+    val reps = mcounts.select(col("h_hi"), col("h_lo")).distinct()
+    val live = guardedBandBuckets(reps, Seq("h_hi", "h_lo"))
+    // verified distinct-hash pairs, ordered by the 128-bit value so each
+    // unordered hash pair appears once
+    val gpairs = live.alias("a")
+      .join(live.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
-        col("a.frame_idx").as("fa"), col("b.frame_idx").as("fb"),
+          (col("a.h_hi") < col("b.h_hi") ||
+            (col("a.h_hi") === col("b.h_hi") && col("a.h_lo") < col("b.h_lo"))))
+      .select(col("a.h_hi").as("a_hi"), col("a.h_lo").as("a_lo"),
+        col("b.h_hi").as("b_hi"), col("b.h_lo").as("b_lo"),
         (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
           bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
       .filter(col("hamming") <= 7)
       .distinct()
+    val cross = gpairs
+      .join(mcounts.select(col("h_hi").as("a_hi"), col("h_lo").as("a_lo"),
+        col("media_id").as("xa"), col("nf").as("nfa")), Seq("a_hi", "a_lo"))
+      .join(mcounts.select(col("h_hi").as("b_hi"), col("h_lo").as("b_lo"),
+        col("media_id").as("xb"), col("nf").as("nfb")), Seq("b_hi", "b_lo"))
+      .filter(col("xa") =!= col("xb"))
+      .select(least(col("xa"), col("xb")).as("ma"),
+        greatest(col("xa"), col("xb")).as("mb"),
+        col("hamming"), (col("nfa") * col("nfb")).as("fpairs"))
+    val within = mcounts.alias("a")
+      .join(mcounts.alias("b"),
+        col("a.h_hi") === col("b.h_hi") && col("a.h_lo") === col("b.h_lo") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+        lit(0).as("hamming"), (col("a.nf") * col("b.nf")).as("fpairs"))
+    cross.unionByName(within)
       .groupBy(col("ma"), col("mb"))
       .agg(min(col("hamming")).as("hamming"),
-        count(lit(1)).as("matched_frames"))
+        sum(col("fpairs")).as("matched_frames"))
       .orderBy(col("ma"), col("mb"))
+  }
+
+  /** Spanning edges of the q183 frame-level relation for the q184
+    * closure: per hash group a star over its clips (min-clip—clip) plus
+    * one min-clip—min-clip edge per verified hash pair — components
+    * equal CC over the full clip-pair relation at linear edge volume. */
+  private[queries] def frameSpanningEdges(frameHashes: DataFrame): DataFrame = {
+    val mcounts = frameHashes
+      .groupBy(col("h_hi"), col("h_lo"), col("media_id"))
+      .agg(count(lit(1)).as("nf"))
+      .withColumn("mrep", min(col("media_id"))
+        .over(Window.partitionBy(col("h_hi"), col("h_lo"))))
+    val stars = mcounts.filter(col("media_id") =!= col("mrep"))
+      .select(col("mrep").as("da"), col("media_id").as("db"))
+    val reps = mcounts.select(col("h_hi"), col("h_lo")).distinct()
+    val live = guardedBandBuckets(reps, Seq("h_hi", "h_lo"))
+    val heads = mcounts.groupBy(col("h_hi"), col("h_lo"))
+      .agg(min(col("media_id")).as("mrep"))
+    val gpairs = live.alias("a")
+      .join(live.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          (col("a.h_hi") < col("b.h_hi") ||
+            (col("a.h_hi") === col("b.h_hi") && col("a.h_lo") < col("b.h_lo"))))
+      .filter(bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+        bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo"))) <= 7)
+      .select(col("a.h_hi").as("a_hi"), col("a.h_lo").as("a_lo"),
+        col("b.h_hi").as("b_hi"), col("b.h_lo").as("b_lo"))
+      .distinct()
+    val crossEdges = gpairs
+      .join(heads.select(col("h_hi").as("a_hi"), col("h_lo").as("a_lo"),
+        col("mrep").as("da")), Seq("a_hi", "a_lo"))
+      .join(heads.select(col("h_hi").as("b_hi"), col("h_lo").as("b_lo"),
+        col("mrep").as("db")), Seq("b_hi", "b_lo"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"))
+    stars.unionByName(crossEdges)
   }
 
   /** q184 — FINGERPRINT DEDUP CLOSURE across media modalities (r15
@@ -1973,12 +2171,15 @@ object LlmOps {
     // labels memoize per dataset (the q174 discipline): CC owns a landed
     // labels dir, so a looping driver must not rebuild-and-leak it
     val labelsPath = fpDedupCache.getOrCompute(d) { dir =>
-      val asEdges = (df: DataFrame) =>
-        df.select(col("ma").as("da"), col("mb").as("db"))
+      // r17: SPANNING edges, not the full pair relations — components
+      // are identical (see hammingBandSpanningEdges) but a duplicate
+      // flood contributes linear edge volume to the closure, and the
+      // landed-hash memo means no arm re-decodes here
       val edgesPath = graft.operators.Scratch.materializePath(
-        asEdges(q178(s, dir))
-          .unionByName(asEdges(q180(s, dir)))
-          .unionByName(asEdges(q183(s, dir))), "fp-dedup-edges")
+        hammingBandSpanningEdges(imageHashes(s, dir))
+          .unionByName(hammingBandSpanningEdges(audioHashes(s, dir)))
+          .unionByName(frameSpanningEdges(videoFrameHashes(s, dir))),
+        "fp-dedup-edges")
       try graft.operators.ConnectedComponents
         .minLabelPropagationPath(s.read.parquet(edgesPath))
       finally graft.operators.Scratch.release(edgesPath)
@@ -2071,7 +2272,7 @@ object LlmOps {
     * nature; this arm pins the banding, the radius verify, and the
     * pair dedup hash-exactly against an independent SQL evaluation. */
   def q185(s: SparkSession, d: String): DataFrame =
-    hammingBandPairs(syntheticFingerprints(s, d))
+    hammingBandPairs(landedHashes(s, s"synth:$d")(syntheticFingerprints(s, d)))
 
   private lazy val q185Sql =
     s"""WITH $syntheticFpCteSql,
@@ -2091,8 +2292,12 @@ object LlmOps {
     * discipline). */
   def q186(s: SparkSession, d: String): DataFrame = {
     val labelsPath = fpClosureCache.getOrCompute(d) { dir =>
+      // spanning edges (same components as the q185 pair relation at
+      // linear volume under duplicate floods; the oracle checks the
+      // CLUSTER output, which is identical)
       val edgesPath = graft.operators.Scratch.materializePath(
-        q185(s, dir).select(col("ma").as("da"), col("mb").as("db")),
+        hammingBandSpanningEdges(
+          landedHashes(s, s"synth:$dir")(syntheticFingerprints(s, dir))),
         "fp-closure-edges")
       try graft.operators.ConnectedComponents
         .minLabelPropagationPath(s.read.parquet(edgesPath))
