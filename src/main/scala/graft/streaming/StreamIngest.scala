@@ -581,7 +581,13 @@ object StreamIngest {
     val verdicts = banded.groupByKey(_._1)
       .transformWithState(new FingerprintBandProcessor(ttlMs),
         "_3", OutputMode.Append())
-    verdicts.groupByKey(_._1)
+    // stage 2 keys on (media_id, arrival ts), NOT media_id alone: two
+    // distinct arrivals sharing a media_id in one micro-batch (a
+    // re-submission) must each emit their own row from their own 8 band
+    // verdicts, not one merged row (r16 advice). Two arrivals with the
+    // SAME (media_id, ts) are indistinguishable by construction and do
+    // merge — the fingerprint is the same row.
+    verdicts.groupByKey(v => (v._1, v._3.getTime))
       .transformWithState(new FingerprintCombineProcessor(),
         TimeMode.EventTime(), OutputMode.Append())
   }
@@ -660,25 +666,27 @@ object StreamIngest {
   /** Stage-2 STATELESS combine of [[fingerprintDedupStream]]: all 8
     * band verdicts of an arrival land in its own micro-batch (they are
     * exploded from one row), so each invocation folds the group to one
-    * output row and keeps nothing. */
+    * output row and keeps nothing. Keyed on (media_id, arrival ts) so a
+    * same-batch re-submission of a media_id emits PER-ARRIVAL rows
+    * (r16 advice: media_id-only keying merged distinct arrivals). */
   class FingerprintCombineProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, java.sql.Timestamp), (Long, Long, Boolean)] {
+        (Long, Long), (Long, Long, java.sql.Timestamp), (Long, Long, Boolean)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues}
 
     override def init(outputMode: OM, timeMode: TimeMode): Unit = ()
 
     override def handleInputRows(
-        mediaId: Long,
+        key: (Long, Long),
         rows: Iterator[(Long, Long, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
       val m = rows.map(_._2).filter(_ >= 0L)
         .foldLeft(-1L)((acc, x) => if (acc < 0 || x < acc) x else acc)
-      Iterator.single((mediaId, m, m >= 0L))
+      Iterator.single((key._1, m, m >= 0L))
     }
 
     override def handleExpiredTimer(
-        mediaId: Long, timerValues: TimerValues,
+        key: (Long, Long), timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Boolean)] =
       Iterator.empty
   }

@@ -782,6 +782,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming fingerprint admission equals the batch q184 closure " +
+      "on the image arm (same arrival prefix, id order)") {
+    withRocksDbStateStore {
+    // the REAL planted image fingerprints (decode → dHash), arriving in
+    // media_id order across several micro-batches with a TTL wider than
+    // the whole run — the regime where the streaming rule (flag against
+    // any prior in-radius arrival, dup_of = min match) must agree with
+    // the batch closure (cluster survivor = min id): planted groups are
+    // radius-cliques, so both rules resolve to the group minimum
+    val hashes = graft.multimodal.Multimodal.dHashes(
+        graft.multimodal.Multimodal.mediaWithNearDupImagePayloads(
+          graft.Tables.documents(spark, sf0001))
+          .filter(col("kind") === "image"))
+      .orderBy(col("media_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.length >= 20, "fixture must plant enough image media")
+    val input = MemoryStream[(Long, Long, Long, Timestamp)]
+    val out = StreamIngest.fingerprintDedupStream(spark,
+      input.toDF().toDF("media_id", "h_hi", "h_lo", "ts"),
+      ttlMs = 6 * 60 * 60 * 1000L)
+    val q = out.toDF("media_id", "dup_of", "flagged")
+      .writeStream.format("memory").queryName("fp_equiv")
+      .outputMode(OutputMode.Append()).start()
+    hashes.grouped(7).zipWithIndex.foreach { case (batch, i) =>
+      input.addData(batch.map { case (id, hi, lo) => (id, hi, lo, ts(i)) }
+        .toSeq: _*)
+      q.processAllAvailable()
+    }
+    val stream = spark.table("fp_equiv").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    q.stop()
+    val batchV = graft.queries.LlmOps.q184(spark, sf0001)
+      .filter(col("kind") === "image").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("pruned"))).toMap
+    assert(stream.keySet == batchV.keySet,
+      s"arrival coverage differs: ${stream.keySet.size} vs ${batchV.keySet.size}")
+    batchV.foreach { case (id, (cid, pruned)) =>
+      val (dupOf, flagged) = stream(id)
+      assert(flagged == pruned,
+        s"media $id: stream flagged=$flagged, batch pruned=$pruned")
+      if (pruned) assert(dupOf == cid,
+        s"media $id: stream dup_of=$dupOf, batch cluster=$cid")
+      else assert(dupOf == -1L, s"media $id admitted but dup_of=$dupOf")
+    }
+    assert(batchV.values.exists(_._2) && batchV.values.exists(!_._2),
+      "fixture must exercise both verdicts")
+    }
+  }
+
   test("streaming semantic admission: a near-identical embedding is " +
       "rejected across micro-batches (cell-blocked state); TTL evicts") {
     withRocksDbStateStore {
