@@ -507,9 +507,26 @@ object Multimodal {
     * sample of a clip trimmed by t frames shares sampled SOURCE frames
     * only when K | t alignments collide — dense matching needs K = 1
     * (the default) or temporal alignment downstream; K > 1 is the
-    * bounded-cost screen for long clips. */
-  def frameHashes(media: DataFrame, everyK: Int = 1): DataFrame = {
+    * bounded-cost screen for long clips.
+    *
+    * `rowBudget` (r17, the stride auto-calibration): clips longer than
+    * the budget keep a CONTENT-ANCHORED subset of ~budget frames
+    * instead of all of them — a frame survives iff a mixed function of
+    * its own hash is ≡ 0 mod ceil(n/budget), plus the min-mixed-hash
+    * frame always survives as the anchor. Content anchoring, not index
+    * striding, because GIF frames are delta-coded (every frame decodes
+    * regardless — the decode wall is fixed) and the budget exists to
+    * bound the DOWNSTREAM fingerprint-row volume; selecting by the
+    * frame's own content makes the kept set TRIM-INVARIANT — a shared
+    * frame passes or fails identically in source and trimmed copy, so
+    * recovery survives any trim offset, where an index stride provably
+    * needs K | t (MultimodalSpec pins the long-clip property at a
+    * binding budget). Budget never binds at the fixture clip lengths
+    * (8 frames ≪ 64), so q183's gate output is byte-unchanged. */
+  def frameHashes(media: DataFrame, everyK: Int = 1,
+      rowBudget: Int = 64): DataFrame = {
     require(everyK >= 1, s"everyK must be >= 1: $everyK")
+    require(rowBudget >= 1, s"rowBudget must be >= 1: $rowBudget")
     val spark = media.sparkSession
     import spark.implicits._
     val enc = org.apache.spark.sql.Encoders.tuple(
@@ -518,12 +535,24 @@ object Multimodal {
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](enc)
       .mapPartitions(_.flatMap { case (id, payload) =>
         VideoCodec.decodeFrames(payload).toSeq.flatMap { frames =>
-          frames.iterator.zipWithIndex
+          val hashed = frames.iterator.zipWithIndex
             .filter { case (_, fi) => fi % everyK == 0 }
             .map { case ((w, h, px), fi) =>
               val (hi, lo) = ImageCodec.dHash128(w, h, px)
               (id, fi, hi, lo)
+            }.toSeq
+          if (hashed.size <= rowBudget) hashed
+          else {
+            val k = (hashed.size + rowBudget - 1) / rowBudget
+            def mix(hi: Long, lo: Long): Long = {
+              var h = (hi * 31L + lo) * 0x9E3779B97F4A7C15L
+              h ^ (h >>> 32)
             }
+            val anchor = hashed.minBy { case (_, _, hi, lo) => mix(hi, lo) }
+            hashed.filter { case t @ (_, _, hi, lo) =>
+              (t eq anchor) || java.lang.Math.floorMod(mix(hi, lo), k.toLong) == 0L
+            }
+          }
         }
       })
       .toDF("media_id", "frame_idx", "h_hi", "h_lo")

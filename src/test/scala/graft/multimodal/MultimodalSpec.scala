@@ -380,6 +380,44 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("frameHashes row budget: a long clip keeps ~budget CONTENT-" +
+      "anchored frames, and a trimmed copy still shares kept frames at " +
+      "the derived stride (trim-invariant selection)") {
+    import spark.implicits._
+    val (w, h) = (24, 20)
+    // 120 noise frames; trimmed copy drops the first 5 — an offset an
+    // INDEX stride k=8 would only survive when 8 | 5 (never)
+    val frames = (0 until 120).map(f =>
+      Multimodal.noisePixels(9876L * 131 + f, w, h).map(_ & 0xc0c0c0).toArray)
+    val media = Seq(
+      (500L, "video", VideoCodec.encodeGif(w, h, frames)),
+      (501L, "video", VideoCodec.encodeGif(w, h, frames.drop(5))))
+      .toDF("media_id", "kind", "payload")
+    val budget = 16
+    val kept = Multimodal.frameHashes(media, rowBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet)
+    // bounded: ~budget rows per clip, never the full 120
+    assert(bySrc(500L).size <= 2 * budget && bySrc(500L).nonEmpty,
+      s"budget must bind: ${bySrc(500L).size}")
+    assert(bySrc(501L).size <= 2 * budget)
+    // trim-invariant: the clips share kept frame hashes, so the
+    // hamming-0 band join recovers the pair at the derived stride
+    val shared = bySrc(500L).intersect(bySrc(501L))
+    assert(shared.nonEmpty,
+      "content-anchored selection must survive the trim offset")
+    // determinism of the selection
+    val again = Multimodal.frameHashes(media, rowBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+    // and the gate fixtures (8 frames/clip) sit under the default
+    // budget: q183's output is byte-unchanged by the calibration
+    val fixture = Multimodal.mediaWithNearDupVideoPayloads(
+      Tables.documents(spark, sf0001)).filter(col("kind") === "video")
+    assert(Multimodal.frameHashes(fixture).count() ==
+      Multimodal.frameHashes(fixture, rowBudget = Int.MaxValue).count())
+  }
+
   test("q184: cross-modality fingerprint closure keeps exactly one " +
       "min-id survivor per planted group and audits every media row") {
     val rows = graft.queries.LlmOps.q184(spark, sf0001).collect()
