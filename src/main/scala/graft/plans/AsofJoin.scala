@@ -158,8 +158,12 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = lkProj(l).copy()
-          val lt = ltProj(l).copy()
+          // lkProj/ltProj reuse their result buffers across calls — both
+          // values are consumed within THIS call only (matchKey stores a
+          // copy), so skipping the per-left-row .copy() removes two
+          // allocations per probe row from the merge's hot loop
+          val lk = lkProj(l)
+          val lt = ltProj(l)
           // SQL semantics (the q182 oracle's `c.key = p.key AND
           // c.ts <= p.ts`): a NULL key or time on either side never
           // matches — natural ascending ordering would otherwise treat
@@ -186,7 +190,10 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                 if (rt.isNullAt(0)) { rBuf.next() }
                 else if (timeOrd.compare(rt, lt) <= 0) {
                   matchRow = rBuf.next().copy()
-                  matchKey = lk
+                  // outlives this call, so store a copy — but only once
+                  // per distinct key (matches of one key all compare 0)
+                  if (matchKey == null || keyOrd.compare(matchKey, lk) != 0)
+                    matchKey = lk.copy()
                 } else done = true
               }
             }

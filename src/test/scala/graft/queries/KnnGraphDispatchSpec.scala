@@ -15,7 +15,11 @@ import graft.SparkSpec
   * q174 semdedup) in the FORCED NN-Descent regime — the SuffixArraySpec
   * force-each-regime discipline. The default (auto → cell-blocked at
   * gate SFs) regime is what every other spec and the driver oracle gate
-  * already exercise. */
+  * already exercise. With the oracle gate PINNED to cellblocked
+  * (Verify.scala — gate determinism), this suite plus LlmOpsSpec's
+  * recall ladder (q169 must beat the blocked builds) are the descent
+  * regime's dedicated correctness signal — the r16-advice counterweight
+  * that keeps the pinned gate from being the only coverage. */
 class KnnGraphDispatchSpec extends SparkSpec {
 
   test("auto regime decision: gate SFs build cell-blocked, the 100x " +
