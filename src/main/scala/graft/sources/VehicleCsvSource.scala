@@ -50,7 +50,14 @@ import graft.ingest.CsvFields
   * Scale shape: one InputPartition per file (gz/zip are not splittable;
   * a 100 TB drop parallelizes across its file count, the same contract
   * as the reference's per-file loop), readers stream line-by-line —
-  * no whole-file buffering. */
+  * no whole-file buffering.
+  *
+  * Streaming: the table also declares MICRO_BATCH_READ
+  * ([[VehicleCsvMicroBatchStream]]) — `spark.readStream.format(
+  * "graft-vehicle-csv")` serves the same files with the same semantics
+  * (durable file-log offsets, `maxFilesPerTrigger` admission control,
+  * Trigger.AvailableNow drain), so batch and streaming ingest cannot
+  * drift: one schema, one parser, one decompression dispatch. */
 class VehicleCsvSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-vehicle-csv"
 
@@ -179,13 +186,15 @@ private[sources] class VehicleCsvTable(path: String) extends Table
   override def name(): String = s"graft-vehicle-csv($path)"
   override def schema(): StructType = VehicleCsvSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new VehicleCsvScanBuilder(path)
+    new VehicleCsvScanBuilder(path, options)
 }
 
-private[sources] class VehicleCsvScanBuilder(path: String)
+private[sources] class VehicleCsvScanBuilder(path: String,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = VehicleCsvSource.Schema
@@ -199,12 +208,20 @@ private[sources] class VehicleCsvScanBuilder(path: String)
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new VehicleCsvScan(path, required, pushed)
+  override def build(): Scan = {
+    // streaming admission-control knob (same name as Spark's file source)
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+    new VehicleCsvScan(path, required, pushed, maxFiles)
+  }
 }
 
 private[sources] class VehicleCsvScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch
-    with SupportsReportStatistics {
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int]) extends Scan
+    with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -254,6 +271,14 @@ private[sources] class VehicleCsvScan(path: String, required: StructType,
     // ship the session's Hadoop conf (auth/filesystem settings) as
     // serializable pairs — shared with the Column pipeline
     VehicleCsvReaderFactory(required, pushed,
+      graft.ingest.IngestFiles.confProps(hadoopConf))
+
+  /** MICRO_BATCH_READ: the streaming scan reuses this scan's pruned
+    * schema, pushed filters, and reader factory — one parse/drop
+    * implementation behind both execution modes. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new VehicleCsvMicroBatchStream(path, required, pushed,
+      checkpointLocation, maxFilesPerTrigger, hadoopConf,
       graft.ingest.IngestFiles.confProps(hadoopConf))
 }
 
