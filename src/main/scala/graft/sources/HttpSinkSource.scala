@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.{HttpSink, VehicleLocation, VehicleMessage}
+
+/** The reference's HTTP delivery (CsvLoader.java:160-166, 196-235) as a
+  * first-class DataSourceV2 SINK — `pings.writeStream.format(
+  * "graft-http-sink").option("url", …).option("sourceId", …)` (and the
+  * same for batch `df.write`) — completing the catalog-level story the
+  * read side ([[VehicleCsvSource]]) already has: ingest AND delivery
+  * are both `format(...)`-addressable, composable with any query in
+  * between, with no hand-rolled `foreachBatch` glue required.
+  *
+  * Delivery semantics are the reference's, verbatim from [[HttpSink]]
+  * (one shared implementation — this file only adapts it to the DSv2
+  * write protocol): rows chunk into `batchSize` envelopes (flush at 10k,
+  * CsvLoader.java:160), network errors retry the same envelope, non-2xx
+  * is accepted-and-logged, each ping is one single-location message
+  * (CsvLoader.java:152). POSTs happen INSIDE executors as rows arrive
+  * (bounded writer memory: one chunk), never on the driver.
+  *
+  * Consistency contract, stated honestly: AT-LEAST-ONCE. A POST is a
+  * side effect no coordinator can roll back, so `abort` cannot recall
+  * delivered chunks and a replayed epoch re-posts — exactly the
+  * reference's contract, and the same one the `foreachBatch` path has;
+  * the [[graft.streaming.BatchLedger]] idempotent upgrade remains
+  * available there when the receiver needs effectively-once. The
+  * epoch-level `commit` is therefore an audit point (it logs the
+  * delivered row/POST totals from every writer's commit message), not a
+  * transaction boundary. */
+class HttpSinkSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http-sink"
+
+  // a sink accepts the QUERY's schema (validated per-write in
+  // newWriteBuilder); an empty table schema is the console/noop-sink
+  // convention for "no fixed schema of my own"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new HttpSinkTable
+}
+
+private[sources] class HttpSinkTable extends Table with SupportsWrite {
+  override def name(): String = "graft-http-sink"
+  override def schema(): StructType = StructType(Nil)
+  // ACCEPT_ANY_SCHEMA skips the engine's table-vs-data arity check (the
+  // noop/console-sink convention for "my schema is the query's schema");
+  // the real contract — ping columns present and typed — is enforced in
+  // newWriteBuilder, still at plan time
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val sink = HttpSinkSource.sinkFromOptions(info.options)
+    val idx = HttpSinkSource.pingIndices(info.schema)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = "graft-http-sink"
+        override def toBatch: BatchWrite = new HttpSinkBatchWrite(sink, idx)
+        override def toStreaming: StreamingWrite =
+          new HttpSinkStreamingWrite(sink, idx)
+      }
+    }
+  }
+}
+
+private[sources] object HttpSinkSource {
+  /** Input column positions (vehicle_id, lat, lon, ts_ms) in the write
+    * schema — resolved ONCE at plan time so a missing/mistyped column
+    * fails the query at start, not per-task. Extra columns are allowed
+    * and ignored (the sink reads only the ping fields). */
+  def pingIndices(schema: StructType): PingIndices = {
+    def at(name: String, t: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"graft-http-sink input needs column '$name' " +
+        s"(got ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields(i).dataType == t,
+        s"graft-http-sink column '$name' must be $t, got ${schema.fields(i).dataType}")
+      i
+    }
+    PingIndices(at("vehicle_id", LongType), at("lat", DoubleType),
+      at("lon", DoubleType), at("ts_ms", LongType))
+  }
+
+  def sinkFromOptions(options: CaseInsensitiveStringMap): HttpSink = {
+    val url = options.get("url")
+    require(url != null, "graft-http-sink requires option 'url'")
+    val sourceId = options.get("sourceId")
+    require(sourceId != null, "graft-http-sink requires option 'sourceId'")
+    new HttpSink(url, sourceId.toLong,
+      batchSize = options.getInt("batchSize", 10000),
+      maxRetries = options.getInt("maxRetries", Int.MaxValue),
+      backoffMs = options.getLong("backoffMs", 5000L),
+      connectTimeoutMs = options.getInt("connectTimeoutMs", 10000))
+  }
+}
+
+private[sources] case class PingIndices(vid: Int, lat: Int, lon: Int, ts: Int)
+
+private[sources] case class HttpSinkCommit(rows: Long, posts: Long)
+    extends WriterCommitMessage
+
+/** Shared epoch/job commit logging — the audit point of an
+  * at-least-once sink (see class doc): totals, not a transaction. */
+private[sources] trait HttpSinkCommitLog extends Logging {
+  protected def logDelivered(what: String, messages: Array[WriterCommitMessage]): Unit = {
+    val (rows, posts) = messages.foldLeft((0L, 0L)) {
+      case ((r, p), HttpSinkCommit(mr, mp)) => (r + mr, p + mp)
+      case (acc, _)                         => acc
+    }
+    logInfo(s"graft-http-sink $what delivered: $rows rows in $posts POSTs")
+  }
+}
+
+private[sources] class HttpSinkBatchWrite(sink: HttpSink, idx: PingIndices)
+    extends BatchWrite with HttpSinkCommitLog {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    HttpSinkWriterFactory(sink, idx)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    logDelivered("batch job", messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class HttpSinkStreamingWrite(sink: HttpSink, idx: PingIndices)
+    extends StreamingWrite with HttpSinkCommitLog {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    HttpSinkWriterFactory(sink, idx)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    logDelivered(s"epoch $epochId", messages)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** One factory for both modes ([[HttpSink]] is Serializable; ships the
+  * url/sourceId/chunking config to executors, never message data back). */
+private[sources] case class HttpSinkWriterFactory(
+    sink: HttpSink, idx: PingIndices)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new HttpSinkDataWriter(sink, idx)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new HttpSinkDataWriter(sink, idx)
+}
+
+/** Per-task writer: buffer at most one `batchSize` chunk, POST when
+  * full (the reference's flush-at-10k, CsvLoader.java:160-166), final
+  * partial flush at task commit (CsvLoader.java:169). Memory is bounded
+  * by one chunk regardless of partition size. A null ping field is an
+  * upstream-contract violation (the ingest's permissive drops guarantee
+  * non-null pings) and fails loudly rather than delivering garbage. */
+private[sources] class HttpSinkDataWriter(sink: HttpSink, idx: PingIndices)
+    extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[VehicleMessage]
+  private var rows = 0L
+  private var posts = 0L
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(idx.vid) && !row.isNullAt(idx.lat) &&
+        !row.isNullAt(idx.lon) && !row.isNullAt(idx.ts),
+      "graft-http-sink: null ping field (upstream must drop malformed rows)")
+    buf += VehicleMessage(row.getLong(idx.vid), Seq(VehicleLocation(
+      row.getDouble(idx.lat), row.getDouble(idx.lon), row.getLong(idx.ts))))
+    rows += 1
+    if (buf.size >= sink.batchSize) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    sink.post(buf.toSeq)
+    posts += 1
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    HttpSinkCommit(rows, posts)
+  }
+
+  // delivered chunks cannot be recalled (at-least-once); drop only the
+  // not-yet-posted tail
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.ProtoEnvelope
+
+/** The DSv2 HTTP sink (`writeStream.format("graft-http-sink")`):
+  * delivery parity with the foreachBatch path (same HttpSink, same
+  * envelopes), reference chunking semantics, batch-mode write, and
+  * loud-at-start validation of options and input schema. */
+class HttpSinkSourceSpec extends SparkSpec {
+
+  private def withServer[T](body: (String, ArrayBuffer[Array[Byte]]) => T): T = {
+    val received = ArrayBuffer.empty[Array[Byte]]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/u", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.synchronized { received += ex.getRequestBody.readAllBytes() }
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/u", received)
+    finally server.stop(0)
+  }
+
+  private val csv =
+    "2015-02-14 23:51:40+05,42,23.7689,90.3886\n" +
+      "2015-02-14 23:51:41+05,43,23.7690,90.3890\n" +
+      "2015-02-14 23:51:42+05,42,23.7691,90.3891\n"
+
+  test("streaming e2e: csv stream → DSv2 http sink delivers the same " +
+      "messages as the foreachBatch path, under the declared sourceId") {
+    val dir = Files.createTempDirectory("graft-httpsink-in")
+    Files.write(dir.resolve("part1.csv"), csv.getBytes(StandardCharsets.UTF_8))
+    withServer { (url, received) =>
+      val q = spark.readStream.format("graft-vehicle-csv")
+        .load(dir.toString)
+        .writeStream.format("graft-http-sink")
+        .option("url", url).option("sourceId", 7L)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-httpsink-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val envelopes = received.map(ProtoEnvelope.decodeEnvelope)
+      assert(envelopes.forall(_._1 == 7L), "wrong sourceId on the wire")
+      val msgs = envelopes.flatMap(_._2)
+      // one single-location message per ping (reference parity)
+      assert(msgs.map(_.vehicleId).sorted == ArrayBuffer(42L, 42L, 43L))
+      assert(msgs.forall(_.locations.size == 1))
+      assert(msgs.forall(_.locations.head.timestamp > 0))
+    }
+  }
+
+  test("batch write: df.write.format(graft-http-sink) delivers every row; " +
+      "chunking flushes at batchSize with a final partial flush") {
+    withServer { (url, received) =>
+      graft.Tables.events(spark, sf0001)
+        .select(col("user_id").as("vehicle_id"),
+          col("value").as("lat"), col("value").as("lon"),
+          col("event_id").as("ts_ms"))
+        .limit(10).repartition(1)
+        .write.format("graft-http-sink")
+        .option("url", url).option("sourceId", 3L)
+        .option("batchSize", 3)
+        .mode("append").save()
+      val envelopes = received.map(ProtoEnvelope.decodeEnvelope)
+      assert(envelopes.forall(_._1 == 3L))
+      // 10 rows at batchSize=3 in one partition: 3 full POSTs + 1 partial
+      assert(received.size == 4, s"expected 4 POSTs, got ${received.size}")
+      assert(envelopes.map(_._2.size).sorted == ArrayBuffer(1, 3, 3, 3))
+      assert(envelopes.flatMap(_._2).size == 10)
+    }
+  }
+
+  test("missing url/sourceId options and missing/mistyped ping columns " +
+      "fail at query start, not per-task") {
+    val df = spark.range(3).select(col("id").as("vehicle_id"),
+      lit(1.0).as("lat"), lit(2.0).as("lon"), col("id").as("ts_ms"))
+    val noUrl = intercept[Exception] {
+      df.write.format("graft-http-sink").option("sourceId", 1L)
+        .mode("append").save()
+    }
+    assert(noUrl.getMessage.contains("url"))
+    val noCol = intercept[Exception] {
+      df.drop("lon").write.format("graft-http-sink")
+        .option("url", "http://127.0.0.1:1/u").option("sourceId", 1L)
+        .mode("append").save()
+    }
+    assert(noCol.getMessage.contains("lon"))
+    val badType = intercept[Exception] {
+      df.withColumn("lat", lit("oops")).write.format("graft-http-sink")
+        .option("url", "http://127.0.0.1:1/u").option("sourceId", 1L)
+        .mode("append").save()
+    }
+    assert(badType.getMessage.contains("lat"))
+  }
+}

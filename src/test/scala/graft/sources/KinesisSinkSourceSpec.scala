@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.{InMemoryKinesis, ProtoEnvelope}
+
+/** The DSv2 Kinesis sink (`writeStream.format("graft-kinesis-sink")`):
+  * per-vehicle keyed records with shard affinity (parity with the
+  * foreachBatch path — same KinesisSink), PutRecords chunking at
+  * maxBatch, and plan-time failure for an unregistered transport. */
+class KinesisSinkSourceSpec extends SparkSpec {
+
+  test("streaming e2e: csv stream → DSv2 kinesis sink — vehicleId-keyed " +
+      "records, decodable envelopes, stable per-vehicle shard") {
+    val dir = Files.createTempDirectory("graft-kinsink-in")
+    Files.write(dir.resolve("part1.csv"),
+      ("2015-02-14 23:51:40+05,42,23.7689,90.3886\n" +
+        "2015-02-14 23:51:41+05,43,23.7690,90.3890\n" +
+        "2015-02-14 23:51:42+05,42,23.7691,90.3891\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val name = "t-dsv2-kinesis"
+    InMemoryKinesis.reset(name)
+    val kin = new InMemoryKinesis(numShards = 4, name = name)
+    KinesisTransports.register(name, () => new InMemoryKinesis(4, name))
+    val q = spark.readStream.format("graft-vehicle-csv")
+      .load(dir.toString)
+      .writeStream.format("graft-kinesis-sink")
+      .option("stream", "vehicles").option("sourceId", 7L)
+      .option("transport", name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-kinsink-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val recs = kin.records
+    assert(recs.map(_._2.partitionKey).toSet == Set("42", "43"))
+    val decoded = recs.map(r => ProtoEnvelope.decodeEnvelope(r._2.data))
+    assert(decoded.forall(_._1 == 7L))
+    val byVehicle = decoded.flatMap(_._2).groupBy(_.vehicleId)
+      .view.mapValues(_.map(_.locations.size).sum).toMap
+    assert(byVehicle == Map(42L -> 2, 43L -> 1))
+    // same vehicle id always routes to the same shard
+    assert(recs.groupBy(_._2.partitionKey).values
+      .forall(_.map(_._1).distinct.size == 1))
+  }
+
+  test("batch write chunks PutRecords at maxBatch; unregistered " +
+      "transport fails at plan time") {
+    val name = "t-dsv2-kinesis-batch"
+    InMemoryKinesis.reset(name)
+    val kin = new InMemoryKinesis(numShards = 2, name = name)
+    KinesisTransports.register(name, () => new InMemoryKinesis(2, name))
+    spark.range(7).select(col("id").as("vehicle_id"),
+        lit(1.0).as("lat"), lit(2.0).as("lon"), col("id").as("ts_ms"))
+      .repartition(1)
+      .write.format("graft-kinesis-sink")
+      .option("stream", "vehicles").option("sourceId", 3L)
+      .option("transport", name).option("maxBatch", 3)
+      .mode("append").save()
+    assert(kin.records.size == 7)
+    assert(kin.callSizes.forall(_ <= 3),
+      s"PutRecords over the chunk limit: ${kin.callSizes}")
+
+    val df = spark.range(1).select(col("id").as("vehicle_id"),
+      lit(1.0).as("lat"), lit(2.0).as("lon"), col("id").as("ts_ms"))
+    val e = intercept[Exception] {
+      df.write.format("graft-kinesis-sink")
+        .option("stream", "s").option("sourceId", 1L)
+        .option("transport", "never-registered")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("never-registered"))
+  }
+}
