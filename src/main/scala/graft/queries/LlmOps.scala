@@ -1992,6 +1992,12 @@ object LlmOps {
     * connects two groups whose EVERY member cross-pair the full
     * relation would connect — so the closure's edge volume is LINEAR in
     * a duplicate flood instead of quadratic. */
+  /** Dev-tool probe ([[graft.tools.FloodStress]]): the spanning-edge
+    * relation on an arbitrary `hashes(media_id, h_hi, h_lo)` corpus, so
+    * the flood receipt measures the EXACT production chain. */
+  def floodProbeSpanningEdges(hashes: DataFrame): DataFrame =
+    hammingBandSpanningEdges(hashes)
+
   private[queries] def hammingBandSpanningEdges(hashes: DataFrame): DataFrame = {
     val mem = withFpRep(hashes)
     val reps = mem.filter(col("media_id") === col("rep"))
