@@ -49,12 +49,19 @@ object KinesisTransports {
   def register(name: String, factory: () => KinesisTransport): Unit =
     factories.put(name, factory)
 
-  def apply(name: String): KinesisTransport = {
+  /** Resolve at PLAN time (driver side): the returned factory — not the
+    * registry lookup — ships to executors inside the writer factory, so
+    * a cluster whose executors never saw `register` still constructs
+    * the transport (provided the registered closure is serializable,
+    * which is the deployment's contract). */
+  def factory(name: String): () => KinesisTransport = {
     val f = factories.get(name)
     require(f != null, s"no Kinesis transport registered under '$name' " +
       s"(KinesisTransports.register it before starting the query)")
-    f()
+    f
   }
+
+  def apply(name: String): KinesisTransport = factory(name)()
 }
 
 private[sources] class KinesisSinkTable extends Table with SupportsWrite {
@@ -72,10 +79,13 @@ private[sources] class KinesisSinkTable extends Table with SupportsWrite {
     val transport = opts.get("transport")
     require(transport != null,
       "graft-kinesis-sink requires option 'transport' (a KinesisTransports name)")
-    KinesisTransports(transport) // fail at PLAN time if unregistered
+    // resolve at PLAN time: fails loudly if unregistered, and the
+    // serializable factory (not the driver-local registry) ships to
+    // executors — the registry is empty in a real cluster's executors
+    val transportFactory = KinesisTransports.factory(transport)
     val idx = HttpSinkSource.pingIndices(info.schema)
-    val factory = KinesisWriterFactory(stream, sourceId.toLong, transport,
-      opts.getInt("maxBatch", 500), idx)
+    val factory = KinesisWriterFactory(stream, sourceId.toLong,
+      transportFactory, opts.getInt("maxBatch", 500), idx)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def description(): String = "graft-kinesis-sink"
@@ -106,12 +116,12 @@ private[sources] class KinesisStreamingWrite(factory: KinesisWriterFactory)
 }
 
 private[sources] case class KinesisWriterFactory(stream: String,
-    sourceId: Long, transportName: String, maxBatch: Int, idx: PingIndices)
+    sourceId: Long, transportFactory: () => KinesisTransport,
+    maxBatch: Int, idx: PingIndices)
     extends DataWriterFactory with StreamingDataWriterFactory {
   private def writer(): DataWriter[InternalRow] =
     new KinesisDataWriter(
-      new KinesisSink(stream, KinesisTransports(transportName),
-        maxBatch = maxBatch),
+      new KinesisSink(stream, transportFactory(), maxBatch = maxBatch),
       sourceId, idx)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = writer()
