@@ -36,7 +36,13 @@ private[graft] object IngestFiles {
     * `spark.read.text` flat-directory behavior (hidden `_`/`.` entries
     * skipped, FileInputFormat-style), so `load("/data/pings")` works
     * the same through both ingest paths. */
-  def listInputFiles(path: String, conf: Configuration): Seq[String] = {
+  def listInputFiles(path: String, conf: Configuration): Seq[String] =
+    listInputFileStatuses(path, conf).map(_._1)
+
+  /** [[listInputFiles]] with modification times — the streaming source's
+    * discovery needs them for maxFileAge admission/eviction. */
+  def listInputFileStatuses(
+      path: String, conf: Configuration): Seq[(String, Long)] = {
     val fs = FileSystem.get(new java.net.URI(path), conf)
     val statuses = Option(fs.globStatus(new HPath(path)))
       .getOrElse(throw new java.io.FileNotFoundException(
@@ -46,9 +52,10 @@ private[graft] object IngestFiles {
       !n.startsWith("_") && !n.startsWith(".")
     }
     val files = statuses.toSeq.flatMap { st =>
-      if (st.isFile) Seq(st.getPath)
-      else fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
-    }.filter(visible).map(_.toString)
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+    }.filter(st => visible(st.getPath))
+      .map(st => (st.getPath.toString, st.getModificationTime))
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(s"No files match: $path")
     files

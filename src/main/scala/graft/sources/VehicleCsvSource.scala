@@ -70,6 +70,27 @@ class VehicleCsvSource extends TableProvider with DataSourceRegister {
 }
 
 object VehicleCsvSource {
+  /** Streaming `maxFileAge` option (bounded driver state — see
+    * [[VehicleCsvMicroBatchStream]]): `off`/`none` disables, else a
+    * duration (`7d`, `12h`, `30m`, `45s`, or plain milliseconds).
+    * Default 7 days — the engine file source's own default. */
+  private[sources] def parseMaxFileAge(v: String): Option[Long] = {
+    val raw = Option(v).getOrElse("7d").trim.toLowerCase(java.util.Locale.ROOT)
+    if (raw == "off" || raw == "none") None
+    else {
+      val (num, unit) = raw.last match {
+        case 's' => (raw.dropRight(1), 1000L)
+        case 'm' => (raw.dropRight(1), 60L * 1000)
+        case 'h' => (raw.dropRight(1), 3600L * 1000)
+        case 'd' => (raw.dropRight(1), 24L * 3600 * 1000)
+        case _   => (raw, 1L)
+      }
+      val ms = num.toLong * unit
+      require(ms > 0, s"maxFileAge must be positive, got $v")
+      Some(ms)
+    }
+  }
+
   /** Same output schema as CsvVehicleReader.read. */
   val Schema: StructType = StructType(Seq(
     StructField("vehicle_id_str", StringType),
@@ -215,12 +236,14 @@ private[sources] class VehicleCsvScanBuilder(path: String,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
-    new VehicleCsvScan(path, required, pushed, maxFiles)
+    new VehicleCsvScan(path, required, pushed, maxFiles,
+      VehicleCsvSource.parseMaxFileAge(options.get("maxFileAge")))
   }
 }
 
 private[sources] class VehicleCsvScan(path: String, required: StructType,
-    pushed: Array[Filter], maxFilesPerTrigger: Option[Int]) extends Scan
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int],
+    maxFileAgeMs: Option[Long]) extends Scan
     with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -278,7 +301,7 @@ private[sources] class VehicleCsvScan(path: String, required: StructType,
     * implementation behind both execution modes. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new VehicleCsvMicroBatchStream(path, required, pushed,
-      checkpointLocation, maxFilesPerTrigger, hadoopConf,
+      checkpointLocation, maxFilesPerTrigger, maxFileAgeMs, hadoopConf,
       graft.ingest.IngestFiles.confProps(hadoopConf))
 }
 

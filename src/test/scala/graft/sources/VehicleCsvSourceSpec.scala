@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.zip.{GZIPOutputStream, ZipEntry, ZipOutputStream}
 
 import org.apache.spark.sql.DataFrame
@@ -320,7 +320,7 @@ class VehicleCsvSourceSpec extends SparkSpec {
     val fs = dir.getFileSystem(conf)
     val log = new VehicleCsvFileLog(dir, conf)
     val files = (0 until 25).map(i => f"/data/part-$i%03d.csv.gz")
-    files.foreach(f => log.append(Seq(f))) // 25 appends, interval 10
+    files.foreach(f => log.append(Seq(f -> 1000L))) // 25 appends, interval 10
     assert(log.size == 25 && log.slice(0, 25) == files)
     // compaction bounded the on-disk segment count (2 compactions at 10
     // and 20, then 5 plain segments): never 25 files
@@ -342,6 +342,77 @@ class VehicleCsvSourceSpec extends SparkSpec {
     val again = new VehicleCsvFileLog(dir, conf)
     assert(again.size == 25 && again.slice(0, 25) == files,
       "stale pre-compact segment leaked into the reloaded log")
+  }
+
+  test("file log bounds driver memory: committed-prefix trim keeps " +
+      "offsets valid, compaction spans the trimmed prefix, eviction " +
+      "shrinks the dedup map only below the age cutoff") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft-filelog-trim").toString)
+    val log = new VehicleCsvFileLog(dir, conf)
+    val files = (0 until 10).map(i => f"/data/t-$i%02d.csv")
+    // 5 appends, commit to offset 3 (trims the in-memory prefix), then
+    // 5 more appends so the 10th triggers compaction with base > 0 —
+    // the compact must still span [0, size) for the loader
+    files.take(5).foreach(f => log.append(Seq(f -> (2000L + files.indexOf(f)))))
+    log.trimCommitted(3)
+    assert(log.size == 5 && log.slice(3, 5) == files.slice(3, 5))
+    intercept[IllegalArgumentException](log.slice(2, 5)) // below the trim
+    files.drop(5).foreach(f => log.append(Seq(f -> (2000L + files.indexOf(f)))))
+    assert(log.size == 10 && log.slice(3, 10) == files.slice(3, 10))
+    val reloaded = new VehicleCsvFileLog(dir, conf)
+    assert(reloaded.size == 10 && reloaded.slice(0, 10) == files,
+      "compaction with a trimmed prefix lost entries")
+    // eviction: cutoff 2005 forgets the 5 older files, keeps the rest;
+    // re-appending an evicted path is the caller's age filter's job —
+    // the map answers contains() only for retained entries
+    assert(reloaded.knownSize == 10)
+    reloaded.evictKnownBelow(2005L)
+    assert(reloaded.knownSize == 5)
+    assert(!reloaded.contains(files.head) && reloaded.contains(files.last))
+  }
+
+  test("MICRO_BATCH_READ maxFileAge: files older than the watermark-age " +
+      "cutoff are ignored at start and never re-admitted after eviction") {
+    val dir = tmpDir
+    val old = Paths.get(writeFile(dir, "old.csv",
+      "2015-02-14 23:51:40+05,111,1.0,1.0\n"))
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    writeFile(dir, "fresh.csv", "2015-02-14 23:51:41+05,222,1.0,1.0\n")
+
+    val ckpt = Files.createTempDirectory("graft-mbs-age").toString
+    val first = streamCollect(dir.toString, ckpt, maxFilesPerTrigger = 10)
+      .flatMap(_._2)
+    // default maxFileAge=7d: the 10-day-old file is out of window
+    assert(first.map(_.head).toSet == Set("222"),
+      s"aged-out file leaked into the stream: ${first.map(_.head)}")
+
+    // second run: a newer file arrives; the old file stays ignored and
+    // fresh.csv (processed, evicted or not) is not re-read
+    writeFile(dir, "newer.csv", "2015-02-14 23:51:42+05,333,1.0,1.0\n")
+    val second = streamCollect(dir.toString, ckpt, maxFilesPerTrigger = 10)
+      .flatMap(_._2)
+    assert(second.map(_.head).toSet == Set("333"),
+      s"restart re-read or admitted aged files: ${second.map(_.head)}")
+
+    // maxFileAge=off admits everything (fresh checkpoint)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = spark.readStream.format("graft-vehicle-csv")
+      .option("maxFileAge", "off")
+      .load(dir.toString)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-mbs-age-off").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().map(_.toSeq).toSeq
+        batches.synchronized { batches += rows }
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(batches.flatten.map(_.head).toSet == Set("111", "222", "333"))
   }
 
   test("usable from SQL as a catalog table (CREATE TABLE ... USING)") {
