@@ -48,10 +48,12 @@ class HttpSinkSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new HttpSinkTable
+    new HttpSinkTable(properties)
 }
 
-private[sources] class HttpSinkTable extends Table with SupportsWrite {
+private[sources] class HttpSinkTable(
+    properties: java.util.Map[String, String]) extends Table
+    with SupportsWrite {
   override def name(): String = "graft-http-sink"
   override def schema(): StructType = StructType(Nil)
   // ACCEPT_ANY_SCHEMA skips the engine's table-vs-data arity check (the
@@ -62,7 +64,11 @@ private[sources] class HttpSinkTable extends Table with SupportsWrite {
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val sink = HttpSinkSource.sinkFromOptions(info.options)
+    // a catalog table (CREATE TABLE ... USING ... OPTIONS) carries its
+    // OPTIONS as table properties, a direct write carries them in
+    // info.options — merge (write-time options win)
+    val sink = HttpSinkSource.sinkFromOptions(
+      HttpSinkSource.mergedOptions(properties, info.options))
     val idx = HttpSinkSource.pingIndices(info.schema)
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -76,6 +82,14 @@ private[sources] class HttpSinkTable extends Table with SupportsWrite {
 }
 
 private[sources] object HttpSinkSource {
+  /** Table properties (catalog OPTIONS) merged under write-time options. */
+  def mergedOptions(properties: java.util.Map[String, String],
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](properties)
+    m.putAll(options.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
+  }
+
   /** Input column positions (vehicle_id, lat, lon, ts_ms) in the write
     * schema — resolved ONCE at plan time so a missing/mistyped column
     * fails the query at start, not per-task. Extra columns are allowed

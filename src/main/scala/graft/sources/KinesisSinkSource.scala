@@ -34,7 +34,7 @@ class KinesisSinkSource extends TableProvider with DataSourceRegister {
     StructType(Nil)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new KinesisSinkTable
+    new KinesisSinkTable(properties)
 }
 
 /** Named transport registry (JVM-static): the bridge between DSv2's
@@ -64,14 +64,17 @@ object KinesisTransports {
   def apply(name: String): KinesisTransport = factory(name)()
 }
 
-private[sources] class KinesisSinkTable extends Table with SupportsWrite {
+private[sources] class KinesisSinkTable(
+    properties: java.util.Map[String, String]) extends Table
+    with SupportsWrite {
   override def name(): String = "graft-kinesis-sink"
   override def schema(): StructType = StructType(Nil)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val opts = info.options
+    // catalog OPTIONS ride table properties; direct-write options win
+    val opts = HttpSinkSource.mergedOptions(properties, info.options)
     val stream = opts.get("stream")
     require(stream != null, "graft-kinesis-sink requires option 'stream'")
     val sourceId = opts.get("sourceId")

@@ -80,6 +80,26 @@ class HttpSinkSourceSpec extends SparkSpec {
     }
   }
 
+  test("usable from SQL: CREATE TABLE ... USING graft-http-sink + INSERT INTO") {
+    withServer { (url, received) =>
+      spark.sql("DROP TABLE IF EXISTS http_sink_sql")
+      try {
+        spark.sql(s"""CREATE TABLE http_sink_sql
+          |USING `graft-http-sink`
+          |OPTIONS (url '$url', sourceId '11')""".stripMargin)
+        spark.sql(
+          """INSERT INTO http_sink_sql
+            |SELECT id AS vehicle_id, CAST(1.5 AS DOUBLE) AS lat,
+            |       CAST(2.5 AS DOUBLE) AS lon, id AS ts_ms
+            |FROM range(5)""".stripMargin)
+        val envelopes = received.map(ProtoEnvelope.decodeEnvelope)
+        assert(envelopes.forall(_._1 == 11L))
+        assert(envelopes.flatMap(_._2).map(_.vehicleId).sorted ==
+          ArrayBuffer(0L, 1L, 2L, 3L, 4L))
+      } finally spark.sql("DROP TABLE IF EXISTS http_sink_sql")
+    }
+  }
+
   test("missing url/sourceId options and missing/mistyped ping columns " +
       "fail at query start, not per-task") {
     val df = spark.range(3).select(col("id").as("vehicle_id"),
