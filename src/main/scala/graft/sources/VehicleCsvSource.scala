@@ -244,12 +244,31 @@ private[sources] class VehicleCsvScanBuilder(path: String,
 private[sources] class VehicleCsvScan(path: String, required: StructType,
     pushed: Array[Filter], maxFilesPerTrigger: Option[Int],
     maxFileAgeMs: Option[Long]) extends Scan
-    with Batch with SupportsReportStatistics {
+    with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-vehicle-csv $path ReadSchema: ${required.catalogString} " +
-      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")} " +
+      s"RuntimeFilters: ${runtime.mkString("[", ", ", "]")}"
+
+  /** Runtime filtering (the DSv2 dynamic-pruning hook): at execution
+    * time the engine derives IN-set filters from a completed join build
+    * side (broadcast hash join keys) and injects them here — the reader
+    * then skips non-matching rows at the source, the same honest
+    * contract as the static pushdown (the full-record PARSE still
+    * defines row membership; the win is skipped materialization and
+    * downstream exchange, which for a selective probe is most of the
+    * scan's output). Any exactly-evaluable filter is accepted; others
+    * are ignored (runtime filters are an optimization, never required
+    * for correctness — the join re-checks its own keys). */
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    VehicleCsvSource.Schema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(VehicleCsvSource.Filters.supported)
 
   private def hadoopConf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
@@ -292,8 +311,10 @@ private[sources] class VehicleCsvScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // ship the session's Hadoop conf (auth/filesystem settings) as
-    // serializable pairs — shared with the Column pipeline
-    VehicleCsvReaderFactory(required, pushed,
+    // serializable pairs — shared with the Column pipeline. Readers
+    // evaluate static pushed filters AND any injected runtime filters
+    // (createReaderFactory runs after runtime-filter injection).
+    VehicleCsvReaderFactory(required, pushed ++ runtime,
       graft.ingest.IngestFiles.confProps(hadoopConf))
 
   /** MICRO_BATCH_READ: the streaming scan reuses this scan's pruned
