@@ -4559,8 +4559,8 @@ object LlmOps {
     * `e(vec_id, embedding)`, keep top-`k` per node. Candidate-bounded:
     * ≤ 2dn undirected edges ⇒ ≤ (2d)²n expansion pairs for seed
     * degree d. */
-  private def nnDescentRound(g: DataFrame, e: DataFrame, k: Int = 3)
-      : DataFrame = {
+  private def nnDescentRound(g: DataFrame, e: DataFrame, k: Int = 3,
+      ordered: Boolean = true): DataFrame = {
     val und = g.unionByName(
       g.select(col("vb").as("va"), col("va").as("vb"))).distinct()
     val non = und.select(col("va"), col("vb").as("mid"))
@@ -4569,7 +4569,7 @@ object LlmOps {
       .select(col("va"), col("vb"))
     val cand = und.unionByName(non).distinct()
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
-    cand
+    val ranked = cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
       .select(col("va"), col("vb"),
@@ -4577,7 +4577,13 @@ object LlmOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("va"), col("vb"), col("sim"), col("rn"))
-      .orderBy(col("va"), col("rn"))
+    // the global range-sort (a sampling job + range exchange + sort) is
+    // the REGISTERED relation's deterministic-output contract; an
+    // intermediate round's output feeds straight into the next round's
+    // distinct shuffle, so its sort would be pure waste — 2 sampling
+    // jobs + 2 full-edge-relation range exchanges per q169 build at any
+    // scale
+    if (ordered) ranked.orderBy(col("va"), col("rn")) else ranked
   }
 
   /** Oracle mirror of [[bridgeLinks]]: CTEs `nn2(n)` + `rnd(va, vb)`. */
@@ -4771,8 +4777,10 @@ object LlmOps {
     // degree-3 frontier is too thin to double its radius per round
     // (measured 157/1500 recall@3 at K=3 vs 3-4x that at K=10); the
     // final round keeps the reported top-3
-    val r1 = nnDescentRound(bridgeLinks(s, e0, n, b = 10), e, k = 10)
-    val r2 = nnDescentRound(r1.select(col("va"), col("vb")), e, k = 10)
+    val r1 = nnDescentRound(bridgeLinks(s, e0, n, b = 10), e, k = 10,
+      ordered = false)
+    val r2 = nnDescentRound(r1.select(col("va"), col("vb")), e, k = 10,
+      ordered = false)
     nnDescentRound(r2.select(col("va"), col("vb")), e, k = 3)
   }
 
