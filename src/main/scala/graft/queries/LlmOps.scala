@@ -4438,7 +4438,15 @@ object LlmOps {
     * boundary are missed; ModelingSpec measures the within-cell
     * exactness instead (every emitted neighbor IS the true cell-local
     * rank). */
-  def q130(s: SparkSession, d: String): DataFrame = {
+  def q130(s: SparkSession, d: String): DataFrame =
+    cellGraph(s, d, ordered = true)
+
+  /** The q130 relation with the registered query's deterministic sort
+    * made optional: q166 consumes this as a SEED, where the global
+    * range-sort (sampling job + range exchange) would be pure waste —
+    * the r17 intermediate-round discipline. */
+  private def cellGraph(s: SparkSession, d: String,
+      ordered: Boolean): DataFrame = {
     val vq = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
@@ -4458,13 +4466,13 @@ object LlmOps {
     val b = assign.select(col("cell"), col("vec_id").as("vb"),
       col("embedding").as("eb"))
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
-    a.join(b, Seq("cell"))
+    val ranked = a.join(b, Seq("cell"))
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .orderBy(col("va"), col("rn"))
+    if (ordered) ranked.orderBy(col("va"), col("rn")) else ranked
   }
 
   /** q130's oracle CTE chain (cell-blocked candidate scoring + per-node
@@ -4532,7 +4540,7 @@ object LlmOps {
   def q166(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
-    val g = q130(s, d).select(col("va"), col("vb"))
+    val g = cellGraph(s, d, ordered = false).select(col("va"), col("vb"))
       .unionByName(bridgeLinks(s, e0, n))
     nnDescentRound(g,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
@@ -4689,8 +4697,10 @@ object LlmOps {
       .withColumn("rn", row_number().over(ws))
       .filter(col("rn") <= 3)
       .select(col("va"), col("vb"))
+    // landing path only (knnGraphBuild → parquet): every landed
+    // consumer re-derives its own order, so skip the global sort
     nnDescentRound(seed.unionByName(bridgeLinks(s, e0, n)),
-      e0.select(col("vec_id"), col("embedding")))
+      e0.select(col("vec_id"), col("embedding")), ordered = false)
   }
 
   /** The FULL q168 build chain as CTEs (IVF2 training + assignment +
@@ -4767,8 +4777,12 @@ object LlmOps {
   def q169(s: SparkSession, d: String): DataFrame = nnDescentBuild(s, d)
 
   /** The full q169 build relation — also the DISPATCHED build of record
-    * past [[KnnBuildCrossover]] (see [[knnGraphBuild]]). */
-  private def nnDescentBuild(s: SparkSession, d: String): DataFrame = {
+    * past [[KnnBuildCrossover]] (see [[knnGraphBuild]]). `ordered =
+    * false` when the caller lands the relation to parquet (every landed
+    * consumer re-derives its own order, so the final global sort would
+    * be waste on the landing path). */
+  private def nnDescentBuild(s: SparkSession, d: String,
+      ordered: Boolean = true): DataFrame = {
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
     val e = e0.select(col("vec_id"), col("embedding"))
@@ -4781,7 +4795,8 @@ object LlmOps {
       ordered = false)
     val r2 = nnDescentRound(r1.select(col("va"), col("vb")), e, k = 10,
       ordered = false)
-    nnDescentRound(r2.select(col("va"), col("vb")), e, k = 3)
+    nnDescentRound(r2.select(col("va"), col("vb")), e, k = 3,
+      ordered = ordered)
   }
 
   /** One unrolled oracle NN-Descent round: reads edge CTE `$gin(va,
@@ -4904,7 +4919,9 @@ object LlmOps {
       case bad => throw new IllegalArgumentException(
         s"$KnnBuildKey must be auto|cellblocked|nndescent, got '$bad'")
     }
-    if (regime == "nndescent") nnDescentBuild(s, d)
+    // both regimes land to parquet (knnGraphPath) and every consumer
+    // re-derives its own order — no global sort on the landing path
+    if (regime == "nndescent") nnDescentBuild(s, d, ordered = false)
     else cellBlockedBuild(s, d)
   }
 
