@@ -26,13 +26,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dumped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +56,14 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-evidencing summary (r17 verdict #1): ONE parseable JSON line on
+    // stdout so the round has a second machine-readable receipt even when
+    // the harness-side compare artifact is lost. "failed" lists queries
+    // whose dump threw; an all-green run prints failed:[].
+    val oracled = SparkEntry.oracleSql.keySet
+      .count(k => only.isEmpty || only(k))
+    println(s"""{"metric":"verify","dumped":$dumped,"failed":[${
+      failed.sorted.map(q).mkString(",")}],"oracled":$oracled}""")
     spark.stop()
   }
 }

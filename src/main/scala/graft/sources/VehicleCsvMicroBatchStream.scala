@@ -45,11 +45,13 @@ import graft.ingest.IngestFiles
   * semantics) makes discovery ignore files older than `max-seen-modTime
   * − age` and EVICTS the dedup map below that watermark — safe because
   * eviction only forgets files the age filter already excludes, so a
-  * processed-then-aged-out file can never re-admit. The in-memory log
-  * also trims its committed prefix at every `commit` (those indices are
-  * never re-planned; the durable log keeps them for restart/audit). Net:
-  * driver memory is O(in-flight window + age window), not O(stream
-  * lifetime) — set `maxFileAge=off` to disable for bounded directories. */
+  * processed-then-aged-out file can never re-admit (the watermark is
+  * persisted in the file-log headers, so the cutoff cannot regress even
+  * across a restart). Entries both committed (never re-planned) and
+  * age-expired leave the in-memory window AND the next compact. Net:
+  * driver memory and per-compact write volume are O(in-flight window +
+  * age window), not O(stream lifetime) — set `maxFileAge=off` to
+  * disable for bounded directories. */
 private[sources] class VehicleCsvMicroBatchStream(
     path: String,
     required: StructType,
@@ -69,8 +71,11 @@ private[sources] class VehicleCsvMicroBatchStream(
 
   /** Monotonic max modification time across every listing — the age
     * cutoff's anchor (monotonic ⇒ the eviction cutoff never moves
-    * backwards, the invariant eviction safety rests on). */
-  private var modTimeWatermark = Long.MinValue
+    * backwards, the invariant eviction safety rests on). Seeded from the
+    * file log's persisted watermark (r18) so the cutoff cannot regress
+    * across a restart even if the newest files were deleted meanwhile —
+    * which makes retention-dropped entries permanently un-re-admittable. */
+  private var modTimeWatermark = fileLog.persistedWatermark
 
   /** List the input path and admit unseen, in-age files to the durable
     * log. A missing/empty directory is "no data yet" for a stream, not
@@ -81,6 +86,7 @@ private[sources] class VehicleCsvMicroBatchStream(
       catch { case _: java.io.FileNotFoundException => Seq.empty[(String, Long)] }
     if (listed.nonEmpty)
       modTimeWatermark = math.max(modTimeWatermark, listed.map(_._2).max)
+    fileLog.recordWatermark(modTimeWatermark) // persists in the next segment
     val cutoff = maxFileAgeMs match {
       case Some(age) if modTimeWatermark != Long.MinValue =>
         modTimeWatermark - age
@@ -92,7 +98,7 @@ private[sources] class VehicleCsvMicroBatchStream(
         s"older than maxFileAge (modTime < $cutoff)")
     val fresh = inAge.filterNot(f => fileLog.contains(f._1)).sortBy(_._1)
     if (fresh.nonEmpty) fileLog.append(fresh)
-    fileLog.evictKnownBelow(cutoff) // forgets only what the age filter excludes
+    fileLog.expireBelow(cutoff) // forgets only what the age filter excludes
   }
 
   override def prepareForTriggerAvailableNow(): Unit = {
@@ -134,9 +140,9 @@ private[sources] class VehicleCsvMicroBatchStream(
     VehicleCsvReaderFactory(required, pushed, confProps)
 
   /** Offsets are already durable (landed at latestOffset time); commit
-    * trims the in-memory log prefix — indices below a committed offset
-    * are never re-planned in this run, and a restart reloads them from
-    * the durable log. */
+    * advances the log's committed watermark — indices below it are
+    * never re-planned in this run and become expirable once past the
+    * age cutoff (restart reloads anything still retained on disk). */
   override def commit(end: Offset): Unit =
     fileLog.trimCommitted(end.asInstanceOf[VehicleCsvOffset].index)
 
@@ -155,30 +161,52 @@ private[sources] case class VehicleCsvOffset(index: Long) extends Offset {
   * means a foreign or corrupt checkpoint, which must fail loudly rather
   * than re-read or skip data.
   *
+  * HEADERS (r18): lines starting with `#` are metadata. Every file
+  * carries `#v1\twatermark=<W>` persisting the discovery modTime
+  * watermark, so the age cutoff can never regress across restarts (the
+  * invariant retention safety rests on); compacts additionally carry
+  * `base=<B>` — the first log index the compact retains. Headerless
+  * files (pre-r18 checkpoints) load as base=0 / no watermark.
+  *
   * COMPACTION (100 TB posture): a long-running stream appends one
   * segment per discovery round that found files; unbounded, that is a
   * small-files problem on the checkpoint store. Every
-  * [[VehicleCsvFileLog.CompactInterval]] appends the whole retained log
+  * [[VehicleCsvFileLog.CompactInterval]] appends the retained window
   * rewrites into a single `<until>.compact` file and the superseded
   * segments are deleted — the same shape as Spark's own
-  * CompactibleFileStreamLog. Crash-safety: the compact lands via
-  * tmp+rename BEFORE any delete, and the loader takes the largest
-  * compact then replays only plain segments from its end — a stale
-  * overlap (crash mid-delete) is ignored, never double-counted.
+  * CompactibleFileStreamLog. Unlike a naive full rewrite, the compact
+  * RETAINS only entries not yet expired by the age cutoff (plus the
+  * whole uncommitted suffix): per-compact write volume is O(age window
+  * + in-flight), not O(stream lifetime) — the CompactibleFileStreamLog
+  * file-age-expiry analogue. Dropping an expired committed entry is
+  * dedup-safe because the persisted watermark keeps the age filter's
+  * cutoff monotonic: a dropped file can never pass discovery's age
+  * filter again, so forgetting it cannot re-admit it. Crash-safety: the
+  * compact lands via tmp+rename BEFORE any delete, and the loader takes
+  * the largest compact then replays only plain segments from its end —
+  * a stale overlap (crash mid-delete) is ignored, never double-counted.
   *
-  * MEMORY: the in-memory entry buffer drops its committed prefix
-  * ([[trimCommitted]] — `base` records how much) and the dedup map
-  * evicts below the caller's age cutoff ([[evictKnownBelow]]); the
-  * durable files keep everything for restart/audit. */
+  * MEMORY: the in-memory window is [retainedBase, size) — entries
+  * expire from memory (and from the next compact) once committed AND
+  * older than the age cutoff ([[expireBelow]]); the dedup map evicts on
+  * the same cutoff. With `maxFileAge=off` nothing expires and both are
+  * O(directory) — the documented bounded-directory trade. */
 private[sources] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
   private val fs = dir.getFileSystem(conf)
-  /** entries(i) holds log index `base + i`; the committed prefix
-    * [0, base) is trimmed from memory, never from disk. */
-  private var base = 0L
-  private val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** retained(i) holds `(path, modTime)` for log index
+    * `retainedBase + i`; [0, retainedBase) is expired — dropped from
+    * memory and from every future compact. */
+  private var retainedBase = 0L
+  private val retained =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  /** Committed-offset watermark ([[trimCommitted]]): indices below are
+    * never re-planned in this run and become expirable. */
+  private var committed = 0L
   /** path → modTime of every non-evicted admitted file (the discovery
     * dedup set). */
   private val known = scala.collection.mutable.HashMap.empty[String, Long]
+  /** Largest discovery modTime watermark ever persisted (header-fed). */
+  private var watermarkPersisted = Long.MinValue
   private var plainSegments = 0 // plain (non-compact) segments on disk
 
   locally {
@@ -193,9 +221,10 @@ private[sources] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) 
       }
       val baseCompact = compacts.sortBy(_._1).lastOption
       baseCompact.foreach { case (until, p) =>
-        readSegment(p)
+        readSegment(p, isCompact = true)
         require(size == until,
-          s"vehicle-csv file log: compact $until holds $size entries")
+          s"vehicle-csv file log: compact $until covers [${retainedBase}, " +
+            s"$size) — expected $until")
       }
       val segments = all
         .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
@@ -205,24 +234,36 @@ private[sources] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) 
       segments.foreach { case (from, p) =>
         require(from == size,
           s"vehicle-csv file log gap: segment $from after $size entries")
-        readSegment(p)
+        readSegment(p, isCompact = false)
         plainSegments += 1
       }
     } else fs.mkdirs(dir)
   }
 
-  private def readSegment(p: HPath): Unit = {
+  private def readSegment(p: HPath, isCompact: Boolean): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
     try {
       var line = in.readLine()
       while (line != null) {
-        if (line.nonEmpty) {
+        if (line.startsWith("#")) {
+          line.stripPrefix("#").split('\t').foreach { field =>
+            if (field.startsWith("watermark="))
+              watermarkPersisted = math.max(watermarkPersisted,
+                field.stripPrefix("watermark=").toLong)
+            else if (field.startsWith("base=") && isCompact) {
+              val b = field.stripPrefix("base=").toLong
+              require(retained.isEmpty,
+                s"vehicle-csv file log: base marker after entries in $p")
+              retainedBase = b
+            }
+          }
+        } else if (line.nonEmpty) {
           val tab = line.indexOf('\t')
           val (mtime, file) =
             if (tab < 0) (0L, line) else (line.substring(0, tab).toLong,
               line.substring(tab + 1))
-          entries += file
+          retained += (file -> mtime)
           known(file) = mtime
         }
         line = in.readLine()
@@ -244,20 +285,40 @@ private[sources] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) 
     dst
   }
 
-  def size: Long = base + entries.size
+  def size: Long = retainedBase + retained.size
 
   def contains(file: String): Boolean = known.contains(file)
 
   /** Test/diagnostic hook: current dedup-map cardinality. */
   def knownSize: Int = known.size
 
+  /** Test/diagnostic hooks: retention window + persisted watermark. */
+  def retainedFrom: Long = retainedBase
+  def persistedWatermark: Long = watermarkPersisted
+
+  /** Record the caller's discovery modTime watermark; persisted in the
+    * header of every subsequently written segment/compact so the age
+    * cutoff survives restarts (can never regress). */
+  def recordWatermark(w: Long): Unit =
+    if (w > watermarkPersisted && w != Long.MinValue) watermarkPersisted = w
+
   def slice(from: Long, until: Long): Seq[String] = {
-    require(from >= base,
-      s"offset $from below the trimmed in-memory log (base $base) — " +
+    require(from >= committed,
+      s"offset $from below the committed prefix ($committed) — " +
         "the engine never re-plans committed batches in-run")
+    require(from >= retainedBase,
+      s"offset $from below the retained window (base $retainedBase) — " +
+        "expired entries are never re-planned")
     require(until <= size,
       s"offset $until beyond durable file log ($size entries)")
-    entries.slice((from - base).toInt, (until - base).toInt).toSeq
+    retained.slice((from - retainedBase).toInt, (until - retainedBase).toInt)
+      .map(_._1).toSeq
+  }
+
+  private def header: String = {
+    val wm = if (watermarkPersisted == Long.MinValue) ""
+      else s"\twatermark=$watermarkPersisted"
+    s"#v1$wm"
   }
 
   /** Durably append `(path, modTime)` files: write a tmp file, rename to
@@ -266,48 +327,51 @@ private[sources] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) 
     * bytes. */
   def append(files: Seq[(String, Long)]): Unit = {
     if (files.isEmpty) return
-    writeAtomic(size.toString, files.map(f => s"${f._2}\t${f._1}"))
-    entries ++= files.map(_._1)
+    writeAtomic(size.toString, header +: files.map(f => s"${f._2}\t${f._1}"))
+    retained ++= files
     known ++= files
     plainSegments += 1
     if (plainSegments >= VehicleCsvFileLog.CompactInterval) compact()
   }
 
-  /** Drop the in-memory prefix below a committed offset. Disk is
-    * untouched — restart reloads everything. */
-  def trimCommitted(upTo: Long): Unit = {
-    val drop = math.min(math.max(0L, upTo - base), entries.size.toLong).toInt
-    if (drop > 0) {
-      entries.remove(0, drop)
-      base += drop
-    }
-  }
+  /** Advance the committed-offset watermark. Indices below it are never
+    * re-planned in this run, which makes them expirable — actual memory
+    * and disk shrinkage happens in [[expireBelow]]/[[compact]]. */
+  def trimCommitted(upTo: Long): Unit =
+    committed = math.max(committed, math.min(upTo, size))
 
-  /** Evict dedup-map entries whose modTime is below the caller's age
-    * cutoff. Safe ONLY because the caller filters its listings by the
-    * same (monotonic) cutoff before consulting [[contains]]. */
-  def evictKnownBelow(cutoffModTime: Long): Unit =
-    if (cutoffModTime > Long.MinValue)
+  /** Expire entries below the caller's age cutoff: evict the dedup map
+    * and drop the committed-AND-expired prefix from the in-memory
+    * window (the next compact drops it from disk). Safe ONLY because
+    * the cutoff is monotonic — persisted via [[recordWatermark]] — and
+    * the caller filters its listings by the same cutoff before
+    * consulting [[contains]]: a forgotten file can never pass the age
+    * filter again, so it can never re-admit. Uncommitted entries are
+    * never expired (they may still be planned). */
+  def expireBelow(cutoffModTime: Long): Unit =
+    if (cutoffModTime > Long.MinValue) {
       known.filterInPlace { case (_, m) => m >= cutoffModTime }
-
-  /** Rewrite the RETAINED in-memory log as one `<size>.compact`, then
-    * delete the superseded plain segments and older compacts (delete
-    * AFTER the compact is durable — a crash in between leaves a
-    * recoverable, merely redundant, state). Entries already trimmed by
-    * [[trimCommitted]] are only dropped from the compact when no disk
-    * segment still covers them — i.e. never silently: the compact must
-    * cover [0, size) for the loader's contiguity check, so compaction
-    * re-reads trimmed entries from the existing disk files. */
-  private def compact(): Unit = {
-    // the compact must span [0, size): re-read the trimmed prefix from
-    // the current disk state (cheap: happens once per CompactInterval)
-    val full =
-      if (base == 0L) entries.map(f => s"${known.getOrElse(f, 0L)}\t$f").toSeq
-      else {
-        val reload = new VehicleCsvFileLog(dir, conf)
-        reload.entries.map(f => s"${reload.known.getOrElse(f, 0L)}\t$f").toSeq
+      var drop = 0
+      while (retainedBase + drop < committed && drop < retained.size &&
+          retained(drop)._2 < cutoffModTime) drop += 1
+      if (drop > 0) {
+        retained.remove(0, drop)
+        retainedBase += drop
       }
-    val landed = writeAtomic(s"$size.compact", full)
+    }
+
+  /** Rewrite the retained window [retainedBase, size) as one
+    * `<size>.compact` carrying a `base=` marker, then delete the
+    * superseded plain segments and older compacts (delete AFTER the
+    * compact is durable — a crash in between leaves a recoverable,
+    * merely redundant, state). Per-compact write volume is the retained
+    * window, NOT the whole stream history: entries expired by
+    * [[expireBelow]] are gone for good, with the persisted watermark
+    * guaranteeing they can never re-admit. */
+  private def compact(): Unit = {
+    val lines = (header + s"\tbase=$retainedBase") +:
+      retained.map(f => s"${f._2}\t${f._1}").toSeq
+    val landed = writeAtomic(s"$size.compact", lines)
     // compare by NAME: listStatus returns scheme-qualified paths while
     // `landed` inherits dir's form — an object-identity compare here
     // would delete the just-landed compact itself

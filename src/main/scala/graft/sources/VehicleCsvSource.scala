@@ -78,6 +78,12 @@ object VehicleCsvSource {
     val raw = Option(v).getOrElse("7d").trim.toLowerCase(java.util.Locale.ROOT)
     if (raw == "off" || raw == "none") None
     else {
+      // loud, named validation — same contract as maxFilesPerTrigger and
+      // the sink options: empty values and bare units must not surface
+      // as a raw NoSuchElement/NumberFormatException
+      require(raw.nonEmpty,
+        s"maxFileAge must be a duration (7d, 12h, 30m, 45s, ms) or off, " +
+          s"got '$v'")
       val (num, unit) = raw.last match {
         case 's' => (raw.dropRight(1), 1000L)
         case 'm' => (raw.dropRight(1), 60L * 1000)
@@ -85,8 +91,14 @@ object VehicleCsvSource {
         case 'd' => (raw.dropRight(1), 24L * 3600 * 1000)
         case _   => (raw, 1L)
       }
-      val ms = num.toLong * unit
-      require(ms > 0, s"maxFileAge must be positive, got $v")
+      val ms =
+        try num.toLong * unit
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"maxFileAge must be a duration (7d, 12h, 30m, 45s, ms) or " +
+              s"off, got '$v'")
+        }
+      require(ms > 0, s"maxFileAge must be positive, got '$v'")
       Some(ms)
     }
   }
@@ -241,9 +253,10 @@ private[sources] class VehicleCsvScanBuilder(path: String,
   }
 }
 
-private[sources] class VehicleCsvScan(path: String, required: StructType,
-    pushed: Array[Filter], maxFilesPerTrigger: Option[Int],
-    maxFileAgeMs: Option[Long]) extends Scan
+private[sources] class VehicleCsvScan(val path: String,
+    val required: StructType, val pushed: Array[Filter],
+    val maxFilesPerTrigger: Option[Int],
+    val maxFileAgeMs: Option[Long]) extends Scan
     with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -269,6 +282,24 @@ private[sources] class VehicleCsvScan(path: String, required: StructType,
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(VehicleCsvSource.Filters.supported)
+
+  /** Value equality over the IMMUTABLE scan spec — excluding the mutable
+    * `runtime` array — matching the convention of Spark's built-in file
+    * scans: BatchScanExec canonicalization compares scans by equality,
+    * so without this two identical scans never dedupe and
+    * dynamic-pruning exchange reuse re-executes the build-side subquery
+    * (performance only, but real at 100 TB). */
+  override def equals(other: Any): Boolean = other match {
+    case o: VehicleCsvScan =>
+      path == o.path && required == o.required &&
+        java.util.Arrays.equals(pushed.asInstanceOf[Array[AnyRef]],
+          o.pushed.asInstanceOf[Array[AnyRef]]) &&
+        maxFilesPerTrigger == o.maxFilesPerTrigger &&
+        maxFileAgeMs == o.maxFileAgeMs
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(path, required,
+    pushed.toSeq, maxFilesPerTrigger, maxFileAgeMs)
 
   private def hadoopConf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration

@@ -345,15 +345,15 @@ class VehicleCsvSourceSpec extends SparkSpec {
   }
 
   test("file log bounds driver memory: committed-prefix trim keeps " +
-      "offsets valid, compaction spans the trimmed prefix, eviction " +
+      "offsets valid, compaction spans the un-expired log, eviction " +
       "shrinks the dedup map only below the age cutoff") {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(
       Files.createTempDirectory("graft-filelog-trim").toString)
     val log = new VehicleCsvFileLog(dir, conf)
     val files = (0 until 10).map(i => f"/data/t-$i%02d.csv")
-    // 5 appends, commit to offset 3 (trims the in-memory prefix), then
-    // 5 more appends so the 10th triggers compaction with base > 0 —
+    // 5 appends, commit to offset 3, then 5 more appends so the 10th
+    // triggers compaction with a committed prefix — nothing expired, so
     // the compact must still span [0, size) for the loader
     files.take(5).foreach(f => log.append(Seq(f -> (2000L + files.indexOf(f)))))
     log.trimCommitted(3)
@@ -363,14 +363,61 @@ class VehicleCsvSourceSpec extends SparkSpec {
     assert(log.size == 10 && log.slice(3, 10) == files.slice(3, 10))
     val reloaded = new VehicleCsvFileLog(dir, conf)
     assert(reloaded.size == 10 && reloaded.slice(0, 10) == files,
-      "compaction with a trimmed prefix lost entries")
+      "compaction with a committed prefix lost entries")
     // eviction: cutoff 2005 forgets the 5 older files, keeps the rest;
     // re-appending an evicted path is the caller's age filter's job —
     // the map answers contains() only for retained entries
     assert(reloaded.knownSize == 10)
-    reloaded.evictKnownBelow(2005L)
+    reloaded.expireBelow(2005L)
     assert(reloaded.knownSize == 5)
     assert(!reloaded.contains(files.head) && reloaded.contains(files.last))
+  }
+
+  test("file log retention: a compact after age expiry drops only " +
+      "committed+expired entries, preserves real modTimes for the " +
+      "retained window, persists the watermark, and restart keeps the " +
+      "dropped prefix un-plannable and un-re-admittable") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft-filelog-retain").toString)
+    val log = new VehicleCsvFileLog(dir, conf)
+    val files = (0 until 12).map(i => f"/data/r-$i%02d.csv")
+    log.recordWatermark(3011L) // newest modTime the discovery loop saw
+    // 9 appends below the compact interval, commit 6, expire below 3004:
+    // indices 0-3 are committed AND expired -> leave memory; 4-5 are
+    // expired from the dedup map only (uncommitted entries never leave)
+    (0 until 9).foreach(i => log.append(Seq(files(i) -> (3000L + i))))
+    log.trimCommitted(6)
+    log.expireBelow(3004L)
+    assert(log.retainedFrom == 4L && log.size == 9)
+    assert(log.knownSize == 5) // modTimes 3004..3008
+    // the 10th append triggers the compact: it must retain [4, 10) with
+    // real modTimes and a base=4 marker, never a full-history rewrite
+    log.append(Seq(files(9) -> 3009L))
+    val fs = dir.getFileSystem(conf)
+    val compactName = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".compact"))
+    assert(compactName.toSeq == Seq("10.compact"))
+    val reloaded = new VehicleCsvFileLog(dir, conf)
+    assert(reloaded.size == 10 && reloaded.retainedFrom == 4L)
+    assert(reloaded.slice(4, 10) == files.slice(4, 10))
+    // dropped prefix is un-plannable after restart (never re-planned:
+    // those offsets were committed before they expired)
+    intercept[IllegalArgumentException](reloaded.slice(3, 10))
+    // real modTimes survived the compact: expiring at 3007 drops exactly
+    // 3004..3006 — a 0L-modTime fallback would drop everything
+    reloaded.trimCommitted(10)
+    reloaded.expireBelow(3007L)
+    assert(reloaded.retainedFrom == 7L,
+      "compact lost real modTimes (0L fallback?)")
+    // the watermark survived restart via the segment/compact headers, so
+    // a discovery whose listing regressed cannot lower the age cutoff
+    assert(reloaded.persistedWatermark == 3011L)
+    // appends continue seamlessly above the retained window
+    reloaded.append(Seq(files(10) -> 3010L, files(11) -> 3011L))
+    assert(reloaded.size == 12 && reloaded.slice(10, 12) == files.slice(10, 12))
+    val again = new VehicleCsvFileLog(dir, conf)
+    assert(again.size == 12 && again.slice(7, 12) == files.slice(7, 12))
   }
 
   test("MICRO_BATCH_READ maxFileAge: files older than the watermark-age " +
@@ -413,6 +460,43 @@ class VehicleCsvSourceSpec extends SparkSpec {
       }.start()
     q.awaitTermination()
     assert(batches.flatten.map(_.head).toSet == Set("111", "222", "333"))
+  }
+
+  test("maxFileAge option: valid durations parse; empty, bare-unit, and " +
+      "non-numeric values fail loudly NAMING the option") {
+    import VehicleCsvSource.parseMaxFileAge
+    assert(parseMaxFileAge("45s") == Some(45000L))
+    assert(parseMaxFileAge("30m") == Some(30L * 60 * 1000))
+    assert(parseMaxFileAge("12h") == Some(12L * 3600 * 1000))
+    assert(parseMaxFileAge("7d") == Some(7L * 24 * 3600 * 1000))
+    assert(parseMaxFileAge("1500") == Some(1500L))
+    assert(parseMaxFileAge(null) == Some(7L * 24 * 3600 * 1000)) // default
+    assert(parseMaxFileAge("off").isEmpty && parseMaxFileAge("NONE").isEmpty)
+    for (bad <- Seq("", "  ", "d", "xh", "1.5d", "-3h", "0")) {
+      val e = intercept[IllegalArgumentException](parseMaxFileAge(bad))
+      assert(e.getMessage.contains("maxFileAge"),
+        s"'$bad' error does not name the option: ${e.getMessage}")
+    }
+  }
+
+  test("scan value-equality: identical scans dedupe (exchange reuse), " +
+      "differing spec or runtime mutation does not corrupt the key") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val req = VehicleCsvSource.Schema
+    def mk(push: Array[org.apache.spark.sql.sources.Filter]) =
+      new VehicleCsvScan("/data/in", req, push, None, Some(1000L))
+    val a = mk(Array(EqualTo("vehicle_id", 42L)))
+    val b = mk(Array(EqualTo("vehicle_id", 42L)))
+    assert(a == b && a.hashCode == b.hashCode,
+      "identical scans must be equal or BatchScanExec never dedupes them")
+    // runtime-filter mutation must NOT change equality/hash — it arrives
+    // after canonicalization keys are computed
+    b.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("vehicle_id", Array(1L, 2L))))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a != mk(Array(EqualTo("vehicle_id", 43L))))
+    assert(a != new VehicleCsvScan("/data/other", req,
+      Array(EqualTo("vehicle_id", 42L)), None, Some(1000L)))
   }
 
   test("runtime filtering: injected IN filters reach the reader; " +
