@@ -4546,6 +4546,11 @@ object LlmOps {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
   }
 
+  /** ρ-sampling rate for [[nnDescentRound]], in permille (Dong et al.
+    * use ρ = 0.5 as the quality/cost sweet spot). One constant for the
+    * Scala build and every oracle mirror. */
+  private[queries] val NnSampleRho = 500
+
   /** `b` deterministic pseudo-random bridge links per node shared by
     * q166/q168/q169 (Knuth multiplicative hash over the id space — the
     * oracle-mirrorable stand-in for NN-Descent's random
@@ -4566,13 +4571,26 @@ object LlmOps {
     * re-rank the whole candidate set by EXACT cosine against
     * `e(vec_id, embedding)`, keep top-`k` per node. Candidate-bounded:
     * ≤ 2dn undirected edges ⇒ ≤ (2d)²n expansion pairs for seed
-    * degree d. */
+    * degree d.
+    *
+    * `sample = Some(salt)` enables Dong et al. 2011 §2.3's ρ-sampling
+    * (r17 verdict ask #2): only a deterministic ρ = [[NnSampleRho]]‰
+    * subset of the symmetrized edges joins the neighbor-of-neighbor
+    * expansion, cutting the round's dominant exact-cosine volume ~ρ²
+    * while the direct edges always stay in the candidate set (so a
+    * round can never lose an edge it already had). The sample is a
+    * salted linear hash over the PAIR — mirrorable verbatim in the
+    * DuckDB oracle, varying per round like the paper's fresh random
+    * draws — not `rand()`, which would unfix the oracle. */
   private def nnDescentRound(g: DataFrame, e: DataFrame, k: Int = 3,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true, sample: Option[Long] = None): DataFrame = {
     val und = g.unionByName(
       g.select(col("vb").as("va"), col("va").as("vb"))).distinct()
-    val non = und.select(col("va"), col("vb").as("mid"))
-      .join(und.select(col("va").as("mid"), col("vb")), Seq("mid"))
+    val uns = sample.fold(und)(salt => und.filter(
+      pmod(col("va") * lit(1000003L) + col("vb") * lit(999331L) + lit(salt),
+        lit(1000L)) < lit(NnSampleRho.toLong)))
+    val non = uns.select(col("va"), col("vb").as("mid"))
+      .join(uns.select(col("va").as("mid"), col("vb")), Seq("mid"))
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"))
     val cand = und.unionByName(non).distinct()
@@ -4781,8 +4799,9 @@ object LlmOps {
     * false` when the caller lands the relation to parquet (every landed
     * consumer re-derives its own order, so the final global sort would
     * be waste on the landing path). */
-  private def nnDescentBuild(s: SparkSession, d: String,
-      ordered: Boolean = true): DataFrame = {
+  private[graft] def nnDescentBuild(s: SparkSession, d: String,
+      ordered: Boolean = true, rounds: Int = 3,
+      sampled: Boolean = false): DataFrame = {
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
     val e = e0.select(col("vec_id"), col("embedding"))
@@ -4791,12 +4810,12 @@ object LlmOps {
     // degree-3 frontier is too thin to double its radius per round
     // (measured 157/1500 recall@3 at K=3 vs 3-4x that at K=10); the
     // final round keeps the reported top-3
-    val r1 = nnDescentRound(bridgeLinks(s, e0, n, b = 10), e, k = 10,
-      ordered = false)
-    val r2 = nnDescentRound(r1.select(col("va"), col("vb")), e, k = 10,
-      ordered = false)
-    nnDescentRound(r2.select(col("va"), col("vb")), e, k = 3,
-      ordered = ordered)
+    def salt(r: Int): Option[Long] = if (sampled) Some(r.toLong) else None
+    var g = bridgeLinks(s, e0, n, b = 10)
+    for (r <- 1 until rounds)
+      g = nnDescentRound(g, e, k = 10, ordered = false, sample = salt(r))
+        .select(col("va"), col("vb"))
+    nnDescentRound(g, e, k = 3, ordered = ordered, sample = salt(rounds))
   }
 
   /** One unrolled oracle NN-Descent round: reads edge CTE `$gin(va,

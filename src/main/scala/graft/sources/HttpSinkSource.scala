@@ -31,12 +31,22 @@ import graft.streaming.{HttpSink, VehicleLocation, VehicleMessage}
   * Consistency contract, stated honestly: AT-LEAST-ONCE. A POST is a
   * side effect no coordinator can roll back, so `abort` cannot recall
   * delivered chunks and a replayed epoch re-posts — exactly the
-  * reference's contract, and the same one the `foreachBatch` path has;
-  * the [[graft.streaming.BatchLedger]] idempotent upgrade remains
-  * available there when the receiver needs effectively-once. The
-  * epoch-level `commit` is therefore an audit point (it logs the
+  * reference's contract, and the same one the `foreachBatch` path has.
+  * The epoch-level `commit` is therefore an audit point (it logs the
   * delivered row/POST totals from every writer's commit message), not a
-  * transaction boundary. */
+  * transaction boundary.
+  *
+  * OPT-IN effectively-once (r17 verdict ask #4): `option("ledgerDir",
+  * …)` wires the same [[graft.streaming.BatchLedger]] the foreachBatch
+  * path offers into the streaming write — the per-epoch writer factory
+  * ships the ledger's committed-id snapshot, writers for an
+  * already-committed (replayed) epoch accept rows but POST nothing, and
+  * the driver records each epoch in the ledger at `commit` (AFTER
+  * delivery: a crash between the two still re-delivers — at-least-once
+  * is the floor, never lost data). The [[graft.streaming.BatchLedger]]
+  * lifecycle contract applies verbatim: the ledger must live and die
+  * with the query's checkpoint. Batch writes ignore the option (no
+  * epoch identity to dedupe on). */
 class HttpSinkSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-http-sink"
 
@@ -67,15 +77,16 @@ private[sources] class HttpSinkTable(
     // a catalog table (CREATE TABLE ... USING ... OPTIONS) carries its
     // OPTIONS as table properties, a direct write carries them in
     // info.options — merge (write-time options win)
-    val sink = HttpSinkSource.sinkFromOptions(
-      HttpSinkSource.mergedOptions(properties, info.options))
+    val merged = HttpSinkSource.mergedOptions(properties, info.options)
+    val sink = HttpSinkSource.sinkFromOptions(merged)
     val idx = HttpSinkSource.pingIndices(info.schema)
+    val ledgerDir = Option(merged.get("ledgerDir"))
     new WriteBuilder {
       override def build(): Write = new Write {
         override def description(): String = "graft-http-sink"
         override def toBatch: BatchWrite = new HttpSinkBatchWrite(sink, idx)
         override def toStreaming: StreamingWrite =
-          new HttpSinkStreamingWrite(sink, idx)
+          new HttpSinkStreamingWrite(sink, idx, ledgerDir)
       }
     }
   }
@@ -147,29 +158,62 @@ private[sources] class HttpSinkBatchWrite(sink: HttpSink, idx: PingIndices)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] class HttpSinkStreamingWrite(sink: HttpSink, idx: PingIndices)
+private[sources] class HttpSinkStreamingWrite(sink: HttpSink,
+    idx: PingIndices, ledgerDir: Option[String])
     extends StreamingWrite with HttpSinkCommitLog {
+  // driver-side; rebuilt lazily so a ledger-less sink pays nothing
+  private lazy val ledger =
+    ledgerDir.map(new graft.streaming.FileBatchLedger(_))
+
+  /** Called once per epoch (MicroBatchWrite wraps this write per
+    * micro-batch), so the shipped snapshot reflects every commit
+    * recorded before this epoch planned — exactly the freshness the
+    * replay decision needs. */
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    HttpSinkWriterFactory(sink, idx)
+    HttpSinkWriterFactory(sink, idx,
+      ledger.map(_.snapshot).getOrElse(Set.empty))
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    logDelivered(s"epoch $epochId", messages)
+      messages: Array[WriterCommitMessage]): Unit = {
+    ledger match {
+      case Some(l) if l.committed(epochId) =>
+        logInfo(s"graft-http-sink epoch $epochId replay skipped (ledger)")
+      case Some(l) =>
+        logDelivered(s"epoch $epochId", messages)
+        l.commit(epochId) // AFTER delivery: crash in between re-delivers
+      case None =>
+        logDelivered(s"epoch $epochId", messages)
+    }
+  }
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** One factory for both modes ([[HttpSink]] is Serializable; ships the
-  * url/sourceId/chunking config to executors, never message data back). */
+  * url/sourceId/chunking config to executors, never message data back).
+  * `committedEpochs` is the ledger snapshot (empty without a ledger):
+  * a writer for a replayed epoch consumes its rows but POSTs nothing. */
 private[sources] case class HttpSinkWriterFactory(
-    sink: HttpSink, idx: PingIndices)
+    sink: HttpSink, idx: PingIndices,
+    committedEpochs: Set[Long] = Set.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new HttpSinkDataWriter(sink, idx)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new HttpSinkDataWriter(sink, idx)
+    if (committedEpochs.contains(epochId)) new SkippedEpochWriter
+    else new HttpSinkDataWriter(sink, idx)
+}
+
+/** Writer for an epoch the ledger already recorded: the engine re-runs
+  * the epoch's plan on restart, but every row it feeds here was already
+  * delivered — accept and drop. */
+private[sources] class SkippedEpochWriter extends DataWriter[InternalRow] {
+  override def write(row: InternalRow): Unit = ()
+  override def commit(): WriterCommitMessage = HttpSinkCommit(0L, 0L)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 /** Per-task writer: buffer at most one `batchSize` chunk, POST when

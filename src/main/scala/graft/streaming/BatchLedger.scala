@@ -49,4 +49,11 @@ class FileBatchLedger(dir: String) extends BatchLedger {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     seen += batchId
   }
+
+  /** Immutable driver-time view of the committed ids — what a DSv2 sink
+    * ships to its per-epoch writer factory (the factory is rebuilt each
+    * epoch, so the snapshot is as fresh as the replay decision needs;
+    * the ledger object itself holds a non-serializable Path and stays
+    * on the driver). */
+  def snapshot: Set[Long] = seen.synchronized(seen.toSet)
 }

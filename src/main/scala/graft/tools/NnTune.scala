@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CosineSimilarityExpr
+
+/** ρ-sampling calibration for the NN-Descent build (r17 verdict ask #2):
+  * measures recall@3 vs the exact graph and wall for round-count ×
+  * sampling configs at a given SF, so the registered q169 shape is a
+  * measured choice, not a guess. Usage:
+  *   runMain graft.tools.NnTune <sfDir> [config ...]
+  * where config = `<rounds>:<sampled>` (e.g. `3:full 3:rho 4:rho`). */
+object NnTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val configs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("3:full", "3:rho", "4:rho", "5:rho")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val exact = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val truth = exact.select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[nntune] exact edges: ${truth.size}")
+
+    configs.foreach { c =>
+      val Array(r, mode) = c.split(":")
+      val sampled = mode == "rho"
+      // warm + measure min-of-2 (matching the bench discipline)
+      def once(): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val got = graft.queries.LlmOps
+          .nnDescentBuild(spark, sfDir, ordered = false, rounds = r.toInt,
+            sampled = sampled)
+          .select("va", "vb").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        ((System.nanoTime() - t0) / 1e9, got)
+      }
+      val (w1, g1) = once()
+      val (w2, g2) = once()
+      assert(g1 == g2, s"$c nondeterministic!")
+      val recall = g1.intersect(truth).size
+      println(f"[nntune] rounds=$r sampled=$sampled " +
+        f"recall@3=$recall/${truth.size} wall=${math.min(w1, w2)}%.2f s " +
+        f"(runs $w1%.2f/$w2%.2f)")
+    }
+    spark.stop()
+  }
+}

@@ -122,4 +122,54 @@ class HttpSinkSourceSpec extends SparkSpec {
     }
     assert(badType.getMessage.contains("lat"))
   }
+
+  /** Forces the exact window Structured Streaming replays: the epoch
+    * ran to completion (data delivered, offsets durable) but the
+    * checkpoint commit marker is missing — deleting `commits/0` after a
+    * clean run reproduces a crash between delivery and marker write. */
+  private def replayEpoch0(inDir: java.nio.file.Path, url: String,
+      ckpt: String, ledgerDir: Option[String]): Unit = {
+    def run(): Unit = {
+      val w = spark.readStream.format("graft-vehicle-csv")
+        .load(inDir.toString)
+        .writeStream.format("graft-http-sink")
+        .option("url", url).option("sourceId", 9L)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+      val q = ledgerDir.fold(w)(d => w.option("ledgerDir", d)).start()
+      q.awaitTermination()
+    }
+    run()
+    val marker = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(Files.exists(marker), "first run should have committed epoch 0")
+    Files.delete(marker)
+    // Hadoop ChecksumFs keeps a sidecar; leaving it breaks the re-commit
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    run() // engine replays epoch 0 with the same id and content
+    assert(Files.exists(marker), "restart should have re-committed epoch 0")
+  }
+
+  test("ledgerDir upgrades the streaming sink to effectively-once: a " +
+      "replayed epoch POSTs nothing; without a ledger the same replay " +
+      "re-delivers (the documented at-least-once floor)") {
+    val dir = Files.createTempDirectory("graft-httpsink-replay")
+    Files.write(dir.resolve("part1.csv"), csv.getBytes(StandardCharsets.UTF_8))
+    // arm 1: ledger on — replay delivers nothing new
+    withServer { (url, received) =>
+      replayEpoch0(dir, url,
+        Files.createTempDirectory("graft-replay-ck1").toString,
+        Some(Files.createTempDirectory("graft-replay-led").toString))
+      val msgs = received.map(ProtoEnvelope.decodeEnvelope).flatMap(_._2)
+      assert(msgs.map(_.vehicleId).sorted == ArrayBuffer(42L, 42L, 43L),
+        s"ledger arm re-delivered on replay: ${msgs.size} messages")
+    }
+    // arm 2: no ledger — the replayed epoch re-POSTs everything
+    withServer { (url, received) =>
+      replayEpoch0(dir, url,
+        Files.createTempDirectory("graft-replay-ck2").toString, None)
+      val msgs = received.map(ProtoEnvelope.decodeEnvelope).flatMap(_._2)
+      assert(msgs.size == 6,
+        s"at-least-once arm should double-deliver on replay, got ${msgs.size}")
+    }
+  }
 }
