@@ -61,16 +61,20 @@ class KnnGraphDispatchSpec extends SparkSpec {
     }
   }
 
-  test("forced nndescent: the landed graph IS the q169 build and the " +
-      "whole lifecycle (append/delete/serve/semdedup) holds on it") {
+  test("forced nndescent: the landed graph IS the ρ-sampled landing " +
+      "build and the whole lifecycle (append/delete/serve/semdedup) " +
+      "holds on it") {
     withRegime("nndescent") {
-      // landed graph == the q169 operator's output (both deterministic)
+      // landed graph == the landing-config relation (r18: 4 ρ-sampled
+      // rounds — q169 keeps the unsampled paper shape its oracle
+      // mirrors; both deterministic, so exact set equality still pins
+      // the landing)
       val landed = LlmOps.q168(spark, sf001).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-      val direct = LlmOps.q169(spark, sf001).collect()
+      val direct = LlmOps.nnDescentLandingBuild(spark, sf001).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       assert(landed.toSet == direct.toSet,
-        "forced-nndescent landed graph must equal the q169 build")
+        "forced-nndescent landed graph must equal the landing build")
       val g = landed.map(r => (r._1, r._2, r._3)).toSet
       val gEdges = landed.map(r => (r._1, r._2)).toSet
 

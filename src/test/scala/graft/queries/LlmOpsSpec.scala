@@ -126,6 +126,15 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF2-seeded build recall $r168 must beat refined-flat q166's $r166")
     assert(r169 > r168,
       s"iterated NN-Descent recall $r169 must beat the blocked builds' $r168")
+    // r18: the ρ-sampled LANDING config (4 rounds, ρ=0.7) must hold
+    // recall parity with the unsampled q169 it replaces past the
+    // crossover — the NnTune-calibrated claim (1288 vs 1282), pinned
+    // here as a deterministic fact of the gate data
+    val rLanding = edges(LlmOps.nnDescentLandingBuild(spark, sf001))
+      .intersect(truth).size
+    assert(rLanding >= r169,
+      s"ρ-sampled landing build recall $rLanding fell below the " +
+        s"unsampled q169's $r169 — re-calibrate with graft.tools.NnTune")
     // shape: top-3 per node, ranks dense from 1
     val byNode = LlmOps.q168(spark, sf001).collect()
       .groupBy(_.getLong(0)).values
