@@ -26,6 +26,22 @@ trait KinesisTransport extends Serializable {
   def putRecords(stream: String, records: Seq[KinesisRecord]): Seq[Boolean]
 }
 
+/** Consumer half of the transport seam (r17 verdict stretch #7): the
+  * ListShards/GetShardIterator/GetRecords surface collapsed to what a
+  * sequence-number-checkpointed reader needs. Kinesis orders records
+  * and assigns sequence numbers PER SHARD; `tip` is the shard's current
+  * next-sequence (its "latest" iterator position), `read` the records
+  * in [from, until) of that per-shard order. A deployment's AWS-SDK
+  * transport implements both halves on one client; tests use
+  * [[InMemoryKinesis]]. Resharding (split/merge) is out of scope — the
+  * shard set is treated as fixed for the life of a query, the same
+  * simplification the first-generation spark-kinesis connectors made. */
+trait KinesisConsumerTransport extends Serializable {
+  def shardIds(stream: String): Seq[Int]
+  def tip(stream: String, shard: Int): Long
+  def read(stream: String, shard: Int, from: Long, until: Long): Seq[KinesisRecord]
+}
+
 /** Kinesis producer with the service's real client contract:
   *
   *  - ≤500 records per PutRecords call (API limit) — larger inputs chunk;
@@ -98,7 +114,7 @@ class KinesisSink(
   * serialization into (local-mode) executor tasks and stays observable
   * from the test. */
 class InMemoryKinesis(numShards: Int, name: String = "default")
-    extends KinesisTransport {
+    extends KinesisTransport with KinesisConsumerTransport {
 
   def shardOf(partitionKey: String): Int = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
@@ -110,6 +126,17 @@ class InMemoryKinesis(numShards: Int, name: String = "default")
   override def putRecords(
       stream: String, records: Seq[KinesisRecord]): Seq[Boolean] =
     InMemoryKinesis.put(name, records.map(r => (shardOf(r.partitionKey), r)))
+
+  // consumer half: per-shard sequence number = arrival index within the
+  // shard (how the service's per-shard ordering behaves for a
+  // fixed-shard stream)
+  override def shardIds(stream: String): Seq[Int] = 0 until numShards
+  override def tip(stream: String, shard: Int): Long =
+    InMemoryKinesis.records(name).count(_._1 == shard).toLong
+  override def read(stream: String, shard: Int,
+      from: Long, until: Long): Seq[KinesisRecord] =
+    InMemoryKinesis.records(name).filter(_._1 == shard).map(_._2)
+      .slice(from.toInt, until.toInt)
 
   /** Test hook: records for which this returns true fail (per call). */
   def setFailNext(f: KinesisRecord => Boolean): Unit =
