@@ -4540,8 +4540,13 @@ object LlmOps {
   def q166(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.embeddings(s, d)
     val n = e0.count() // 1-value driver probe, the q130 discipline
-    val g = cellGraph(s, d, ordered = false).select(col("va"), col("vb"))
-      .unionByName(bridgeLinks(s, e0, n))
+    // flattenPlan: the round symmetrizes the seed (2 refs) and unions it
+    // into the candidate set — without a leaf re-base the whole
+    // cell-blocked seed chain is analyzed (and its exchanges planned)
+    // once per reference, the q169 lineage discipline at depth 1
+    val g = flattenPlan(
+      cellGraph(s, d, ordered = false).select(col("va"), col("vb"))
+        .unionByName(bridgeLinks(s, e0, n)))
     nnDescentRound(g,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
   }
@@ -4803,6 +4808,16 @@ object LlmOps {
     * operator. Oracle: the bridge CTE + three unrolled round chains. */
   def q169(s: SparkSession, d: String): DataFrame = nnDescentBuild(s, d)
 
+  /** Catalyst-lineage flattening for iterative operators: wrap the
+    * relation's compiled RDD in a fresh leaf (`LogicalRDD`), so a loop
+    * of rounds analyzes in O(rounds) instead of O(branching^rounds),
+    * while execution stays lazy and pipelined (the RDD chain runs in
+    * the caller's one action). The Row↔InternalRow hop this pays is
+    * per-EDGE (≤ 2Kn tiny rows/round), noise next to the round's
+    * exact-cosine volume. */
+  private def flattenPlan(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** The full q169 build relation — also the DISPATCHED build of record
     * past [[KnnBuildCrossover]] (see [[knnGraphBuild]]). `ordered =
     * false` when the caller lands the relation to parquet (every landed
@@ -4822,16 +4837,20 @@ object LlmOps {
     def salt(r: Int): Option[Long] = if (sampled) Some(r.toLong) else None
     var g = bridgeLinks(s, e0, n, b = 10)
     for (r <- 1 until rounds)
-      // localCheckpoint between rounds: each round's plan references its
-      // input 4+ times (symmetrize × expansion self-join), so an unbroken
-      // lineage grows the analyzed tree ~5× per round — Catalyst analysis
-      // alone dominated wall from round 4 (measured: 104 s at sf0.01 vs
-      // ~10 s with flat lineage). Breaking lineage per round is also the
-      // iterative-algorithm posture at 100 TB (reliable checkpoint /
-      // scratch landing there; executor-local blocks suffice locally,
-      // reclaimed by the ContextCleaner when unreferenced).
-      g = nnDescentRound(g, e, k = 10, ordered = false, sample = salt(r))
-        .select(col("va"), col("vb")).localCheckpoint()
+      // flatten CATALYST lineage between rounds: each round's plan
+      // references its input 4+ times (symmetrize × expansion
+      // self-join), so an unbroken lineage grows the analyzed tree ~5×
+      // per round — Catalyst ANALYSIS alone dominated wall from round 4
+      // (measured: 104 s at sf0.01 vs ~4 s flat; jstack pins main in
+      // TreeNode.exists). Re-basing each round on its own compiled RDD
+      // makes the next round's plan a LEAF scan while execution still
+      // pipelines every round lazily in the final action — no
+      // persistence, no scratch, nothing for the leak guards to see
+      // (localCheckpoint would flatten too but parks persisted blocks
+      // until GC, which the RegistrySpec zero-persisted-RDDs guard
+      // rightly rejects for a long-lived driver).
+      g = flattenPlan(nnDescentRound(g, e, k = 10, ordered = false,
+        sample = salt(r)).select(col("va"), col("vb")))
     nnDescentRound(g, e, k = 3, ordered = ordered, sample = salt(rounds))
   }
 
@@ -5331,7 +5350,9 @@ object LlmOps {
           Seq("vid"))
         .select(col("pid"), col("pe"), col("vid"),
           round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
-      visited = visited.unionByName(fresh)
+      // `visited` feeds the next round 3× (beam, anti-join, union) — the
+      // q169 lineage-flattening discipline applies (see flattenPlan)
+      visited = flattenPlan(visited.unionByName(fresh))
     }
     visited
   }
