@@ -5333,7 +5333,15 @@ object LlmOps {
     val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
     var visited = visited0
     for (_ <- 1 to rounds) {
-      val beam = visited.withColumn("rn", row_number().over(wB))
+      // flatten at round INPUT (the q169 lineage discipline): `visited`
+      // feeds each round 3× (beam, anti-join, union), so an unbroken
+      // lineage analyzes as ~3^R trees. Re-basing the input keeps the
+      // FINAL round's joins/windows visible in the returned plan — the
+      // QueryPlanSpec serve guards (broadcast, no-cartesian, per-probe
+      // windows) assert on exactly that fragment, which is one round's
+      // shape, i.e. every round's shape.
+      val vin = flattenPlan(visited)
+      val beam = vin.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= beamWidth)
       val expand = expandFilter(
         beam.select(col("pid"), col("pe"), col("vid").as("va"))
@@ -5344,15 +5352,13 @@ object LlmOps {
       // sim 1.0 and permanently burns one of the B beam slots (r13 review)
       val fresh = expand
         .filter(col("pid") =!= col("vid"))
-        .join(visited.select(col("pid"), col("vid")),
+        .join(vin.select(col("pid"), col("vid")),
           Seq("pid", "vid"), "left_anti")
         .join(e0.select(col("vec_id").as("vid"), col("embedding").as("ve")),
           Seq("vid"))
         .select(col("pid"), col("pe"), col("vid"),
           round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
-      // `visited` feeds the next round 3× (beam, anti-join, union) — the
-      // q169 lineage-flattening discipline applies (see flattenPlan)
-      visited = flattenPlan(visited.unionByName(fresh))
+      visited = vin.unionByName(fresh)
     }
     visited
   }
