@@ -77,6 +77,15 @@ private[sources] class VehicleCsvMicroBatchStream(
     * which makes retention-dropped entries permanently un-re-admittable. */
   private var modTimeWatermark = fileLog.persistedWatermark
 
+  /** The age cutoff of the LATEST discovery — re-applied at every
+    * `commit`, because that is when entries become expirable: the
+    * retained-window drop is committed-gated, and `committed` starts at
+    * 0 on each (re)start while discovery precedes the first commit. An
+    * AvailableNow-per-run deployment (restart, drain, exit) would
+    * otherwise never shrink its retained window and every compact would
+    * stay a full-history rewrite. */
+  @volatile private var ageCutoff = Long.MinValue
+
   /** List the input path and admit unseen, in-age files to the durable
     * log. A missing/empty directory is "no data yet" for a stream, not
     * the batch scan's FileNotFoundException. */
@@ -92,6 +101,7 @@ private[sources] class VehicleCsvMicroBatchStream(
         modTimeWatermark - age
       case _ => Long.MinValue
     }
+    ageCutoff = cutoff
     val (inAge, aged) = listed.partition(_._2 >= cutoff)
     if (aged.nonEmpty)
       logWarning(s"graft-vehicle-csv stream: ignoring ${aged.size} files " +
@@ -142,9 +152,14 @@ private[sources] class VehicleCsvMicroBatchStream(
   /** Offsets are already durable (landed at latestOffset time); commit
     * advances the log's committed watermark — indices below it are
     * never re-planned in this run and become expirable once past the
-    * age cutoff (restart reloads anything still retained on disk). */
-  override def commit(end: Offset): Unit =
+    * age cutoff (restart reloads anything still retained on disk).
+    * Expiry re-applies HERE because this is the first point entries are
+    * provably committed (see [[ageCutoff]]). */
+  override def commit(end: Offset): Unit = {
     fileLog.trimCommitted(end.asInstanceOf[VehicleCsvOffset].index)
+    fileLog.expireBelow(ageCutoff)
+    fileLog.compactIfExpired() // land retention progress across restarts
+  }
 
   override def stop(): Unit = ()
 }
@@ -208,6 +223,9 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
   /** Largest discovery modTime watermark ever persisted (header-fed). */
   private var watermarkPersisted = Long.MinValue
   private var plainSegments = 0 // plain (non-compact) segments on disk
+  /** First index the ON-DISK compact retains — how far the durable log
+    * has landed this instance's retention progress. */
+  private var diskBase = 0L
 
   locally {
     if (fs.exists(dir)) {
@@ -225,6 +243,7 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
         require(size == until,
           s"vehicle-csv file log: compact $until covers [${retainedBase}, " +
             s"$size) — expected $until")
+        diskBase = retainedBase
       }
       val segments = all
         .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
@@ -360,6 +379,20 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
       }
     }
 
+  /** Compact EARLY when the expired prefix grew a full interval past
+    * what the on-disk compact retains: expiry ([[expireBelow]]) is
+    * memory-only state, and only a compact lands it — a
+    * restart-per-run deployment (AvailableNow: start, drain, exit)
+    * reloads from disk each run, so without this its retention progress
+    * would reset every restart and every compact would stay a
+    * full-history rewrite. Skipped when nothing was appended since the
+    * last compact: a same-`size` compact would collide with the
+    * existing file's name (and buys nothing until new entries land). */
+  def compactIfExpired(): Unit =
+    if (plainSegments > 0 &&
+        retainedBase - diskBase >= VehicleCsvFileLog.CompactInterval)
+      compact()
+
   /** Rewrite the retained window [retainedBase, size) as one
     * `<size>.compact` carrying a `base=` marker, then delete the
     * superseded plain segments and older compacts (delete AFTER the
@@ -380,6 +413,7 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
         fs.delete(st.getPath, false)
     }
     plainSegments = 0
+    diskBase = retainedBase
   }
 }
 

@@ -462,6 +462,68 @@ class VehicleCsvSourceSpec extends SparkSpec {
     assert(batches.flatten.map(_.head).toSet == Set("111", "222", "333"))
   }
 
+  test("e2e retention: an AvailableNow-per-run stream expires committed " +
+      "aged entries, the checkpoint compact carries base>0 with real " +
+      "modTimes, and restarts neither re-read nor re-admit anything") {
+    val dir = tmpDir
+    val ckpt = Files.createTempDirectory("graft-mbs-retain").toString
+    val base = System.currentTimeMillis() - 14L * 60_000
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    // 14 runs, one new file per run, modTimes one minute apart;
+    // maxFileAge=150s keeps only the ~2 newest in the age window, so by
+    // the 10th append the compact must drop a committed+expired prefix
+    for (i <- 0 until 14) {
+      val f = Paths.get(writeFile(dir, f"r$i%02d.csv",
+        s"2015-02-14 23:51:40+05,${100 + i},1.0,1.0\n"))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(base + i * 60_000))
+      val got = streamCollectAged(dir.toString, ckpt, "150s")
+      all ++= got
+    }
+    assert(all.sorted == (0 until 14).map(i => (100 + i).toString).sorted,
+      s"each file must deliver exactly once across runs: $all")
+
+    // the source checkpoint's file log compacted with a retained window,
+    // not a full-history rewrite
+    val logDir = Files.walk(Paths.get(ckpt)).filter(_.getFileName.toString
+      == "graft-file-log").findFirst().orElseThrow()
+    val compacts = Files.list(logDir).filter(_.getFileName.toString
+      .endsWith(".compact")).toArray
+    assert(compacts.length == 1, s"expected one compact: ${compacts.toSeq}")
+    val reloaded = new VehicleCsvFileLog(
+      new org.apache.hadoop.fs.Path(logDir.toString),
+      spark.sparkContext.hadoopConfiguration)
+    assert(reloaded.size == 14, "log lost admitted entries")
+    assert(reloaded.retainedFrom > 0,
+      "retention never fired in the live stream — every compact is a " +
+        "full-history rewrite (the pre-r18 behavior)")
+    assert(reloaded.persistedWatermark == base + 13 * 60_000,
+      "discovery watermark not persisted through the live stream")
+
+    // a run with nothing new delivers nothing (no re-read of dropped
+    // entries: their modTimes sit below the persisted-watermark cutoff)
+    assert(streamCollectAged(dir.toString, ckpt, "150s").isEmpty,
+      "restart re-read files whose entries left the retained window")
+  }
+
+  private def streamCollectAged(dir: String, ckpt: String,
+      maxFileAge: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("graft-vehicle-csv")
+      .option("maxFileAge", maxFileAge)
+      .load(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.collect().map(_.getString(0)).toSeq
+        out.synchronized { out ++= ids }
+        ()
+      }.start()
+    q.awaitTermination()
+    out.toSeq
+  }
+
   test("maxFileAge option: valid durations parse; empty, bare-unit, and " +
       "non-numeric values fail loudly NAMING the option") {
     import VehicleCsvSource.parseMaxFileAge
