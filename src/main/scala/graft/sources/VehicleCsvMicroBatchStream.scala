@@ -387,10 +387,19 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
     * would reset every restart and every compact would stay a
     * full-history rewrite. Skipped when nothing was appended since the
     * last compact: a same-`size` compact would collide with the
-    * existing file's name (and buys nothing until new entries land). */
+    * existing file's name (and buys nothing until new entries land).
+    * The trigger is AMORTIZED against the retained window: a compact
+    * writes O(window) bytes, so requiring the expired backlog to reach
+    * max(interval, window) keeps total write volume O(entries), where a
+    * bare interval trigger would compact every commit of a steady
+    * stream (measured: 909 compacts / 28 MB vs ~100 / 3 MB at 10k
+    * files) — in a continuously-RUNNING stream the regular
+    * append-interval compacts land retention anyway, so this fires
+    * mostly in the restart-per-run regime it exists for. */
   def compactIfExpired(): Unit =
     if (plainSegments > 0 &&
-        retainedBase - diskBase >= VehicleCsvFileLog.CompactInterval)
+        retainedBase - diskBase >=
+          math.max(VehicleCsvFileLog.CompactInterval.toLong, retained.size))
       compact()
 
   /** Rewrite the retained window [retainedBase, size) as one

@@ -45,7 +45,10 @@ object FileLogScale {
         log.recordWatermark(r.toLong)
         log.append(batch)
         log.trimCommitted(log.size) // processed as admitted (steady stream)
-        if (expire) log.expireBelow(r.toLong - retain)
+        if (expire) {
+          log.expireBelow(r.toLong - retain)
+          log.compactIfExpired() // the stream's commit-time flow
+        }
         // track compact turnover: a new .compact name means one landed
         val compact = fs.listStatus(dir).filter(_.isFile)
           .find(_.getPath.getName.endsWith(".compact"))
