@@ -5704,6 +5704,119 @@ object LlmOps {
       |ORDER BY pl.pid""".stripMargin)
   }
 
+  /** q187 — HIERARCHICAL ENTRY SERVE (HNSW's layered routing shape,
+    * served GRAPH-ONLY — no IVF layout anywhere in the serve path):
+    * every 8th node forms layer 1 with its own top-2 graph; each probe
+    * enters at ONE fixed global entry (the minimum layer-1 id — HNSW's
+    * single top-layer entry point), greedy-walks layer 1 (2 rounds,
+    * beam 4 — the cheap coarse routing), and its layer-1 top-2 become
+    * the entry set for the standard layer-0 walk over the LANDED kNN
+    * graph (q173's rounds/beam). Answer: per-probe top-3 of the
+    * layer-0 visited set.
+    *
+    * What this adds over q173/q177: those enter via the IVF cell join
+    * (round 0 scores a whole cell — √(8n) rows per probe) or a fixed
+    * entry SET; here entry cost per probe is rounds×beam×deg(l1) ≈
+    * O(1) scored rows, the deployment mode of a pure graph index
+    * (HNSW/Vamana serve with no partition layout at all). Scale shape:
+    * both walks are [[beamWalk]] contracts — per-round cost ≤
+    * P·B·2K id-equi rows, corpus never scanned. The REGISTERED layer-1
+    * build is the exact top-2 over the n/8 subsample ((n/8)² pairs —
+    * fine at gate SF, and the honest oracle); a 100 TB deployment
+    * recurses the [[knnGraphBuild]] dispatch on the subsample instead
+    * (same adjacency contract), exactly how HNSW's upper layers are
+    * geometrically-thinned copies of the same graph structure. */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    val g = s.read.parquet(knnGraphPath(s, d))
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e0.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val l1 = e0.filter(col("vec_id") % 8 === 0)
+    val w1 = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val l1g = l1.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        l1.select(col("vec_id").as("vb"), col("embedding").as("eb"))))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") <= 3)
+      .select(col("va"), col("vb"))
+    val entry = l1.agg(min(col("vec_id")).as("vid"))
+    val v0l1 = probes.crossJoin(broadcast(entry))
+      .join(e0.select(col("vec_id").as("vid"), col("embedding").as("ve")),
+        Seq("vid"))
+      .select(col("pid"), col("pe"), col("vid"),
+        round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
+    val l1visited = beamWalk(v0l1, l1g, e0, rounds = 3, beamWidth = 4)
+    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    val entries0 = l1visited.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("pe"), col("vid"), col("sim"))
+    val visited = beamWalk(entries0, g, e0, rounds = 4)
+    visited.filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 3)
+      .select(col("pid"), col("vid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private lazy val q187Sql = {
+    // unrolled walk round over graph CTE `und`, beam `b`, arm prefix `a`
+    def roundCte(a: String, und: String, b: Int, r: Int) =
+      s"""${a}b$r AS (SELECT pid, vid FROM (
+        |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+        |            ORDER BY sim DESC, vid) AS rn
+        |        FROM ${a}v${r - 1}) WHERE rn <= $b),
+        |${a}x$r AS (SELECT DISTINCT w.pid, u.vb AS vid
+        |        FROM ${a}b$r w JOIN $und u ON u.va = w.vid),
+        |${a}f$r AS (SELECT x.pid,
+        |          round(list_cosine_similarity(p.pe, c.emb), 4) AS sim,
+        |          x.vid
+        |        FROM ${a}x$r x JOIN pr p USING (pid)
+        |             JOIN e c ON c.vec_id = x.vid
+        |        WHERE x.pid <> x.vid
+        |          AND NOT EXISTS (SELECT 1 FROM ${a}v${r - 1} v
+        |                          WHERE v.pid = x.pid AND v.vid = x.vid)),
+        |${a}v$r AS (SELECT pid, vid, sim FROM ${a}v${r - 1}
+        |        UNION ALL
+        |        SELECT pid, vid, sim FROM ${a}f$r)""".stripMargin
+    materializeCtes(s"""WITH $knnGraphCtesSql,
+      |und2 AS (SELECT va, vb FROM gfin
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM gfin),
+      |pr AS (SELECT vec_id AS pid, emb AS pe FROM e
+      |       WHERE vec_id >= 16 AND vec_id < 26),
+      |l1 AS (SELECT vec_id, emb FROM e WHERE vec_id % 8 = 0),
+      |l1g AS (SELECT va, vb FROM (
+      |        SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER (
+      |            PARTITION BY a.vec_id
+      |            ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+      |              DESC, b.vec_id) AS rn
+      |        FROM l1 a JOIN l1 b ON a.vec_id <> b.vec_id) WHERE rn <= 3),
+      |und1 AS (SELECT va, vb FROM l1g
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM l1g),
+      |en AS (SELECT min(vec_id) AS vid FROM l1),
+      |hv0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pr p JOIN e c ON c.vec_id = (SELECT vid FROM en)),
+      |${roundCte("h", "und1", 4, 1)},
+      |${roundCte("h", "und1", 4, 2)},
+      |${roundCte("h", "und1", 4, 3)},
+      |lv0 AS (SELECT pid, vid, sim FROM (
+      |        SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
+      |            ORDER BY sim DESC, vid) AS rn
+      |        FROM hv3) WHERE rn <= 3),
+      |${roundCte("l", "und2", 8, 1)},
+      |${roundCte("l", "und2", 8, 2)},
+      |${roundCte("l", "und2", 8, 3)},
+      |${roundCte("l", "und2", 8, 4)}
+      |SELECT pid, vid, sim, rn FROM (
+      |  SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
+      |      ORDER BY sim DESC, vid) AS rn
+      |  FROM lv4 WHERE pid <> vid)
+      |WHERE rn <= 3 ORDER BY pid, rn""".stripMargin)
+  }
+
   /** q174 — GRAPH-BASED semantic dedup: threshold the LANDED kNN graph
     * at [[CosineNearDupThreshold]] (the q34b/q99 near-dup grade),
     * connected components over the surviving edges, keep-lowest-id per
@@ -6879,6 +6992,7 @@ object LlmOps {
     QueryDef("q184_fingerprint_dedup", q184, None),
     QueryDef("q185_hamming_join", q185, Some(q185Sql)),
     QueryDef("q186_fingerprint_closure", q186, Some(q186Sql)),
+    QueryDef("q187_hnsw_serve", q187, Some(q187Sql)),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -327,6 +327,51 @@ class LlmOpsSpec extends SparkSpec {
         "the graph rounds added nothing beyond the probe cells")
   }
 
+  test("q187 hierarchical entry serve answers every probe with dense " +
+      "top-<=3 ranks and real recall while scoring only O(beam·deg) " +
+      "entry rows — no cell join anywhere in the path") {
+    val out = LlmOps.q187(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == (16L until 26L).toSet)
+    assert(byProbe.values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+    // recall vs exact top-3 (shared grid + tiebreaks): the 2-layer
+    // descent must find real neighbors, not just layer-1 members —
+    // non-vacuous floor: at least a third of the exact edges at sf0.01
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.rint(d / math.sqrt(na * nb) * 1e4) / 1e4
+    }
+    val emap = e.toMap
+    val exact = (16L until 26L).flatMap { p =>
+      e.filter(_._1 != p).map { case (v, ve) => (p, v, cos(emap(p), ve)) }
+        .sortBy(t => (-t._3, t._2)).take(3).map(t => (t._1, t._2))
+    }.toSet
+    val served = out.map(r => (r._1, r._2)).toSet
+    val hits = served.intersect(exact).size
+    info(s"q187 hierarchical-entry recall: $hits/${exact.size}")
+    // the absolute bar is set by the deliberately sparse degree-3
+    // landed graph, not the routing: on the same graph + walk budget
+    // the q177 arms measure fixed-entries 4/30, IVF-probe-1 3/30,
+    // IVF-probe-2 10/30. The hierarchical entries reach 8/30 at O(1)
+    // scored entry rows — DOUBLE the fixed arm, 80% of the probe-2 arm
+    // with no IVF layout in the path. Deterministic data ⇒ pinned fact.
+    assert(hits >= 8,
+      s"hierarchical entries recalled only $hits/${exact.size} — " +
+        "below the measured 8/30 (fixed-entry arm: 4/30); the layer-1 " +
+        "routing regressed")
+    // answers are honest: every reported sim matches the exact cosine
+    out.foreach { case (p, v, sim, _) =>
+      assert(math.abs(cos(emap(p), emap(v)) - sim) < 1e-9,
+        s"probe $p reported a wrong similarity for $v")
+    }
+  }
+
   test("q174 graph semdedup keeps exactly one lowest-id survivor per " +
       "component and its clusters are edge-connected at the threshold") {
     val out = LlmOps.q174(spark, sf001).collect()
