@@ -501,6 +501,18 @@ class QueryPlanSpec extends SparkSpec {
       s"windows must be probe-partitioned, never global:\n$p")
   }
 
+  test("q187: hierarchical serve stays equi-join/broadcast — the only " +
+      "pairwise is the broadcast layer-1 subsample build, and every " +
+      "window is probe-partitioned") {
+    val p = planString(LlmOps.q187(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"walk joins must broadcast the beam side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the l1 pairwise must ride a broadcast, never a cartesian:\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be probe-partitioned, never global:\n$p")
+  }
+
   test("q185: the banded-Hamming join is an equi-join on (band, chunk) — " +
       "no cartesian, radius filter before the pair dedup") {
     val p = planString(LlmOps.q185(spark, sf0001))
