@@ -105,7 +105,11 @@ object ScaleStress {
     "q183_video_neardup", "q184_fingerprint_dedup",
     // r16: the oracle-armed fingerprint chain (synthetic hashes — no
     // codec volume, so these isolate the JOIN+CC scale behavior)
-    "q185_hamming_join", "q186_fingerprint_closure")
+    "q185_hamming_join", "q186_fingerprint_closure",
+    // r19: hierarchical serve over LANDED layers — warm ratio must track
+    // probes x beam x degree (the q173 contract); the layer-1 build cost
+    // lives in the cold pass (landing), never the serve
+    "q187_hnsw_serve")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

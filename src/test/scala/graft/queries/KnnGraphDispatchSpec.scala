@@ -140,4 +140,88 @@ class KnnGraphDispatchSpec extends SparkSpec {
         "a pruned vector has no thresholded edge in the descent graph")
     }
   }
+
+  // driver-side exact top-3 over the layer-1 members (n/8 ≈ 690 at
+  // sf0.01 — bounded), the reference for both landing arms
+  private def exactLayer1(members: Map[Long, Array[Double]]): Set[(Long, Long)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.rint(d / math.sqrt(na * nb) * 1e4) / 1e4
+    }
+    members.keySet.flatMap { va =>
+      members.keysIterator.filter(_ != va).toSeq
+        .map(vb => (vb, cos(members(va), members(vb))))
+        .sortBy(t => (-t._2, t._1)).take(3).map(t => (va, t._1))
+    }
+  }
+
+  private def layer1Members(): Map[Long, Array[Double]] =
+    graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 8 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("layer-1 landing (default exact arm): the landed adjacency IS the " +
+      "exact top-3 over the %8 subsample, and the persisted entry state " +
+      "is the min member id + its embedding") {
+    LlmOps.invalidateKnnGraph() // a prior forced-regime suite run must not leak
+    val (path, entry, emb) = LlmOps.knnLayer1State(spark, sf001)
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rn")))
+    val members = layer1Members()
+    assert(rows.forall(r => members.contains(r._1) &&
+      members.contains(r._2) && r._1 != r._2))
+    val byVa = rows.groupBy(_._1)
+    assert(byVa.keySet == members.keySet,
+      "every layer-1 member must own ranked edges (the min(va) entry " +
+        "derivation depends on it)")
+    assert(byVa.values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+    assert(entry == members.keySet.min)
+    val expected = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") === entry).select("embedding")
+      .head.getSeq[Float](0)
+    assert(emb == expected)
+    // exact arm == driver-computed exact top-3 (same round-4 grid and
+    // (sim desc, vb) tiebreak)
+    assert(rows.map(r => (r._1, r._2)).toSet == exactLayer1(members),
+      "default layer-1 landing must be the exact subsample top-3")
+  }
+
+  test("layer-1 landing recurses the dispatch: forced nndescent builds " +
+      "the layer by ρ-sampled descent on the ×8 id grid — same adjacency " +
+      "contract, real recall, and q187 still serves every probe densely") {
+    withRegime("nndescent") {
+      val (path, entry, _) = LlmOps.knnLayer1State(spark, sf001)
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rn")))
+      val members = layer1Members()
+      assert(rows.forall(r => members.contains(r._1) &&
+        members.contains(r._2) && r._1 != r._2),
+        "descent bridge seeds must land on the ×8 member grid")
+      val byVa = rows.groupBy(_._1)
+      assert(byVa.keySet == members.keySet)
+      assert(byVa.values.forall(es =>
+        es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+      assert(entry == members.keySet.min)
+      val exact = exactLayer1(members)
+      val hits = rows.map(r => (r._1, r._2)).toSet.intersect(exact).size
+      info(s"layer-1 descent recall@3: $hits/${exact.size}")
+      assert(hits >= exact.size / 2,
+        s"layer-1 descent recalled only $hits/${exact.size} exact edges")
+      // the hierarchical serve holds on the descent-built layers
+      val out = LlmOps.q187(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      val byProbe = out.groupBy(_._1)
+      assert(byProbe.keySet == (16L until 26L).toSet)
+      assert(byProbe.values.forall(es =>
+        es.map(_._3).sorted.sameElements(1 to es.length) && es.length <= 3))
+    }
+  }
 }

@@ -501,14 +501,19 @@ class QueryPlanSpec extends SparkSpec {
       s"windows must be probe-partitioned, never global:\n$p")
   }
 
-  test("q187: hierarchical serve stays equi-join/broadcast — the only " +
-      "pairwise is the broadcast layer-1 subsample build, and every " +
-      "window is probe-partitioned") {
+  test("q187: the serve plan is PURE — equi-joins/broadcast only, ZERO " +
+      "cross or nested-loop joins (both index layers read landed, the " +
+      "entry is persisted serve state), every window probe-partitioned") {
     val p = planString(LlmOps.q187(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"),
       s"walk joins must broadcast the beam side:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"the l1 pairwise must ride a broadcast, never a cartesian:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // r19: the r18 plan carried the (n/8)^2 layer-1 build as a
+    // BroadcastNestedLoopJoin — landing the layer moved it out of the
+    // serve path entirely; any cross-shaped join reappearing here means
+    // an index layer is being rebuilt at serve time again
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"serve must not rebuild any index layer (no cross joins):\n$p")
     assert(!p.contains("], [], ["),
       s"windows must be probe-partitioned, never global:\n$p")
   }
