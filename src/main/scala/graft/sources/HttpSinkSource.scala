@@ -139,12 +139,14 @@ private[sources] case class HttpSinkCommit(rows: Long, posts: Long)
 /** Shared epoch/job commit logging — the audit point of an
   * at-least-once sink (see class doc): totals, not a transaction. */
 private[sources] trait HttpSinkCommitLog extends Logging {
+  protected def sinkLabel: String = "graft-http-sink"
+  protected def deliveryUnit: String = "POSTs"
   protected def logDelivered(what: String, messages: Array[WriterCommitMessage]): Unit = {
     val (rows, posts) = messages.foldLeft((0L, 0L)) {
       case ((r, p), HttpSinkCommit(mr, mp)) => (r + mr, p + mp)
       case (acc, _)                         => acc
     }
-    logInfo(s"graft-http-sink $what delivered: $rows rows in $posts POSTs")
+    logInfo(s"$sinkLabel $what delivered: $rows rows in $posts $deliveryUnit")
   }
 }
 

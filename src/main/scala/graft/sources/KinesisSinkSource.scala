@@ -27,7 +27,19 @@ import graft.streaming.{KinesisSink, KinesisTransport, VehicleLocation, VehicleM
   * adapted for instances that need construction args; tests register an
   * InMemoryKinesis). Same consistency contract as U7: AT-LEAST-ONCE —
   * stored-but-reported-failed records duplicate on resubmit, epoch
-  * commit is an audit point. */
+  * commit is an audit point.
+  *
+  * OPT-IN effectively-once (r18 verdict ask #3 — parity with
+  * [[HttpSinkSource]], which got the upgrade in r18 while this sink
+  * silently kept weaker replay semantics): `option("ledgerDir", …)`
+  * wires the same [[graft.streaming.BatchLedger]] into the streaming
+  * write — the per-epoch writer factory ships the ledger's
+  * committed-id snapshot, writers for an already-committed (replayed)
+  * epoch accept rows but put NO records, and the driver records each
+  * epoch at `commit` (AFTER delivery: a crash between the two still
+  * re-delivers — at-least-once is the floor, never lost data). The
+  * ledger must live and die with the query's checkpoint; batch writes
+  * ignore the option (no epoch identity to dedupe on). */
 class KinesisSinkSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kinesis-sink"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -89,12 +101,13 @@ private[sources] class KinesisSinkTable(
     val idx = HttpSinkSource.pingIndices(info.schema)
     val factory = KinesisWriterFactory(stream, sourceId.toLong,
       transportFactory, opts.getInt("maxBatch", 500), idx)
+    val ledgerDir = Option(opts.get("ledgerDir"))
     new WriteBuilder {
       override def build(): Write = new Write {
         override def description(): String = "graft-kinesis-sink"
         override def toBatch: BatchWrite = new KinesisBatchWrite(factory)
         override def toStreaming: StreamingWrite =
-          new KinesisStreamingWrite(factory)
+          new KinesisStreamingWrite(factory, ledgerDir)
       }
     }
   }
@@ -108,19 +121,41 @@ private[sources] class KinesisBatchWrite(factory: KinesisWriterFactory)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] class KinesisStreamingWrite(factory: KinesisWriterFactory)
-    extends StreamingWrite {
+private[sources] class KinesisStreamingWrite(factory: KinesisWriterFactory,
+    ledgerDir: Option[String])
+    extends StreamingWrite with HttpSinkCommitLog {
+  override protected def sinkLabel: String = "graft-kinesis-sink"
+  override protected def deliveryUnit: String = "PutRecords sends"
+  // driver-side; rebuilt lazily so a ledger-less sink pays nothing
+  private lazy val ledger =
+    ledgerDir.map(new graft.streaming.FileBatchLedger(_))
+
+  /** Called once per epoch (MicroBatchWrite wraps this write per
+    * micro-batch), so the shipped snapshot reflects every commit
+    * recorded before this epoch planned — the [[HttpSinkStreamingWrite]]
+    * replay discipline verbatim. */
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = factory
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    factory.copy(committedEpochs =
+      ledger.map(_.snapshot).getOrElse(Set.empty))
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit = ledger match {
+    case Some(l) if l.committed(epochId) =>
+      logInfo(s"graft-kinesis-sink epoch $epochId replay skipped (ledger)")
+    case Some(l) =>
+      logDelivered(s"epoch $epochId", messages)
+      l.commit(epochId) // AFTER delivery: crash in between re-delivers
+    case None =>
+      logDelivered(s"epoch $epochId", messages)
+  }
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] case class KinesisWriterFactory(stream: String,
     sourceId: Long, transportFactory: () => KinesisTransport,
-    maxBatch: Int, idx: PingIndices)
+    maxBatch: Int, idx: PingIndices,
+    committedEpochs: Set[Long] = Set.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
   private def writer(): DataWriter[InternalRow] =
     new KinesisDataWriter(
@@ -129,7 +164,9 @@ private[sources] case class KinesisWriterFactory(stream: String,
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = writer()
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = writer()
+      epochId: Long): DataWriter[InternalRow] =
+    if (committedEpochs.contains(epochId)) new SkippedEpochWriter
+    else writer()
 }
 
 /** Per-task writer: chunk pings at the PutRecords limit and send each
