@@ -36,8 +36,18 @@ import graft.streaming.{KinesisConsumerTransport, ProtoEnvelope}
   * query starts). `maxRecordsPerTrigger` caps a micro-batch's total
   * admitted records, split evenly across shards (per-shard cap
   * ⌈max/shards⌉ — Kinesis throttles per shard, so an even split is the
-  * service-shaped bound). Resharding is out of scope ([[
-  * graft.streaming.KinesisConsumerTransport]] scaladoc). */
+  * service-shaped bound).
+  *
+  * RESHARDING (r19 — was out of scope in r18): the consumer follows
+  * splits and merges with the KCL's parent-before-child discipline —
+  * a child shard admits NOTHING until every parent is drained to its
+  * SHARD_END, which preserves per-key order across the handoff (a
+  * key's post-split records live only in the child that inherited its
+  * hash range). Offsets mark drained-closed shards FINAL (`"12!"`) so
+  * the proof survives the transport expiring closed shards from its
+  * listings. Each record is still read exactly once: closed shards
+  * never grow, and the per-shard [from, until) slices are disjoint
+  * across batches as before. */
 class KinesisSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kinesis-source"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -105,23 +115,39 @@ private[sources] class KinesisSourceTable(
 
 /** Offset = per-shard next-sequence positions, JSON `{"0":12,"1":7}`
   * (shard-sorted — offset equality is string equality in the engine's
-  * offset log). */
-private[sources] case class KinesisSourceOffset(positions: Map[Int, Long])
-    extends Offset {
+  * offset log). A shard drained to its SHARD_END serializes as a
+  * quoted `"12!"` (r19): the offset itself carries closed-shard
+  * FINALITY, so a restart can prove a parent fully drained — and gate
+  * its children open — even against a transport that has since expired
+  * the closed shard from its listings (real Kinesis forgets closed
+  * shards past retention). Plain-number values (pre-r19 checkpoints)
+  * parse as non-final. */
+private[sources] case class KinesisSourceOffset(positions: Map[Int, Long],
+    finals: Set[Int] = Set.empty) extends Offset {
   override def json(): String = positions.toSeq.sortBy(_._1)
-    .map { case (s, p) => s""""$s":$p""" }.mkString("{", ",", "}")
+    .map { case (s, p) =>
+      if (finals.contains(s)) s""""$s":"$p!"""" else s""""$s":$p"""
+    }.mkString("{", ",", "}")
 }
 
 private[sources] object KinesisSourceOffset {
   def parse(json: String): KinesisSourceOffset = {
     val body = json.trim.stripPrefix("{").stripSuffix("}").trim
-    val positions =
-      if (body.isEmpty) Map.empty[Int, Long]
-      else body.split(",").map { kv =>
+    if (body.isEmpty) KinesisSourceOffset(Map.empty)
+    else {
+      val entries = body.split(",").map { kv =>
         val Array(k, v) = kv.split(":")
-        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
-      }.toMap
-    KinesisSourceOffset(positions)
+        val shard = k.trim.stripPrefix("\"").stripSuffix("\"").toInt
+        val raw = v.trim
+        val (num, fin) =
+          if (raw.startsWith("\""))
+            (raw.stripPrefix("\"").stripSuffix("\"").stripSuffix("!"), true)
+          else (raw, false)
+        (shard, num.toLong, fin)
+      }
+      KinesisSourceOffset(entries.map(e => e._1 -> e._2).toMap,
+        entries.collect { case (s, _, true) => s }.toSet)
+    }
   }
 }
 
@@ -146,9 +172,13 @@ private[sources] class KinesisMicroBatchStream(
     availableNowBound = Some(tips())
 
   override def initialOffset(): Offset =
-    KinesisSourceOffset(
-      if (startLatest) tips()
-      else consumer.shardIds(stream).map(_ -> 0L).toMap)
+    if (startLatest) {
+      // closed shards start AT their SHARD_END — already final
+      val t = tips()
+      KinesisSourceOffset(t, t.keySet.filter(s =>
+        consumer.shardEnd(stream, s).exists(t(s) >= _)))
+    } else
+      KinesisSourceOffset(consumer.shardIds(stream).map(_ -> 0L).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerTrigger.map(ReadLimit.maxRows)
@@ -156,7 +186,8 @@ private[sources] class KinesisMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val bound = availableNowBound.getOrElse(tips())
-    val from = start.asInstanceOf[KinesisSourceOffset].positions
+    val startOff = start.asInstanceOf[KinesisSourceOffset]
+    val from = startOff.positions
     val perShard = limit match {
       case m: ReadMaxRows =>
         // Kinesis throttles per shard — split the row budget evenly
@@ -164,11 +195,33 @@ private[sources] class KinesisMicroBatchStream(
           (m.maxRows() + bound.size - 1) / math.max(1, bound.size)))
       case _ => None
     }
-    KinesisSourceOffset(bound.map { case (shard, tip) =>
+    // KCL resharding discipline: a split/merge CHILD admits nothing
+    // until every parent is fully drained to SHARD_END as of the START
+    // offset — parent records for a key strictly precede the child's,
+    // so this is what preserves per-key order across the handoff. The
+    // offset's own finality flag proves a drain even if the transport
+    // has expired the closed parent from its listings.
+    def drained(p: Int): Boolean =
+      startOff.finals.contains(p) ||
+        consumer.shardEnd(stream, p).exists(from.getOrElse(p, 0L) >= _)
+    // union with the start offset's shards: a closed shard the
+    // transport has expired must stay in the offset at its final
+    // position (its finality gates descendants forever)
+    val positions = (bound.keySet ++ from.keySet).map { shard =>
       val f = from.getOrElse(shard, 0L)
-      shard -> math.max(f,
-        perShard.fold(tip)(cap => math.min(tip, f + cap)))
-    })
+      shard -> (bound.get(shard) match {
+        case Some(tip) =>
+          val parents = consumer.parents(stream, shard)
+          val gated = parents.exists(p => !drained(p))
+          math.max(f,
+            if (gated) f
+            else perShard.fold(tip)(cap => math.min(tip, f + cap)))
+        case None => f
+      })
+    }.toMap
+    KinesisSourceOffset(positions, positions.keySet.filter(s =>
+      startOff.finals.contains(s) ||
+        consumer.shardEnd(stream, s).exists(positions(s) >= _)))
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(

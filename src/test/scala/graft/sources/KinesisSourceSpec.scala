@@ -180,4 +180,126 @@ class KinesisSourceSpec extends SparkSpec {
       Seq((70L, 500L), (70L, 501L), (71L, 502L)))
     assert(got.map(_._2).distinct == Seq(0L), "one record ⇒ one seq")
   }
+
+  test("offset JSON roundtrip: drained-closed shards carry finality " +
+      "('12!'); pre-r19 plain-number offsets parse as non-final") {
+    val off = KinesisSourceOffset(Map(0 -> 12L, 1 -> 7L, 5 -> 0L),
+      finals = Set(0, 5))
+    assert(off.json() == """{"0":"12!","1":7,"5":"0!"}""")
+    assert(KinesisSourceOffset.parse(off.json()) == off)
+    // legacy checkpoint: no finality markers
+    assert(KinesisSourceOffset.parse("""{"0":12,"1":7}""") ==
+      KinesisSourceOffset(Map(0 -> 12L, 1 -> 7L)))
+  }
+
+  test("resharding — mid-stream SPLIT: the closed parent drains fully " +
+      "before its children admit anything (KCL order), every record " +
+      "arrives exactly once, and per-key order holds across the handoff") {
+    val name = "t-kinesis-src-split"
+    InMemoryKinesis.reset(name)
+    val kin = new InMemoryKinesis(numShards = 2, name = name)
+    KinesisTransports.register(name, () => new InMemoryKinesis(2, name))
+    // backlog A lands on the original shards; ts encodes send order
+    val keys = (1L to 8L)
+    put(kin, 7L, keys.map(k => (k, 100L + k)): _*)
+    // split shard 0 WITH ITS BACKLOG UNREAD — children inherit its
+    // halved hash range; batch B then routes those keys to the children
+    val (c1, c2) = kin.splitShard("vehicles", 0)
+    put(kin, 7L, keys.map(k => (k, 200L + k)): _*)
+    // sanity: the split actually redistributed some keys
+    val parentKeys = keys.filter(k => kin.shardOf(k.toString) == 0)
+    assert(parentKeys.nonEmpty, "no key routed to the split shard — vacuous")
+    assert(keys.forall(k => kin.shardForKey("vehicles", k.toString) != 0),
+      "post-split records must never route to the closed parent")
+
+    // small admission cap forces several micro-batches, so the
+    // parent-before-child gate is exercised across real batch boundaries
+    val ckpt = Files.createTempDirectory("graft-kinsrc-split").toString
+    val rows = drain(name, ckpt, "maxRecordsPerTrigger" -> "3")
+    // exactly once: every (key, ts) pair exactly one row
+    assert(rows.map(r => (r._4, r._5)).sorted ==
+      keys.flatMap(k => Seq((k, 100L + k), (k, 200L + k))).sorted,
+      s"lost or duplicated records across the split: ${rows.size}")
+    // per-key order across the handoff: a key's parent-era record must
+    // be collected before its child-era record
+    keys.foreach { k =>
+      val ts = rows.filter(_._4 == k).map(_._5)
+      assert(ts == ts.sorted,
+        s"key $k out of order across the split handoff: $ts")
+    }
+    // rows carry the child shards, never the closed parent, for batch B
+    val bShards = rows.filter(_._5 >= 200L)
+      .filter(r => parentKeys.contains(r._4)).map(_._1).toSet
+    assert(bShards.nonEmpty && bShards.subsetOf(Set(c1, c2)),
+      s"post-split rows on unexpected shards: $bShards")
+
+    // restart with nothing new: the finality-marked offsets parse back
+    // and admit nothing
+    assert(drain(name, ckpt, "maxRecordsPerTrigger" -> "3").isEmpty,
+      "restart re-read records after the split")
+    // a further arrival lands in a child and is read as the only delta
+    put(kin, 7L, (parentKeys.head, 300L))
+    val delta = drain(name, ckpt, "maxRecordsPerTrigger" -> "3")
+    assert(delta.map(r => (r._4, r._5)) == Seq((parentKeys.head, 300L)))
+  }
+
+  test("resharding — MERGE: two adjacent shards close into one child; " +
+      "both parents drain before the child admits, exactly once, " +
+      "per-key order preserved") {
+    val name = "t-kinesis-src-merge"
+    InMemoryKinesis.reset(name)
+    val kin = new InMemoryKinesis(numShards = 2, name = name)
+    KinesisTransports.register(name, () => new InMemoryKinesis(2, name))
+    val keys = (1L to 6L)
+    put(kin, 7L, keys.map(k => (k, 100L + k)): _*)
+    val child = kin.mergeShards("vehicles", 0, 1)
+    put(kin, 7L, keys.map(k => (k, 200L + k)): _*)
+    assert(keys.forall(k => kin.shardForKey("vehicles", k.toString) == child),
+      "post-merge records must all route to the merge child")
+
+    val ckpt = Files.createTempDirectory("graft-kinsrc-merge").toString
+    val rows = drain(name, ckpt, "maxRecordsPerTrigger" -> "4")
+    assert(rows.map(r => (r._4, r._5)).sorted ==
+      keys.flatMap(k => Seq((k, 100L + k), (k, 200L + k))).sorted,
+      s"lost or duplicated records across the merge: ${rows.size}")
+    keys.foreach { k =>
+      val ts = rows.filter(_._4 == k).map(_._5)
+      assert(ts == ts.sorted,
+        s"key $k out of order across the merge handoff: $ts")
+    }
+    assert(rows.filter(_._5 >= 200L).map(_._1).toSet == Set(child))
+    assert(drain(name, ckpt, "maxRecordsPerTrigger" -> "4").isEmpty)
+  }
+
+  test("two streams through one transport alias stay fully isolated " +
+      "(r18 advice: the store is keyed by (name, stream))") {
+    val name = "t-kinesis-src-twostreams"
+    InMemoryKinesis.reset(name)
+    val kin = new InMemoryKinesis(numShards = 2, name = name)
+    KinesisTransports.register(name, () => new InMemoryKinesis(2, name))
+    new KinesisSink("alpha", kin).sendMessages(1L,
+      Seq(VehicleMessage(10L, Seq(VehicleLocation(1, 2, 111L)))))
+    new KinesisSink("beta", kin).sendMessages(2L,
+      Seq(VehicleMessage(20L, Seq(VehicleLocation(3, 4, 222L))),
+        VehicleMessage(21L, Seq(VehicleLocation(5, 6, 223L)))))
+    // consumer reads only its own stream's records
+    def drainStream(stream: String): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = spark.readStream.format("graft-kinesis-source")
+        .option("stream", stream).option("transport", name)
+        .load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-kinsrc-2s-$stream").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val got = b.collect().map(x => (x.getLong(3), x.getLong(6)))
+          out.synchronized { out ++= got }
+          ()
+        }.start()
+      q.awaitTermination()
+      out.toSeq
+    }
+    assert(drainStream("alpha").sorted == Seq((10L, 111L)))
+    assert(drainStream("beta").sorted == Seq((20L, 222L), (21L, 223L)))
+  }
 }
