@@ -51,7 +51,12 @@ import graft.ingest.IngestFiles
   * age-expired leave the in-memory window AND the next compact. Net:
   * driver memory and per-compact write volume are O(in-flight window +
   * age window), not O(stream lifetime) — set `maxFileAge=off` to
-  * disable for bounded directories. */
+  * disable for bounded directories. Once retention has dropped
+  * delivered entries, the drop cutoff is persisted in the log headers
+  * and admission stays CLAMPED at it even if a restart widens or
+  * disables maxFileAge (r19): below that cutoff "not in the log" no
+  * longer means "never delivered", so a widened window warns loudly
+  * and refuses those files rather than re-delivering them. */
 private[sources] class VehicleCsvMicroBatchStream(
     path: String,
     required: StructType,
@@ -85,6 +90,8 @@ private[sources] class VehicleCsvMicroBatchStream(
     * otherwise never shrink its retained window and every compact would
     * stay a full-history rewrite. */
   @volatile private var ageCutoff = Long.MinValue
+  /** One loud line per run, not per discovery round. */
+  private var warnedWidenedWindow = false
 
   /** List the input path and admit unseen, in-age files to the durable
     * log. A missing/empty directory is "no data yet" for a stream, not
@@ -96,10 +103,24 @@ private[sources] class VehicleCsvMicroBatchStream(
     if (listed.nonEmpty)
       modTimeWatermark = math.max(modTimeWatermark, listed.map(_._2).max)
     fileLog.recordWatermark(modTimeWatermark) // persists in the next segment
-    val cutoff = maxFileAgeMs match {
+    val cfgCutoff = maxFileAgeMs match {
       case Some(age) if modTimeWatermark != Long.MinValue =>
         modTimeWatermark - age
       case _ => Long.MinValue
+    }
+    // Clamp at the persisted drop cutoff (r18 advice): once retention
+    // dropped delivered entries below a cutoff, "not in the log" stops
+    // meaning "never delivered" below it — a restart that WIDENS
+    // maxFileAge (or disables it) must not re-admit those files.
+    val cutoff = math.max(cfgCutoff, fileLog.persistedDropCutoff)
+    if (cutoff > cfgCutoff && !warnedWidenedWindow) {
+      warnedWidenedWindow = true
+      logWarning("graft-vehicle-csv stream: maxFileAge was widened (or " +
+        s"disabled) past retention-dropped entries — files with modTime < " +
+        s"$cutoff were already delivered and dropped from the file log, " +
+        "so admission stays clamped at that cutoff (configured cutoff " +
+        s"$cfgCutoff). Keep maxFileAge constant for the life of a " +
+        "checkpoint to avoid this clamp.")
     }
     ageCutoff = cutoff
     val (inAge, aged) = listed.partition(_._2 >= cutoff)
@@ -222,6 +243,15 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
   private val known = scala.collection.mutable.HashMap.empty[String, Long]
   /** Largest discovery modTime watermark ever persisted (header-fed). */
   private var watermarkPersisted = Long.MinValue
+  /** Highest age cutoff at which entries were ACTUALLY dropped
+    * (dedup-map eviction or retained-prefix drop) — persisted so a
+    * restart that WIDENS maxFileAge (or turns it off) cannot re-admit
+    * files that were delivered and then retention-dropped (r18 advice):
+    * below this cutoff, "not in the log" no longer means "never
+    * delivered". Cutoffs that dropped nothing are NOT recorded — a
+    * widened window may still admit genuinely never-delivered old
+    * files. */
+  private var dropCutoffPersisted = Long.MinValue
   private var plainSegments = 0 // plain (non-compact) segments on disk
   /** First index the ON-DISK compact retains — how far the durable log
     * has landed this instance's retention progress. */
@@ -270,6 +300,9 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
             if (field.startsWith("watermark="))
               watermarkPersisted = math.max(watermarkPersisted,
                 field.stripPrefix("watermark=").toLong)
+            else if (field.startsWith("dropcutoff="))
+              dropCutoffPersisted = math.max(dropCutoffPersisted,
+                field.stripPrefix("dropcutoff=").toLong)
             else if (field.startsWith("base=") && isCompact) {
               val b = field.stripPrefix("base=").toLong
               require(retained.isEmpty,
@@ -314,6 +347,10 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
   /** Test/diagnostic hooks: retention window + persisted watermark. */
   def retainedFrom: Long = retainedBase
   def persistedWatermark: Long = watermarkPersisted
+  /** Highest cutoff at which the log ever dropped delivered entries —
+    * the floor below which admission must stay clamped forever, even
+    * if a restart widens (or disables) maxFileAge. */
+  def persistedDropCutoff: Long = dropCutoffPersisted
 
   /** Record the caller's discovery modTime watermark; persisted in the
     * header of every subsequently written segment/compact so the age
@@ -337,7 +374,9 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
   private def header: String = {
     val wm = if (watermarkPersisted == Long.MinValue) ""
       else s"\twatermark=$watermarkPersisted"
-    s"#v1$wm"
+    val dc = if (dropCutoffPersisted == Long.MinValue) ""
+      else s"\tdropcutoff=$dropCutoffPersisted"
+    s"#v1$wm$dc"
   }
 
   /** Durably append `(path, modTime)` files: write a tmp file, rename to
@@ -369,6 +408,7 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
     * never expired (they may still be planned). */
   def expireBelow(cutoffModTime: Long): Unit =
     if (cutoffModTime > Long.MinValue) {
+      val before = known.size
       known.filterInPlace { case (_, m) => m >= cutoffModTime }
       var drop = 0
       while (retainedBase + drop < committed && drop < retained.size &&
@@ -377,6 +417,12 @@ private[graft] final class VehicleCsvFileLog(dir: HPath, conf: Configuration) {
         retained.remove(0, drop)
         retainedBase += drop
       }
+      // entries were FORGOTTEN below this cutoff — persist it (in the
+      // next segment/compact header) so no future, wider age window can
+      // re-admit them; cutoffs that dropped nothing are not recorded
+      if ((drop > 0 || known.size < before) &&
+          cutoffModTime > dropCutoffPersisted)
+        dropCutoffPersisted = cutoffModTime
     }
 
   /** Compact EARLY when the expired prefix grew a full interval past

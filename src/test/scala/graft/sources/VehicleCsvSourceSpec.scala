@@ -506,6 +506,39 @@ class VehicleCsvSourceSpec extends SparkSpec {
       "restart re-read files whose entries left the retained window")
   }
 
+  test("a restart that WIDENS maxFileAge (or disables it) cannot re-admit " +
+      "retention-dropped files: admission clamps at the persisted drop " +
+      "cutoff (r18 advice — pre-r19 this re-delivered every dropped file)") {
+    val dir = tmpDir
+    val ckpt = Files.createTempDirectory("graft-mbs-widen").toString
+    val base = System.currentTimeMillis() - 14L * 60_000
+    for (i <- 0 until 14) {
+      val f = Paths.get(writeFile(dir, f"w$i%02d.csv",
+        s"2015-02-14 23:51:40+05,${200 + i},1.0,1.0\n"))
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(base + i * 60_000))
+      streamCollectAged(dir.toString, ckpt, "150s")
+    }
+    // precondition: retention actually dropped delivered entries and
+    // persisted the cutoff it dropped at
+    val logDir = Files.walk(Paths.get(ckpt)).filter(_.getFileName.toString
+      == "graft-file-log").findFirst().orElseThrow()
+    val reloaded = new VehicleCsvFileLog(
+      new org.apache.hadoop.fs.Path(logDir.toString),
+      spark.sparkContext.hadoopConfiguration)
+    assert(reloaded.retainedFrom > 0, "retention never fired — vacuous")
+    assert(reloaded.persistedDropCutoff > Long.MinValue,
+      "drop cutoff not persisted in the file-log headers")
+    // the hazard runs: files dropped from the log are still in the input
+    // dir and now fall inside the widened (or disabled) age window —
+    // contains() is false for them, so only the clamp stands between a
+    // restart and wholesale re-delivery
+    assert(streamCollectAged(dir.toString, ckpt, "off").isEmpty,
+      "maxFileAge=off re-delivered retention-dropped files")
+    assert(streamCollectAged(dir.toString, ckpt, "14d").isEmpty,
+      "a widened maxFileAge re-delivered retention-dropped files")
+  }
+
   private def streamCollectAged(dir: String, ckpt: String,
       maxFileAge: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
