@@ -138,16 +138,42 @@ def main(sf_dir, out_dir, receipt_path=None):
         rec(name, spark_rows=rows, err="no_oracle")
     print(f"\n{ok} ok / {fail} fail / {len(oracle)} oracled")
     if receipt_path:
-        json.dump(receipt, open(receipt_path, "w"), indent=2, sort_keys=True)
-        print(f"receipt -> {receipt_path} ({len(receipt)} queries)")
+        # Self-binding receipt (r18 verdict #6): the driver artifact has
+        # been {} two rounds running, so this file is the round's
+        # gradability anchor — stamp the commit it was measured at.
+        # dirty=True means the working tree had uncommitted changes when
+        # the compare ran (the hash alone then under-identifies the tree).
+        doc = {"commit": _git("rev-parse", "HEAD"),
+               "dirty": bool(_git("status", "--porcelain")),
+               "ok": ok, "fail": fail, "oracled": len(oracle),
+               "queries": receipt}
+        json.dump(doc, open(receipt_path, "w"), indent=2, sort_keys=True)
+        print(f"receipt -> {receipt_path} ({len(receipt)} queries, "
+              f"commit {doc['commit'][:12]}{' DIRTY' if doc['dirty'] else ''})")
     return 1 if fail else 0
 
+
+def _git(*args):
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", *args], capture_output=True, text=True, timeout=10,
+            cwd=__file__.rsplit("/", 2)[0]).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+USAGE = "usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json RECEIPT]"
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
     rp = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit(f"--json needs a receipt path\n{USAGE}")
         rp = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) < 2:
+        sys.exit(USAGE)
     sys.exit(main(argv[0], argv[1], rp))
