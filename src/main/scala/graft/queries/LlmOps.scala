@@ -5095,6 +5095,7 @@ object LlmOps {
   private[graft] def invalidateKnnGraph(): Unit = {
     knnGraphCache.invalidateAll()
     knnLayer1Cache.invalidateAll()
+    splicedIndexCache.invalidateAll()
     graphDedupCache.invalidateAll()
   }
 
@@ -5838,39 +5839,52 @@ object LlmOps {
       .orderBy(col("pid"), col("rn"))
   }
 
-  private lazy val q187Sql = {
-    // unrolled walk round over graph CTE `und`, beam `b`, arm prefix `a`
-    def roundCte(a: String, und: String, b: Int, r: Int) =
-      s"""${a}b$r AS (SELECT pid, vid FROM (
-        |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
-        |            ORDER BY sim DESC, vid) AS rn
-        |        FROM ${a}v${r - 1}) WHERE rn <= $b),
-        |${a}x$r AS (SELECT DISTINCT w.pid, u.vb AS vid
-        |        FROM ${a}b$r w JOIN $und u ON u.va = w.vid),
-        |${a}f$r AS (SELECT x.pid,
-        |          round(list_cosine_similarity(p.pe, c.emb), 4) AS sim,
-        |          x.vid
-        |        FROM ${a}x$r x JOIN pr p USING (pid)
-        |             JOIN e c ON c.vec_id = x.vid
-        |        WHERE x.pid <> x.vid
-        |          AND NOT EXISTS (SELECT 1 FROM ${a}v${r - 1} v
-        |                          WHERE v.pid = x.pid AND v.vid = x.vid)),
-        |${a}v$r AS (SELECT pid, vid, sim FROM ${a}v${r - 1}
-        |        UNION ALL
-        |        SELECT pid, vid, sim FROM ${a}f$r)""".stripMargin
+  /** One unrolled oracle beam-walk round (the [[beamWalk]] contract):
+    * arm prefix `a`, graph CTE `und`, beam `b`, reads `${a}v${r-1}` and
+    * the probe CTE `pr(pid, pe)`, defines `${a}v$r`. Shared by q187's
+    * two walks, q188's insert routing, and q190's spliced serve. */
+  private def walkRoundCte(a: String, und: String, b: Int, r: Int) =
+    s"""${a}b$r AS (SELECT pid, vid FROM (
+      |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+      |            ORDER BY sim DESC, vid) AS rn
+      |        FROM ${a}v${r - 1}) WHERE rn <= $b),
+      |${a}x$r AS (SELECT DISTINCT w.pid, u.vb AS vid
+      |        FROM ${a}b$r w JOIN $und u ON u.va = w.vid),
+      |${a}f$r AS (SELECT x.pid,
+      |          round(list_cosine_similarity(p.pe, c.emb), 4) AS sim,
+      |          x.vid
+      |        FROM ${a}x$r x JOIN pr p USING (pid)
+      |             JOIN e c ON c.vec_id = x.vid
+      |        WHERE x.pid <> x.vid
+      |          AND NOT EXISTS (SELECT 1 FROM ${a}v${r - 1} v
+      |                          WHERE v.pid = x.pid AND v.vid = x.vid)),
+      |${a}v$r AS (SELECT pid, vid, sim FROM ${a}v${r - 1}
+      |        UNION ALL
+      |        SELECT pid, vid, sim FROM ${a}f$r)""".stripMargin
+
+  /** The layer-1 chain (mirrors [[knnLayer1Build]]'s exact arm):
+    * members + ranked exact top-3 adjacency. Expects an `e(vec_id,
+    * emb)` CTE in scope; shared by the q187/q188/q189/q190 oracles. */
+  private lazy val l1CtesSql =
+    """l1 AS (SELECT vec_id, emb FROM e WHERE vec_id % 8 = 0),
+      |l1g AS (SELECT va, vb, sim, rn FROM (
+      |        SELECT a.vec_id AS va, b.vec_id AS vb,
+      |          round(list_cosine_similarity(a.emb, b.emb), 4) AS sim,
+      |          row_number() OVER (
+      |            PARTITION BY a.vec_id
+      |            ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
+      |              DESC, b.vec_id) AS rn
+      |        FROM l1 a JOIN l1 b ON a.vec_id <> b.vec_id) WHERE rn <= 3)"""
+      .stripMargin
+
+  private lazy val q187Sql =
     materializeCtes(s"""WITH $knnGraphCtesSql,
       |und2 AS (SELECT va, vb FROM gfin
       |         UNION
       |         SELECT vb AS va, va AS vb FROM gfin),
       |pr AS (SELECT vec_id AS pid, emb AS pe FROM e
       |       WHERE vec_id >= 16 AND vec_id < 26),
-      |l1 AS (SELECT vec_id, emb FROM e WHERE vec_id % 8 = 0),
-      |l1g AS (SELECT va, vb FROM (
-      |        SELECT a.vec_id AS va, b.vec_id AS vb, row_number() OVER (
-      |            PARTITION BY a.vec_id
-      |            ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4)
-      |              DESC, b.vec_id) AS rn
-      |        FROM l1 a JOIN l1 b ON a.vec_id <> b.vec_id) WHERE rn <= 3),
+      |$l1CtesSql,
       |und1 AS (SELECT va, vb FROM l1g
       |         UNION
       |         SELECT vb AS va, va AS vb FROM l1g),
@@ -5878,23 +5892,317 @@ object LlmOps {
       |hv0 AS (SELECT p.pid, c.vec_id AS vid,
       |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
       |       FROM pr p JOIN e c ON c.vec_id = (SELECT vid FROM en)),
-      |${roundCte("h", "und1", 4, 1)},
-      |${roundCte("h", "und1", 4, 2)},
-      |${roundCte("h", "und1", 4, 3)},
+      |${walkRoundCte("h", "und1", 4, 1)},
+      |${walkRoundCte("h", "und1", 4, 2)},
+      |${walkRoundCte("h", "und1", 4, 3)},
       |lv0 AS (SELECT pid, vid, sim FROM (
       |        SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
       |            ORDER BY sim DESC, vid) AS rn
       |        FROM hv3) WHERE rn <= 3),
-      |${roundCte("l", "und2", 8, 1)},
-      |${roundCte("l", "und2", 8, 2)},
-      |${roundCte("l", "und2", 8, 3)},
-      |${roundCte("l", "und2", 8, 4)}
+      |${walkRoundCte("l", "und2", 8, 1)},
+      |${walkRoundCte("l", "und2", 8, 2)},
+      |${walkRoundCte("l", "und2", 8, 3)},
+      |${walkRoundCte("l", "und2", 8, 4)}
       |SELECT pid, vid, sim, rn FROM (
       |  SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
       |      ORDER BY sim DESC, vid) AS rn
       |  FROM lv4 WHERE pid <> vid)
       |WHERE rn <= 3 ORDER BY pid, rn""".stripMargin)
+
+  /** q188 — layer-1 APPEND (the q171 discipline applied to the landed
+    * LAYER-1 graph, r18 verdict ask #2): fold the derived new-vector
+    * batch's layer-1 MEMBERS (nid % 8 == 0 — the same id rule that
+    * forms the layer) into the landed layer-1 adjacency
+    * ([[knnLayer1State]]) without rebuilding it. Routing is HNSW's own
+    * insert algorithm: each new member enters at the persisted global
+    * entry and greedy-walks the landed layer-1 graph (q187's coarse
+    * walk — 3 rounds, beam 4), its visited set is its candidate set,
+    * its top-3 become its edges, and every member it scored merges the
+    * reverse edge into its own adjacency (re-ranked top-3 — exactly
+    * [[q171]]'s two-sided splice, with the beam walk in place of the
+    * probe-cell join because layer 1 has no quantizer above it).
+    * Intra-batch edges defer to the next descent round, the q171 rule.
+    * Scale shape: rounds × beam × deg scored rows per insert — the
+    * SERVE cost, not the (n/8)² build cost; touched members re-rank
+    * over ≤ (landed 3 + reverses) rows. Oracle: the exact layer chain +
+    * the same unrolled walk + the same two-sided merge. */
+  def q188(s: SparkSession, d: String): DataFrame = {
+    val (l1Path, entryId, entryEmb) = knnLayer1State(s, d)
+    val g1 = s.read.parquet(l1Path)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val batch = derivedGraphBatch(s, d).filter(col("nid") % 8 === 0)
+      .select(col("nid").as("pid"), col("ne").as("pe"))
+    val v0 = batch.select(col("pid"), col("pe"), lit(entryId).as("vid"),
+      round(CosineSimilarityExpr(col("pe"), typedlit(entryEmb)), 4)
+        .as("sim"))
+    val visited =
+      beamWalk(v0, g1.select(col("va"), col("vb")), e0,
+        rounds = 3, beamWidth = 4)
+    val wP = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    val newEdges = visited.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 3)
+      .select(col("pid").as("va"), col("vid").as("vb"), col("sim"), col("rn"))
+    val rev = visited
+      .select(col("vid").as("va"), col("pid").as("vb"), col("sim"))
+    val touched = visited.select(col("vid").as("va")).distinct()
+    val keep = g1.join(broadcast(touched), Seq("va"), "left_anti")
+      .select(col("va"), col("vb"), col("sim"), col("rn"))
+    val wO = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val merged = g1.join(broadcast(touched), Seq("va"), "left_semi")
+      .select(col("va"), col("vb"), col("sim"))
+      .unionByName(rev)
+      .withColumn("rn", row_number().over(wO))
+      .filter(col("rn") <= 3)
+    keep.unionByName(merged).unionByName(newEdges)
+      .orderBy(col("va"), col("rn"))
   }
+
+  private lazy val q188Sql =
+    materializeCtes(s"""WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |$l1CtesSql,
+      |nb AS (SELECT -vec_id - 1 AS nid,
+      |         list_transform(emb, x -> x + 0.0007) AS ne
+      |       FROM e WHERE vec_id % 13 = 2 AND (-vec_id - 1) % 8 = 0),
+      |pr AS (SELECT nid AS pid, ne AS pe FROM nb),
+      |und1 AS (SELECT va, vb FROM l1g
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM l1g),
+      |en AS (SELECT min(vec_id) AS vid FROM l1),
+      |hv0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pr p JOIN e c ON c.vec_id = (SELECT vid FROM en)),
+      |${walkRoundCte("h", "und1", 4, 1)},
+      |${walkRoundCte("h", "und1", 4, 2)},
+      |${walkRoundCte("h", "und1", 4, 3)},
+      |nnew AS (SELECT pid AS va, vid AS vb, sim,
+      |           row_number() OVER (PARTITION BY pid
+      |             ORDER BY sim DESC, vid) AS rn
+      |         FROM hv3),
+      |mrg AS (SELECT va, vb, sim FROM l1g
+      |        UNION ALL
+      |        SELECT vid AS va, pid AS vb, sim FROM hv3),
+      |mrk AS (SELECT va, vb, sim,
+      |          row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |            AS rn
+      |        FROM mrg)
+      |SELECT va, vb, sim, rn FROM mrk WHERE rn <= 3
+      |UNION ALL
+      |SELECT va, vb, sim, rn FROM nnew WHERE rn <= 3
+      |ORDER BY va, rn""".stripMargin)
+
+  /** q189 — layer-1 DELETE (the q172 discipline applied to the landed
+    * LAYER-1 graph): retire the q172 tombstone class (vec_id % 31 == 0
+    * — which includes vec_id 0, the GLOBAL ENTRY itself) from the
+    * landed layer-1 adjacency. Deleted owners drop with their rows;
+    * a surviving member is AFFECTED only if its top-3 referenced a
+    * tombstone; affected members re-rank over ALL LIVE members — which
+    * for layer 1 is its own exact build discipline below the crossover
+    * (the layer is the n/8 routing tier, so the repair is
+    * |affected| × n/8 broadcast rows; past the crossover a deployment
+    * repairs through the descent round, the same dispatch the build
+    * recurses). Pass-through is exact by the q172 argument: deletes
+    * only shrink an unaffected member's candidate set. Entry
+    * RE-ELECTION falls out of the adjacency: the serve derives its
+    * entry as min(va), so the spliced graph's minimum surviving member
+    * takes over from the deleted vec_id 0 ([[q190]] proves it). */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    val (l1Path, _, _) = knnLayer1State(s, d)
+    val g1 = s.read.parquet(l1Path)
+    val l1e = Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val tomb = Tables.embeddings(s, d).filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id"))
+    val tombA = broadcast(tomb.select(col("vec_id").as("va")))
+    val tombB = broadcast(tomb.select(col("vec_id").as("vb")))
+    val owned = g1.join(tombA, Seq("va"), "left_anti")
+    val affected = owned.join(tombB, Seq("vb"), "left_semi")
+      .select(col("va")).distinct()
+    val keep = owned.join(broadcast(affected), Seq("va"), "left_anti")
+      .select(col("va"), col("vb"), col("sim"), col("rn"))
+    val live = l1e.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val affE = live.join(
+        broadcast(affected.select(col("va").as("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val cand = affE.crossJoin(broadcast(
+        live.select(col("vec_id").as("vb"), col("embedding").as("eb"))))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
+    val repaired = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    keep.unionByName(repaired).orderBy(col("va"), col("rn"))
+  }
+
+  private lazy val q189Sql =
+    materializeCtes(s"""WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |$l1CtesSql,
+      |tomb AS (SELECT vec_id FROM embeddings WHERE vec_id % 31 = 0),
+      |owned AS (SELECT va, vb, sim, rn FROM l1g
+      |          WHERE va NOT IN (SELECT vec_id FROM tomb)),
+      |aff AS (SELECT DISTINCT va FROM owned
+      |        WHERE vb IN (SELECT vec_id FROM tomb)),
+      |keep AS (SELECT va, vb, sim, rn FROM owned
+      |         WHERE va NOT IN (SELECT va FROM aff)),
+      |livem AS (SELECT vec_id, emb FROM l1
+      |          WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+      |cand AS (SELECT a.va, b.vec_id AS vb,
+      |           round(list_cosine_similarity(ae.emb, b.emb), 4) AS sim
+      |         FROM aff a JOIN e ae ON ae.vec_id = a.va
+      |              JOIN livem b ON b.vec_id <> a.va),
+      |rrk AS (SELECT va, vb, sim,
+      |          row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |            AS rn
+      |        FROM cand)
+      |SELECT va, vb, sim, rn FROM keep
+      |UNION ALL
+      |SELECT va, vb, sim, rn FROM rrk WHERE rn <= 3
+      |ORDER BY va, rn""".stripMargin)
+
+  /** The SPLICED index state — both layers after the delete splice
+    * ([[q172]] layer 0, [[q189]] layer 1) landed once per dataset, plus
+    * the RE-ELECTED entry (min surviving layer-1 member) and its
+    * embedding: the maintained-index artifact [[q190]] serves, exactly
+    * as [[knnLayer1State]] is the artifact [[q187]] serves. Landing the
+    * spliced layers is the production shape — lifecycle operators
+    * maintain persisted artifacts; a serve never recomputes a splice. */
+  private val splicedIndexCache =
+    new graft.operators.DatasetCache[(String, String, Long, Seq[Float])](
+      "knn-spliced", v => Seq(v._1, v._2))
+
+  private[graft] def splicedIndexState(s: SparkSession,
+      d: String): (String, String, Long, Seq[Float]) =
+    splicedIndexCache.getOrCompute(d) { dir =>
+      val l0 = graft.operators.Scratch.materializePath(
+        q172(s, dir).select(col("va"), col("vb")), "knn-spliced-l0")
+      val l1 = graft.operators.Scratch.materializePath(
+        q189(s, dir).select(col("va"), col("vb")), "knn-spliced-l1")
+      val entry = s.read.parquet(l1).agg(min(col("va"))).head.getLong(0)
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") === entry).select(col("embedding"))
+        .head.getSeq[Float](0)
+      (l0, l1, entry, emb)
+    }
+
+  /** Spec hook: drop the spliced-index artifacts (they derive from the
+    * landed graph, so regime-forcing tests must rebuild them too). */
+  private[graft] def invalidateSplicedIndex(): Unit =
+    splicedIndexCache.invalidateAll()
+
+  /** q190 — HIERARCHICAL SERVE over the SPLICED index (r18 verdict ask
+    * #2's "done" criterion): the q187 walk run against the
+    * delete-spliced layers ([[splicedIndexState]]), proving the
+    * lifecycle keeps the WHOLE hierarchical index servable — including
+    * ENTRY RE-ELECTION: the q172/q189 tombstone class deletes vec_id 0,
+    * the global entry itself, and the serve enters at the minimum
+    * SURVIVING layer-1 member instead. Same scale shape as q187 (pure
+    * serve: landed layers, persisted entry state, zero cross joins);
+    * the oracle re-derives BOTH spliced layers and both walks. Deleted
+    * vectors can never be answered: neither spliced layer owns or
+    * references a tombstone, so the walks never visit one. */
+  def q190(s: SparkSession, d: String): DataFrame = {
+    val (l0Path, l1Path, entryId, entryEmb) = splicedIndexState(s, d)
+    val g0 = s.read.parquet(l0Path)
+    val g1 = s.read.parquet(l1Path)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e0.filter(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val v0 = probes.select(col("pid"), col("pe"), lit(entryId).as("vid"),
+      round(CosineSimilarityExpr(col("pe"), typedlit(entryEmb)), 4)
+        .as("sim"))
+    val l1visited = beamWalk(v0, g1, e0, rounds = 3, beamWidth = 4)
+    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    val entries0 = l1visited.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("pe"), col("vid"), col("sim"))
+    val visited = beamWalk(entries0, g0, e0, rounds = 4)
+    visited.filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 3)
+      .select(col("pid"), col("vid"), col("sim"), col("rn"))
+      .orderBy(col("pid"), col("rn"))
+  }
+
+  private lazy val q190Sql =
+    materializeCtes(s"""WITH $knnGraphCtesSql,
+      |tomb AS (SELECT vec_id FROM embeddings WHERE vec_id % 31 = 0),
+      |owned0 AS (SELECT va, vb, sim, rn FROM gfin
+      |           WHERE va NOT IN (SELECT vec_id FROM tomb)),
+      |aff0 AS (SELECT DISTINCT va FROM owned0
+      |         WHERE vb IN (SELECT vec_id FROM tomb)),
+      |keep0 AS (SELECT va, vb, sim, rn FROM owned0
+      |          WHERE va NOT IN (SELECT va FROM aff0)),
+      |surv0 AS (SELECT va, vb, sim FROM owned0
+      |          WHERE va IN (SELECT va FROM aff0)
+      |            AND vb NOT IN (SELECT vec_id FROM tomb)),
+      |livec0 AS (SELECT vec_id, emb, cell FROM cellv
+      |           WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+      |acand0 AS (SELECT p.pid AS va, c.vec_id AS vb,
+      |             round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |           FROM pp p JOIN livec0 c USING (cell)
+      |           WHERE p.pid IN (SELECT va FROM aff0)
+      |             AND p.pid <> c.vec_id),
+      |cand0 AS (SELECT va, vb, sim FROM surv0
+      |          UNION
+      |          SELECT va, vb, sim FROM acand0),
+      |rrk0 AS (SELECT va, vb, sim,
+      |           row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |             AS rn
+      |         FROM cand0),
+      |g0s AS (SELECT va, vb FROM keep0
+      |        UNION ALL
+      |        SELECT va, vb FROM rrk0 WHERE rn <= 3),
+      |$l1CtesSql,
+      |owned1 AS (SELECT va, vb, sim, rn FROM l1g
+      |           WHERE va NOT IN (SELECT vec_id FROM tomb)),
+      |aff1 AS (SELECT DISTINCT va FROM owned1
+      |         WHERE vb IN (SELECT vec_id FROM tomb)),
+      |keep1 AS (SELECT va, vb, sim, rn FROM owned1
+      |          WHERE va NOT IN (SELECT va FROM aff1)),
+      |livem AS (SELECT vec_id, emb FROM l1
+      |          WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+      |cand1 AS (SELECT a.va, b.vec_id AS vb,
+      |            round(list_cosine_similarity(ae.emb, b.emb), 4) AS sim
+      |          FROM aff1 a JOIN e ae ON ae.vec_id = a.va
+      |               JOIN livem b ON b.vec_id <> a.va),
+      |rrk1 AS (SELECT va, vb, sim,
+      |           row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb)
+      |             AS rn
+      |         FROM cand1),
+      |g1s AS (SELECT va, vb FROM keep1
+      |        UNION ALL
+      |        SELECT va, vb FROM rrk1 WHERE rn <= 3),
+      |und1 AS (SELECT va, vb FROM g1s
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM g1s),
+      |und2 AS (SELECT va, vb FROM g0s
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM g0s),
+      |en AS (SELECT min(va) AS vid FROM g1s),
+      |pr AS (SELECT vec_id AS pid, emb AS pe FROM e
+      |       WHERE vec_id >= 16 AND vec_id < 26),
+      |hv0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pr p JOIN e c ON c.vec_id = (SELECT vid FROM en)),
+      |${walkRoundCte("h", "und1", 4, 1)},
+      |${walkRoundCte("h", "und1", 4, 2)},
+      |${walkRoundCte("h", "und1", 4, 3)},
+      |lv0 AS (SELECT pid, vid, sim FROM (
+      |        SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
+      |            ORDER BY sim DESC, vid) AS rn
+      |        FROM hv3) WHERE rn <= 3),
+      |${walkRoundCte("l", "und2", 8, 1)},
+      |${walkRoundCte("l", "und2", 8, 2)},
+      |${walkRoundCte("l", "und2", 8, 3)},
+      |${walkRoundCte("l", "und2", 8, 4)}
+      |SELECT pid, vid, sim, rn FROM (
+      |  SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
+      |      ORDER BY sim DESC, vid) AS rn
+      |  FROM lv4 WHERE pid <> vid)
+      |WHERE rn <= 3 ORDER BY pid, rn""".stripMargin)
 
   /** q174 — GRAPH-BASED semantic dedup: threshold the LANDED kNN graph
     * at [[CosineNearDupThreshold]] (the q34b/q99 near-dup grade),
@@ -7072,6 +7380,9 @@ object LlmOps {
     QueryDef("q185_hamming_join", q185, Some(q185Sql)),
     QueryDef("q186_fingerprint_closure", q186, Some(q186Sql)),
     QueryDef("q187_hnsw_serve", q187, Some(q187Sql)),
+    QueryDef("q188_l1_append", q188, Some(q188Sql)),
+    QueryDef("q189_l1_delete", q189, Some(q189Sql)),
+    QueryDef("q190_hnsw_serve_spliced", q190, Some(q190Sql)),
     QueryDef("q176_filtered_ann", q176, Some(q176Sql)),
     QueryDef("q177_entry_sensitivity", q177, Some(q177Sql)),
     QueryDef("q53_salted_join", q53, Some(q53Sql)),

@@ -193,6 +193,81 @@ class KnnGraphDispatchSpec extends SparkSpec {
       "default layer-1 landing must be the exact subsample top-3")
   }
 
+  test("q188 layer-1 append: HNSW-insert routing gives every new layer-1 " +
+      "member dense top-<=3 edges, touched members adopt reverse edges, " +
+      "untouched members pass through verbatim") {
+    LlmOps.invalidateKnnGraph()
+    val (l1Path, _, _) = LlmOps.knnLayer1State(spark, sf001)
+    val landed = spark.read.parquet(l1Path).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rn")))
+    val out = LlmOps.q188(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val members = layer1Members()
+    // the derived batch's layer-1 members: nid = -v-1 with nid%8==0
+    val newIds = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 13 === 2).select("vec_id").collect()
+      .map(r => -r.getLong(0) - 1).filter(_ % 8 == 0).toSet
+    assert(newIds.nonEmpty, "no layer-1 member in the batch — vacuous")
+    val newRows = out.filter(_._1 < 0)
+    assert(newRows.groupBy(_._1).keySet == newIds)
+    assert(newRows.groupBy(_._1).values.forall(es =>
+      es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+    // every new edge targets a landed member (routing never leaves the layer)
+    assert(newRows.forall(r => members.contains(r._2)))
+    // two-sided splice is non-vacuous: some member adopted a reverse edge
+    val adopted = out.filter(r => r._1 >= 0 && r._2 < 0)
+    assert(adopted.nonEmpty, "no member adopted a reverse edge")
+    assert(adopted.forall(r => newIds.contains(r._2)))
+    // untouched members: rows verbatim from the landed layer
+    val touched = out.filter(r => r._1 >= 0 && r._2 < 0).map(_._1).toSet
+    val oldOnly = out.filter(r => r._1 >= 0).filter(r => !touched(r._1)).toSet
+    val landedByVa = landed.groupBy(_._1)
+    oldOnly.groupBy(_._1).foreach { case (va, rows) =>
+      if (!touched(va))
+        assert(rows == landedByVa(va).toSet ||
+          rows.forall(landedByVa(va).toSet.contains),
+          s"untouched member $va mutated")
+    }
+  }
+
+  test("q189 layer-1 delete + q190 spliced hierarchical serve: tombstones " +
+      "(incl. the GLOBAL ENTRY, vec_id 0) leave both layers, the entry " +
+      "re-elects to the min surviving member, and the serve answers every " +
+      "probe from the spliced index without ever visiting a deleted node") {
+    LlmOps.invalidateKnnGraph()
+    val members = layer1Members()
+    val tomb = graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 31 === 0).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tomb.contains(0L) && members.contains(0L),
+      "vec_id 0 must be both the global entry and a tombstone — vacuous " +
+        "entry re-election otherwise")
+    val del = LlmOps.q189(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(del.forall(r => !tomb(r._1) && !tomb(r._2)),
+      "a tombstone survived the layer-1 splice")
+    val liveMembers = members.keySet -- tomb
+    assert(del.map(_._1).toSet == liveMembers,
+      "every surviving member must still own ranked edges")
+    // entry re-election: the spliced index serves from min surviving member
+    val (_, _, entry, emb) = LlmOps.splicedIndexState(spark, sf001)
+    assert(entry == liveMembers.min,
+      s"entry re-elected to $entry, expected ${liveMembers.min}")
+    assert(emb == graft.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") === entry).select("embedding")
+      .head.getSeq[Float](0))
+    // the spliced serve: dense answers, never a deleted vector
+    val out = LlmOps.q190(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet == (16L until 26L).toSet)
+    assert(byProbe.values.forall(es =>
+      es.map(_._3).sorted.sameElements(1 to es.length) && es.length <= 3))
+    assert(out.forall(r => !tomb(r._2)),
+      "the spliced serve answered a deleted vector")
+  }
+
   test("layer-1 landing recurses the dispatch: forced nndescent builds " +
       "the layer by ρ-sampled descent on the ×8 id grid — same adjacency " +
       "contract, real recall, and q187 still serves every probe densely") {

@@ -518,6 +518,38 @@ class QueryPlanSpec extends SparkSpec {
       s"windows must be probe-partitioned, never global:\n$p")
   }
 
+  test("q190: the spliced hierarchical serve is as pure as q187's — both " +
+      "spliced layers read landed, re-elected entry is persisted state, " +
+      "zero cross/nested-loop joins, windows probe-partitioned") {
+    val p = planString(LlmOps.q190(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"walk joins must broadcast the beam side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"serve must not recompute any splice (no cross joins):\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be probe-partitioned, never global:\n$p")
+  }
+
+  test("q188: the layer-1 insert routes by beam walk — equi-joins and " +
+      "broadcasts only, never a cartesian, windows node-partitioned") {
+    val p = planString(LlmOps.q188(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"insert routing must walk the landed layer, not rebuild it:\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be node-partitioned, never global:\n$p")
+  }
+
+  test("q189: the layer-1 delete repair rides broadcasts (the layer's " +
+      "own exact discipline below the crossover) — never a cartesian, " +
+      "windows node-partitioned") {
+    val p = planString(LlmOps.q189(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("], [], ["),
+      s"windows must be node-partitioned, never global:\n$p")
+  }
+
   test("q185: the banded-Hamming join is an equi-join on (band, chunk) — " +
       "no cartesian, radius filter before the pair dedup") {
     val p = planString(LlmOps.q185(spark, sf0001))
