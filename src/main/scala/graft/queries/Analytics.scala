@@ -330,7 +330,18 @@ object Analytics {
       wedges("b") === edges("s1") && wedges("c") === edges("s2"),
       "left_semi")
     val nE = edges.agg(count(lit(1)).as("n_edges"))
-    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    // n_wedges needs no wedge ROWS: per apex the oriented out-degree d
+    // contributes C(d,2) ordered (b < c) pairs, so the count collapses
+    // to a degree histogram — the wedge join itself (the O(m^1.5) term)
+    // now executes exactly once, for the closure probe. Pre-r19 the
+    // count arm re-ran it: the wedge join broadcasts its sides, so it
+    // tops no Exchange and ReuseExchange cannot dedupe the two arms.
+    // Output byte-identical (the oracle's nw counts the same pairs);
+    // the saving is one full O(m^1.5) join execution per invocation —
+    // structural, though this box's shared-VM noise (±2 s at sf0.1)
+    // swamps it in single-shot walls.
+    val nW = oriented.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("n_wedges"))
     val nT = closed.agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(nW).crossJoin(nT)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
