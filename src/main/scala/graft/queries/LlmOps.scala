@@ -5488,7 +5488,7 @@ object LlmOps {
 
   /** q177 — graph-serve ENTRY SENSITIVITY report (r13 verdict gap #5,
     * the q167 report shape applied to q173): the same 3-round beam walk
-    * over the landed graph, entered three ways, each arm's recall@3
+    * over the landed graph, entered four ways, each arm's recall@3
     * scored against the exact brute-force top-3 —
     *
     *   - `recall_fixed` — HNSW-cold strawman: 8 fixed global entry
@@ -5499,15 +5499,22 @@ object LlmOps {
     *     own assignment seeds the walk).
     *   - `recall_probe2` — q173's production entry: probe-1 ∪ the
     *     landed second probe cell.
+    *   - `recall_hier` (r19) — q187's hierarchical routing at the SAME
+    *     layer-0 budget: persisted entry → landed layer-1 coarse walk →
+    *     top-3 seed the walk. O(1) scored entry rows per probe vs
+    *     probe-2's √(8n) cell join; measured 6 vs fixed's 4 and
+    *     probe-2's 10 at sf0.01 — the report quantifies what the
+    *     cheap entry costs in recall.
     *
     * Round-0 candidate sets are ordered fixed ⊄ probe1 ⊂ probe2, and
     * the report MEASURES how much of that ordering survives three walk
     * rounds (beams diverge, so post-walk domination is an empirical
     * fact, not a containment theorem — which is exactly why the report
-    * exists; the spec gates probe2 ≥ probe1 in aggregate and the planted
-    * fixed-entry deficit). Scale shape: three beam walks, each the q173
-    * serve contract (corpus never scanned; ≤ P·B·2K rows per round);
-    * the exact arm is the q167 offline-eval pattern. */
+    * exists; the spec gates probe2 ≥ probe1 in aggregate, the planted
+    * fixed-entry deficit, and hier > fixed). Scale shape: four beam
+    * walks, each the q173 serve contract (corpus never scanned;
+    * ≤ P·B·2K rows per round); the exact arm is the q167 offline-eval
+    * pattern. */
   def q177(s: SparkSession, d: String): DataFrame = {
     val g = s.read.parquet(knnGraphPath(s, d))
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -5538,6 +5545,22 @@ object LlmOps {
       scored(cands.join(broadcast(own), Seq("cell"))), g, e0))
     val armP2 = top3(beamWalk(
       scored(cands.join(broadcast(widened), Seq("cell"))), g, e0))
+    // r19 fourth arm — q187's hierarchical routing at the SAME layer-0
+    // walk budget as the other arms (3 rounds, beam 8; q187 itself runs
+    // 4 rounds): layer-1 coarse walk from the persisted entry, its
+    // top-3 seed the layer-0 walk. O(1) scored entry rows per probe vs
+    // probe2's √(8n)-row cell join — the report measures what that
+    // entry-cost saving costs in recall.
+    val (l1Path, entryId, entryEmb) = knnLayer1State(s, d)
+    val l1g = s.read.parquet(l1Path).select(col("va"), col("vb"))
+    val v0h = probes.select(col("pid"), col("pe"), lit(entryId).as("vid"),
+      round(CosineSimilarityExpr(col("pe"), typedlit(entryEmb)), 4)
+        .as("sim"))
+    val wB2 = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    val hEntries = beamWalk(v0h, l1g, e0, rounds = 3, beamWidth = 4)
+      .withColumn("rn", row_number().over(wB2)).filter(col("rn") <= 3)
+      .select(col("pid"), col("pe"), col("vid"), col("sim"))
+    val armHier = top3(beamWalk(hEntries, g, e0))
     val exact = top3(scored(cands.drop("cell")
       .crossJoin(broadcast(probes))))
     def hits(arm: DataFrame, nm: String) = arm.join(exact, Seq("pid", "vid"))
@@ -5546,10 +5569,12 @@ object LlmOps {
       .join(hits(armFixed, "recall_fixed"), Seq("pid"), "left")
       .join(hits(armP1, "recall_probe1"), Seq("pid"), "left")
       .join(hits(armP2, "recall_probe2"), Seq("pid"), "left")
+      .join(hits(armHier, "recall_hier"), Seq("pid"), "left")
       .select(col("pid"),
         coalesce(col("recall_fixed"), lit(0L)).as("recall_fixed"),
         coalesce(col("recall_probe1"), lit(0L)).as("recall_probe1"),
-        coalesce(col("recall_probe2"), lit(0L)).as("recall_probe2"))
+        coalesce(col("recall_probe2"), lit(0L)).as("recall_probe2"),
+        coalesce(col("recall_hier"), lit(0L)).as("recall_hier"))
       .orderBy(col("pid"))
   }
 
@@ -5601,6 +5626,28 @@ object LlmOps {
       |${walk("fx")},
       |${walk("p1")},
       |${walk("p2")},
+      |$l1CtesSql,
+      |und1 AS (SELECT va, vb FROM l1g
+      |         UNION
+      |         SELECT vb AS va, va AS vb FROM l1g),
+      |en AS (SELECT min(vec_id) AS vid FROM l1),
+      |hhv0 AS (SELECT p.pid, c.vec_id AS vid,
+      |         round(list_cosine_similarity(p.pe, c.emb), 4) AS sim
+      |       FROM pr p JOIN e c ON c.vec_id = (SELECT vid FROM en)),
+      |${walkRoundCte("hh", "und1", 4, 1)},
+      |${walkRoundCte("hh", "und1", 4, 2)},
+      |${walkRoundCte("hh", "und1", 4, 3)},
+      |hlv0 AS (SELECT pid, vid, sim FROM (
+      |        SELECT pid, vid, sim, row_number() OVER (PARTITION BY pid
+      |            ORDER BY sim DESC, vid) AS rn
+      |        FROM hhv3) WHERE rn <= 3),
+      |${walkRoundCte("hl", "und2", 8, 1)},
+      |${walkRoundCte("hl", "und2", 8, 2)},
+      |${walkRoundCte("hl", "und2", 8, 3)},
+      |hlt3 AS (SELECT pid, vid FROM (
+      |        SELECT pid, vid, row_number() OVER (PARTITION BY pid
+      |            ORDER BY sim DESC, vid) AS rn
+      |        FROM hlv3 WHERE pid <> vid) WHERE rn <= 3),
       |ex AS (SELECT pid, vid FROM (
       |        SELECT p.pid, c.vec_id AS vid, row_number() OVER (
       |            PARTITION BY p.pid
@@ -5615,14 +5662,19 @@ object LlmOps {
       |        GROUP BY t.pid),
       |rp2 AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_probe2
       |        FROM p2t3 t JOIN ex ON t.pid = ex.pid AND t.vid = ex.vid
+      |        GROUP BY t.pid),
+      |rhh AS (SELECT t.pid, CAST(count(*) AS BIGINT) AS recall_hier
+      |        FROM hlt3 t JOIN ex ON t.pid = ex.pid AND t.vid = ex.vid
       |        GROUP BY t.pid)
       |SELECT pr.pid,
       |  COALESCE(rfx.recall_fixed, 0) AS recall_fixed,
       |  COALESCE(rp1.recall_probe1, 0) AS recall_probe1,
-      |  COALESCE(rp2.recall_probe2, 0) AS recall_probe2
+      |  COALESCE(rp2.recall_probe2, 0) AS recall_probe2,
+      |  COALESCE(rhh.recall_hier, 0) AS recall_hier
       |FROM pr LEFT JOIN rfx ON pr.pid = rfx.pid
       |        LEFT JOIN rp1 ON pr.pid = rp1.pid
       |        LEFT JOIN rp2 ON pr.pid = rp2.pid
+      |        LEFT JOIN rhh ON pr.pid = rhh.pid
       |ORDER BY pr.pid""".stripMargin)
   }
 

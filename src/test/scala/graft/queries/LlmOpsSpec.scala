@@ -177,17 +177,27 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("q177 entry sensitivity: quantizer probe-2 entry beats the fixed " +
-      "global entry in aggregate and never falls below probe-1") {
+      "global entry in aggregate and never falls below probe-1; the " +
+      "hierarchical entry (r19 arm) beats fixed at O(1) entry rows") {
     val rows = LlmOps.q177(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
     assert(rows.length == 10)
-    val (fx, p1, p2) = (rows.map(_._2).sum, rows.map(_._3).sum,
-      rows.map(_._4).sum)
+    val (fx, p1, p2, hh) = (rows.map(_._2).sum, rows.map(_._3).sum,
+      rows.map(_._4).sum, rows.map(_._5).sum)
     assert(p2 > fx,
       s"probe-2 entry aggregate recall $p2 must beat fixed entries' $fx - " +
         "the quantizer routing is the serve story")
     assert(p2 >= p1, s"probe-2 aggregate $p2 fell below probe-1's $p1")
     assert(p2 > 0, "probe-2 arm recalled nothing - report vacuous")
+    // the hierarchical routing pays O(1) scored entry rows per probe
+    // (vs probe-2's √(8n) cell join) and must still beat the 8
+    // fixed-entry strawman AT THE SAME walk budget (measured 6 vs 4 at
+    // sf0.01; deterministic data ⇒ pinned fact). It is allowed to trail
+    // probe-2 — that gap is exactly what the report measures.
+    assert(hh > fx,
+      s"hierarchical entry aggregate $hh must beat fixed entries' $fx")
+    assert(hh > 0, "hierarchical arm recalled nothing - report vacuous")
   }
 
   test("q179 filtered graph serve: the full-graph walk with an answer " +
@@ -358,9 +368,11 @@ class LlmOpsSpec extends SparkSpec {
     // the absolute bar is set by the deliberately sparse degree-3
     // landed graph, not the routing: on the same graph + walk budget
     // the q177 arms measure fixed-entries 4/30, IVF-probe-1 3/30,
-    // IVF-probe-2 10/30. The hierarchical entries reach 8/30 at O(1)
-    // scored entry rows — DOUBLE the fixed arm, 80% of the probe-2 arm
-    // with no IVF layout in the path. Deterministic data ⇒ pinned fact.
+    // IVF-probe-2 10/30, hierarchical-at-3-rounds 6/30 (q177's r19
+    // recall_hier column). q187's extra layer-0 round lifts the
+    // hierarchical entries to 8/30 at O(1) scored entry rows — DOUBLE
+    // the fixed arm, 80% of the probe-2 arm with no IVF layout in the
+    // path. Deterministic data ⇒ pinned fact.
     assert(hits >= 8,
       s"hierarchical entries recalled only $hits/${exact.size} — " +
         "below the measured 8/30 (fixed-entry arm: 4/30); the layer-1 " +
