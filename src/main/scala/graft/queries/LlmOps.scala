@@ -5978,18 +5978,33 @@ object LlmOps {
     * SERVE cost, not the (n/8)² build cost; touched members re-rank
     * over ≤ (landed 3 + reverses) rows. Oracle: the exact layer chain +
     * the same unrolled walk + the same two-sided merge. */
-  def q188(s: SparkSession, d: String): DataFrame = {
+  /** The layer-1 splice VISITED relation for a `(pid, pe)` batch
+    * against the LANDED layer-1 artifacts — shared verbatim by [[q188]]
+    * (batch append) and the streaming delta sink
+    * ([[graft.streaming.StreamIngest.toGraphDeltaSink]]), the
+    * [[graphSpliceCandidates]] discipline one layer up: route each new
+    * member through the persisted entry + the landed layer-1 beam walk;
+    * the visited set IS its candidate set. Per-node independent (a
+    * node's walk depends only on its own embedding, the landed layer
+    * and the entry), so a batch split across micro-batches yields the
+    * same union. */
+  private[graft] def layer1SpliceVisited(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
     val (l1Path, entryId, entryEmb) = knnLayer1State(s, d)
     val g1 = s.read.parquet(l1Path)
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val batch = derivedGraphBatch(s, d).filter(col("nid") % 8 === 0)
-      .select(col("nid").as("pid"), col("ne").as("pe"))
     val v0 = batch.select(col("pid"), col("pe"), lit(entryId).as("vid"),
       round(CosineSimilarityExpr(col("pe"), typedlit(entryEmb)), 4)
         .as("sim"))
-    val visited =
-      beamWalk(v0, g1.select(col("va"), col("vb")), e0,
-        rounds = 3, beamWidth = 4)
+    beamWalk(v0, g1.select(col("va"), col("vb")), e0,
+      rounds = 3, beamWidth = 4)
+  }
+
+  def q188(s: SparkSession, d: String): DataFrame = {
+    val g1 = s.read.parquet(knnLayer1State(s, d)._1)
+    val batch = derivedGraphBatch(s, d).filter(col("nid") % 8 === 0)
+      .select(col("nid").as("pid"), col("ne").as("pe"))
+    val visited = layer1SpliceVisited(s, d, batch)
     val wP = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
     val newEdges = visited.withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= 3)

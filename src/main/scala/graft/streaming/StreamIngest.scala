@@ -218,7 +218,15 @@ object StreamIngest {
     * between sink write and checkpoint commit rewrites identical files
     * instead of appending duplicates (the idempotent-output alternative
     * to [[toHttpSinkIdempotent]]'s ledger; a duplicated delta row would
-    * otherwise rank the same edge twice at the next compaction). */
+    * otherwise rank the same edge twice at the next compaction).
+    *
+    * LAYER 1 TOO (r19): a batch member on the layer-1 id grid
+    * (nid % 8 == 0) additionally emits its layer-1 splice delta —
+    * kind="new1" top-3 edges from the q188 insert walk
+    * ([[graft.queries.LlmOps.layer1SpliceVisited]], one definition with
+    * the registered batch append) plus kind="rev1" reverse candidates —
+    * so the streaming admission path maintains the WHOLE hierarchical
+    * index, not just layer 0. [[compactLayer1Deltas]] folds them. */
   def toGraphDeltaSink(spark: SparkSession, vecs: DataFrame,
       corpusDir: String, outDir: String): DataStreamWriter[Row] =
     vecs.writeStream
@@ -235,7 +243,18 @@ object StreamIngest {
             col("sim"), lit("new").as("kind"))
         val rev = cand.select(col("vec_id").as("va"), col("nid").as("vb"),
           col("sim"), lit("rev").as("kind"))
-        newEdges.unionByName(rev)
+        val visited1 = graft.queries.LlmOps.layer1SpliceVisited(
+          spark, corpusDir, batch.filter(col("nid") % 8 === 0)
+            .select(col("nid").as("pid"), col("ne").as("pe")))
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+        val new1 = visited1.withColumn("rn", row_number().over(w1))
+          .filter(col("rn") <= 3)
+          .select(col("pid").as("va"), col("vid").as("vb"),
+            col("sim"), lit("new1").as("kind"))
+        val rev1 = visited1.select(col("vid").as("va"),
+          col("pid").as("vb"), col("sim"), lit("rev1").as("kind"))
+        newEdges.unionByName(rev).unionByName(new1).unionByName(rev1)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
@@ -264,13 +283,32 @@ object StreamIngest {
     * yields the same relation; land the result and drop the delta dirs
     * to complete the cycle (the q155/q161 segment discipline). */
   def compactGraphDeltas(spark: SparkSession, graph: DataFrame,
-      deltaDir: String): DataFrame = {
+      deltaDir: String): DataFrame =
+    foldSpliceDeltas(graph,
+      spark.read.parquet(deltaDir), revKind = "rev", newKind = "new")
+
+  /** Layer-1 counterpart of [[compactGraphDeltas]] (r19): fold the
+    * kind="new1"/"rev1" deltas the sink lands for batch members on the
+    * layer-1 id grid into the LANDED layer-1 adjacency
+    * ([[graft.queries.LlmOps.knnLayer1State]]) — the same fold, the
+    * same row-for-row equality contract against the one-shot q188
+    * splice (GraphCompactionSpec pins it). */
+  def compactLayer1Deltas(spark: SparkSession, layer1: DataFrame,
+      deltaDir: String): DataFrame =
+    foldSpliceDeltas(layer1,
+      spark.read.parquet(deltaDir), revKind = "rev1", newKind = "new1")
+
+  /** The shared splice fold: touched owners (those with a reverse delta
+    * edge) re-rank existing adjacency ∪ reverses to top-3; everyone
+    * else passes through verbatim; new nodes take their landed edges
+    * re-ranked (order-preserving on the same (sim desc, vb) order). */
+  private def foldSpliceDeltas(graph: DataFrame, rawDeltas: DataFrame,
+      revKind: String, newKind: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
-    val deltas = spark.read.parquet(deltaDir)
-      .select(col("va"), col("vb"), col("sim"), col("kind"))
-    val rev = deltas.filter(col("kind") === "rev").drop("kind")
-    val newEdges = deltas.filter(col("kind") === "new").drop("kind")
+    val deltas = rawDeltas.select(col("va"), col("vb"), col("sim"), col("kind"))
+    val rev = deltas.filter(col("kind") === revKind).drop("kind")
+    val newEdges = deltas.filter(col("kind") === newKind).drop("kind")
     val touched = rev.select(col("va")).distinct()
     val keep = graph.join(broadcast(touched), Seq("va"), "left_anti")
       .select(col("va"), col("vb"), col("sim"), col("rn"))

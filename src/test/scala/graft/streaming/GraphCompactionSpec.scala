@@ -75,5 +75,25 @@ class GraphCompactionSpec extends SparkSpec {
     val again = rows4(
       StreamIngest.compactGraphDeltas(spark, g, out)).toSet
     assert(again == compacted)
+
+    // LAYER 1 (r19): the same stream run landed kind="new1"/"rev1"
+    // deltas for the batch's layer-1 members; folding them into the
+    // LANDED layer-1 adjacency must equal the one-shot q188 splice —
+    // the whole hierarchical index is maintained on the admission path
+    val (l1Path, _, _) = graft.queries.LlmOps.knnLayer1State(spark, sf0001)
+    val l1g = spark.read.parquet(l1Path)
+    val oneShot1 = rows4(graft.queries.LlmOps.q188(spark, sf0001)).toSet
+    val compacted1 = rows4(
+      StreamIngest.compactLayer1Deltas(spark, l1g, out)).toSet
+    assert(compacted1 == oneShot1,
+      s"layer-1 compaction diverges from the one-shot q188 splice: " +
+        s"missing=${(oneShot1 -- compacted1).take(3)} " +
+        s"extra=${(compacted1 -- oneShot1).take(3)}")
+    assert(compacted1.exists(_._1 < 0),
+      "no new layer-1 node edges after compaction — vacuous " +
+        "(the derived batch must contain a nid % 8 == 0 member)")
+    val again1 = rows4(
+      StreamIngest.compactLayer1Deltas(spark, l1g, out)).toSet
+    assert(again1 == compacted1)
   }
 }

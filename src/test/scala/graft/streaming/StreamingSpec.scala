@@ -714,6 +714,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
     // exactly-once across the restart: no duplicate delta rows
     assert(got.length == got.toSet.size, "replayed deltas landed twice")
+    val (got1, got0) =
+      got.partition(r => r._4 == "new1" || r._4 == "rev1")
     // union across increments == the one-shot batch splice delta
     val cand = graft.queries.LlmOps.graphSpliceCandidates(spark, sf0001,
         graft.queries.LlmOps.derivedGraphBatch(spark, sf0001))
@@ -722,11 +724,28 @@ class StreamingSpec extends SparkSpec {
       .flatMap(_.sortBy(t => (-t._3, t._2)).take(3))
       .map { case (n, v, s) => (n, v, s, "new") }.toSet
     val expRev = cand.map { case (n, v, s) => (v, n, s, "rev") }.toSet
-    assert(got.toSet == expNew ++ expRev,
+    assert(got0.toSet == expNew ++ expRev,
       s"stream deltas diverge from the batch splice: " +
-        s"missing=${((expNew ++ expRev) -- got.toSet).take(3)} " +
-        s"extra=${(got.toSet -- (expNew ++ expRev)).take(3)}")
+        s"missing=${((expNew ++ expRev) -- got0.toSet).take(3)} " +
+        s"extra=${(got0.toSet -- (expNew ++ expRev)).take(3)}")
     assert(expNew.nonEmpty && expRev.nonEmpty)
+    // LAYER-1 deltas (r19): union across increments == the one-shot
+    // q188 insert-walk deltas for the batch's layer-1 members
+    val vis1 = graft.queries.LlmOps.layer1SpliceVisited(spark, sf0001,
+        graft.queries.LlmOps.derivedGraphBatch(spark, sf0001)
+          .filter(col("nid") % 8 === 0)
+          .select(col("nid").as("pid"), col("ne").as("pe")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expNew1 = vis1.groupBy(_._1).values
+      .flatMap(_.sortBy(t => (-t._3, t._2)).take(3))
+      .map { case (n, v, s) => (n, v, s, "new1") }.toSet
+    val expRev1 = vis1.map { case (n, v, s) => (v, n, s, "rev1") }.toSet
+    assert(got1.toSet == expNew1 ++ expRev1,
+      s"layer-1 stream deltas diverge from the q188 walk: " +
+        s"missing=${((expNew1 ++ expRev1) -- got1.toSet).take(3)} " +
+        s"extra=${(got1.toSet -- (expNew1 ++ expRev1)).take(3)}")
+    assert(expNew1.nonEmpty && expRev1.nonEmpty,
+      "no layer-1 member in the streamed batch — vacuous")
   }
 
   test("streaming fingerprint flagging: banded Hamming state flags " +
