@@ -87,9 +87,18 @@ object Bench {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
 
-    // warmup (untimed): smallest-SF flagship query end to end
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => }
+    // warmup (untimed): smallest-SF flagship query end to end, plus one
+    // broadcast-join and one window shape (r20): the original single-query
+    // warmup left generic join/window codegen cold, so the first measured
+    // queries (alphabetically q01-q09) absorbed ~0.3-0.5 s of one-time JIT
+    // that is machine state, not plan cost — the same rationale as the
+    // existing warmup comment, applied to the two operator families it
+    // missed. Still untimed, still sf0.001, timing methodology unchanged.
+    try {
+      SparkEntry.entry(spark).count()
+      SparkEntry.queries("q03_join_broadcast")(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q18_window_rank")(spark, "/root/testdata/sf0.001").count()
+    } catch { case _: Throwable => }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

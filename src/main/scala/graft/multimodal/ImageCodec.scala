@@ -34,6 +34,13 @@ import javax.imageio.ImageIO
   * the static registry scan happens once per JVM. */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // round-trips a temp file (plus the file-creation lock), which at 32
+  // concurrent decode tasks showed up as runTime ≈ 3× cpuTime on the
+  // codec stages (r20 profile). Heap-backed streams produce the exact
+  // same bytes/pixels — this is an I/O-path switch, not a codec change.
+  ImageIO.setUseCache(false)
+
   /** Decode image bytes → (width, height, ARGB row-major pixels); None
     * when the payload is not a decodable image (a real lake always has
     * corrupt members — callers must route, not crash). */

@@ -22,6 +22,11 @@ import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutput
   * per call, same contract as [[ImageCodec]]/[[AudioCodec]]. */
 object VideoCodec {
 
+  // same I/O-path switch as [[ImageCodec]] (r20): heap-backed ImageIO
+  // streams, identical bytes — set here too so the flag holds no matter
+  // which codec object loads first
+  ImageIO.setUseCache(false)
+
   /** Decode a multi-frame image stream (GIF) → per-frame (width,
     * height, ARGB pixels); None when the payload has no frames or is
     * not a decodable multi-frame container (corrupt members route,

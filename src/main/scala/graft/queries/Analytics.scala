@@ -323,12 +323,43 @@ object Analytics {
         when(col("d1") < col("d2") ||
           (col("d1") === col("d2") && col("s1") < col("s2")), col("s2"))
           .otherwise(col("s1")).as("dst"))
-    val w1 = oriented.select(col("src"), col("dst").as("b"))
-    val w2 = oriented.select(col("src"), col("dst").as("c"))
-    val wedges = w1.join(w2, Seq("src")).filter(col("b") < col("c"))
-    val closed = wedges.join(edges,
-      wedges("b") === edges("s1") && wedges("c") === edges("s2"),
-      "left_semi")
+    // Compute-dense exchange sizing (guide §2.5): the wedge self-join
+    // explodes O(m^1.5) pairs out of a few MB of edges, so AQE's
+    // byte-based coalescing (≥1 MB partitions) serializes it onto 1-2
+    // tasks — measured 3.7 s of task time on ONE core at sf0.1 while 31
+    // idle. Partition `oriented` by the wedge key explicitly at the
+    // session's shuffle width (scale-adaptive: the conf is the
+    // deployment's knob, never a local constant): both self-join sides
+    // and the n_wedges groupBy reuse the one exchange, and per-task
+    // wedge work stays bounded by the orientation's O(√m) out-degree
+    // cap, so the spread is skew-safe at any scale.
+    val wedgeParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val orientedP = oriented.repartition(wedgeParts, col("src"))
+    val w1 = orientedP.select(col("src"), col("dst").as("b"))
+    val w2 = orientedP.select(col("src"), col("dst").as("c"))
+    // SHUFFLE_HASH, not the planner's pick (guide §3.1): both sides sit
+    // on the same hashpartitioning(src) exchange, so a shuffled-hash
+    // join is exchange-free AND sort-free; left alone the planner
+    // answers the co-partitioning with a SortMergeJoin whose sorts
+    // charge O(m^1.5 log) over the wedge stream (measured 8× the task
+    // time of the hash probe at sf0.1). Build side is one partition of
+    // `oriented` — O(m/P), bounded at any scale.
+    val wedges = w1.hint("SHUFFLE_HASH").join(w2, Seq("src"))
+      .filter(col("b") < col("c"))
+    // broadcast(edges) pins the closure probe to the pre-r20 shape (BHJ
+    // LeftSemi, plan-guarded): the wedge stream is the big side at
+    // m^1.5 rows and must never cross an exchange or sort for the probe.
+    // The probe key is PACKED into one long (suppkeys < 2^31 at any TPC-H
+    // SF): a single-long join key builds a LongHashedRelation instead of
+    // a two-column UnsafeHashedRelation — measured 2.2 µs/wedge on the
+    // two-column probe at sf0.1, dominated by generic key hashing —
+    // and the projection drops `src` before the probe (guide §2.3:
+    // narrower rows through the hot operator).
+    val packedEdges = edges.select(
+      (shiftleft(col("s1"), 32) + col("s2")).as("bc"))
+    val closed = wedges
+      .select((shiftleft(col("b"), 32) + col("c")).as("bc"))
+      .join(broadcast(packedEdges), Seq("bc"), "left_semi")
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     // n_wedges needs no wedge ROWS: per apex the oriented out-degree d
     // contributes C(d,2) ordered (b < c) pairs, so the count collapses
@@ -340,8 +371,12 @@ object Analytics {
     // the saving is one full O(m^1.5) join execution per invocation —
     // structural, though this box's shared-VM noise (±2 s at sf0.1)
     // swamps it in single-shot walls.
-    val nW = oriented.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .agg(sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("n_wedges"))
+    // coalesce(…, 0): sum() over an empty histogram is NULL, but the
+    // pre-r19 count(1) arm (and the DuckDB oracle's count(*)) returns 0
+    // on a degenerate empty edge relation (r19 ADVICE fix)
+    val nW = orientedP.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("(d * (d - 1)) DIV 2")), lit(0L))
+        .cast("long").as("n_wedges"))
     val nT = closed.agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(nW).crossJoin(nT)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),

@@ -1123,7 +1123,15 @@ object Curation {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = byPos.rowsBetween(Window.unboundedPreceding, -1)
     val run = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pin the window exchange to the session's shuffle width (r20, guide
+    // §2.5): the hit stream is a few MB of (doc_id, pos) longs, so AQE's
+    // byte-based coalescing serialized both island windows onto ONE task
+    // (measured 2.5 s CPU at sf0.1 while 31 cores idled); the per-doc
+    // sort work is what matters, and it spreads safely at any scale
+    val parts = hits.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     hits
+      .repartition(parts, col("doc_id"))
       .withColumn("new_isl",
         when(col("pos") > coalesce(max(col("pos") + lit(width - 1)).over(prev),
           lit(-2L)) + 1, 1L).otherwise(0L))
@@ -1165,13 +1173,24 @@ object Curation {
     * size — the hot-gram cost lands in the AQE-skew-splittable hit join,
     * not in a recall hole. */
   private[queries] def dupSpans(docs: DataFrame): DataFrame = {
+    // The ≥2 gate and hit join key on a 128-bit GRAM DIGEST (two
+    // independent xxhash64 lanes), not the ~50-byte gram string — the
+    // scale posture this scaladoc already names (Lee et al. run the
+    // same multiset membership on digests): the histogram exchange and
+    // the hit join shuffle 16 bytes/row instead of the gram text, and
+    // sort/probe on longs instead of strings (r20, guide §2.3 narrower
+    // keys). Positions/spans are untouched; a digest collision would
+    // need a 2⁻¹²⁸-class event (the gate-SF oracles re-prove exactness
+    // bit-for-bit on every run).
     val occ = docs
       .select(col("doc_id"),
         graft.functions.NGramExplode(col("text"), SubstrGram)
           .as(Seq("pos", "ng")))
-    val dup = occ.groupBy(col("ng")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("ng"))
-    val hits = occ.join(dup, "ng")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("ng")).as("h1"), xxhash64(lit(1), col("ng")).as("h2"))
+    val dup = occ.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h1"), col("h2"))
+    val hits = occ.join(dup, Seq("h1", "h2"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     mergeSpans(hits, SubstrGram)
   }

@@ -4446,7 +4446,7 @@ object LlmOps {
     * range-sort (sampling job + range exchange) would be pure waste —
     * the r17 intermediate-round discipline. */
   private def cellGraph(s: SparkSession, d: String,
-      ordered: Boolean): DataFrame = {
+      ordered: Boolean, knownN: Option[Long] = None): DataFrame = {
     val vq = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
@@ -4457,19 +4457,31 @@ object LlmOps {
     // the sf0.01 gate output bit-identical. The corpus count is a 1-value
     // driver probe (the bounded-driver-state discipline); 2-level
     // hierarchical IVF (q149) removes the remaining log factor.
+    // `knownN` (r20): a caller that already ran the count probe (q166
+    // counts for its bridge links too) passes it instead of paying a
+    // second count job — one job less per invocation, same value.
     val k = math.max(16L,
-      math.ceil(math.sqrt(vq.count() / 8.0)).toLong).toInt
+      math.ceil(math.sqrt(knownN.getOrElse(vq.count()) / 8.0)).toLong).toInt
     val assign = graft.operators.KMeans.lloyd(vq, "vec_id", "vq", k, iters = 2)
       .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
-    val a = assign.select(col("cell"), col("vec_id").as("va"),
+    // compute-width partitioning (r20, guide §2.5): the within-cell
+    // pair join explodes n²/c cosine rows out of a byte-small input, so
+    // AQE's coalescing serialized it (and the per-node window) onto 1-2
+    // tasks. One explicit cell-keyed exchange feeds BOTH join sides
+    // (shuffled-hash: exchange-free and sort-free on co-partitioned
+    // input), and the window pins its own exchange at the same width.
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val assignP = assign.repartition(parts, col("cell"))
+    val a = assignP.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("ea"))
-    val b = assign.select(col("cell"), col("vec_id").as("vb"),
+    val b = assignP.select(col("cell"), col("vec_id").as("vb"),
       col("embedding").as("eb"))
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
-    val ranked = a.join(b, Seq("cell"))
+    val ranked = a.hint("SHUFFLE_HASH").join(b, Seq("cell"))
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+      .repartition(parts, col("va"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
     if (ordered) ranked.orderBy(col("va"), col("rn")) else ranked
@@ -4545,7 +4557,8 @@ object LlmOps {
     // cell-blocked seed chain is analyzed (and its exchanges planned)
     // once per reference, the q169 lineage discipline at depth 1
     val g = flattenPlan(
-      cellGraph(s, d, ordered = false).select(col("va"), col("vb"))
+      cellGraph(s, d, ordered = false, knownN = Some(n))
+        .select(col("va"), col("vb"))
         .unionByName(bridgeLinks(s, e0, n)))
     nnDescentRound(g,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
@@ -4607,6 +4620,11 @@ object LlmOps {
       .join(uns.select(col("va").as("mid"), col("vb")), Seq("mid"))
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"))
+    // NOTE(r20): pinning the dedup exchange wide via repartition was
+    // tried and REVERTED — repartition+dropDuplicates ships every raw
+    // expansion row where distinct()'s partial aggregate pre-dedupes
+    // map-side (guide §2.3: aggregate before you shuffle); measured
+    // +0.9 s on q169 at sf0.1. The round keeps the combined form.
     val cand = und.unionByName(non).distinct()
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     val ranked = cand
@@ -5411,11 +5429,26 @@ object LlmOps {
     * relation — callers take its top-k. */
   private def beamWalk(visited0: DataFrame, g: DataFrame, e0: DataFrame,
       rounds: Int = 3, beamWidth: Int = 8,
-      expandFilter: DataFrame => DataFrame = identity): DataFrame = {
+      expandFilter: DataFrame => DataFrame = identity,
+      keys: Seq[String] = Seq("pid")): DataFrame = {
+    // `keys` (r20): the per-probe partition key, normally just `pid`.
+    // A caller fanning the SAME graph walk over several entry regimes
+    // (q177's report arms) tags rows with an extra key column and runs
+    // ONE walk partitioned by (arm, pid) — per-arm semantics are
+    // unchanged (every window/anti-join/dedup below is keyed per arm),
+    // but Catalyst compiles 3 round plans instead of 3 × arms (the
+    // planning wall, not execution, dominates these serve reports).
+    val kCols = keys.map(col)
+    // NOTE(r20): flattening `und` to a LogicalRDD leaf was tried and
+    // REVERTED — isolated profiling showed lower per-round compile
+    // time, but in-sweep the serve family regressed (q190 +1.2 s): the
+    // RDD re-base trades codegen'd re-execution of a tiny subtree for
+    // per-edge conversion hops in EVERY round, a bad trade at serve row
+    // counts. Kept in-plan.
     val und = g.select(col("va"), col("vb"))
       .unionByName(g.select(col("vb").as("va"), col("va").as("vb")))
       .distinct()
-    val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
+    val wB = Window.partitionBy(kCols: _*).orderBy(col("sim").desc, col("vid"))
     var visited = visited0
     for (_ <- 1 to rounds) {
       // flatten at round INPUT (the q169 lineage discipline): `visited`
@@ -5429,20 +5462,20 @@ object LlmOps {
       val beam = vin.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= beamWidth)
       val expand = expandFilter(
-        beam.select(col("pid"), col("pe"), col("vid").as("va"))
+        beam.select(kCols :+ col("pe") :+ col("vid").as("va"): _*)
           .join(und, Seq("va"))
-          .select(col("pid"), col("pe"), col("vb").as("vid"))
+          .select(kCols :+ col("pe") :+ col("vb").as("vid"): _*)
           .distinct())
       // pid <> vid: without it the probe joins its own adjacency back at
       // sim 1.0 and permanently burns one of the B beam slots (r13 review)
       val fresh = expand
         .filter(col("pid") =!= col("vid"))
-        .join(vin.select(col("pid"), col("vid")),
-          Seq("pid", "vid"), "left_anti")
+        .join(vin.select((keys :+ "vid").map(col): _*),
+          keys :+ "vid", "left_anti")
         .join(e0.select(col("vec_id").as("vid"), col("embedding").as("ve")),
           Seq("vid"))
-        .select(col("pid"), col("pe"), col("vid"),
-          round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
+        .select(kCols ++ Seq(col("pe"), col("vid"),
+          round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim")): _*)
       visited = vin.unionByName(fresh)
     }
     visited
@@ -5539,12 +5572,6 @@ object LlmOps {
       .select(col("pid"), col("vid"))
     val entries = e0.filter(col("vec_id") < 8)
       .select(col("vec_id").as("vid"), col("embedding").as("ve"))
-    val armFixed = top3(beamWalk(
-      scored(broadcast(probes).crossJoin(entries)), g, e0))
-    val armP1 = top3(beamWalk(
-      scored(cands.join(broadcast(own), Seq("cell"))), g, e0))
-    val armP2 = top3(beamWalk(
-      scored(cands.join(broadcast(widened), Seq("cell"))), g, e0))
     // r19 fourth arm — q187's hierarchical routing at the SAME layer-0
     // walk budget as the other arms (3 rounds, beam 8; q187 itself runs
     // 4 rounds): layer-1 coarse walk from the persisted entry, its
@@ -5560,16 +5587,38 @@ object LlmOps {
     val hEntries = beamWalk(v0h, l1g, e0, rounds = 3, beamWidth = 4)
       .withColumn("rn", row_number().over(wB2)).filter(col("rn") <= 3)
       .select(col("pid"), col("pe"), col("vid"), col("sim"))
-    val armHier = top3(beamWalk(hEntries, g, e0))
+    // ONE layer-0 walk for all four arms (r20): the arms walk the SAME
+    // landed graph with the same probes and budget, differing only in
+    // their entry rows — tag those with `arm` and run the shared walk
+    // partitioned by (arm, pid). Per-arm results are identical to four
+    // separate walks (every window/anti-join/dedup in beamWalk is keyed
+    // per arm); Catalyst compiles 3 round plans instead of 12, and the
+    // report's wall was ~entirely that planning (measured ~11 s plan vs
+    // 0.1 s exec cold at sf0.1).
+    val v0all = scored(broadcast(probes).crossJoin(entries))
+      .withColumn("arm", lit(0))
+      .unionByName(scored(cands.join(broadcast(own), Seq("cell")))
+        .withColumn("arm", lit(1)))
+      .unionByName(scored(cands.join(broadcast(widened), Seq("cell")))
+        .withColumn("arm", lit(2)))
+      .unionByName(hEntries.withColumn("arm", lit(3)))
+    val wArm = Window.partitionBy(col("arm"), col("pid"))
+      .orderBy(col("sim").desc, col("vid"))
+    val top3All = beamWalk(v0all, g, e0, keys = Seq("arm", "pid"))
+      .filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wArm)).filter(col("rn") <= 3)
+      .select(col("arm"), col("pid"), col("vid"))
     val exact = top3(scored(cands.drop("cell")
       .crossJoin(broadcast(probes))))
-    def hits(arm: DataFrame, nm: String) = arm.join(exact, Seq("pid", "vid"))
+    def hits(arm: Int, nm: String) = top3All
+      .filter(col("arm") === arm).drop("arm")
+      .join(exact, Seq("pid", "vid"))
       .groupBy(col("pid")).agg(count(lit(1)).as(nm))
     probes.select(col("pid"))
-      .join(hits(armFixed, "recall_fixed"), Seq("pid"), "left")
-      .join(hits(armP1, "recall_probe1"), Seq("pid"), "left")
-      .join(hits(armP2, "recall_probe2"), Seq("pid"), "left")
-      .join(hits(armHier, "recall_hier"), Seq("pid"), "left")
+      .join(hits(0, "recall_fixed"), Seq("pid"), "left")
+      .join(hits(1, "recall_probe1"), Seq("pid"), "left")
+      .join(hits(2, "recall_probe2"), Seq("pid"), "left")
+      .join(hits(3, "recall_hier"), Seq("pid"), "left")
       .select(col("pid"),
         coalesce(col("recall_fixed"), lit(0L)).as("recall_fixed"),
         coalesce(col("recall_probe1"), lit(0L)).as("recall_probe1"),
@@ -5740,9 +5789,24 @@ object LlmOps {
       .withColumn("rn", row_number().over(wB)).filter(col("rn") <= 3)
       .select(col("pid"), col("vid"))
     val v0 = scored(cands.join(broadcast(widened), Seq("cell")))
-    val armWalk = top3(labelMatch(beamWalk(v0, g, e0)))
-    val armExpand = top3(beamWalk(labelMatch(v0), g, e0,
-      expandFilter = labelMatch))
+    // ONE walk for both arms (r20, the q177 merge): arm 0 walks the
+    // full graph, arm 1 label-restricts round 0 and every expansion.
+    // The shared walk partitions by (arm, pid), and the expansion
+    // filter passes arm-0 rows unconditionally — per-arm semantics are
+    // identical to two separate walks while Catalyst compiles half the
+    // round plans (the report's wall is planning, not execution).
+    val armFilter: DataFrame => DataFrame = df => df
+      .join(lab, Seq("vid"))
+      .join(broadcast(plab), Seq("pid"))
+      .filter(col("arm") === 0 || col("label") === col("plabel"))
+      .drop("label", "plabel")
+    val v0all = v0.withColumn("arm", lit(0))
+      .unionByName(labelMatch(v0).withColumn("arm", lit(1)))
+    val walked = beamWalk(v0all, g, e0, expandFilter = armFilter,
+      keys = Seq("arm", "pid"))
+    val armWalk =
+      top3(labelMatch(walked.filter(col("arm") === 0).drop("arm")))
+    val armExpand = top3(walked.filter(col("arm") === 1).drop("arm"))
     val fex = top3(scored(
       cands.drop("cell").crossJoin(broadcast(probes))
         .join(broadcast(p.select(col("pid"), col("plabel"))), Seq("pid"))
@@ -7107,6 +7171,11 @@ object LlmOps {
       .join(prefix.select(col("doc_id").as("db"), col("ngram")), "ngram")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
+    // NOTE(r20): rewriting this as per-doc shingle arrays +
+    // array_intersect per pair was tried and REVERTED — fewer exchanges
+    // on paper, but in-sweep it measured +0.35 s (collect_list and the
+    // per-pair hash-set build cost more than the exploded join at the
+    // candidate counts the prefix filter leaves). Original form kept.
     // set sizes ride along on the ranked relation (its doc window already
     // computed them) instead of re-aggregating sh a second time
     val sizes = ranked.select(col("doc_id"), col("n")).distinct()

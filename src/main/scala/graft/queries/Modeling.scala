@@ -202,10 +202,55 @@ object Modeling {
     * posture (broadcast model, one doc aggregation) — total cost k ×
     * one corpus pass, embarrassingly parallel across folds. */
   def q141(s: SparkSession, d: String): DataFrame = {
+    // All 5 folds in ONE fold-tagged pass (r20): the pre-r20 form ran
+    // nbScores 5×, and each run materializes its own broadcasts (model,
+    // class info, vocab) plus train-side aggregations — 48 sequential
+    // jobs whose launch latency, not compute, was the query's wall.
+    // Tagging each doc with the folds it trains (h DIV 2 <> fold) and
+    // keying every count/model/score by `fold` computes the identical
+    // per-fold quantities (each fold's groups are disjoint — the tag is
+    // part of every key) with ONE aggregation chain and ~8 jobs. The
+    // ×5 expansion is map-side and k-bounded, the q143 replica shape.
     val e = nbCorpus(s, d)
-    val per = (0 until 5).map { i =>
-      nbScores(e, expr(s"h DIV 2 <> $i")).withColumn("fold", lit(i.toLong))
-    }.reduce(_ unionByName _)
+    val ef = e.withColumn("fold",
+      explode(array((0 until 5).map(i => lit(i.toLong)): _*)))
+    val train = ef.filter(expr("h DIV 2") =!= col("fold"))
+    val ttok = train
+      .select(col("fold"), col("cls"), explode(split(col("text2"), " ")).as("tok"))
+    val cw = ttok.groupBy(col("fold"), col("cls"), col("tok"))
+      .agg(count(lit(1)).as("cw"))
+    val ct = ttok.groupBy(col("fold"), col("cls")).agg(count(lit(1)).as("ct"))
+    val vv = ttok.groupBy(col("fold")).agg(countDistinct(col("tok")).as("v"))
+    val nd = train.groupBy(col("fold"), col("cls")).agg(count(lit(1)).as("nc"))
+    val ndt = train.groupBy(col("fold")).agg(count(lit(1)).as("n"))
+    val model = cw.join(ct, Seq("fold", "cls")).join(broadcast(vv), "fold")
+      .select(col("fold"), col("cls"), col("tok"),
+        round(log((col("cw") + 1).cast("double") / (col("ct") + col("v"))) *
+          10000, 0).cast("long").as("lq"))
+    val cinfo = ct.join(nd, Seq("fold", "cls")).join(broadcast(vv), "fold")
+      .join(broadcast(ndt), "fold")
+      .select(col("fold"), col("cls"),
+        round(log(lit(1.0) / (col("ct") + col("v"))) * 10000, 0)
+          .cast("long").as("lq0"),
+        round(log(col("nc").cast("double") / col("n")) * 10000, 0)
+          .cast("long").as("lp"))
+    val stok = ef.filter(expr("h DIV 2") === col("fold"))
+      .select(col("fold"), col("doc_id"), col("cls").as("actual"),
+        explode(split(col("text2"), " ")).as("tok"))
+    val sc = stok
+      .join(broadcast(cinfo), Seq("fold"))
+      .join(broadcast(model), Seq("fold", "cls", "tok"), "left")
+      .select(col("fold"), col("doc_id"), col("actual"), col("cls"),
+        col("lp"), coalesce(col("lq"), col("lq0")).as("q"))
+    val per = sc.groupBy(col("fold"), col("doc_id"), col("actual"))
+      .agg(
+        (max(when(col("cls") === 0, col("lp"))) +
+          sum(when(col("cls") === 0, col("q")).otherwise(0L))).as("s0"),
+        (max(when(col("cls") === 1, col("lp"))) +
+          sum(when(col("cls") === 1, col("q")).otherwise(0L))).as("s1"))
+      .select(col("fold"), col("doc_id"),
+        when(when(col("s1") > col("s0"), 1L).otherwise(0L) === col("actual"),
+          1L).otherwise(0L).as("correct"))
     per.groupBy(col("fold"))
       .agg(count(lit(1)).as("n_test"), sum(col("correct")).as("n_correct"))
       .select(col("fold"), col("n_test"), col("n_correct"),

@@ -203,7 +203,23 @@ private[sources] class KinesisMicroBatchStream(
     // has expired the closed parent from its listings.
     def drained(p: Int): Boolean =
       startOff.finals.contains(p) ||
-        consumer.shardEnd(stream, p).exists(from.getOrElse(p, 0L) >= _)
+        consumer.shardEnd(stream, p).exists(from.getOrElse(p, 0L) >= _) || {
+          // r19 ADVICE fix: a parent absent from the current listing with
+          // no known SHARD_END and no finality marker in the offset is past
+          // retention — its records are unreadable by ANY consumer, so
+          // gating the child forever would turn the documented
+          // at-least-read-once into silent loss by livelock. Admit the
+          // child and say so loudly.
+          val expired = !bound.contains(p) &&
+            consumer.shardEnd(stream, p).isEmpty
+          if (expired)
+            System.err.println(s"[kinesis-source] WARN stream=$stream: " +
+              s"parent shard $p expired from listings with no SHARD_END " +
+              "and no finality marker — treating as drained (its data is " +
+              "past retention); per-key order across the handoff cannot " +
+              "be proven for keys it carried")
+          expired
+        }
     // union with the start offset's shards: a closed shard the
     // transport has expired must stay in the offset at its final
     // position (its finality gates descendants forever)

@@ -168,8 +168,17 @@ class InMemoryKinesis(numShards: Int, name: String = "default")
       .slice(from.toInt, until.toInt)
   override def parents(stream: String, shard: Int): Seq[Int] =
     InMemoryKinesis.meta(name, stream, shard).parents
+  // Option-through for UNKNOWN shards too (r20): a real transport maps a
+  // DescribeShard of a retention-expired shard to "no such shard", not an
+  // error — the consumer's expired-parent admission fix relies on None
   override def shardEnd(stream: String, shard: Int): Option[Long] =
-    InMemoryKinesis.meta(name, stream, shard).end
+    InMemoryKinesis.metaOpt(name, stream, shard).flatMap(_.end)
+
+  /** Test hook — retention expiry: drop a CLOSED shard from the topology
+    * entirely (ListShards stops returning it, its SHARD_END is no longer
+    * resolvable) — the state the r19 ADVICE livelock fix admits through. */
+  def expireShard(stream: String, shard: Int): Unit =
+    InMemoryKinesis.expire(name, stream, shard)
 
   /** Test hook — SplitShard: close `shard`, open two children over the
     * halved hash range. Returns the child ids. */
@@ -266,6 +275,22 @@ object InMemoryKinesis {
       topo.get((name, stream)).flatMap(_.find(_.id == shard))
         .getOrElse(throw new NoSuchElementException(
           s"unknown shard $shard in $name/$stream"))
+    }
+
+  private def metaOpt(name: String, stream: String,
+      shard: Int): Option[ShardMeta] =
+    stored.synchronized(topo.get((name, stream)).flatMap(_.find(_.id == shard)))
+
+  private def expire(name: String, stream: String, shard: Int): Unit =
+    stored.synchronized {
+      val t = topo.getOrElse((name, stream), throw new NoSuchElementException(
+        s"unknown stream $name/$stream"))
+      val m = meta(name, stream, shard)
+      require(m.end.isDefined, s"cannot expire OPEN shard $shard")
+      t -= m
+      // its records age out with it
+      stored.get(name).foreach(b => b.filterInPlace(e =>
+        !(e._1 == stream && e._2 == shard)))
     }
 
   private def shardIds(name: String, stream: String,

@@ -302,4 +302,32 @@ class KinesisSourceSpec extends SparkSpec {
     assert(drainStream("alpha").sorted == Seq((10L, 111L)))
     assert(drainStream("beta").sorted == Seq((20L, 222L), (21L, 223L)))
   }
+
+  test("resharding — EXPIRED parent (r19 advice): a fresh consumer whose " +
+      "closed parents aged out of the listings admits the children " +
+      "instead of gating forever") {
+    val name = "t-kinesis-src-expired"
+    InMemoryKinesis.reset(name)
+    val kin = new InMemoryKinesis(numShards = 1, name = name)
+    KinesisTransports.register(name, () => new InMemoryKinesis(1, name))
+    // parent-era records, then split, then the parent ages out of the
+    // stream BEFORE any consumer ever saw it (no finality marker exists)
+    put(kin, 7L, (1L, 100L), (2L, 101L))
+    val (c1, c2) = kin.splitShard("vehicles", 0)
+    put(kin, 7L, (1L, 200L), (2L, 201L))
+    kin.expireShard("vehicles", 0)
+    assert(kin.shardEnd("vehicles", 0).isEmpty, "expired parent must be " +
+      "unresolvable — that is the state under test")
+    // a FRESH checkpoint: without the fix drained(0) can never prove the
+    // drain and the children admit nothing (livelock); with it the
+    // children's records arrive (the parent's are past retention — lost
+    // to ANY consumer, which is exactly why gating helps nobody)
+    val ckpt = Files.createTempDirectory("graft-kinsrc-expired").toString
+    val rows = drain(name, ckpt)
+    assert(rows.map(r => (r._4, r._5)).sorted == Seq((1L, 200L), (2L, 201L)),
+      s"children must admit their records once the parent is expired: $rows")
+    assert(rows.map(_._1).toSet.subsetOf(Set(c1, c2)))
+    // and the checkpoint stays consistent: nothing new -> nothing read
+    assert(drain(name, ckpt).isEmpty)
+  }
 }

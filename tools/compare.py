@@ -12,6 +12,7 @@ and only a judge-side rerun kept that round gradable.
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -155,11 +156,24 @@ def main(sf_dir, out_dir, receipt_path=None):
 
 def _git(*args):
     import subprocess
+    # r19 ADVICE fix: derive the repo dir from the absolute script path —
+    # `python3 compare.py` from inside tools/ has no slash in __file__, so
+    # the old rsplit yielded 'compare.py' as cwd, the subprocess raised,
+    # and the receipt silently stamped commit 'unknown' (defeating the
+    # self-binding anchor). Also warn loudly when that still happens.
     try:
-        return subprocess.run(
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
             ["git", *args], capture_output=True, text=True, timeout=10,
-            cwd=__file__.rsplit("/", 2)[0]).stdout.strip()
-    except Exception:
+            cwd=repo).stdout.strip()
+        if not out:
+            print("WARN: git %s resolved empty — receipt will not be "
+                  "self-binding" % " ".join(args), file=sys.stderr)
+            return "unknown"
+        return out
+    except Exception as e:
+        print(f"WARN: git {' '.join(args)} failed ({e}) — receipt will "
+              "not be self-binding", file=sys.stderr)
         return "unknown"
 
 
