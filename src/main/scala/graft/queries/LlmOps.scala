@@ -6128,12 +6128,19 @@ object LlmOps {
     * — which includes vec_id 0, the GLOBAL ENTRY itself) from the
     * landed layer-1 adjacency. Deleted owners drop with their rows;
     * a surviving member is AFFECTED only if its top-3 referenced a
-    * tombstone; affected members re-rank over ALL LIVE members — which
-    * for layer 1 is its own exact build discipline below the crossover
-    * (the layer is the n/8 routing tier, so the repair is
-    * |affected| × n/8 broadcast rows; past the crossover a deployment
-    * repairs through the descent round, the same dispatch the build
-    * recurses). Pass-through is exact by the q172 argument: deletes
+    * tombstone; the repair DISPATCHES on the live-membership size with
+    * the same [[KnnBuildKey]]/[[knnGraphRegimeFor]] cutover the layer's
+    * build recurses (r19 verdict ask #1): below [[KnnBuildCrossover]]
+    * affected members re-rank exactly over ALL LIVE members — the
+    * layer's own exact build discipline, |affected| × n/8 broadcast
+    * rows, the shape the oracle mirrors at every gate SF — and at/past
+    * it each affected member re-enters the SURVIVING layer at the
+    * re-elected entry (min live member) and beam-walks it with the
+    * [[q188]] insert routing (3 rounds × beam 4); its visited set ∪ its
+    * own surviving edges is its candidate set, so the repair costs
+    * |affected| × rounds × beam × deg scored rows and never broadcasts
+    * the membership's embeddings. Pass-through is exact by the q172
+    * argument: deletes
     * only shrink an unaffected member's candidate set. Entry
     * RE-ELECTION falls out of the adjacency: the serve derives its
     * entry as min(va), so the spliced graph's minimum surviving member
@@ -6156,11 +6163,43 @@ object LlmOps {
     val affE = live.join(
         broadcast(affected.select(col("va").as("vec_id"))), Seq("vec_id"))
       .select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val cand = affE.crossJoin(broadcast(
-        live.select(col("vec_id").as("vb"), col("embedding").as("eb"))))
-      .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("vb"),
-        round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
+    val regime = s.conf.get(KnnBuildKey, "auto") match {
+      case "auto" => knnGraphRegimeFor(live.count())
+      case forced @ ("cellblocked" | "nndescent") => forced
+      case bad => throw new IllegalArgumentException(
+        s"$KnnBuildKey must be auto|cellblocked|nndescent, got '$bad'")
+    }
+    val cand =
+      if (regime == "nndescent") {
+        // walk-based repair (the q188 insert discipline applied at delete
+        // time): each affected member re-enters the SURVIVING layer at the
+        // re-elected entry and beam-walks it; visited ∪ its own surviving
+        // edges is its candidate set — |affected| × rounds × beam × deg
+        // scored rows, no membership-wide embedding broadcast.
+        val surviving = owned.join(tombB, Seq("vb"), "left_anti")
+        val entryId = live.agg(min(col("vec_id"))).head.getLong(0)
+        val entryEmb = Tables.embeddings(s, d)
+          .filter(col("vec_id") === entryId).select(col("embedding"))
+          .head.getSeq[Float](0)
+        val v0 = affE.select(col("va").as("pid"), col("ea").as("pe"),
+          lit(entryId).as("vid"),
+          round(CosineSimilarityExpr(col("ea"), typedlit(entryEmb)), 4)
+            .as("sim"))
+        val walked = beamWalk(v0, surviving.select(col("va"), col("vb")),
+            live, rounds = 3, beamWidth = 4)
+          .select(col("pid").as("va"), col("vid").as("vb"), col("sim"))
+        // landed sims are the same round-4 cosine grid, so a pair seen
+        // both ways dedups losslessly
+        val ownE = surviving.join(broadcast(affected), Seq("va"), "left_semi")
+          .select(col("va"), col("vb"), col("sim"))
+        walked.unionByName(ownE).filter(col("va") =!= col("vb"))
+          .dropDuplicates("va", "vb")
+      } else
+        affE.crossJoin(broadcast(
+            live.select(col("vec_id").as("vb"), col("embedding").as("eb"))))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            round(CosineSimilarityExpr(col("ea"), col("eb")), 4).as("sim"))
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb"))
     val repaired = cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

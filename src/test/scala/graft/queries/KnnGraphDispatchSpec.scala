@@ -268,6 +268,65 @@ class KnnGraphDispatchSpec extends SparkSpec {
       "the spliced serve answered a deleted vector")
   }
 
+  test("q189 repair dispatch (r20): forced nndescent repairs affected " +
+      "members through the surviving-layer beam walk — tombstones gone, " +
+      "unaffected adjacency verbatim, every survivor owns dense top-<=3 " +
+      "live edges, and the q190 spliced serve still answers every probe") {
+    withRegime("nndescent") {
+      val (l1Path, _, _) = LlmOps.knnLayer1State(spark, sf001)
+      val landed = spark.read.parquet(l1Path).collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rn")))
+      val members = layer1Members()
+      val tomb = graft.Tables.embeddings(spark, sf001)
+        .filter(col("vec_id") % 31 === 0).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      val live = members.keySet -- tomb
+      val del = LlmOps.q189(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(del.forall(r => !tomb(r._1) && !tomb(r._2)),
+        "a tombstone survived the walk-repaired layer-1 splice")
+      assert(del.forall(r => live(r._1) && live(r._2)),
+        "a repaired edge left the live membership")
+      val byVa = del.groupBy(_._1)
+      assert(byVa.keySet == live,
+        "every surviving member must still own ranked edges")
+      assert(byVa.values.forall(es =>
+        es.map(_._4).sorted.sameElements(1 to es.length) && es.length <= 3))
+      // unaffected members (no tombstone in their landed top-3): verbatim
+      val affected = landed.filter(r => !tomb(r._1) && tomb(r._2))
+        .map(_._1).toSet
+      assert(affected.nonEmpty, "no affected member — the repair is vacuous")
+      val untouchedIn = landed
+        .filter(r => !tomb(r._1) && !affected(r._1)).toSet
+      val untouchedOut = del.filter(r => !affected(r._1)).toSet
+      assert(untouchedIn == untouchedOut,
+        "the walk repair disturbed unaffected adjacency")
+      // each affected member's surviving landed edges stay candidates:
+      // the repair may only IMPROVE a slot, never lose a surviving edge
+      // to a worse one (visited ∪ own edges ⊇ own edges)
+      val repairedByVa = del.filter(r => affected(r._1))
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      landed.filter(r => affected(r._1) && !tomb(r._2)).foreach { r =>
+        val kept = repairedByVa(r._1)
+        val worst = kept.map(_._2).min
+        assert(kept.contains((r._2, r._3)) || kept.size == 3 &&
+          (worst > r._3 || worst == r._3),
+          s"repair of ${r._1} dropped surviving edge ${r._2} (sim ${r._3}) " +
+            s"for a worse candidate set $kept")
+      }
+      // the spliced hierarchical serve holds on the walk-repaired layer
+      val out = LlmOps.q190(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      val byProbe = out.groupBy(_._1)
+      assert(byProbe.keySet == (16L until 26L).toSet)
+      assert(byProbe.values.forall(es =>
+        es.map(_._3).sorted.sameElements(1 to es.length) && es.length <= 3))
+      assert(out.forall(r => !tomb(r._2)),
+        "the spliced serve answered a deleted vector")
+    }
+  }
+
   test("layer-1 landing recurses the dispatch: forced nndescent builds " +
       "the layer by ρ-sampled descent on the ×8 id grid — same adjacency " +
       "contract, real recall, and q187 still serves every probe densely") {
