@@ -164,6 +164,12 @@ object Analytics {
       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""".stripMargin
 
   def q103(s: SparkSession, d: String): DataFrame = {
+    // NOTE(r20): re-basing the derived edge relation on its compiled RDD
+    // (the q169 flattenPlan discipline) was tried and REVERTED: 1.23 →
+    // 1.70 s at sf0.1. The dumped plan shows 14 lineitem scans, but at
+    // RUNTIME AQE's exchange reuse already collapses the identical
+    // fact-join subtrees; the leaf re-base only added Row-conversion hops
+    // and lost whole-stage spans.
     val edges = tradeEdges(s, d)
     PageRank.ranks(edges, iters = 3)
       .join(Tables.nation(s, d), col("node") === col("n_nationkey"))

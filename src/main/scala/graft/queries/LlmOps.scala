@@ -2694,10 +2694,14 @@ object LlmOps {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // r20: DF as a count window over the TF relation — the df-arm join
+    // re-executed the whole explode+TF subtree and shuffled both sides
+    // by term; the window pays ONE term exchange of the already-reduced
+    // TF rows. Same per-term count (TF is distinct on (doc, term)).
+    val wT = Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).as("ndocs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(wT)).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),
         round(col("tf") * (log((col("ndocs") + 1.0) / (col("df") + 1.0)) + 1.0), 4)
           .as("score"))
@@ -3024,7 +3028,15 @@ object LlmOps {
       .select(col("doc_id"), NGramExplode(col("text"), 2).as(Seq("pos", "pr")))
       .select(col("doc_id"), col("pr"), substring_index(col("pr"), " ", 1).as("w1"))
     val bigram = pairs.groupBy(col("pr")).agg(count(lit(1)).as("c12"))
-    val context = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // r20: c(w1) = Σ c12 over the bigram model — derived from the
+    // vocab-bounded model relation instead of a second full corpus
+    // explode+aggregation (guide §2.3/§2.4: one pass feeds both models).
+    // The scored stream keeps the original pr-then-w1 join shape: a
+    // pre-joined single model relation was tried and measured 0.94 →
+    // 2.07 s (its size estimate loses the stream joins' broadcast).
+    val context = bigram
+      .select(substring_index(col("pr"), " ", 1).as("w1"), col("c12"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     pairs.join(bigram, "pr").join(context, "w1").crossJoin(broadcast(vocab))
@@ -3683,6 +3695,14 @@ object LlmOps {
     val hot = dfcRel.filter(col("df") > capQ122).select(col("ng"))
     val gr = g.join(broadcast(hot), Seq("ng"), "left_anti")
     val sz = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // NOTE(r20): generating the Σ df² pairs map-side from per-shingle
+    // collect_list doc lists (one groupBy(ng) + a HOF pair expansion
+    // instead of the gr ⋈ gr self-join) was tried and REVERTED: 2.3 s →
+    // 11.9 s at sf0.1 — the interpreted flatten/transform/struct
+    // expansion and the list-building aggregation cost far more than the
+    // extra explode+distinct subtree the join pays. Same lesson as the
+    // q137 array_intersect negative: byte-small string streams beat
+    // per-row array construction at gate row counts.
     val pairs = gr.select(col("doc_id").as("a_id"), col("ng"))
       .join(gr.select(col("doc_id").as("b_id"), col("ng")), "ng")
       .filter(col("a_id") < col("b_id"))

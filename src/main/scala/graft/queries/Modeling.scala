@@ -60,12 +60,16 @@ object Modeling {
       scoreAll: Boolean = false): DataFrame = {
     val ttok = e.filter(isTrain)
       .select(col("cls"), explode(split(col("text2"), " ")).as("tok"))
+    // r20: ct / vv / ndt fold from the vocab-bounded model relations
+    // (ct = Σ cw, vv = distinct cw rows' toks, n = Σ nc) instead of
+    // re-exploding/re-scanning the train corpus per statistic — the
+    // guide §2.3 one-pass-feeds-all-models discipline. Same counts.
     val cw = ttok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cw"))
-    val ct = ttok.groupBy(col("cls")).agg(count(lit(1)).as("ct"))
-    val vv = ttok.agg(countDistinct(col("tok")).as("v"))
+    val ct = cw.groupBy(col("cls")).agg(sum(col("cw")).as("ct"))
+    val vv = cw.agg(countDistinct(col("tok")).as("v"))
     val nd = e.filter(isTrain).groupBy(col("cls"))
       .agg(count(lit(1)).as("nc"))
-    val ndt = e.filter(isTrain).agg(count(lit(1)).as("n"))
+    val ndt = nd.agg(sum(col("nc")).as("n"))
     val model = cw.join(ct, "cls").crossJoin(broadcast(vv))
       .select(col("cls"), col("tok"),
         round(log((col("cw") + 1).cast("double") / (col("ct") + col("v"))) *
@@ -219,10 +223,13 @@ object Modeling {
       .select(col("fold"), col("cls"), explode(split(col("text2"), " ")).as("tok"))
     val cw = ttok.groupBy(col("fold"), col("cls"), col("tok"))
       .agg(count(lit(1)).as("cw"))
-    val ct = ttok.groupBy(col("fold"), col("cls")).agg(count(lit(1)).as("ct"))
-    val vv = ttok.groupBy(col("fold")).agg(countDistinct(col("tok")).as("v"))
+    // ct / vv / ndt fold from the fold-keyed model relations (r20, the
+    // nbScores discipline) — the expanded train stream is exploded and
+    // scanned once, not three/two times. Same per-fold counts.
+    val ct = cw.groupBy(col("fold"), col("cls")).agg(sum(col("cw")).as("ct"))
+    val vv = cw.groupBy(col("fold")).agg(countDistinct(col("tok")).as("v"))
     val nd = train.groupBy(col("fold"), col("cls")).agg(count(lit(1)).as("nc"))
-    val ndt = train.groupBy(col("fold")).agg(count(lit(1)).as("n"))
+    val ndt = nd.groupBy(col("fold")).agg(sum(col("nc")).as("n"))
     val model = cw.join(ct, Seq("fold", "cls")).join(broadcast(vv), "fold")
       .select(col("fold"), col("cls"), col("tok"),
         round(log((col("cw") + 1).cast("double") / (col("ct") + col("v"))) *
@@ -324,11 +331,13 @@ object Modeling {
           .orderBy(col("mq"), col("b"))))
     val point = docs.agg(
       expr("(sum(n_chars) * 10000) DIV count(*)").as("mean_q"))
-    point
-      .crossJoin(broadcast(means.filter(col("rn") === 2)
-        .select(col("mq").as("ci_lo_q"))))
-      .crossJoin(broadcast(means.filter(col("rn") === 31)
-        .select(col("mq").as("ci_hi_q"))))
+    // r20: both CI endpoints pivot out of ONE pass over the ranked
+    // replica relation — two filtered broadcast subtrees re-ran the
+    // whole ×32 bootstrap chain per endpoint. Same two values.
+    val ci = means.filter(col("rn") === 2 || col("rn") === 31)
+      .agg(max(when(col("rn") === 2, col("mq"))).as("ci_lo_q"),
+        max(when(col("rn") === 31, col("mq"))).as("ci_hi_q"))
+    point.crossJoin(broadcast(ci))
       .withColumn("n_replicas", lit(32L))
   }
 
@@ -366,16 +375,20 @@ object Modeling {
     * cross-engine surface is ln/exp parity, already load-bearing in the
     * LM family), quantized to ppm. */
   def q144(s: SparkSession, d: String): DataFrame = {
+    // r20: the totals are unpartitioned windows over the LANGUAGES-sized
+    // aggregate (bounded single-partition window, the q143 CI rank
+    // discipline) instead of broadcast subtrees — the two crossJoin
+    // broadcasts re-ran the lang aggregation chain three times. Same
+    // integer math on the same values.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val bySrc = Tables.documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n"))
-    val tot = bySrc.agg(sum(col("n")).as("tot"))
-    val weighted = bySrc.crossJoin(broadcast(tot))
+    val weighted = bySrc.withColumn("tot", sum(col("n")).over(wAll))
       .select(col("lang"), col("n"),
         expr("(n * 1000000) DIV tot").as("share_ppm"),
         round(exp(lit(0.3) * log(col("n").cast("double") / col("tot"))) *
           1000000, 0).cast("long").as("wq"))
-    val wtot = weighted.agg(sum(col("wq")).as("wtot"))
-    weighted.crossJoin(broadcast(wtot))
+    weighted.withColumn("wtot", sum(col("wq")).over(wAll))
       .select(col("lang"), col("n"), col("share_ppm"),
         expr("(wq * 1000000) DIV wtot").as("alpha_share_ppm"))
       .orderBy(col("lang"))
@@ -407,10 +420,14 @@ object Modeling {
   def q145(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val nt = tok.agg(count(lit(1)).as("nt"))
+    // r20: every marginal folds from the one (lang, word) aggregation —
+    // cw = Σ_lang cl, nl = Σ_w cl, nt = Σ cl — instead of four
+    // independent full corpus explodes (guide §2.3: one pass feeds all
+    // models). Identical counts: lw partitions the token stream.
     val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cl"))
-    val nl = tok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val cw = lw.groupBy(col("w")).agg(sum(col("cl")).as("cw"))
+    val nt = lw.agg(sum(col("cl")).as("nt"))
+    val nl = lw.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
     lw.join(broadcast(cw), "w").join(broadcast(nl), "lang")
       .crossJoin(broadcast(nt))
       .select(col("lang"), col("nl"),
@@ -498,19 +515,31 @@ object Modeling {
     val pairs = docs
       .select(col("doc_id"),
         graft.functions.NGramExplode(col("text"), 2).as(Seq("pos", "pr")))
-      .select(col("doc_id"), col("pr"),
-        substring_index(col("pr"), " ", 1).as("w1"),
-        substring_index(col("pr"), " ", -1).as("w2"))
+      .select(col("doc_id"), col("pr"))
     val bigram = pairs.groupBy(col("pr")).agg(count(lit(1)).as("c12"))
-    val w1rel = pairs.groupBy(col("w1"))
-      .agg(count(lit(1)).as("c1"), countDistinct(col("pr")).as("n1f"))
-    val w2rel = pairs.groupBy(col("w2"))
-      .agg(countDistinct(col("pr")).as("n1b"))
+    // r20: every model statistic is a fold of the vocab-bounded bigram
+    // relation — c(w1) = Σ c12, N1+(w1 •) / N1+(• w2) = its row counts
+    // by endpoint, bt = its size — instead of three more full corpus
+    // explodes (two of them countDistinct double-exchanges). Identical
+    // values: bigram holds exactly one row per distinct pair. The
+    // scored stream then joins ONE pr-keyed model relation.
+    val w1rel = bigram
+      .select(substring_index(col("pr"), " ", 1).as("w1"), col("c12"))
+      .groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val w2rel = bigram
+      .select(substring_index(col("pr"), " ", -1).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
     val bt = bigram.agg(count(lit(1)).as("bt"))
-    pairs.join(bigram, "pr")
+    val model = bigram
+      .withColumn("w1", substring_index(col("pr"), " ", 1))
+      .withColumn("w2", substring_index(col("pr"), " ", -1))
       .join(broadcast(w1rel), "w1")
       .join(broadcast(w2rel), "w2")
       .crossJoin(broadcast(bt))
+      .select(col("pr"), col("c12"), col("c1"), col("n1f"), col("n1b"),
+        col("bt"))
+    pairs.join(model, "pr")
       .select(col("doc_id"),
         log((col("c12") - lit(0.75)) / col("c1") +
           lit(0.75) * (col("n1f").cast("double") / col("c1")) *
@@ -944,19 +973,25 @@ object Modeling {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("nc"))
-    val a = docs.filter(col("doc_id") % 2 === 0)
-      .select(expr("doc_id DIV 2").as("pk"),
-        col("source").as("sa"), col("nc").as("na"))
-    val b = docs.filter(col("doc_id") % 2 === 1)
-      .select(expr("doc_id DIV 2").as("pk"),
-        col("source").as("sb"), col("nc").as("nb"))
     // ONE corpus pass: the contest stream collapses to the bounded
     // (sa, sb, a_wins) count matrix (≤ players² × 2 rows) and every
     // downstream relation — wins, n_ij, contest counts, the three MM
     // rounds — derives driver-side from it (the KMeans centroid
     // discipline; re-deriving each from the contest stream would
-    // re-execute the corpus join per consumer)
-    val cc = a.join(b, "pk").filter(col("sa") =!= col("sb"))
+    // re-execute the corpus join per consumer). r20: the even/odd sides
+    // pair up in one pk-keyed PIVOT aggregation instead of a self-join —
+    // one scan and one exchange where the join paid two of each; a pk
+    // with both parities present is exactly an inner-join match.
+    val pairedUp = docs
+      .select(expr("doc_id DIV 2").as("pk"), (col("doc_id") % 2).as("par"),
+        col("source"), col("nc"))
+      .groupBy(col("pk"))
+      .agg(max(when(col("par") === 0, col("source"))).as("sa"),
+        max(when(col("par") === 0, col("nc"))).as("na"),
+        max(when(col("par") === 1, col("source"))).as("sb"),
+        max(when(col("par") === 1, col("nc"))).as("nb"))
+      .filter(col("sa").isNotNull && col("sb").isNotNull)
+    val cc = pairedUp.filter(col("sa") =!= col("sb"))
       .groupBy(col("sa"), col("sb"), (col("na") >= col("nb")).as("a_wins"))
       .agg(count(lit(1)).as("c"))
       .collect()

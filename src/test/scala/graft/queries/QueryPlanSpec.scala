@@ -73,9 +73,16 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in gap-fill:\n$p")
   }
 
-  test("q62: DF and corpus-size sides broadcast; top-3 plans as WindowGroupLimit") {
+  test("q62: DF is a term window over the TF relation (no df join, one " +
+      "TF subtree); corpus size broadcasts; top-3 plans as WindowGroupLimit") {
     val p = planString(LlmOps.q62(spark, sf0001))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, s"df join not broadcast:\n$p")
+    // r20: the df-arm join re-executed the whole explode+TF subtree and
+    // shuffled both sides by term; df is now a count window over TF —
+    // exactly one hash/sort/object aggregate pair chain, no equi-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"df must not be an equi-join over a second TF subtree:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus size must enter as the 1-row cross broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
