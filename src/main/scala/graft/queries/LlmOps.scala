@@ -5505,6 +5505,12 @@ object LlmOps {
       // QueryPlanSpec serve guards (broadcast, no-cartesian, per-probe
       // windows) assert on exactly that fragment, which is one round's
       // shape, i.e. every round's shape.
+      // NOTE(r20): flattening every SECOND round instead (halving the
+      // toRdd/codegen compiles, ~3× bigger segments) was tried and
+      // REVERTED — the serve family regressed uniformly (q187 2.16 →
+      // 3.86 s, q177 2.59 → 4.01 s, q173 1.34 → 2.11 s at sf0.1): the
+      // bigger unflattened segment costs more in analysis+codegen than
+      // the saved per-round compile. Per-round flattening stays.
       val vin = flattenPlan(visited)
       val beam = vin.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= beamWidth)
