@@ -67,19 +67,25 @@ object KMeans {
         s"have lengths ${cents.map(_.length).distinct.mkString(", ")}")
     var it = 0
     while (it < iters) {
+      // collect the ≤ k×dims (cluster, dim, c) rows and assemble the
+      // centroid arrays on the driver (the lloydPartitioned discipline):
+      // the previous collect_list/array_sort re-aggregation added a
+      // second exchange + stage per iteration to build arrays the driver
+      // immediately unpacked anyway. Bounded driver state either way;
+      // the per-component floor(double-quotient) stays in SQL so the
+      // value is the engine's own IEEE quotient, bit-identical to before.
       val updated = assign(vecs, vecCol, cents)
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .select(col("cluster"), col("dim"),
           floor(col("s").cast("double") / col("n")).cast("long").as("c"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
-        .select(col("cluster"), transform(col("dc"), x => x.getField("c")).as("cent"))
         .collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray)
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> r.getLong(2))
         .toMap
-      cents = Array.tabulate(k)(cid => updated.getOrElse(cid, cents(cid)))
+      cents = Array.tabulate(k)(cid =>
+        if (!updated.contains((cid, 0))) cents(cid)
+        else Array.tabulate(dims)(dIdx => updated((cid, dIdx))))
       it += 1
     }
     cents

@@ -4576,12 +4576,23 @@ object LlmOps {
     // into the candidate set — without a leaf re-base the whole
     // cell-blocked seed chain is analyzed (and its exchanges planned)
     // once per reference, the q169 lineage discipline at depth 1
-    val g = flattenPlan(
-      cellGraph(s, d, ordered = false, knownN = Some(n))
-        .select(col("va"), col("vb"))
-        .unionByName(bridgeLinks(s, e0, n)))
-    nnDescentRound(g,
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    // flatten at the SYMMETRIZED-DISTINCT level (r21): the round
+    // references `und` three times, and each reference used to re-execute
+    // the seed leaf's tail (see nnDescentRound's preSymmetrized note);
+    // with the distinct exchange inside THIS leaf, the seed runs once and
+    // the three downstream references replay only the reduce-side scan.
+    // ONE flatten, not two: the seed subtree appears twice under the
+    // union (forward + reverse projection), but its internal exchanges
+    // are identical, so exchange/stage reuse executes the pair join once
+    // — a second flatten layer would only add a QueryExecution, an eager
+    // AQE materialization barrier, and a Row-conversion hop.
+    val g = cellGraph(s, d, ordered = false, knownN = Some(n))
+      .select(col("va"), col("vb"))
+      .unionByName(bridgeLinks(s, e0, n))
+    val und = flattenPlan(symmetrize(g).distinct())
+    nnDescentRound(und,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      preSymmetrized = true)
   }
 
   /** ρ-sampling rate for [[nnDescentRound]], in permille. Dong et al.
@@ -4630,9 +4641,20 @@ object LlmOps {
     * DuckDB oracle, varying per round like the paper's fresh random
     * draws — not `rand()`, which would unfix the oracle. */
   private def nnDescentRound(g: DataFrame, e: DataFrame, k: Int = 3,
-      ordered: Boolean = true, sample: Option[Long] = None): DataFrame = {
-    val und = g.unionByName(
-      g.select(col("vb").as("va"), col("va").as("vb"))).distinct()
+      ordered: Boolean = true, sample: Option[Long] = None,
+      preSymmetrized: Boolean = false): DataFrame = {
+    // `preSymmetrized` (r21): `und` is referenced three times below (the
+    // expansion self-join's two sides and the candidate union), and the
+    // logical tree COPIES the subtree per reference — with an expensive
+    // seed under it (q166's cell-blocked chain), the initial plan carried
+    // SIX `Scan ExistingRDD` leaves and the seed's un-shuffle-protected
+    // tail (bridge FileScan + window + Row conversion) re-executed per
+    // scan (profiled: two 66-task stages, 14-28 s task time at sf0.1 for
+    // a 2000-vector corpus). A caller that hands in the ALREADY
+    // symmetrized+deduped edge set as a flattened leaf pays the
+    // union+distinct shuffle once — every further reference re-executes
+    // only the leaf scan above the reused shuffle output.
+    val und = if (preSymmetrized) g else symmetrize(g).distinct()
     val uns = sample.fold(und)(salt => und.filter(
       pmod(col("va") * lit(1000003L) + col("vb") * lit(999331L) + lit(salt),
         lit(1000L)) < lit(nnRho(g.sparkSession).toLong)))
@@ -4768,9 +4790,15 @@ object LlmOps {
       .filter(col("rn") <= 3)
       .select(col("va"), col("vb"))
     // landing path only (knnGraphBuild → parquet): every landed
-    // consumer re-derives its own order, so skip the global sort
-    nnDescentRound(seed.unionByName(bridgeLinks(s, e0, n)),
-      e0.select(col("vec_id"), col("embedding")), ordered = false)
+    // consumer re-derives its own order, so skip the global sort.
+    // Same r21 pre-symmetrize discipline as q166: the seed chain (the
+    // probe-2 widened pair join) must execute once, not once per `und`
+    // reference in the round.
+    val g0 = seed.unionByName(bridgeLinks(s, e0, n))
+    val und = flattenPlan(symmetrize(g0).distinct())
+    nnDescentRound(und,
+      e0.select(col("vec_id"), col("embedding")), ordered = false,
+      preSymmetrized = true)
   }
 
   /** The FULL q168 build chain as CTEs (IVF2 training + assignment +
@@ -4845,6 +4873,19 @@ object LlmOps {
     * show; production would loop to a fixed point with the same
     * operator. Oracle: the bridge CTE + three unrolled round chains. */
   def q169(s: SparkSession, d: String): DataFrame = nnDescentBuild(s, d)
+
+  /** Single-scan symmetrization of a directed edge relation `g(va, vb)`
+    * (r21): emit both directions of every edge map-side via one
+    * generator instead of `g UNION rev(g)` — the union form scans `g`'s
+    * subtree twice, and when that subtree carries an expensive
+    * un-shuffle-protected tail (q166's cell-blocked window chain), the
+    * double scan re-executes it. Result set is identical (the caller's
+    * `distinct()` dedupes exactly as the SQL `UNION` oracle does). */
+  private def symmetrize(g: DataFrame): DataFrame =
+    g.select(explode(array(
+        struct(col("va").as("va"), col("vb").as("vb")),
+        struct(col("vb").as("va"), col("va").as("vb")))).as("e"))
+      .select(col("e.va").as("va"), col("e.vb").as("vb"))
 
   /** Catalyst-lineage flattening for iterative operators: wrap the
     * relation's compiled RDD in a fresh leaf (`LogicalRDD`), so a loop

@@ -34,9 +34,13 @@ object Profile {
         taskTimeMs += m.executorRunTime
         shuffleReadB += m.shuffleReadMetrics.totalBytesRead
         shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+        // rddInfos name the operators whose RDDs live in this stage
+        // (scope names like "WholeStageCodegen (3)", "Exchange") — the
+        // only way to tell two 32-task stages apart with the UI off
+        val ops = s.stageInfo.rddInfos.map(_.name).distinct.mkString("|")
         stageRows += ((s.stageInfo.stageId, s.stageInfo.numTasks,
           m.executorRunTime,
-          f"cpu=${m.executorCpuTime / 1e9}%.2fs gc=${m.jvmGCTime / 1e3}%.2fs"))
+          f"cpu=${m.executorCpuTime / 1e9}%.2fs gc=${m.jvmGCTime / 1e3}%.2fs ops=$ops"))
       }
     }
     def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0
@@ -64,11 +68,18 @@ object Profile {
       val fn = graft.SparkEntry.queries(name)
       var line = ""
       for (rep <- 1 to 2) {
+        // reset BEFORE construction (r21): iterative operators flatten
+        // via df.rdd, and on an AQE plan that materializes the internal
+        // query stages EAGERLY — real jobs run during "planning". The
+        // listener must see them or the plan_s/exec_s split misattributes
+        // that work as pure Catalyst cost.
+        acc.reset()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
+        val planJobs = acc.jobs
+        val planTaskS = acc.taskTimeMs / 1e3
         val plan = df.queryExecution.executedPlan // force analysis+planning
         val t1 = System.nanoTime()
-        acc.reset()
         df.count()
         val t2 = System.nanoTime()
         // listener events are async; give the bus a moment to drain
@@ -78,6 +89,7 @@ object Profile {
         line = f"""{"q":"$name","rep":$rep,"plan_s":$planS%.3f,""" +
           f""""exec_s":$execS%.3f,"jobs":${acc.jobs},"stages":${acc.stages},""" +
           f""""tasks":${acc.tasks},"task_time_s":${acc.taskTimeMs / 1e3}%.3f,""" +
+          f""""plan_jobs":$planJobs,"plan_task_s":$planTaskS%.3f,""" +
           f""""shuf_rd_mb":${acc.shuffleReadB / 1e6}%.1f,""" +
           f""""shuf_wr_mb":${acc.shuffleWriteB / 1e6}%.1f}"""
         println(line)
