@@ -3683,18 +3683,28 @@ object LlmOps {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", slice(toks, lit(1),
           ceil(size(toks) / lit(3.0)).cast("int"))).as("text"))
+    // 128-bit digest keying (r21, the q116/q137 discipline): the output
+    // never contains the shingle text, so every exchange/sort/probe below
+    // runs on two longs instead of the gram string; a collision is the
+    // accepted 2^-128-class event and the gate-SF oracle re-proves bit
+    // equality every run.
     val g = base.unionByName(frag)
       .select(col("doc_id"), NGramExplode(col("text"), 3).as(Seq("p", "ng")))
-      .select(col("doc_id"), col("ng")).distinct()
+      .select(col("doc_id"), xxhash64(col("ng")).as("h1"),
+        xxhash64(lit(1), col("ng")).as("h2")).distinct()
     // derived ×1 rare cap over THIS query's own (base + fragment)
     // universe — 16 at the gate SFs (the floor binds), scaling with the
     // df distribution on denser corpora; memoized per dataset so the
     // bench's repeated passes don't re-pay the histogram job
-    val dfcRel = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val dfcRel = g.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
     val capQ122 = q122CapCache.getOrCompute(d)(_ => deriveRareCap(dfcRel))
-    val hot = dfcRel.filter(col("df") > capQ122).select(col("ng"))
-    val gr = g.join(broadcast(hot), Seq("ng"), "left_anti")
-    val sz = gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = dfcRel.filter(col("df") > capQ122).select(col("h1"), col("h2"))
+    // set sizes ride along on the survivor relation via one doc-keyed
+    // count window (r21): the pair join then carries (na, nb) through,
+    // and the two end-stage sizes joins plus the sz aggregation exchange
+    // disappear (da→na is a functional dependency, values unchanged).
+    val gr = g.join(broadcast(hot), Seq("h1", "h2"), "left_anti")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // NOTE(r20): generating the Σ df² pairs map-side from per-shingle
     // collect_list doc lists (one groupBy(ng) + a HOF pair expansion
     // instead of the gr ⋈ gr self-join) was tried and REVERTED: 2.3 s →
@@ -3703,13 +3713,13 @@ object LlmOps {
     // extra explode+distinct subtree the join pays. Same lesson as the
     // q137 array_intersect negative: byte-small string streams beat
     // per-row array construction at gate row counts.
-    val pairs = gr.select(col("doc_id").as("a_id"), col("ng"))
-      .join(gr.select(col("doc_id").as("b_id"), col("ng")), "ng")
+    gr.select(col("doc_id").as("a_id"), col("n").as("na"),
+        col("h1"), col("h2"))
+      .join(gr.select(col("doc_id").as("b_id"), col("n").as("nb"),
+        col("h1"), col("h2")), Seq("h1", "h2"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-    pairs
-      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("common"),
         expr("(common * 10000) div least(na, nb)").as("cont10k"),
         expr("(common * 10000) div (na + nb - common)").as("jacc10k"))
@@ -5553,6 +5563,16 @@ object LlmOps {
       // bigger unflattened segment costs more in analysis+codegen than
       // the saved per-round compile. Per-round flattening stays.
       val vin = flattenPlan(visited)
+      // NOTE(r21): explicit broadcast() hints on the contract-bounded
+      // tiny sides (beam, the anti-join's visited side, the fresh
+      // candidate set before the e0 join) were tried and REVERTED —
+      // back-to-back subset bench regressed the whole family (q187 2.06
+      // → 2.67 s, q190 1.61 → 2.35 s, q177 1.99 → 2.70 s, total 9.8 →
+      // 12.6 s at sf0.1): every broadcast is its own eagerly-materialized
+      // BroadcastQueryStage JOB plus a driver-side relation build, and
+      // three of them per round cost more latency than the exchanges
+      // they remove at serve row counts. AQE's runtime SMJ→BHJ
+      // conversion already handles the join strategy from real sizes.
       val beam = vin.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= beamWidth)
       val expand = expandFilter(
@@ -5704,15 +5724,21 @@ object LlmOps {
       .select(col("arm"), col("pid"), col("vid"))
     val exact = top3(scored(cands.drop("cell")
       .crossJoin(broadcast(probes))))
-    def hits(arm: Int, nm: String) = top3All
-      .filter(col("arm") === arm).drop("arm")
-      .join(exact, Seq("pid", "vid"))
-      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    // ONE hits join + a conditional-sum pivot (r21): the previous
+    // four per-arm `hits(a)` joins referenced the WALK subtree and the
+    // exact ground-truth subtree four times each — Catalyst copies the
+    // subtree per reference, so the report re-planned (and AQE
+    // re-materialized) four walks. Per-arm counts are identical: a
+    // per-(arm,pid) count(1) is sum(arm = a) grouped by pid.
+    val hitsAll = top3All.join(exact, Seq("pid", "vid"))
+      .groupBy(col("pid"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("recall_fixed"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("recall_probe1"),
+        sum(when(col("arm") === 2, 1L).otherwise(0L)).as("recall_probe2"),
+        sum(when(col("arm") === 3, 1L).otherwise(0L)).as("recall_hier"))
     probes.select(col("pid"))
-      .join(hits(0, "recall_fixed"), Seq("pid"), "left")
-      .join(hits(1, "recall_probe1"), Seq("pid"), "left")
-      .join(hits(2, "recall_probe2"), Seq("pid"), "left")
-      .join(hits(3, "recall_hier"), Seq("pid"), "left")
+      .join(hitsAll, Seq("pid"), "left")
       .select(col("pid"),
         coalesce(col("recall_fixed"), lit(0L)).as("recall_fixed"),
         coalesce(col("recall_probe1"), lit(0L)).as("recall_probe1"),
@@ -5871,8 +5897,7 @@ object LlmOps {
       .select(col("pid"), col("pe"), col("vid"),
         round(CosineSimilarityExpr(col("pe"), col("ve")), 4).as("sim"))
     val wB = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("vid"))
-    // keep only same-label (pid, vid) rows — shared by round 0 of the
-    // strawman, its per-round expansions, and arm A's answer rank
+    // keep only same-label (pid, vid) rows — round 0 of the strawman arm
     def labelMatch(df: DataFrame): DataFrame = df
       .join(lab, Seq("vid"))
       .join(broadcast(plab), Seq("pid"))
@@ -5898,18 +5923,38 @@ object LlmOps {
       .unionByName(labelMatch(v0).withColumn("arm", lit(1)))
     val walked = beamWalk(v0all, g, e0, expandFilter = armFilter,
       keys = Seq("arm", "pid"))
-    val armWalk =
-      top3(labelMatch(walked.filter(col("arm") === 0).drop("arm")))
-    val armExpand = top3(walked.filter(col("arm") === 1).drop("arm"))
+    // ONE post-walk ranking + ONE hits join (r21, the q177 pivot): the
+    // per-arm top3/hits pipelines referenced the walk subtree (and the
+    // exact ground truth) twice each — Catalyst copies the subtree per
+    // reference. Arm 0 label-restricts post-walk (labelMatch), arm 1
+    // was already label-restricted during the walk, so the combined
+    // filter is (arm = 0 AND label = plabel) OR arm = 1; ranking by
+    // (arm, pid) windows is identical to ranking each filtered arm by
+    // pid. Every vid carries a label row, so the lab join stays
+    // lossless for arm 1.
+    val wArm2 = Window.partitionBy(col("arm"), col("pid"))
+      .orderBy(col("sim").desc, col("vid"))
+    val top3Both = walked
+      .join(lab, Seq("vid"))
+      .join(broadcast(plab), Seq("pid"))
+      .filter(col("arm") === 1 || col("label") === col("plabel"))
+      .drop("label", "plabel")
+      .filter(col("pid") =!= col("vid"))
+      .withColumn("rn", row_number().over(wArm2)).filter(col("rn") <= 3)
+      .select(col("arm"), col("pid"), col("vid"))
     val fex = top3(scored(
       cands.drop("cell").crossJoin(broadcast(probes))
         .join(broadcast(p.select(col("pid"), col("plabel"))), Seq("pid"))
         .filter(col("label") === col("plabel"))))
-    def hits(arm: DataFrame, nm: String) = arm.join(fex, Seq("pid", "vid"))
-      .groupBy(col("pid")).agg(count(lit(1)).as(nm))
+    val hitsAll = top3Both.join(fex, Seq("pid", "vid"))
+      .groupBy(col("pid"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L))
+          .as("recall_walk_filter"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L))
+          .as("recall_expand_filter"))
     plab
-      .join(hits(armWalk, "recall_walk_filter"), Seq("pid"), "left")
-      .join(hits(armExpand, "recall_expand_filter"), Seq("pid"), "left")
+      .join(hitsAll, Seq("pid"), "left")
       .select(col("pid"), col("plabel").as("label"),
         coalesce(col("recall_walk_filter"), lit(0L))
           .as("recall_walk_filter"),
@@ -7289,37 +7334,52 @@ object LlmOps {
     * reuse the shingle/doc shuffles q35 already pays; the verify join is
     * candidate-gated. t = 0.8. */
   def q137(s: SparkSession, d: String): DataFrame = {
+    // 128-bit digest keying (r21, the q116 discipline): every exchange,
+    // sort and hash probe below runs on two longs instead of the ~25-byte
+    // shingle string — the output never contains the shingle itself, so
+    // the text can be dropped at the scan. The prefix filter stays
+    // lossless under the digest tiebreak: the Chaudhuri/Bayardo prefix
+    // property needs only A consistent global total order over the
+    // shingle universe, and (df, h1, h2) is one just as (df, ngram) was —
+    // the selected prefixes differ but every qualifying pair still shares
+    // a prefix shingle, and the gate-SF oracle (the deliberately naive
+    // all-pairs form) re-proves the equality every run. A digest
+    // collision is the same 2^-128-class event q116 already accepts.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("ngram")).distinct()
+      .select(col("doc_id"), xxhash64(col("ngram")).as("h1"),
+        xxhash64(lit(1), col("ngram")).as("h2")).distinct()
     val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("ngram"))))
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("h1"), col("h2"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val prefix = ranked
       .filter(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
-    val cand = prefix.select(col("doc_id").as("da"), col("ngram"))
-      .join(prefix.select(col("doc_id").as("db"), col("ngram")), "ngram")
+    // set sizes ride along THROUGH the candidate join (r21): prefix rows
+    // already carry n, so the pair keeps (na, nb) and the two end-stage
+    // sizes joins (plus the sizes distinct) disappear — same functional
+    // dependency da→na, two exchanges and two join stages fewer.
+    val cand = prefix.select(col("doc_id").as("da"), col("n").as("na"),
+        col("h1"), col("h2"))
+      .join(prefix.select(col("doc_id").as("db"), col("n").as("nb"),
+        col("h1"), col("h2")), Seq("h1", "h2"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .select(col("da"), col("db"), col("na"), col("nb")).distinct()
     // NOTE(r20): rewriting this as per-doc shingle arrays +
     // array_intersect per pair was tried and REVERTED — fewer exchanges
     // on paper, but in-sweep it measured +0.35 s (collect_list and the
     // per-pair hash-set build cost more than the exploded join at the
     // candidate counts the prefix filter leaves). Original form kept.
-    // set sizes ride along on the ranked relation (its doc window already
-    // computed them) instead of re-aggregating sh a second time
-    val sizes = ranked.select(col("doc_id"), col("n")).distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("ngram")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("ngram")),
-        Seq("db", "ngram"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("h1"), col("h2")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("h1"), col("h2")),
+        Seq("db", "h1", "h2"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
         expr("(inter * 10000) DIV (na + nb - inter)").as("jacq"))
       .filter(col("jacq") >= 8000)
