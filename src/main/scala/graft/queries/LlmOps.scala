@@ -4664,7 +4664,13 @@ object LlmOps {
     // symmetrized+deduped edge set as a flattened leaf pays the
     // union+distinct shuffle once — every further reference re-executes
     // only the leaf scan above the reused shuffle output.
-    val und = if (preSymmetrized) g else symmetrize(g).distinct()
+    // non-preSymmetrized inputs here are cheap leaves (q169's round
+    // inputs are flattened RDDs, round 1 is the bridge projection) — the
+    // two-scan union form beats the explode generator's per-row
+    // array/struct allocation there; [[symmetrize]] is for callers whose
+    // edge relation carries an EXPENSIVE subtree (q166's seed).
+    val und = if (preSymmetrized) g else g.unionByName(
+      g.select(col("vb").as("va"), col("va").as("vb"))).distinct()
     val uns = sample.fold(und)(salt => und.filter(
       pmod(col("va") * lit(1000003L) + col("vb") * lit(999331L) + lit(salt),
         lit(1000L)) < lit(nnRho(g.sparkSession).toLong)))
