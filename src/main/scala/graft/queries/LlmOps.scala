@@ -3703,7 +3703,15 @@ object LlmOps {
     // count window (r21): the pair join then carries (na, nb) through,
     // and the two end-stage sizes joins plus the sz aggregation exchange
     // disappear (da→na is a functional dependency, values unchanged).
+    // compute-width pinning (r21, the q137 discipline): the pair join is
+    // a broadcast probe, so this doc-keyed window exchange is the last
+    // shuffle before the Σ df² explosion + count pipeline — AQE coalesced
+    // that stage to 5 tasks (profiled: 1.7 s task time at sf0.1/32c).
+    // The user repartition replaces the implicit exchange and pins the
+    // stage uncoalescible at the session's shuffle width.
     val gr = g.join(broadcast(hot), Seq("h1", "h2"), "left_anti")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // NOTE(r20): generating the Σ df² pairs map-side from per-shingle
     // collect_list doc lists (one groupBy(ng) + a HOF pair expansion
@@ -4930,7 +4938,10 @@ object LlmOps {
     // (measured 157/1500 recall@3 at K=3 vs 3-4x that at K=10); the
     // final round keeps the reported top-3
     def salt(r: Int): Option[Long] = if (sampled) Some(r.toLong) else None
-    var g = bridgeLinks(s, e0, n, b = 10)
+    // r21: every round input is the symmetrized+deduped leaf (see the
+    // loop note) — including round 1's bridge graph, whose explode chain
+    // would otherwise re-execute per reference.
+    var g = flattenPlan(symmetrize(bridgeLinks(s, e0, n, b = 10)).distinct())
     for (r <- 1 until rounds)
       // flatten CATALYST lineage between rounds: each round's plan
       // references its input 4+ times (symmetrize × expansion
@@ -4944,9 +4955,22 @@ object LlmOps {
       // (localCheckpoint would flatten too but parks persisted blocks
       // until GC, which the RegistrySpec zero-persisted-RDDs guard
       // rightly rejects for a long-lived driver).
-      g = flattenPlan(nnDescentRound(g, e, k = 10, ordered = false,
-        sample = salt(r)).select(col("va"), col("vb")))
-    nnDescentRound(g, e, k = 3, ordered = ordered, sample = salt(rounds))
+      // r21: the leaf carries the SYMMETRIZED+DEDUPED edge set (the
+      // q166 seed discipline applied to every round): with the round's
+      // directed top-K as the leaf, its narrow tail above the last
+      // shuffle — the per-node sort + rank window — re-executed SIX
+      // times in the next round's plan (und 2× + non 2× + cand 2×,
+      // all copies of the leaf). Folding symmetrize().distinct() into
+      // the leaf puts the distinct's exchange ABOVE the window, so the
+      // window runs once per round, every reference replays only the
+      // cheap distinct tail, the round's own und-dedup exchange
+      // disappears, and the leaf is referenced 3× instead of 6×.
+      // Values unchanged: the leaf equals the oracle's und$i CTE.
+      g = flattenPlan(symmetrize(nnDescentRound(g, e, k = 10,
+          ordered = false, sample = salt(r), preSymmetrized = true)
+          .select(col("va"), col("vb"))).distinct())
+    nnDescentRound(g, e, k = 3, ordered = ordered, sample = salt(rounds),
+      preSymmetrized = true)
   }
 
   /** One unrolled oracle NN-Descent round: reads edge CTE `$gin(va,
@@ -7356,9 +7380,21 @@ object LlmOps {
         NGramExplode(col("text"), 3).as(Seq("pos", "ngram")))
       .select(col("doc_id"), xxhash64(col("ngram")).as("h1"),
         xxhash64(lit(1), col("ngram")).as("h2")).distinct()
+    // compute-width pinning (r21, the cellGraph/q136 discipline): every
+    // join below is a broadcast, so the per-doc window exchange here is
+    // the LAST shuffle before the whole candidate-explosion + verify +
+    // count pipeline — and AQE's byte-based coalescing ran that one
+    // stage on 5 tasks (profiled: 4.0 s of its 7.5 s task time at
+    // sf0.1/32c while 27 cores idled). The user repartition REPLACES
+    // the implicit exchange (same key, so the windows' distribution is
+    // satisfied) and, being user-specified, pins the stage
+    // uncoalescible. P is the session's shuffle-partitions conf — the
+    // scale-adaptive width knob, not a local constant.
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranked = sh
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
+      .repartition(parts, col("doc_id"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("h1"), col("h2"))))
