@@ -14,10 +14,31 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Parquet-footer schema, memoized per path (r21). A bare
+    * `spark.read.parquet(p)` runs a schema-inference JOB on every call
+    * (~90-130 ms measured on this harness — one 1-task footer-read job
+    * plus its scheduling), and the engine constructs each registered
+    * query's inputs fresh on every invocation, so the sweep was paying
+    * that job hundreds of times for byte-identical footers. Caching the
+    * STRUCTTYPE (metadata only — the catalog/metastore posture every
+    * production deployment already has; data is still scanned from
+    * parquet on every execution) and constructing reads with
+    * `spark.read.schema(cached)` skips the inference job. Safe because
+    * every cached path is immutable once written: the driver testdata,
+    * and the scratch/landed artifacts (unique dir per materialization).
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  def parquet(spark: SparkSession, p: String): DataFrame = {
+    val sc = schemaCache.computeIfAbsent(p, q => spark.read.parquet(q).schema)
+    spark.read.schema(sc).parquet(p)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
-      case _        => spark.read.parquet(path(sfDir, name))
+      case _        => parquet(spark, path(sfDir, name))
     }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
@@ -41,8 +62,9 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Runtime-settable legacy conf: physical INT64 TIMESTAMP(NANOS) → LongType
+    // (needed both for the one-time schema inference and at scan time)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(sfDir, "events"))
+    val raw = parquet(spark, path(sfDir, "events"))
     val tsField = raw.schema("ts").dataType
     val withTs = tsField.typeName match {
       case "long" =>

@@ -74,7 +74,7 @@ object ConnectedComponents {
       maxIters: Int = 20,
       onRound: DataFrame => Unit = _ => (),
       localMaxEdges: Long = LocalMaxEdges): DataFrame =
-    pairs.sparkSession.read.parquet(
+    graft.Tables.parquet(pairs.sparkSession,
       minLabelPropagationPath(pairs, maxIters, onRound, localMaxEdges))
 
   /** [[minLabelPropagation]] returning the scratch-parquet PATH of the
@@ -102,7 +102,7 @@ object ConnectedComponents {
     val nodes = edges.select(col("a").as("doc_id")).distinct()
     var labelsPath = Scratch.materializePath(
       nodes.withColumn("lbl", col("doc_id")), "cc-labels")
-    var labels = spark.read.parquet(labelsPath)
+    var labels = graft.Tables.parquet(spark, labelsPath)
     var lblFp = labelFingerprint(labels)
     var converged = false
     var iter = 0
@@ -134,7 +134,7 @@ object ConnectedComponents {
         val computed = step(step(labels))
         onRound(computed)
         val nextPath = Scratch.materializePath(computed, "cc-labels")
-        val next = spark.read.parquet(nextPath)
+        val next = graft.Tables.parquet(spark, nextPath)
         val nextFp =
           try labelFingerprint(next)
           catch { case t: Throwable => Scratch.release(nextPath); throw t }

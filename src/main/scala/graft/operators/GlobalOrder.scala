@@ -50,7 +50,7 @@ object GlobalOrder {
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__range_id", spark_partition_id()),
       "global-rank")
-    val snap = spark.read.parquet(snapPath)
+    val snap = graft.Tables.parquet(spark, snapPath)
     val counts = snap.groupBy(col("__range_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum

@@ -69,7 +69,7 @@ object Hits {
     val spark = edges0.sparkSession
     val edgesPath = Scratch.materializePath(edges0, "hits-edges")
     try {
-      val edges = spark.read.parquet(edgesPath)
+      val edges = graft.Tables.parquet(spark, edgesPath)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node")))
         .distinct()
@@ -89,19 +89,19 @@ object Hits {
       }
 
       for (_ <- 1 to iters) {
-        val h = spark.read.parquet(hPath)
+        val h = graft.Tables.parquet(spark, hPath)
         val a = halfRound(h, "hubq", "src", "dst", "authq")
         val newAPath = Scratch.materializePath(a, "hits-a")
         if (aPath != null) Scratch.release(aPath)
         aPath = newAPath
-        val aLanded = spark.read.parquet(aPath)
+        val aLanded = graft.Tables.parquet(spark, aPath)
         val hNext = halfRound(aLanded, "authq", "dst", "src", "hubq")
         val newHPath = Scratch.materializePath(hNext, "hits-h")
         Scratch.release(hPath)
         hPath = newHPath
       }
-      val result = spark.read.parquet(hPath)
-        .join(spark.read.parquet(aPath), "node")
+      val result = graft.Tables.parquet(spark, hPath)
+        .join(graft.Tables.parquet(spark, aPath), "node")
         .select(col("node"), col("hubq"), col("authq"))
       val resultPath = Scratch.materializePath(result, "hits-scores")
       Scratch.release(hPath)
@@ -117,6 +117,6 @@ object Hits {
     * registered query. */
   def scores(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
-    spark.read.parquet(scoresPath(edges, iters))
+    graft.Tables.parquet(spark, scoresPath(edges, iters))
   }
 }

@@ -94,14 +94,14 @@ object PageRank {
     val edgesPath = Scratch.materializePath(
       edges0.select(col("src"), col("dst")), "pagerank-edges")
     try {
-      val edges = spark.read.parquet(edgesPath)
+      val edges = graft.Tables.parquet(spark, edgesPath)
       val nodes = nodesOf(edges)
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       var path = Scratch.materializePath(
         nodes.withColumn("rankq", lit(Scale)), "pagerank-ranks")
       try {
         for (_ <- 1 to iters) {
-          val next = step(edges, outdeg, nodes, spark.read.parquet(path))
+          val next = step(edges, outdeg, nodes, graft.Tables.parquet(spark, path))
           val nextPath = Scratch.materializePath(next, "pagerank-ranks")
           Scratch.release(path)
           path = nextPath

@@ -53,7 +53,7 @@ object Scratch {
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def materialize(df: DataFrame, name: String): DataFrame =
-    df.sparkSession.read.parquet(materializePath(df, name))
+    graft.Tables.parquet(df.sparkSession, materializePath(df, name))
 
   /** Reserve a scratch dir WITHOUT writing — for append-accumulated
     * relations ([[appendPath]]) where rounds of an iterative operator

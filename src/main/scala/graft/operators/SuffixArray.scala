@@ -124,17 +124,17 @@ object SuffixArray {
       * one constant-lvl delta, so parquet file skipping applies). */
     def levelDf(spark: SparkSession, i: Int): DataFrame = {
       val l = levels(i)
-      val own = spark.read.parquet(l.path).select(col("pos"), col("rank"))
+      val own = graft.Tables.parquet(spark, l.path).select(col("pos"), col("rank"))
       if (l.full || l.resolvedBefore == 0L) own
-      else own.unionByName(spark.read.parquet(finalsPath.get)
+      else own.unionByName(graft.Tables.parquet(spark, finalsPath.get)
         .filter(col("lvl") < l.prefixLen).select(col("pos"), col("rank")))
     }
 
     /** The converged all-distinct ranking — (pos, rank), all n rows. */
     def finalRanksDf(spark: SparkSession): DataFrame =
       if (levels.last.full)
-        spark.read.parquet(levels.last.path).select(col("pos"), col("rank"))
-      else spark.read.parquet(finalsPath.get).select(col("pos"), col("rank"))
+        graft.Tables.parquet(spark, levels.last.path).select(col("pos"), col("rank"))
+      else graft.Tables.parquet(spark, finalsPath.get).select(col("pos"), col("rank"))
 
     def release(): Unit = {
       levels.foreach(l => Scratch.release(l.path))
@@ -203,7 +203,7 @@ object SuffixArray {
       val w = seedWidth
       val parts = shufflePartitions(spark)
       val blockB = math.max(w.toLong, n / parts + 1L)
-      val r0rel = spark.read.parquet(levels.last.path)
+      val r0rel = graft.Tables.parquet(spark, levels.last.path)
         .select(col("pos"), col("rank"))
       val wide = r0rel
         .select(col("pos"), col("rank"),
@@ -247,7 +247,7 @@ object SuffixArray {
     def maybeSwitch(): Unit =
       if (fullMode && !done && maxGroup <= maxLocalGroup) {
         val fp = Scratch.allocPath("sa-finals")
-        val cur = spark.read.parquet(levels.last.path)
+        val cur = graft.Tables.parquet(spark, levels.last.path)
         val solos = cur.filter(col("solo"))
           .select(col("pos"), col("rank"), lit(gap).as("lvl"))
         // one pass: the append's write job carries the count observation
@@ -262,7 +262,7 @@ object SuffixArray {
     while (!done && gap < n) {
       if (fullMode) {
         // GLOBAL round: re-rank all n positions by (rank, rank+gap)
-        val r = spark.read.parquet(levels.last.path)
+        val r = graft.Tables.parquet(spark, levels.last.path)
         val shifted = r.select((col("pos") - gap).as("pos"),
           col("rank").as("r2"))
         val pairs = r.select(col("pos"), col("rank").as("r1"))
@@ -281,7 +281,7 @@ object SuffixArray {
         // ACTIVE round: re-rank only the unresolved tail
         val last = levels.last
         val lastIdx = levels.size - 1
-        val activeIn = spark.read.parquet(last.path)
+        val activeIn = graft.Tables.parquet(spark, last.path)
           .filter(!col("solo")).select(col("pos"), col("rank"))
         val activeCnt = n - resolved
         // pair lookup against the FULL level relation: pos+gap < n
@@ -358,7 +358,7 @@ object SuffixArray {
         val grpCnt = st("g").asInstanceOf[Long]
         gap *= 2
         if (soloCnt > 0)
-          Scratch.appendPath(spark.read.parquet(landed)
+          Scratch.appendPath(graft.Tables.parquet(spark, landed)
             .filter(col("solo"))
             .select(col("pos"), col("rank"), lit(gap).as("lvl")),
             finalsPath.get)
@@ -376,9 +376,9 @@ object SuffixArray {
   // the hierarchy object exists)
   private def levelDfOf(spark: SparkSession, l: SaLevel,
       finalsPath: Option[String]): DataFrame = {
-    val own = spark.read.parquet(l.path).select(col("pos"), col("rank"))
+    val own = graft.Tables.parquet(spark, l.path).select(col("pos"), col("rank"))
     if (l.full || l.resolvedBefore == 0L) own
-    else own.unionByName(spark.read.parquet(finalsPath.get)
+    else own.unionByName(graft.Tables.parquet(spark, finalsPath.get)
       .filter(col("lvl") < l.prefixLen).select(col("pos"), col("rank")))
   }
 
@@ -422,7 +422,7 @@ object SuffixArray {
     val b = fin.select((col("rank") - 1).as("rank"), col("pos").as("b_pos"))
     var statePath = Scratch.materializePath(
       a.join(b, Seq("rank")).withColumn("lcp", lit(0L)), "sa-lcp")
-    var state = spark.read.parquet(statePath)
+    var state = graft.Tables.parquet(spark, statePath)
     var sinceLand = 0
     // Step plan: levels in DECREASING prefix order, each level applied
     // `prev/p − 1` times (prev = the next-larger level; the top once).
@@ -461,7 +461,7 @@ object SuffixArray {
         val newState = Scratch.materializePath(state, "sa-lcp")
         Scratch.release(statePath)
         statePath = newState
-        state = spark.read.parquet(statePath)
+        state = graft.Tables.parquet(spark, statePath)
         sinceLand = 0
       }
     }
@@ -605,7 +605,7 @@ object SuffixArray {
         val landed = Scratch.materializePath(comp0, "sa-lcp-comp-part")
         compScratch.foreach(Scratch.release)
         compScratch = Some(landed)
-        comp0 = spark.read.parquet(landed)
+        comp0 = graft.Tables.parquet(spark, landed)
         sinceCompLand = 0
       }
     }
@@ -655,7 +655,7 @@ object SuffixArray {
       var round = 0
       while (inFlight > 0 && round < maxRounds) {
         round += 1
-        val st0 = spark.read.parquet(statePath)
+        val st0 = graft.Tables.parquet(spark, statePath)
         val state =
           if (stateHasDone) st0.filter(!col("__done")).drop("__done")
           else st0
@@ -688,7 +688,7 @@ object SuffixArray {
         statePath = newPath
         stateHasDone = true
         val resolved = Scratch.appendPathCounted(
-          spark.read.parquet(newPath).filter(col("__done"))
+          graft.Tables.parquet(spark, newPath).filter(col("__done"))
             .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp")),
           outPath)
         inFlight -= resolved
@@ -739,7 +739,7 @@ object SuffixArray {
     // re-counting anything
     val boundCounts = scala.collection.mutable.Map.empty[Long, Long]
     for (grp <- h.levels.indices.grouped(LcpLandEvery) if live > 0) {
-      val st0 = spark.read.parquet(statePath)
+      val st0 = graft.Tables.parquet(spark, statePath)
       var cur =
         if (stateHasExit) st0.filter(col("__x") === 0L).drop("__x") else st0
       // inner joins on the pair's OWN positions (static keys): every
@@ -766,7 +766,7 @@ object SuffixArray {
       Scratch.release(statePath)
       statePath = newPath
       stateHasExit = true
-      val landed = spark.read.parquet(newPath)
+      val landed = graft.Tables.parquet(spark, newPath)
       for ((p, _) <- ms) {
         val mism = Scratch.appendPathCounted(
           landed.filter(col("__x") === p)
@@ -790,7 +790,7 @@ object SuffixArray {
       lit(0L).as("b_pos"), lit(0L).as("lcp"))
     val resolvedDirect =
       if (boundCounts.nonEmpty)
-        spark.read.parquet(brkPath)
+        graft.Tables.parquet(spark, brkPath)
           .filter(col("bound") - col("lcp") <= 1)
           .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
       else lcpSchemaEmpty
@@ -835,7 +835,7 @@ object SuffixArray {
           case (q, ip) if ip == p && unresolvedClass(q) => q
         }.toSeq
         if (qs.nonEmpty) {
-          val inj = spark.read.parquet(brkPath)
+          val inj = graft.Tables.parquet(spark, brkPath)
             .filter(col("bound").isin(qs: _*))
             .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
           state = Some(state.map(_.unionByName(inj)).getOrElse(inj))
@@ -859,7 +859,7 @@ object SuffixArray {
             rpFull.join(broadcast(need), col("pos") === col("need"),
               "left_semi"), "sa-lcp-rp")
           rpScratch = Some(fp)
-          broadcast(spark.read.parquet(fp))
+          broadcast(graft.Tables.parquet(spark, fp))
         } else rpFull
         val stepped = state.get
           .join(rp.select(col("pos").as("__ap"), col("rank").as("__ar")),
@@ -877,7 +877,7 @@ object SuffixArray {
           val newState = Scratch.materializePath(stepped, "sa-lcp-down")
           downPath.foreach(Scratch.release)
           downPath = Some(newState)
-          state = Some(spark.read.parquet(newState))
+          state = Some(graft.Tables.parquet(spark, newState))
           sinceLand = 0
         } else state = Some(stepped)
         rpScratch.foreach(Scratch.release)
@@ -885,7 +885,7 @@ object SuffixArray {
     }
     // the last rep force-lands, so the final state is pure parquet
     downPath.foreach { dp =>
-      Scratch.appendPath(spark.read.parquet(dp), outPath)
+      Scratch.appendPath(graft.Tables.parquet(spark, dp), outPath)
       Scratch.release(dp)
     }
     Scratch.release(brkPath)

@@ -229,7 +229,7 @@ object Analytics {
         .agg(count(lit(1)).as("w"))
       Hits.scoresPath(wedges, iters = 2)
     }
-    s.read.parquet(path)
+    Tables.parquet(s, path)
       .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
       .select(col("node"), col("n_name"), col("hubq"), col("authq"))
       .orderBy(col("node"))

@@ -282,7 +282,7 @@ object Curation {
       graft.operators.GlobalOrder.rowNumberPath(
         LlmOps.q38(s, dir).select(col("doc_id"), col("quality")),
         "rn", col("quality").desc, col("doc_id")))
-    s.read.parquet(path)
+    Tables.parquet(s, path)
       .withColumn("phase",
         graft.operators.GlobalOrder.ntileFromRank(col("rn"), total, 4))
       .withColumn("shuffle_key", LlmOps.lcgKey(col("doc_id")))
@@ -328,7 +328,7 @@ object Curation {
         epochs, "grn", col("epoch"), col("k"), col("doc_id"))
     }
     val n = total / 2
-    s.read.parquet(path)
+    Tables.parquet(s, path)
       .select(col("epoch"),
         (col("grn").cast("long") - (col("epoch").cast("long") - 1) * n)
           .as("position"),
@@ -958,7 +958,7 @@ object Curation {
         .agg(count(lit(1)).as("n"))
       graft.operators.Scratch.materializePath(docb, "dsir-docb")
     }
-    s.read.parquet(path)
+    Tables.parquet(s, path)
   }
 
   def q113(s: SparkSession, d: String): DataFrame = {
@@ -1236,8 +1236,8 @@ object Curation {
 
   def q121(s: SparkSession, d: String): DataFrame = {
     val (flatPath, rankPath) = saPathsFor(s, d)
-    s.read.parquet(flatPath)
-      .join(s.read.parquet(rankPath), "pos")
+    Tables.parquet(s, flatPath)
+      .join(Tables.parquet(s, rankPath), "pos")
       .select(col("pos"), col("tok"), col("rank").as("sa_rank"))
       .orderBy(col("pos"))
   }
@@ -1260,13 +1260,13 @@ object Curation {
   def q123(s: SparkSession, d: String): DataFrame = {
     val path = lcpCache.getOrCompute(d) { dir =>
       val (flatPath, _) = saPathsFor(s, dir)
-      val flat = s.read.parquet(flatPath)
+      val flat = Tables.parquet(s, flatPath)
       val n = flat.count()
       val planted = flat.filter(col("pos") < 10)
         .select((col("pos") + n).as("pos"), col("tok"))
       graft.operators.SuffixArray.lcpPath(flat.unionByName(planted))
     }
-    s.read.parquet(path)
+    Tables.parquet(s, path)
       .select(col("rank"), col("a_pos"), col("b_pos"), col("lcp"))
       .orderBy(col("rank"))
   }
@@ -1289,7 +1289,7 @@ object Curation {
         .select((col("off") + col("p")).cast("long").as("pos"), col("tok"))
       val flatPath = graft.operators.Scratch.materializePath(flat, "sa-toks")
       val rankPath =
-        graft.operators.SuffixArray.ranksPath(s.read.parquet(flatPath))
+        graft.operators.SuffixArray.ranksPath(Tables.parquet(s, flatPath))
       (flatPath, rankPath)
     }
 
@@ -1406,7 +1406,7 @@ object Curation {
       try exactSubstrOutPath(s, flatPath, "exactsubstr-out")
       finally graft.operators.Scratch.release(flatPath)
     }
-    s.read.parquet(path).orderBy(col("doc_id"))
+    Tables.parquet(s, path).orderBy(col("doc_id"))
   }
 
   /** The shared ExactSubstr remove-all ENGINE behind [[q148]] (8-doc
@@ -1423,14 +1423,14 @@ object Curation {
     * artifact is released here. */
   private def exactSubstrOutPath(
       s: SparkSession, flatPath: String, scratchName: String): String = {
-    val flatL = s.read.parquet(flatPath)
+    val flatL = Tables.parquet(s, flatPath)
     val h = graft.operators.SuffixArray.hierarchy(
       flatL.select(col("pos"), col("tok")))
     val lcpP =
       try graft.operators.SuffixArray.lcpFromLevels(s, h)
       finally h.release()
     try {
-      val lcp = s.read.parquet(lcpP)
+      val lcp = Tables.parquet(s, lcpP)
       // remove-all: both occurrences of every ≥L adjacent-LCP pair
       val spans = lcp.filter(col("lcp") >= ExactSubstrMinRun)
         .select(explode(array(
@@ -1575,7 +1575,7 @@ object Curation {
         posexplode(col("toks")).as(Seq("p", "tok")))
       val (rnPath, _) = graft.operators.GlobalOrder.rowNumberPath(
         toksRaw, "rn", col("doc_id"), col("p"))
-      val flat = s.read.parquet(rnPath)
+      val flat = Tables.parquet(s, rnPath)
         .select(col("doc_id"), col("p").cast("long").as("p"),
           (col("rn") - 1).cast("long").as("pos"), col("tok"))
       val flatPath = graft.operators.Scratch.materializePath(
@@ -1584,7 +1584,7 @@ object Curation {
       try exactSubstrOutPath(s, flatPath, "exactsubstr-corpus-out")
       finally graft.operators.Scratch.release(flatPath)
     }
-    s.read.parquet(path).orderBy(col("doc_id"))
+    Tables.parquet(s, path).orderBy(col("doc_id"))
   }
 
   private val q159Sql =

@@ -62,11 +62,11 @@ object LlmOps {
   private def hotShinglesRel(s: SparkSession, d: String): DataFrame = {
     val path = hotShingleCache.getOrCompute(d) { dir =>
       val cap = maxShingleDocFreq(s, dir)
-      val hot = s.read.parquet(shingleDfPath(s, dir))
+      val hot = Tables.parquet(s, shingleDfPath(s, dir))
         .filter(col("df") > cap).select(col("ngram"))
       graft.operators.Scratch.materializePath(hot, "hot-shingles")
     }
-    s.read.parquet(path)
+    Tables.parquet(s, path)
   }
 
   /** (doc_id, ngram) shingle occurrences over the RARE-shingle universe
@@ -523,7 +523,7 @@ object LlmOps {
     * universe constant by construction. */
   private[queries] def rareShingleCap(s: SparkSession, d: String): Long =
     rareCapCache.getOrCompute(d) { dir =>
-      deriveRareCap(s.read.parquet(shingleDfPath(s, dir)))
+      deriveRareCap(Tables.parquet(s, shingleDfPath(s, dir)))
     }
 
   /** Doc-frequency cap for the exact shingle path: a shingle present in
@@ -598,7 +598,7 @@ object LlmOps {
     val path = jaccardPairsCache.getOrCompute(d)(dir =>
       graft.operators.Scratch.materializePath(
         jaccardPairsPlan(s, dir), "jaccard-pairs"))
-    s.read.parquet(path)
+    Tables.parquet(s, path)
   }
 
   /** q35 — n-gram Jaccard near-dup candidates: docs sharing ≥2 rare
@@ -1008,7 +1008,7 @@ object LlmOps {
       .select(col("vec_id"), col("vq")).head()
     val probeId = probeRow.getLong(0)
     val probe = probeRow.getSeq[Long](1).toArray
-    s.read.parquet(art.path)
+    Tables.parquet(s, art.path)
       .filter(col("vec_id") =!= probeId)
       .select(col("vec_id"), Pq.adc(art.cb, probe).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
@@ -1075,7 +1075,7 @@ object LlmOps {
       element_at(element_at(col("tabs"), j + 1), col(s"code_$j").cast("int") + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("pid")).orderBy(col("adc"), col("cid"))
-    s.read.parquet(art.path)
+    Tables.parquet(s, art.path)
       .join(broadcast(probes), Seq("cell"))
       .filter(col("pid") =!= col("vec_id"))
       .select(col("pid"), col("vec_id").as("cid"), adc.as("adc"))
@@ -1133,7 +1133,7 @@ object LlmOps {
     * estimates. No oracle (sketch, engine-specific binary);
     * RetrievalStatsSpec gates est ≥ truth and est − truth ≤ eps·N. */
   def q98(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(q98StatsPath(s, d))
+    Tables.parquet(s, q98StatsPath(s, d))
       .orderBy(col("exact_freq").desc, col("tok"))
 
   private val cmsStatsCache =
@@ -1182,7 +1182,7 @@ object LlmOps {
     * doc_id%13==7 docs are token-reversed (trigrams destroyed — must
     * come back unmatched). */
   def q92(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(q92VerdictPath(s, d)).orderBy(col("new_id"))
+    Tables.parquet(s, q92VerdictPath(s, d)).orderBy(col("new_id"))
 
   private val incNearDupCache =
     new graft.operators.DatasetCache[String]("q92-verdict", Seq(_))
@@ -1248,7 +1248,7 @@ object LlmOps {
           .agg(countDistinct(col("ngram")).as("inter"))
           .filter(col("inter") >= 2)
       val candPath = graft.operators.Scratch.materializePath(candBuild, "q92-cand")
-      val cand = s.read.parquet(candPath)
+      val cand = Tables.parquet(s, candPath)
       val nEx = shingleRel(s, dir,
           docGate = Some(cand.select(col("doc_id")).distinct()))
         .distinct()
@@ -1377,7 +1377,7 @@ object LlmOps {
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct(),
         "lsh-cand-pairs")
-      val pairs = s.read.parquet(pairsPath)
+      val pairs = Tables.parquet(s, pairsPath)
       val candDocs = pairs.select(col("da").as("doc_id"))
         .union(pairs.select(col("db").as("doc_id"))).distinct()
       // per-doc set capped at 8192 fingerprints (smallest-hash prefix).
@@ -1422,7 +1422,7 @@ object LlmOps {
     * scale by orders of magnitude). Recall vs the exact q35 pairs is
     * additionally asserted in tests. */
   def q35d(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(lshVerifiedPairsPath(s, d))
+    Tables.parquet(s, lshVerifiedPairsPath(s, d))
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
 
@@ -1867,7 +1867,7 @@ object LlmOps {
 
   private def landedHashes(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame =
-    s.read.parquet(fpHashCache.getOrCompute(key)(_ =>
+    Tables.parquet(s, fpHashCache.getOrCompute(key)(_ =>
       graft.operators.Scratch.materializePath(build, "fp-hashes")))
 
   /** The 8 × 16-bit band slices of a (h_hi, h_lo) fingerprint: bands
@@ -2187,10 +2187,10 @@ object LlmOps {
           .unionByName(frameSpanningEdges(videoFrameHashes(s, dir))),
         "fp-dedup-edges")
       try graft.operators.ConnectedComponents
-        .minLabelPropagationPath(s.read.parquet(edgesPath))
+        .minLabelPropagationPath(Tables.parquet(s, edgesPath))
       finally graft.operators.Scratch.release(edgesPath)
     }
-    val labels = s.read.parquet(labelsPath)
+    val labels = Tables.parquet(s, labelsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
     val clustered = labels.join(sizes, "lbl")
       .select(col("doc_id").as("media_id"), col("lbl"), col("cs"))
@@ -2306,10 +2306,10 @@ object LlmOps {
           landedHashes(s, s"synth:$dir")(syntheticFingerprints(s, dir))),
         "fp-closure-edges")
       try graft.operators.ConnectedComponents
-        .minLabelPropagationPath(s.read.parquet(edgesPath))
+        .minLabelPropagationPath(Tables.parquet(s, edgesPath))
       finally graft.operators.Scratch.release(edgesPath)
     }
-    val labels = s.read.parquet(labelsPath)
+    val labels = Tables.parquet(s, labelsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
     val clustered = labels.join(sizes, "lbl")
       .select(col("doc_id").as("media_id"), col("lbl"), col("cs"))
@@ -2396,7 +2396,7 @@ object LlmOps {
         freqs, "tok_id", col("freq").desc, col("tok"))
       path
     }
-    val vocab = s.read.parquet(vocabPath)
+    val vocab = Tables.parquet(s, vocabPath)
     toks.join(broadcast(vocab.select(col("tok"), col("tok_id"))), Seq("tok"), "left")
       .withColumn("tok_id", coalesce(col("tok_id"), lit(0)))
       .groupBy(col("doc_id"))
@@ -2556,10 +2556,10 @@ object LlmOps {
           .select(col("da"), col("db")),
         "q61-pairs")
       try graft.operators.ConnectedComponents.minLabelPropagationPath(
-        s.read.parquet(pairsPath))
+        Tables.parquet(s, pairsPath))
       finally graft.operators.Scratch.release(pairsPath)
     }
-    s.read.parquet(labelsPath)
+    Tables.parquet(s, labelsPath)
   }
 
   def q61(s: SparkSession, d: String): DataFrame = {
@@ -3111,7 +3111,7 @@ object LlmOps {
       graft.operators.GlobalOrder.rowNumberPath(perDoc, "rn",
         col("interp_logp").desc, col("doc_id"))
     }
-    s.read.parquet(path)
+    Tables.parquet(s, path)
       .withColumn("bucket",
         graft.operators.GlobalOrder.ntileFromRank(col("rn"), total, 3))
       .select(col("doc_id"), col("n_bigrams"), col("interp_logp"),
@@ -3304,14 +3304,14 @@ object LlmOps {
     val isDelta = col("doc_id") % 13 === 2
     val (postPath, dlPath) = bm25MainSeg(s, d)
     val termsRel = Bm25QueryTerms.toDF("term")
-    val mainTf = s.read.parquet(postPath)
+    val mainTf = Tables.parquet(s, postPath)
       .join(broadcast(termsRel), Seq("term"), "left_semi")
     val delta = Tables.documents(s, d).filter(isDelta)
     val deltaTf = delta
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .join(broadcast(termsRel), Seq("term"), "left_semi")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val dl = s.read.parquet(dlPath).unionByName(
+    val dl = Tables.parquet(s, dlPath).unionByName(
       delta.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl")))
     bm25ScoreRelations(mainTf.unionByName(deltaTf), dl)
@@ -3345,18 +3345,18 @@ object LlmOps {
       val deltaPosts = delta
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      val merged = s.read.parquet(postPath).unionByName(deltaPosts)
+      val merged = Tables.parquet(s, postPath).unionByName(deltaPosts)
         .repartition(col("term")).sortWithinPartitions(col("term"))
-      val dl = s.read.parquet(dlPath).unionByName(
+      val dl = Tables.parquet(s, dlPath).unionByName(
         delta.select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("dl")))
       (graft.operators.Scratch.materializePath(merged, "bm25-compact-postings"),
         graft.operators.Scratch.materializePath(dl, "bm25-compact-dl"))
     }
     val termsRel = Bm25QueryTerms.toDF("term")
-    val tf = s.read.parquet(cPostPath)
+    val tf = Tables.parquet(s, cPostPath)
       .join(broadcast(termsRel), Seq("term"), "left_semi")
-    bm25ScoreRelations(tf, s.read.parquet(cDlPath))
+    bm25ScoreRelations(tf, Tables.parquet(s, cDlPath))
       .orderBy(col("score").desc, col("doc_id")).limit(10)
       .select(col("doc_id"), col("score"))
   }
@@ -3544,7 +3544,7 @@ object LlmOps {
         .select(col("pid"), col("dims"), col("rank"), col("cid"))
       graft.operators.Scratch.materializePath(ranked, "mrl-ranked")
     }
-    s.read.parquet(path)
+    Tables.parquet(s, path)
   }
 
   def q119(s: SparkSession, d: String): DataFrame = {
@@ -4054,10 +4054,10 @@ object LlmOps {
         q34b(s, dir).select(col("va").as("da"), col("vb").as("db")),
         "q73-pairs")
       try graft.operators.ConnectedComponents.minLabelPropagationPath(
-        s.read.parquet(pairsPath))
+        Tables.parquet(s, pairsPath))
       finally graft.operators.Scratch.release(pairsPath)
     }
-    val labels = s.read.parquet(labelsPath)
+    val labels = Tables.parquet(s, labelsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id").as("vec_id"), col("lbl").as("cluster_id"),
@@ -4207,7 +4207,7 @@ object LlmOps {
       val wcPath = graft.operators.Scratch.materializePath(wordCounts, "bpe-words")
       try {
         val (merges, finalSyms) = graft.operators.Bpe.train(
-          s.read.parquet(wcPath), "word", "cnt", BpeMerges)
+          Tables.parquet(s, wcPath), "word", "cnt", BpeMerges)
         import s.implicits._
         val mergeDf = merges
           .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
@@ -4229,7 +4229,7 @@ object LlmOps {
     * every downstream encode job. Iterative-operator oracle parity via an
     * unrolled CTE chain (the q96 precedent). */
   def q105(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(bpePaths(s, d)._1).orderBy(col("merge_rank"))
+    Tables.parquet(s, bpePaths(s, d)._1).orderBy(col("merge_rank"))
 
   /** q106 — encode the corpus with the q105-trained BPE: per-document
     * real-tokenizer budget vs raw characters. The production fast-
@@ -4239,7 +4239,7 @@ object LlmOps {
     * aggregation, and the merge loop's cost is amortized across every
     * consumer of the memoized vocab relation. */
   def q106(s: SparkSession, d: String): DataFrame = {
-    val vocab = s.read.parquet(bpePaths(s, d)._2)
+    val vocab = Tables.parquet(s, bpePaths(s, d)._2)
     Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .join(broadcast(vocab.select(col("word"), col("n_toks"))), Seq("word"))
@@ -4786,7 +4786,7 @@ object LlmOps {
     * production shape (a graph is built once, then maintained and
     * served). */
   def q168(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(knnGraphPath(s, d))
+    Tables.parquet(s, knnGraphPath(s, d))
       .select(col("va"), col("vb"), col("sim"), col("rn"))
       .orderBy(col("va"), col("rn"))
 
@@ -4794,7 +4794,7 @@ object LlmOps {
     * regime of [[knnGraphBuild]]'s dispatch. */
   private def cellBlockedBuild(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val layout = s.read.parquet(path)
+    val layout = Tables.parquet(s, path)
     val e0 = Tables.embeddings(s, d)
     val n = embeddingsCount(s, d) // memoized 1-value driver probe (r20)
     val widened = widenProbes(
@@ -5227,7 +5227,7 @@ object LlmOps {
     knnLayer1Cache.getOrCompute(d) { dir =>
       val path = graft.operators.Scratch.materializePath(
         knnLayer1Build(s, dir), "knn-l1")
-      val entry = s.read.parquet(path).agg(min(col("va"))).head.getLong(0)
+      val entry = Tables.parquet(s, path).agg(min(col("va"))).head.getLong(0)
       val emb = Tables.embeddings(s, dir)
         .filter(col("vec_id") === entry).select(col("embedding"))
         .head.getSeq[Float](0)
@@ -5286,7 +5286,7 @@ object LlmOps {
       batch: DataFrame): DataFrame = {
     val state = ivf2ServeState(s, d)
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val layout = s.read.parquet(path)
+    val layout = Tables.parquet(s, path)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val routed = ivf2SecondProbeCell(ivf2AssignCells(batch, state), state)
     widenProbes(routed, Seq("nid", "ne")).join(layout, Seq("cell"))
@@ -5315,8 +5315,8 @@ object LlmOps {
     new graft.operators.DatasetCache[String]("splice-cand", Seq(_))
 
   def q171(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
-    val cand = s.read.parquet(spliceCandCache.getOrCompute(d)(dir =>
+    val g = Tables.parquet(s, knnGraphPath(s, d))
+    val cand = Tables.parquet(s, spliceCandCache.getOrCompute(d)(dir =>
       graft.operators.Scratch.materializePath(
         graphSpliceCandidates(s, dir, derivedGraphBatch(s, dir)),
         "splice-cand")))
@@ -5423,9 +5423,9 @@ object LlmOps {
     * the landed-graph chain + the same tombstone/affected/repair CTEs
     * over the shared probe-2 relation `pp`. */
   def q172(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
+    val g = Tables.parquet(s, knnGraphPath(s, d))
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val layout = s.read.parquet(path)
+    val layout = Tables.parquet(s, path)
     val tomb = Tables.embeddings(s, d)
       .filter(col("vec_id") % 31 === 0).select(col("vec_id"))
     val tombA = broadcast(tomb.select(col("vec_id").as("va")))
@@ -5524,10 +5524,10 @@ object LlmOps {
     * vector to its two probe cells) + R unrolled expand/score/merge
     * CTEs, every tiebreak (sim desc, vid) shared. */
   def q173(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
+    val g = Tables.parquet(s, knnGraphPath(s, d))
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val layout = s.read.parquet(path)
+    val layout = Tables.parquet(s, path)
     val probeRows = widenProbes(
       layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"),
@@ -5693,10 +5693,10 @@ object LlmOps {
     * ≤ P·B·2K rows per round); the exact arm is the q167 offline-eval
     * pattern. */
   def q177(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
+    val g = Tables.parquet(s, knnGraphPath(s, d))
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val layout = s.read.parquet(path)
+    val layout = Tables.parquet(s, path)
     val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         col("cell"), col("cell2"))
@@ -5723,7 +5723,7 @@ object LlmOps {
     // probe2's √(8n)-row cell join — the report measures what that
     // entry-cost saving costs in recall.
     val (l1Path, entryId, entryEmb) = knnLayer1State(s, d)
-    val l1g = s.read.parquet(l1Path).select(col("va"), col("vb"))
+    val l1g = Tables.parquet(s, l1Path).select(col("va"), col("vb"))
     val v0h = probes.select(col("pid"), col("pe"), lit(entryId).as("vid"),
       round(CosineSimilarityExpr(col("pe"), typedlit(entryEmb)), 4)
         .as("sim"))
@@ -5907,12 +5907,12 @@ object LlmOps {
     * both unrolled walks (arm B's round CTEs carry the label join) +
     * filtered-exact CTEs, every tiebreak shared. */
   def q179(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
+    val g = Tables.parquet(s, knnGraphPath(s, d))
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val lab = Tables.embeddings(s, d)
       .select(col("vec_id").as("vid"), col("label"))
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val layout = s.read.parquet(path)
+    val layout = Tables.parquet(s, path)
     val p = layout.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         col("label").as("plabel"), col("cell"), col("cell2"))
@@ -6102,9 +6102,9 @@ object LlmOps {
     * below the crossover, which the subsample sits 8× further under
     * than the corpus. */
   def q187(s: SparkSession, d: String): DataFrame = {
-    val g = s.read.parquet(knnGraphPath(s, d))
+    val g = Tables.parquet(s, knnGraphPath(s, d))
     val (l1Path, entryId, entryEmb) = knnLayer1State(s, d)
-    val l1g = s.read.parquet(l1Path).select(col("va"), col("vb"))
+    val l1g = Tables.parquet(s, l1Path).select(col("va"), col("vb"))
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val probes = e0.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"))
@@ -6224,7 +6224,7 @@ object LlmOps {
   private[graft] def layer1SpliceVisited(s: SparkSession, d: String,
       batch: DataFrame): DataFrame = {
     val (l1Path, entryId, entryEmb) = knnLayer1State(s, d)
-    val g1 = s.read.parquet(l1Path)
+    val g1 = Tables.parquet(s, l1Path)
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val v0 = batch.select(col("pid"), col("pe"), lit(entryId).as("vid"),
       round(CosineSimilarityExpr(col("pe"), typedlit(entryEmb)), 4)
@@ -6234,7 +6234,7 @@ object LlmOps {
   }
 
   def q188(s: SparkSession, d: String): DataFrame = {
-    val g1 = s.read.parquet(knnLayer1State(s, d)._1)
+    val g1 = Tables.parquet(s, knnLayer1State(s, d)._1)
     val batch = derivedGraphBatch(s, d).filter(col("nid") % 8 === 0)
       .select(col("nid").as("pid"), col("ne").as("pe"))
     val visited = layer1SpliceVisited(s, d, batch)
@@ -6316,7 +6316,7 @@ object LlmOps {
     * takes over from the deleted vec_id 0 ([[q190]] proves it). */
   def q189(s: SparkSession, d: String): DataFrame = {
     val (l1Path, _, _) = knnLayer1State(s, d)
-    val g1 = s.read.parquet(l1Path)
+    val g1 = Tables.parquet(s, l1Path)
     val l1e = Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0)
       .select(col("vec_id"), col("embedding"))
     val tomb = Tables.embeddings(s, d).filter(col("vec_id") % 31 === 0)
@@ -6420,7 +6420,7 @@ object LlmOps {
         q172(s, dir).select(col("va"), col("vb")), "knn-spliced-l0")
       val l1 = graft.operators.Scratch.materializePath(
         q189(s, dir).select(col("va"), col("vb")), "knn-spliced-l1")
-      val entry = s.read.parquet(l1).agg(min(col("va"))).head.getLong(0)
+      val entry = Tables.parquet(s, l1).agg(min(col("va"))).head.getLong(0)
       val emb = Tables.embeddings(s, dir)
         .filter(col("vec_id") === entry).select(col("embedding"))
         .head.getSeq[Float](0)
@@ -6445,8 +6445,8 @@ object LlmOps {
     * references a tombstone, so the walks never visit one. */
   def q190(s: SparkSession, d: String): DataFrame = {
     val (l0Path, l1Path, entryId, entryEmb) = splicedIndexState(s, d)
-    val g0 = s.read.parquet(l0Path)
-    val g1 = s.read.parquet(l1Path)
+    val g0 = Tables.parquet(s, l0Path)
+    val g1 = Tables.parquet(s, l1Path)
     val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val probes = e0.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"))
@@ -6567,15 +6567,15 @@ object LlmOps {
   def q174(s: SparkSession, d: String): DataFrame = {
     val labelsPath = graphDedupCache.getOrCompute(d) { dir =>
       val edgesPath = graft.operators.Scratch.materializePath(
-        s.read.parquet(knnGraphPath(s, dir))
+        Tables.parquet(s, knnGraphPath(s, dir))
           .filter(col("sim") >= CosineNearDupThreshold)
           .select(col("va").as("da"), col("vb").as("db")),
         "graph-dedup-edges")
       try graft.operators.ConnectedComponents.minLabelPropagationPath(
-        s.read.parquet(edgesPath))
+        Tables.parquet(s, edgesPath))
       finally graft.operators.Scratch.release(edgesPath)
     }
-    val labels = s.read.parquet(labelsPath)
+    val labels = Tables.parquet(s, labelsPath)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
     val clustered = labels.join(sizes, "lbl")
       .select(col("doc_id").as("vec_id"), col("lbl"), col("cs"))
@@ -6711,7 +6711,7 @@ object LlmOps {
     * shuffles (the second cell is the same map-side argmin). */
   def q149(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    ivf2Serve(s.read.parquet(path))
+    ivf2Serve(Tables.parquet(s, path))
   }
 
   /** PROBE-2 WIDENING, the one definition of the two-cell probe
@@ -6857,7 +6857,7 @@ object LlmOps {
   def ivf2ServeState(s: SparkSession, dir: String)
       : (Array[Array[Long]], Vector[Vector[Array[Long]]], Long) = {
     val (_, centsPath) = ivf2Cache.getOrCompute(dir)(ivf2Build(s, _))
-    val cents = s.read.parquet(centsPath)
+    val cents = Tables.parquet(s, centsPath)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3)))
     val coarseCents = cents.filter(_._1 == -1L).sortBy(_._2).map(_._3)
@@ -7016,11 +7016,11 @@ object LlmOps {
       val tomb = Tables.embeddings(s, dir)
         .filter(col("vec_id") % 31 === 0).select(col("vec_id"))
       graft.operators.Scratch.materializePath(
-        s.read.parquet(path)
+        Tables.parquet(s, path)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
         "ivf2-live")
     }
-    ivf2Serve(s.read.parquet(livePath))
+    ivf2Serve(Tables.parquet(s, livePath))
   }
 
   private lazy val q160Sql =
@@ -7055,7 +7055,7 @@ object LlmOps {
     * cells; windows mirror the top-k sums and both NN directions. */
   def q164(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val assign = s.read.parquet(path)
+    val assign = Tables.parquet(s, path)
       .select(col("vec_id"), col("cell"), col("cell2"),
         transform(col("embedding"), v => v.cast("double")).as("e"))
     val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
@@ -7161,7 +7161,7 @@ object LlmOps {
     * serve arms are the production cell-blocked joins. */
   def q167(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    val assign = s.read.parquet(path)
+    val assign = Tables.parquet(s, path)
     val p = assign.filter(col("vec_id") >= 16 && col("vec_id") < 26)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         col("cell"), col("cell2"))
@@ -7257,7 +7257,7 @@ object LlmOps {
     * + both rank arms. */
   def q176(s: SparkSession, d: String): DataFrame = {
     val (path, _) = ivf2Cache.getOrCompute(d)(ivf2Build(s, _))
-    filteredServeReport(s.read.parquet(path))
+    filteredServeReport(Tables.parquet(s, path))
   }
 
   /** The q176 report over any (vec_id, embedding, cell, cell2, label)
@@ -7591,7 +7591,7 @@ object LlmOps {
           .select(col("doc_id")),
         "prf-feedback")
     }
-    val fb = s.read.parquet(fbPath)
+    val fb = Tables.parquet(s, fbPath)
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))

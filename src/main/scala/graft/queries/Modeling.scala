@@ -920,7 +920,7 @@ object Modeling {
           UnigramLm.withPieceMap(w, UnigramLm.model(p1, p1))),
         "unigram-seg1")
     }
-    val seg1 = s.read.parquet(seg1Path)
+    val seg1 = Tables.parquet(s, seg1Path)
     val md2 = UnigramLm.model(UnigramLm.segmentCounts(seg1), pc)
     val seg2 = UnigramLm.segment(UnigramLm.withPieceMap(words, md2))
     seg1.select(col("word"), col("freq"),
